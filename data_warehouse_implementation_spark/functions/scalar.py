@@ -1,0 +1,75 @@
+"""Scalar / column-level helpers.
+
+These re-express the reference's scalar-function surface (SURVEY.md §2.8)
+as composable Column functions. All of them stay JVM-side (built-in
+``pyspark.sql.functions`` only) so they participate in whole-stage
+codegen — no Python UDFs in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def canonicalize_nulls(col: Column | str, sentinel: str = "") -> Column:
+    """NULL -> '' canonicalization (reference F4: ``COALESCE(c, '')``,
+    ``inserting-data.sql:62,76-79,...``).
+
+    The reference uses this before every dedup/join/load, which
+    deliberately conflates NULL and '' — we preserve that semantic
+    exactly (it changes join cardinality vs eqNullSafe when both '' and
+    NULL occur).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(c, F.lit(sentinel))
+
+
+def yes_no_to_int(col: Column | str) -> Column:
+    """'Yes'/'No' -> 1/0, anything else NULL (reference F11,
+    ``python.py:103-106``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(c == "Yes", F.lit(1)).when(c == "No", F.lit(0)).cast("int")
+
+
+def ratio(numerator: Column, denominator: Column) -> Column:
+    """Double-division ratio (reference F5 casts the numerator to DECIMAL
+    before ``/``; we use double division — deterministic for
+    integer-valued counts, oracle-compatible)."""
+    return numerator.cast("double") / denominator.cast("double")
+
+
+def flag_ratio(flag_col: Column | str) -> Column:
+    """Share of rows where a 0/1 flag is set: ``count_if(c=1)/count(*)``
+    as an aggregate expression (reference A2/A3 + F5)."""
+    c = F.col(flag_col) if isinstance(flag_col, str) else flag_col
+    return ratio(F.count(F.when(c == 1, F.lit(1))), F.count(F.lit(1)))
+
+
+def null_safe_ne(a: Column | str, b: Column | str) -> Column:
+    """``a IS DISTINCT FROM b`` (reference F10, ``creating-tables.sql:258``
+    — SCD3 change detection)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return ~ca.eqNullSafe(cb)
+
+
+def date_parts(col: Column | str, prefix: str = "") -> list[Column]:
+    """year/month/day decomposition used by expression joins to the date
+    dimension (reference F1/J3, ``inserting-data.sql:164-169``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return [
+        F.year(c).alias(f"{prefix}year"),
+        F.month(c).alias(f"{prefix}month"),
+        F.dayofmonth(c).alias(f"{prefix}day"),
+    ]
+
+
+def with_date_parts(df: DataFrame, col: str, prefix: str = "") -> DataFrame:
+    """Attach year/month/day columns derived from ``col``."""
+    c = F.col(col)
+    return (
+        df.withColumn(f"{prefix}year", F.year(c))
+        .withColumn(f"{prefix}month", F.month(c))
+        .withColumn(f"{prefix}day", F.dayofmonth(c))
+    )

@@ -1,0 +1,93 @@
+"""SparkSession bootstrap and testdata table registry.
+
+Scale posture (the session defaults below are tuned for the local[32]
+test harness but the *shape* is what a 1000-executor cluster wants):
+
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting,
+  and dynamic broadcast conversion replace the reference's ~30 hand-built
+  b-tree indexes (``creating-tables.sql:11-21`` et al.).
+- Arrow on: every pandas-interop boundary (Pandas UDFs, ``toPandas``)
+  is Arrow-batched, never row-at-a-time pickling.
+- ``spark.sql.shuffle.partitions`` is set to a small local default; on a
+  real cluster leave it to AQE (``coalescePartitions``) which sizes
+  post-shuffle partitions from ``advisoryPartitionSizeInBytes``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Tables the driver generates under /root/testdata/sf*/ (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(
+    app_name: str = "data_warehouse_implementation_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Create (or fetch) a SparkSession with the engine's defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; when the
+    session is launched by a cluster manager (driver already configured)
+    the builder just returns the active session.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # testdata parquet carries TIMESTAMP(NANOS) (pandas/pyarrow default);
+        # this lets Spark 4 read them (as timestamp_ntz, micro-truncated)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Read every testdata parquet under ``sf_dir`` and register each as a
+    temp view. Returns {name: DataFrame}.
+
+    Parquet scans are the engine's only local source at test time; on a
+    cluster the same call works against object-store URIs unchanged
+    (columnar vectorized reader, predicate pushdown, column pruning).
+    """
+    # Defensive: the driver may hand us a session built without our
+    # defaults; this conf is dynamic and required to read the testdata's
+    # nanosecond timestamps.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tables: dict[str, DataFrame] = {}
+    for name in TESTDATA_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        df.createOrReplaceTempView(name)
+        tables[name] = df
+    return tables
