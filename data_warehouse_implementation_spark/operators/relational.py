@@ -1,0 +1,114 @@
+"""Generic relational operators (SURVEY.md §2.2-2.7).
+
+All are thin, composable wrappers over DataFrame primitives, written so
+Catalyst keeps full visibility (no UDFs, no collect): predicate
+pushdown, column pruning, and join strategy selection all still apply.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalar import canonicalize_nulls
+
+
+def top_k(df: DataFrame, order_by: Sequence[Column], k: int) -> DataFrame:
+    """Global top-k (reference O3: ORDER BY + LIMIT, ``analysis.sql:188-190``).
+
+    Physically a ``TakeOrderedAndProject`` — each partition computes its
+    local top-k, the driver merges k*numPartitions rows; no global sort
+    at any scale. Callers should include a unique tiebreaker column for
+    deterministic results.
+    """
+    return df.orderBy(*order_by).limit(k)
+
+
+def top_k_per_group(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+    rank_col: str = "rn",
+    method: str = "row_number",
+    keep_rank: bool = False,
+) -> DataFrame:
+    """Per-group top-k via ranking window + filter (reference O4/P6,
+    ``analysis.sql:54-55,104-105,233,237-238``).
+
+    ``method``: ``row_number`` (exactly k rows/group; order_by should be
+    deterministic) or ``rank`` (ties share rank; may exceed k).
+    One shuffle on ``partition_by``; with many groups this parallelizes
+    across executors — never a single-partition global window.
+    """
+    fn = {"row_number": F.row_number, "rank": F.rank, "dense_rank": F.dense_rank}[method]
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    out = df.withColumn(rank_col, fn().over(w).cast("long")).filter(F.col(rank_col) <= k)
+    return out if keep_rank else out.drop(rank_col)
+
+
+def semi_filter(df: DataFrame, keys: DataFrame, on: Sequence[str]) -> DataFrame:
+    """Left-semi join: keep df rows whose key tuple appears in ``keys``
+    (reference J6/P7 — INNER JOIN to a distinct list / tuple-IN subquery,
+    ``analysis.sql:147-148,233``). Catalyst broadcasts ``keys`` when
+    small; semantics never duplicate df rows, unlike a raw inner join.
+    """
+    return df.join(keys.select(*on).distinct(), on=list(on), how="left_semi")
+
+
+def anti_filter(df: DataFrame, keys: DataFrame, on: Sequence[str]) -> DataFrame:
+    """Left-anti complement of :func:`semi_filter` (used by
+    insert-if-absent SCD semantics, ``inserting-data.sql:44,57,104``)."""
+    return df.join(keys.select(*on).distinct(), on=list(on), how="left_anti")
+
+
+def union_distinct(*dfs: DataFrame) -> DataFrame:
+    """SQL UNION (dedup) of same-schema inputs (reference U1,
+    ``inserting-data.sql:26-28``, ``analysis.sql:113-115``)."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out.distinct()
+
+
+def dedup_distinct(df: DataFrame, cols: Sequence[str] | None = None, canonicalize: bool = False) -> DataFrame:
+    """SELECT DISTINCT over (optionally null-canonicalized) columns
+    (reference A7 + F4 — the dimension-build dedup pattern,
+    ``inserting-data.sql:23-28,75-80``). ``canonicalize=True`` maps NULL
+    string cells to '' first, matching the reference's COALESCE-to-''
+    discipline (NULL and '' intentionally conflate)."""
+    if cols:
+        df = df.select(*cols)
+    if canonicalize:
+        df = df.select(
+            *[
+                canonicalize_nulls(c).alias(c) if t == "string" else F.col(c)
+                for c, t in df.dtypes
+            ]
+        )
+    return df.distinct()
+
+
+def null_canonical_join(
+    left: DataFrame,
+    right: DataFrame,
+    pairs: Sequence[tuple[str, str]],
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join on COALESCE(col,'') = COALESCE(col,'') for each pair
+    (reference J4, ``inserting-data.sql:170-175``). Conflates NULL and
+    '' by design — use ``eqNullSafe`` joins when that conflation is NOT
+    wanted."""
+    cond = None
+    for lc, rc in pairs:
+        c = canonicalize_nulls(left[lc]) == canonicalize_nulls(right[rc])
+        cond = c if cond is None else (cond & c)
+    return left.join(right, cond, how)
+
+
+def limit_preview(df: DataFrame, n: int = 1000) -> DataFrame:
+    """CTAS + LIMIT preview snapshot (reference S6,
+    ``inserting-data.sql:7-10``). LocalLimit pushes into the scan."""
+    return df.limit(n)

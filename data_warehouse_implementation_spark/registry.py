@@ -50,3 +50,36 @@ def oracle_sql() -> dict[str, str]:
 # Flagship (SURVEY §7 step 1): Q1a analog — star join, conditional agg,
 # HAVING, double RANK, rank filter.
 register("timely_rank_report", analytics.timely_rank_report, analytics.TIMELY_RANK_ORACLE)
+
+# Analytics battery (SURVEY §2.2-2.8)
+register("disputed_rank_report", analytics.disputed_rank_report, analytics.DISPUTED_RANK_ORACLE)
+register(
+    "companies_of_interest", analytics.companies_of_interest, analytics.COMPANIES_OF_INTEREST_ORACLE
+)
+register("segment_ratio_report", analytics.segment_ratio_report, analytics.SEGMENT_RATIO_ORACLE)
+register("preaggregate", analytics.preaggregate, analytics.PREAGGREGATE_ORACLE)
+register("drilldown_report", analytics.drilldown_report, analytics.DRILLDOWN_ORACLE)
+register("top5_orders", analytics.top5_orders, analytics.TOP5_ORDERS_ORACLE)
+register(
+    "top_orders_per_nation",
+    analytics.top_orders_per_nation,
+    analytics.TOP_ORDERS_PER_NATION_ORACLE,
+)
+register("calendar_dim", analytics.calendar_dim, analytics.CALENDAR_DIM_ORACLE)
+register(
+    "shipments_by_quarter", analytics.shipments_by_quarter, analytics.SHIPMENTS_BY_QUARTER_ORACLE
+)
+register("null_canonical_dedup", analytics.null_canonical_dedup, analytics.NULL_CANONICAL_DEDUP_ORACLE)
+register(
+    "null_canonical_join", analytics.null_canonical_join_counts, analytics.NULL_CANONICAL_JOIN_ORACLE
+)
+register(
+    "multikey_category_join", analytics.multikey_category_join, analytics.MULTIKEY_CATEGORY_JOIN_ORACLE
+)
+register("priority_pivot", analytics.priority_pivot, analytics.PRIORITY_PIVOT_ORACLE)
+register("part_melt", analytics.part_melt, analytics.PART_MELT_ORACLE)
+register("brand_median_price", analytics.brand_median_price, analytics.BRAND_MEDIAN_PRICE_ORACLE)
+register("brand_mode_type", analytics.brand_mode_type, analytics.BRAND_MODE_TYPE_ORACLE)
+register(
+    "recent_order_preview", analytics.recent_order_preview, analytics.RECENT_ORDER_PREVIEW_ORACLE
+)
