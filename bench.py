@@ -27,10 +27,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
-    # warm up the JVM + parquet footer caches once, outside the timed region
+    # Warm up the JVM, codegen, and parquet footer caches with a neutral
+    # scan+agg (NOT a registry query, so no timed query gets an unfair
+    # cached-plan head start — ADVICE r1).
+    from data_warehouse_implementation_spark.session import load_tables
+
     qs = registry.queries()
-    first = next(iter(qs))
-    qs[first](spark, sf_dir).count()
+    warm = load_tables(spark, sf_dir)
+    for wname in ("orders", "lineitem"):
+        warm[wname].groupBy().count().collect()
 
     total = 0.0
     for name, q in qs.items():

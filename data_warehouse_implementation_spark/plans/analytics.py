@@ -36,6 +36,7 @@ from pyspark.sql.functions import broadcast
 from ..functions.scalar import canonicalize_nulls, ratio
 from ..operators import calendar as cal
 from ..operators import imputation, relational, reshape
+from . import materialize
 
 # Minimum group size for the HAVING gate (reference uses >= 1000 on
 # millions of complaints; scaled to the testdata's group sizes).
@@ -230,20 +231,32 @@ ORDER BY disputed_rank, n_name
 # Q1c analog — union-distinct of the two interest lists
 
 
-def _timely_extremes(t: dict[str, DataFrame]) -> DataFrame:
-    return timely_rank_report(t).select("n_name")
+def _cache_key(t: dict[str, DataFrame]) -> str:
+    """Stable per-dataset key for the materialization layer: the semantic
+    hash of the orders scan differs across sf dirs and is identical for
+    repeated loads of the same dir (no job triggered)."""
+    return str(t["orders"].semanticHash())
 
 
-def _disputed_extremes(t: dict[str, DataFrame]) -> DataFrame:
-    return disputed_rank_report(t).select("n_name")
+def _interest_list(t: dict[str, DataFrame]) -> DataFrame:
+    """The reference's ``temp_companies`` (``analysis.sql:110-118``),
+    materialized once per session (S7): ~25 rows, cached, reused by
+    every downstream query instead of recomputing both rank-report
+    lineages (the round-1 triple-recompute anti-pattern)."""
+    return materialize.get_or_build(
+        "companies_of_interest",
+        _cache_key(t),
+        lambda: relational.union_distinct(
+            timely_rank_report(t).select("n_name"),
+            disputed_rank_report(t).select("n_name"),
+        ),
+    )
 
 
 def companies_of_interest(t: dict[str, DataFrame]) -> DataFrame:
     """Mirrors Q1c (``analysis.sql:110-118``): UNION (distinct) of the
     extreme-timely and extreme-disputed entity lists (U1)."""
-    return relational.union_distinct(_timely_extremes(t), _disputed_extremes(t)).orderBy(
-        "n_name"
-    )
+    return _interest_list(t).orderBy("n_name")
 
 
 COMPANIES_OF_INTEREST_ORACLE = f"""
@@ -269,7 +282,7 @@ def segment_ratio_report(t: dict[str, DataFrame]) -> DataFrame:
     agg = agg.withColumn(
         "fulfilled_ratio", ratio(F.col("fulfilled_orders"), F.col("total_orders"))
     )
-    filtered = relational.semi_filter(agg, companies_of_interest(t), on=["n_name"])
+    filtered = relational.semi_filter(agg, _interest_list(t), on=["n_name"])
     return filtered.orderBy("n_name", "c_mktsegment")
 
 
@@ -335,7 +348,7 @@ def drilldown_report(t: dict[str, DataFrame]) -> DataFrame:
     Every ROW_NUMBER window carries unique tiebreakers (segment /
     priority / flag name) — the reference relies on engine-arbitrary
     tie order; we pin it for cross-engine determinism."""
-    pre = preaggregate(t).cache()
+    pre = materialize.get_or_build("preaggregate", _cache_key(t), lambda: preaggregate(t))
 
     top5 = (
         pre.groupBy("n_name")
@@ -509,7 +522,9 @@ ORDER BY n_name, order_rank
 # J3/J5 + F3: calendar build and role-playing date-dimension joins
 
 
-CAL_START, CAL_END = "1995-01-01", "2002-12-31"
+# Covers the full testdata date range (order/ship dates span 1992-1998)
+# so the inner date-dimension joins drop no fact rows (ADVICE r1).
+CAL_START, CAL_END = "1992-01-01", "2002-12-31"
 
 
 def calendar_dim(t: dict[str, DataFrame], spark=None) -> DataFrame:

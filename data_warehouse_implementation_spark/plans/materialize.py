@@ -1,0 +1,59 @@
+"""Session-scoped materialization of shared intermediates (reference S7:
+``CREATE TEMPORARY TABLE ... AS`` — ``analysis.sql:13,63,110,155,254``).
+
+The reference computes ``temp_timely`` / ``temp_disputed`` /
+``temp_companies`` / ``temp_cf`` once per session and reuses them across
+queries. Spark's analog is ``.cache()`` + reuse of the same DataFrame
+object; this module provides that reuse across *separate* registry query
+invocations inside one SparkSession (the driver's correctness gate and
+the bench both call queries independently in one process).
+
+Cache entries are keyed by (name, sf_dir) and validated against the
+current SparkSession — a new session (tests stop/recreate them) simply
+rebuilds. Entries hold ~#groups rows (interest lists, pre-aggregates),
+never raw fact rows, so executor memory cost is negligible at any scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+_CACHE: dict[tuple[str, str], tuple[SparkSession, DataFrame]] = {}
+
+
+def get_or_build(
+    name: str, sf_dir: str, builder: Callable[[], DataFrame]
+) -> DataFrame:
+    """Return the cached DataFrame for (name, sf_dir), building and
+    ``.cache()``-ing it on first use in the current session."""
+    spark = SparkSession.getActiveSession()
+    entry = _CACHE.get((name, sf_dir))
+    if entry is not None:
+        owner, df = entry
+        if owner is spark:
+            return df
+        # stale entry from a stopped/replaced session — rebuild
+        _CACHE.pop((name, sf_dir), None)
+    df = builder().cache()
+    _CACHE[(name, sf_dir)] = (spark, df)
+    return df
+
+
+def materialize(name: str, df: DataFrame, sf_dir: str = "") -> DataFrame:
+    """Explicitly cache ``df`` under ``name`` (S7 public API). Also
+    registers it as a temp view so ``spark.sql`` can reference it."""
+    out = get_or_build(name, sf_dir, lambda: df)
+    out.createOrReplaceTempView(name)
+    return out
+
+
+def clear() -> None:
+    """Unpersist and drop every cached intermediate (test hygiene)."""
+    for _, (owner, df) in list(_CACHE.items()):
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped
+    _CACHE.clear()

@@ -60,8 +60,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # testdata parquet carries TIMESTAMP(NANOS) (pandas/pyarrow default);
-        # this lets Spark 4 read them (as timestamp_ntz, micro-truncated)
+        # Safety net only: if a parquet input carries TIMESTAMP(NANOS),
+        # Spark 4 reads it as LongType (nanos since epoch) instead of
+        # failing. The driver's testdata is timestamp[us]/[ms], so this
+        # conf is inert there; date functions do NOT work on the long
+        # form — callers with real nanos must convert explicitly.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

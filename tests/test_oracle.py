@@ -19,4 +19,4 @@ def test_query_matches_oracle(spark, name):
 
 def test_every_query_has_rows_at_smoke_sf(spark):
     for name, q in registry.queries().items():
-        assert q(spark, "/root/testdata/sf0.001").count() >= 0, name
+        assert q(spark, "/root/testdata/sf0.001").count() > 0, name
