@@ -20,7 +20,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .plans import analytics
+from .plans import analytics, scd_queries
 from .session import load_tables
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
@@ -83,3 +83,13 @@ register("brand_mode_type", analytics.brand_mode_type, analytics.BRAND_MODE_TYPE
 register(
     "recent_order_preview", analytics.recent_order_preview, analytics.RECENT_ORDER_PREVIEW_ORACLE
 )
+
+# SCD / mutation algebra golden batches (SURVEY §2.9 M1-M4; J9/F8/F9/F10)
+register("scd1_upsert_batch", scd_queries.scd1_upsert_batch, scd_queries.SCD1_UPSERT_ORACLE)
+register(
+    "insert_if_absent_batch",
+    scd_queries.insert_if_absent_batch,
+    scd_queries.INSERT_IF_ABSENT_ORACLE,
+)
+register("scd2_apply_batch", scd_queries.scd2_apply_batch, scd_queries.SCD2_APPLY_ORACLE)
+register("scd3_apply_batch", scd_queries.scd3_apply_batch, scd_queries.SCD3_APPLY_ORACLE)
