@@ -1,0 +1,190 @@
+"""Ingest-surface and event-table CORRECTNESS queries: CSV staging
+round-trip (S1), JSON props parsing + nested flatten (S2/S3), and the
+batch analogs of the streaming extension's windowed/sessionized
+aggregations over ``events`` (SURVEY §2.10).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..sources import csvio, nested
+
+# CSV staging cache inside the repo (testdata is read-only; the staging
+# copy is written once per sf dir and reused — gitignored).
+_CSV_CACHE_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".cache", "csv")
+
+ORDERS_CSV_SCHEMA = (
+    "o_orderkey long, o_custkey long, o_orderstatus string,"
+    " o_totalprice double, order_date string"
+)
+
+
+def _event_ts(col: str = "ts"):
+    """events.ts is parquet TIMESTAMP(NANOS), which the session conf
+    ``nanosAsLong`` surfaces as a BIGINT of nanoseconds. Truncate to
+    microseconds (integer div, exactly DuckDB's ns->us conversion) and
+    rebuild a timestamp. Session timeZone=UTC keeps formatting stable."""
+    return F.timestamp_micros(F.expr(f"{col} div 1000"))
+
+
+def _decimal_sum_as_double(col, scale: str = "decimal(18,2)"):
+    """Order-independent sum of a double measure: per-row decimal cast,
+    exact decimal sum, then a final double cast (exact for our
+    magnitudes — cents fit in 2^53) so both engines emit plain doubles."""
+    return F.sum(col.cast(scale)).cast("double")
+
+
+def csv_scan_agg(t: dict[str, DataFrame]) -> DataFrame:
+    """S1 CSV staging scan (reference ``pd.read_csv``, ``python.py:13``):
+    stage orders to CSV once, read it back with an explicit schema, and
+    aggregate. The oracle aggregates the original parquet — the
+    differential therefore proves the CSV round-trip is lossless
+    (doubles survive via shortest-repr formatting)."""
+    orders = t["orders"]
+    spark = orders.sparkSession
+    # stage once per dataset (keyed by row count — sf dirs differ)
+    staged = os.path.join(_CSV_CACHE_ROOT, f"orders_{orders.semanticHash() & 0xFFFFFFFF:x}")
+    if not os.path.exists(staged):
+        csvio.write_csv(
+            orders.select(
+                "o_orderkey",
+                "o_custkey",
+                "o_orderstatus",
+                "o_totalprice",
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            ),
+            staged,
+        )
+    back = csvio.read_csv(spark, staged, schema=ORDERS_CSV_SCHEMA)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _decimal_sum_as_double(F.col("o_totalprice")).alias("total_price"),
+            F.min("order_date").alias("first_date"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+CSV_SCAN_AGG_ORACLE = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       MIN(strftime(o_orderdate, '%Y-%m-%d')) AS first_date
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def events_props_extract(t: dict[str, DataFrame]) -> DataFrame:
+    """S2/S3 semi-structured ingest: parse the JSON ``props`` payload
+    into a typed struct (``from_json``) and flatten the nested field —
+    the Spark analog of the reference's MongoDB dotted-path projection +
+    ``json_normalize`` (``python.py:27-59``). The oracle parses with a
+    regex, proving the typed parse agrees."""
+    ev = nested.parse_json_column(t["events"], "props", "k INT", out_col="props_struct")
+    flat = ev.select("event_id", "event_type", F.col("props_struct.k").alias("k"))
+    return (
+        flat.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("k")
+    )
+
+
+EVENTS_PROPS_EXTRACT_ORACLE = """
+SELECT CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT) AS k,
+       COUNT(*) AS n_events
+FROM events GROUP BY k ORDER BY k
+"""
+
+
+def events_window_agg(t: dict[str, DataFrame]) -> DataFrame:
+    """Tumbling-window aggregate over the event stream (batch analog of
+    ``F.window(ts, '1 hour')`` — SURVEY §2.10 streaming down-payment):
+    per (hour, event_type) counts and value sums. The decimal cast makes
+    the double sum order-independent across engines."""
+    ev = t["events"].withColumn("ts_us", _event_ts())
+    return (
+        ev.withColumn(
+            "hour", F.date_format(F.date_trunc("hour", "ts_us"), "yyyy-MM-dd HH:mm:ss")
+        )
+        .groupBy("hour", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _decimal_sum_as_double(F.col("value")).alias("total_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+EVENTS_WINDOW_AGG_ORACLE = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+"""
+
+
+SESSION_GAP_SECONDS = 1800
+
+
+def events_sessionize(t: dict[str, DataFrame]) -> DataFrame:
+    """Sessionization: split each user's event sequence at >30-min gaps
+    and aggregate per session — the batch twin of the streaming
+    extension's ``applyInPandasWithState`` session operator (and the
+    standard gap-based formulation: lag + cumulative sum, both windows
+    partitioned by user, never global)."""
+    ev = t["events"].select("user_id", _event_ts().alias("ts"), "event_id", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = ev.withColumn(
+        "new_session",
+        (
+            F.coalesce(
+                (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+                > F.lit(SESSION_GAP_SECONDS * 1_000_000),
+                F.lit(True),
+            )
+        ).cast("int"),
+    )
+    sess = gapped.withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long"),
+    )
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+            _decimal_sum_as_double(F.col("value")).alias("session_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+EVENTS_SESSIONIZE_ORACLE = f"""
+WITH gapped AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > {SESSION_GAP_SECONDS * 1_000_000}
+              OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, value, ts,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+  FROM gapped
+)
+SELECT user_id, session_seq,
+       COUNT(*) AS n_events,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+FROM sess GROUP BY user_id, session_seq ORDER BY user_id, session_seq
+"""

@@ -20,7 +20,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .plans import analytics, scd_queries
+from .plans import analytics, ingest_queries, scd_queries
 from .session import load_tables
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
@@ -93,3 +93,17 @@ register(
 )
 register("scd2_apply_batch", scd_queries.scd2_apply_batch, scd_queries.SCD2_APPLY_ORACLE)
 register("scd3_apply_batch", scd_queries.scd3_apply_batch, scd_queries.SCD3_APPLY_ORACLE)
+
+# Ingest surfaces + events coverage (S1-S3; §2.10 batch analogs)
+register("csv_scan_agg", ingest_queries.csv_scan_agg, ingest_queries.CSV_SCAN_AGG_ORACLE)
+register(
+    "events_props_extract",
+    ingest_queries.events_props_extract,
+    ingest_queries.EVENTS_PROPS_EXTRACT_ORACLE,
+)
+register(
+    "events_window_agg", ingest_queries.events_window_agg, ingest_queries.EVENTS_WINDOW_AGG_ORACLE
+)
+register(
+    "events_sessionize", ingest_queries.events_sessionize, ingest_queries.EVENTS_SESSIONIZE_ORACLE
+)

@@ -82,9 +82,11 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
     (columnar vectorized reader, predicate pushdown, column pruning).
     """
     # Defensive: the driver may hand us a session built without our
-    # defaults; this conf is dynamic and required to read the testdata's
-    # nanosecond timestamps.
+    # defaults; these confs are dynamic. nanosAsLong is required to read
+    # the testdata's nanosecond timestamps (events.ts); UTC pins
+    # timestamp formatting regardless of host timezone.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     tables: dict[str, DataFrame] = {}
     for name in TESTDATA_TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")

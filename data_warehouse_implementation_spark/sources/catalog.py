@@ -1,0 +1,129 @@
+"""Parquet-backed warehouse catalog: DDL, sinks, and mutation guards
+(reference S4/S5/S8/S9 + M5/M7).
+
+The reference's warehouse is a set of PostgreSQL tables with declared
+DDL (``creating-tables.sql``), populated by ``INSERT INTO ... SELECT``
+(``inserting-data.sql``), torn down with ``DROP TABLE``
+(``inserting-data.sql:189-215``), and protected by BEFORE-DELETE
+triggers that raise on ``issue_dimension`` / ``resolution_dimension``
+(``creating-tables.sql:196-216``). Spark has no enforced constraints or
+triggers, so (per SURVEY §1.3) these become engine-level guarantees:
+
+- ``create_table`` = declared ``StructType`` + empty parquet seed (S5);
+- ``write``/``insert_into`` = sink + append (S4/S9);
+- ``drop_table``/``truncate``/``delete_where`` raise ``PermissionError``
+  on protected tables (M5/M7) — the delete-guard trigger's batch analog.
+
+Storage is a directory of parquet tables — the same layout works
+against object storage on a cluster (rename ``root`` to an ``s3a://``
+URI). Facts should be written with ``partition_by`` (e.g. by year) so
+partition pruning applies downstream.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+class ProtectedTableError(PermissionError):
+    """Raised for delete/drop/truncate on an append-only table (the
+    reference trigger's ``RAISE EXCEPTION``, ``creating-tables.sql:199``)."""
+
+
+class WarehouseCatalog:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self._protected: set[str] = set()
+        os.makedirs(root, exist_ok=True)
+
+    # -- paths ---------------------------------------------------------
+    def path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def exists(self, name: str) -> bool:
+        return os.path.exists(self.path(name))
+
+    def tables(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.root) if os.path.isdir(self.path(d))
+        )
+
+    # -- DDL (S5) ------------------------------------------------------
+    def create_table(self, name: str, schema: StructType | str, overwrite: bool = False) -> None:
+        """Declare a table with an explicit schema (reference DDL,
+        ``creating-tables.sql:29-178``) by seeding an empty parquet
+        dataset — downstream reads see the declared schema."""
+        if self.exists(name) and not overwrite:
+            raise ValueError(f"table {name!r} already exists")
+        empty = self.spark.createDataFrame([], schema)
+        empty.write.mode("overwrite").parquet(self.path(name))
+
+    # -- guards (M5) ---------------------------------------------------
+    def protect(self, *names: str) -> None:
+        """Mark tables append-only (the BEFORE-DELETE trigger analog)."""
+        self._protected.update(names)
+
+    def _check_mutable(self, name: str) -> None:
+        if name in self._protected:
+            raise ProtectedTableError(
+                f"Deleting records from {name} is not allowed."
+            )
+
+    # -- sinks (S4/S9) -------------------------------------------------
+    def write(
+        self,
+        name: str,
+        df: DataFrame,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """Full-table sink (reference ``to_sql(if_exists='replace')``,
+        ``python.py:217-218``). Overwrite of a protected table is a
+        delete in disguise — guarded."""
+        if mode == "overwrite":
+            self._check_mutable(name)
+        writer = df.write.mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self.path(name))
+
+    def insert_into(self, name: str, df: DataFrame) -> None:
+        """``INSERT INTO ... SELECT`` append (S9,
+        ``inserting-data.sql:22-178``). Appends are always allowed —
+        protection is append-ONLY, not read-only."""
+        df.write.mode("append").parquet(self.path(name))
+
+    # -- reads ---------------------------------------------------------
+    def table(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(name))
+
+    # -- teardown (S8/M7) ---------------------------------------------
+    def drop_table(self, name: str) -> None:
+        self._check_mutable(name)
+        if self.exists(name):
+            shutil.rmtree(self.path(name))
+
+    def truncate(self, name: str) -> None:
+        """``DELETE FROM t`` / ``TRUNCATE`` (M7 — the commented-out
+        ``DELETE FROM complaint_fact``, ``inserting-data.sql:182``)."""
+        self._check_mutable(name)
+        schema = self.table(name).schema
+        self.create_table(name, schema, overwrite=True)
+
+    def delete_where(self, name: str, condition: str) -> None:
+        """Predicate delete = keep the complement (batch formulation of
+        row deletes). Guarded like all destructive ops."""
+        self._check_mutable(name)
+        kept = self.table(name).filter(f"NOT ({condition})")
+        # Materialize before overwriting the files being read.
+        kept_local = kept.cache()
+        kept_local.count()
+        kept_local.write.mode("overwrite").parquet(self.path(name) + "._tmp")
+        kept_local.unpersist()
+        shutil.rmtree(self.path(name))
+        os.rename(self.path(name) + "._tmp", self.path(name))

@@ -1,0 +1,158 @@
+"""Sources/sinks + catalog guard tests (S1-S9, M5/M7)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from data_warehouse_implementation_spark.sources import csvio, nested
+from data_warehouse_implementation_spark.sources.catalog import (
+    ProtectedTableError,
+    WarehouseCatalog,
+)
+
+REPO_TMP = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".cache", "test_tmp")
+
+
+@pytest.fixture()
+def tmp_root():
+    import shutil
+
+    path = os.path.join(REPO_TMP, "catalog")
+    shutil.rmtree(path, ignore_errors=True)
+    yield path
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def test_csv_roundtrip_with_explicit_schema(spark, tmp_root):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, 2.25)], "id long, s string, v double"
+    )
+    path = os.path.join(tmp_root, "csv")
+    csvio.write_csv(df, path)
+    back = csvio.read_csv(spark, path, schema="id long, s string, v double")
+    assert sorted((r.id, r.s, r.v) for r in back.collect()) == [
+        (1, "a", 1.5),
+        (2, None, 2.25),
+    ]
+
+
+def test_nested_flatten_and_select(spark):
+    df = spark.createDataFrame(
+        [(1, {"total": {"a18": 10, "a65": 3}, "state": "tx"})],
+        StructType(
+            [
+                StructField("id", LongType()),
+                StructField(
+                    "pop",
+                    StructType(
+                        [
+                            StructField(
+                                "total",
+                                StructType(
+                                    [
+                                        StructField("a18", IntegerType()),
+                                        StructField("a65", IntegerType()),
+                                    ]
+                                ),
+                            ),
+                            StructField("state", StringType()),
+                        ]
+                    ),
+                ),
+            ]
+        ),
+    )
+    flat = nested.flatten(df)
+    assert set(flat.columns) == {"id", "pop.total.a18", "pop.total.a65", "pop.state"}
+    proj = nested.select_nested(df, {"pop.total.a18": "over_18", "pop.state": "state"})
+    r = proj.collect()[0]
+    assert (r.over_18, r.state) == (10, "tx")
+
+
+def test_parse_json_column(spark):
+    df = spark.createDataFrame([('{"k": 7}',), ("not json",)], "props string")
+    out = nested.parse_json_column(df, "props", "k INT", out_col="p")
+    vals = [(r.p.k if r.p else None) for r in out.collect()]
+    assert sorted(vals, key=lambda v: (v is None, v)) == [7, None]
+
+
+def test_catalog_ddl_write_append_drop(spark, tmp_root):
+    cat = WarehouseCatalog(spark, tmp_root)
+    schema = StructType(
+        [StructField("k", LongType()), StructField("v", StringType())]
+    )
+    cat.create_table("dim", schema)
+    assert cat.table("dim").count() == 0
+    assert cat.table("dim").schema == schema
+
+    cat.insert_into("dim", spark.createDataFrame([(1, "a")], schema))
+    cat.insert_into("dim", spark.createDataFrame([(2, "b")], schema))
+    assert cat.table("dim").count() == 2
+
+    cat.write("dim", spark.createDataFrame([(3, "c")], schema), mode="overwrite")
+    assert [tuple(r) for r in cat.table("dim").collect()] == [(3, "c")]
+
+    cat.drop_table("dim")
+    assert not cat.exists("dim")
+
+
+def test_catalog_append_only_guard(spark, tmp_root):
+    """M5: the reference's delete-guard trigger
+    (creating-tables.sql:196-216) as an engine-level protection."""
+    cat = WarehouseCatalog(spark, tmp_root)
+    schema = "k long, v string"
+    cat.create_table("issue_dim", schema)
+    cat.insert_into("issue_dim", spark.createDataFrame([(1, "a")], schema))
+    cat.protect("issue_dim")
+
+    for op in (
+        lambda: cat.drop_table("issue_dim"),
+        lambda: cat.truncate("issue_dim"),
+        lambda: cat.delete_where("issue_dim", "k = 1"),
+        lambda: cat.write("issue_dim", cat.table("issue_dim"), mode="overwrite"),
+    ):
+        with pytest.raises(ProtectedTableError):
+            op()
+    # appends still allowed (append-only, not read-only)
+    cat.insert_into("issue_dim", spark.createDataFrame([(2, "b")], schema))
+    assert cat.table("issue_dim").count() == 2
+
+
+def test_catalog_truncate_and_delete_where(spark, tmp_root):
+    cat = WarehouseCatalog(spark, tmp_root)
+    schema = "k long, v string"
+    cat.create_table("f", schema)
+    cat.insert_into(
+        "f", spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], schema)
+    )
+    cat.delete_where("f", "k >= 3")
+    assert sorted(r.k for r in cat.table("f").collect()) == [1, 2]
+    cat.truncate("f")
+    assert cat.table("f").count() == 0
+    assert [f.name for f in cat.table("f").schema.fields] == ["k", "v"]
+
+
+def test_partitioned_fact_write_prunes(spark, tmp_root):
+    """Facts partitioned by a date-ish key: reading one partition must
+    not list the others (partition pruning at the source)."""
+    cat = WarehouseCatalog(spark, tmp_root)
+    df = spark.createDataFrame(
+        [(1, 1992), (2, 1992), (3, 1993)], "k long, year int"
+    )
+    cat.write("fact", df, partition_by=["year"])
+    got = cat.table("fact").filter(F.col("year") == 1992)
+    assert got.count() == 2
+    # hive-style layout on disk => partition pruning applies at the scan
+    assert any(d.startswith("year=1992") for d in os.listdir(cat.path("fact")))
+    only_1992 = spark.read.parquet(os.path.join(cat.path("fact"), "year=1992"))
+    assert only_1992.count() == 2
