@@ -1,1 +1,307 @@
-"""Dimensional-model build pipeline (filled in by the warehouse milestone)."""
+"""Warehouse build pipeline (reference ``inserting-data.sql`` end to
+end): dimension builds with dedup + deterministic surrogate keys, and
+the multi-way star fact build with surrogate-key resolution, COALESCE
+null-canonical joins, role-playing date dims, and the SCD active-version
+filter (SURVEY §2.9 J7/J8 + §7 Step 3).
+
+Domain mapping (reference -> testdata), continuing analytics.py's:
+
+- ``company_dimension``  (dedup+upsert, ``inserting-data.sql:61-65``)   -> nation name
+- ``location_dimension`` (dedup+union, ``inserting-data.sql:22-30``)    -> c_mktsegment
+- ``category_dimension`` (4-key natural key, ``inserting-data.sql:74-86``) -> (p_brand, p_type, p_size), with synthesized NULLs to exercise the COALESCE discipline
+- ``date_dimension`` role-played twice (``inserting-data.sql:164-169``) -> ship date + order date
+- ``issue_dimension`` (SCD3, keyed by complaint id)                     -> keyed by o_orderkey, tracking o_orderpriority
+- ``resolution_dimension`` (SCD2, ``where r.active=true``)              -> keyed by o_orderkey over o_orderstatus
+- ``complaint_fact`` (7-way star, ``inserting-data.sql:150-178``)       -> one row per lineitem
+
+Surrogate keys: the reference uses ``SERIAL`` (insertion-order ints);
+we assign ``row_number() OVER (ORDER BY natural key)`` — deterministic
+across runs and parallelism (SURVEY §4 note 3). The global window is
+applied only to *deduplicated dimension* rows (#distinct values), never
+to fact rows; fact-sized SCD dims reuse their natural key as the
+surrogate instead of paying a global sort.
+
+Scale shape of the fact build: one shuffle join chain on the fact keys
+(lineitem⋈orders on orderkey, ⋈customer on custkey, ⋈part on partkey) —
+all other resolutions are broadcast-hash joins against dim tables, so
+the fact is never reshuffled for dimension lookups.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..functions.scalar import canonicalize_nulls
+from ..operators import calendar as cal
+from ..operators import relational
+from . import scd
+from .analytics import CAL_END, CAL_START
+
+AS_OF = "2024-06-01"  # injectable current_date (F8) for deterministic builds
+
+
+def build_dim(
+    df: DataFrame,
+    natural_keys: Sequence[str],
+    surrogate_col: str,
+    canonicalize: bool = True,
+) -> DataFrame:
+    """Generic dimension build (``inserting-data.sql:22-86``): dedup the
+    natural key tuple (optionally NULL->'' canonicalized, F4) and assign
+    a deterministic surrogate."""
+    dim = relational.dedup_distinct(df.select(*natural_keys), canonicalize=canonicalize)
+    w = Window.orderBy(*[F.col(k) for k in natural_keys])
+    return dim.withColumn(surrogate_col, F.row_number().over(w).cast("long"))
+
+
+def _staging(t: dict[str, DataFrame]) -> DataFrame:
+    """The wide staging row (``complaints`` analog): lineitem ⋈ orders
+    ⋈ customer, with the category natural keys pulled from part and
+    NULLs synthesized on the brand key (NULLIF) so the COALESCE join
+    discipline is actually exercised (testdata has no NULLs)."""
+    li = t["lineitem"].select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_shipdate", "l_returnflag"
+    )
+    orders = t["orders"].select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderstatus", "o_orderpriority"
+    )
+    cust = t["customer"].select("c_custkey", "c_nationkey", "c_mktsegment")
+    nation = t["nation"].select("n_nationkey", "n_name")
+    part = t["part"].select(
+        "p_partkey",
+        F.nullif(F.col("p_brand"), F.lit("Brand#33")).alias("p_brand"),
+        "p_type",
+        "p_size",
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(part, li.l_partkey == part.p_partkey)
+    )
+
+
+def build_warehouse(t: dict[str, DataFrame], as_of: str = AS_OF) -> dict[str, DataFrame]:
+    """Compose every dim + the star fact, mirroring the reference's load
+    order (``inserting-data.sql``). Returns {table_name: DataFrame}."""
+    spark = t["orders"].sparkSession
+    staging = _staging(t)
+
+    company_dim = build_dim(staging.select(F.col("n_name").alias("company")), ["company"], "company_id")
+    location_dim = build_dim(
+        staging.select(F.col("c_mktsegment").alias("segment")), ["segment"], "location_id"
+    )
+    category_dim = build_dim(
+        staging.select("p_brand", "p_type", "p_size"),
+        ["p_brand", "p_type", "p_size"],
+        "category_id",
+    )
+    date_dim = cal.build_calendar(spark, CAL_START, CAL_END)
+
+    # SCD-shaped dims keyed by the order (fact-sized): natural key doubles
+    # as the surrogate — no global window over fact-scale rows.
+    orders_batch = t["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    empty_res = spark.createDataFrame(
+        [], "o_orderkey long, o_orderstatus string, start_date date, end_date date, active boolean"
+    )
+    resolution_dim = scd.scd2_apply(
+        empty_res,
+        orders_batch.select("o_orderkey", "o_orderstatus", F.col("o_orderkey").alias("seq")),
+        ["o_orderkey"],
+        as_of=as_of,
+        order_col="seq",
+    )
+    empty_issue = spark.createDataFrame(
+        [],
+        "o_orderkey long, o_orderpriority string, o_orderpriority_old string, effective_date date",
+    )
+    issue_dim = scd.scd3_apply(
+        empty_issue,
+        orders_batch.select("o_orderkey", "o_orderpriority", F.col("o_orderkey").alias("seq")),
+        ["o_orderkey"],
+        tracked_col="o_orderpriority",
+        as_of=as_of,
+        order_col="seq",
+        old_col="o_orderpriority_old",
+    )
+
+    fact = _build_fact(
+        staging, date_dim, company_dim, location_dim, category_dim, issue_dim, resolution_dim
+    )
+    return {
+        "company_dim": company_dim,
+        "location_dim": location_dim,
+        "category_dim": category_dim,
+        "date_dim": date_dim,
+        "issue_dim": issue_dim,
+        "resolution_dim": resolution_dim,
+        "lineitem_fact": fact,
+    }
+
+
+def _build_fact(
+    staging: DataFrame,
+    date_dim: DataFrame,
+    company_dim: DataFrame,
+    location_dim: DataFrame,
+    category_dim: DataFrame,
+    issue_dim: DataFrame,
+    resolution_dim: DataFrame,
+) -> DataFrame:
+    """The star fact build (``inserting-data.sql:150-178``): role-playing
+    date joins (J3/J5), COALESCE natural-key category join (J2/J4),
+    broadcast dim resolution (J1/S10), SCD active filter (M6), flag
+    measures (F5/F6/F11 analog)."""
+    ship_cal = date_dim.select(
+        F.col("date_id").alias("date_id_ship"),
+        F.col("year").alias("_sy"),
+        F.col("month").alias("_sm"),
+        F.col("day").alias("_sd"),
+    )
+    ord_cal = date_dim.select(
+        F.col("date_id").alias("date_id_order"),
+        F.col("year").alias("_oy"),
+        F.col("month").alias("_om"),
+        F.col("day").alias("_od"),
+    )
+    resolved = (
+        staging.join(
+            broadcast(ship_cal),
+            (F.year("l_shipdate") == F.col("_sy"))
+            & (F.month("l_shipdate") == F.col("_sm"))
+            & (F.dayofmonth("l_shipdate") == F.col("_sd")),
+        )
+        .join(
+            broadcast(ord_cal),
+            (F.year("o_orderdate") == F.col("_oy"))
+            & (F.month("o_orderdate") == F.col("_om"))
+            & (F.dayofmonth("o_orderdate") == F.col("_od")),
+        )
+        .join(broadcast(company_dim), F.col("n_name") == F.col("company"))
+        .join(broadcast(location_dim), F.col("c_mktsegment") == F.col("segment"))
+    )
+    resolved = relational.null_canonical_join(
+        resolved,
+        broadcast(
+            category_dim.select(
+                F.col("p_brand").alias("cat_brand"),
+                F.col("p_type").alias("cat_type"),
+                F.col("p_size").alias("cat_size"),
+                "category_id",
+            )
+        ),
+        [("p_brand", "cat_brand"), ("p_type", "cat_type")],
+    ).filter(F.col("p_size").eqNullSafe(F.col("cat_size")))
+    # keyed SCD lookups: active resolution version only (M6/J9). The two
+    # order-keyed dims are pre-joined with each other (dim-scale shuffle)
+    # so the fact side is joined — and potentially shuffled — only once.
+    scd_lookup = scd.active_rows(resolution_dim).select(
+        "o_orderkey", F.col("o_orderkey").alias("resolution_id")
+    ).join(
+        issue_dim.select("o_orderkey", F.col("o_orderkey").alias("issue_id")),
+        on="o_orderkey",
+    )
+    resolved = resolved.join(scd_lookup, on="o_orderkey")
+    return resolved.select(
+        "l_orderkey",
+        "l_linenumber",
+        "date_id_ship",
+        "date_id_order",
+        "company_id",
+        "location_id",
+        "category_id",
+        "issue_id",
+        "resolution_id",
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("timely_response"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("consumer_disputed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered queries
+
+
+def warehouse_dim_build(t: dict[str, DataFrame]) -> DataFrame:
+    """Category dimension build: canonicalized dedup + deterministic
+    surrogate keys (J2 natural key, F4 canonicalization)."""
+    return build_dim(
+        _staging(t).select("p_brand", "p_type", "p_size"),
+        ["p_brand", "p_type", "p_size"],
+        "category_id",
+    ).orderBy("category_id")
+
+
+WAREHOUSE_DIM_BUILD_ORACLE = """
+WITH staged AS (
+  SELECT DISTINCT COALESCE(NULLIF(p_brand, 'Brand#33'), '') AS p_brand, p_type, p_size
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN part ON l_partkey = p_partkey
+)
+SELECT p_brand, p_type, p_size,
+       CAST(ROW_NUMBER() OVER (ORDER BY p_brand, p_type, p_size) AS BIGINT) AS category_id
+FROM staged ORDER BY category_id
+"""
+
+
+def warehouse_fact_build(t: dict[str, DataFrame]) -> DataFrame:
+    """The full star fact build — every fact row with all surrogate FKs
+    resolved. The differential against the oracle proves referential
+    integrity (row count = staging count iff every FK resolved)."""
+    # no ORDER BY: the driver compare is order-insensitive and a global
+    # sort of fact-scale rows would be pure overhead
+    return build_warehouse(t)["lineitem_fact"]
+
+
+WAREHOUSE_FACT_BUILD_ORACLE = """
+WITH company_dim AS (
+  SELECT company, CAST(ROW_NUMBER() OVER (ORDER BY company) AS BIGINT) AS company_id
+  FROM (SELECT DISTINCT n_name AS company
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey)
+),
+location_dim AS (
+  SELECT segment, CAST(ROW_NUMBER() OVER (ORDER BY segment) AS BIGINT) AS location_id
+  FROM (SELECT DISTINCT c_mktsegment AS segment
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey)
+),
+category_dim AS (
+  SELECT p_brand, p_type, p_size,
+         CAST(ROW_NUMBER() OVER (ORDER BY p_brand, p_type, p_size) AS BIGINT) AS category_id
+  FROM (SELECT DISTINCT COALESCE(NULLIF(p_brand, 'Brand#33'), '') AS p_brand, p_type, p_size
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN part ON l_partkey = p_partkey)
+)
+SELECT
+  l_orderkey, l_linenumber,
+  CAST(year(l_shipdate)*10000 + month(l_shipdate)*100 + day(l_shipdate) AS BIGINT) AS date_id_ship,
+  CAST(year(o_orderdate)*10000 + month(o_orderdate)*100 + day(o_orderdate) AS BIGINT) AS date_id_order,
+  cod.company_id,
+  ld.location_id,
+  cd.category_id,
+  o_orderkey AS issue_id,
+  o_orderkey AS resolution_id,
+  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS timely_response,
+  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS consumer_disputed
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN part ON l_partkey = p_partkey
+JOIN company_dim cod ON n_name = cod.company
+JOIN location_dim ld ON c_mktsegment = ld.segment
+JOIN category_dim cd ON COALESCE(NULLIF(part.p_brand, 'Brand#33'), '') = cd.p_brand
+                     AND part.p_type = cd.p_type AND part.p_size = cd.p_size
+"""

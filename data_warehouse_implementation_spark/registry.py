@@ -20,7 +20,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .plans import analytics, ingest_queries, scd_queries
+from .plans import analytics, ingest_queries, scd_queries, warehouse
 from .session import load_tables
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
@@ -106,4 +106,12 @@ register(
 )
 register(
     "events_sessionize", ingest_queries.events_sessionize, ingest_queries.EVENTS_SESSIONIZE_ORACLE
+)
+
+# Warehouse build pipeline (SURVEY §2.9 J7/J8, §7 Step 3)
+register(
+    "warehouse_dim_build", warehouse.warehouse_dim_build, warehouse.WAREHOUSE_DIM_BUILD_ORACLE
+)
+register(
+    "warehouse_fact_build", warehouse.warehouse_fact_build, warehouse.WAREHOUSE_FACT_BUILD_ORACLE
 )
