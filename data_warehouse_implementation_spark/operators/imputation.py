@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -58,44 +58,70 @@ def group_mode_fill(df: DataFrame, group_by: Sequence[str], cols: Sequence[str])
     return out
 
 
+# Mixing constants for the portable draw (classic LCG multiplier over a
+# Mersenne-prime modulus): expressible identically in any SQL engine, so
+# DuckDB oracles can replay fills bit-for-bit.
+_HASH_P = 2_147_483_647  # 2^31 - 1
+_HASH_A = 1_103_515_245
+_HASH_B = 12_345
+
+
+def sample_draw(id_col: Column | str, seed: int, n: int | Column) -> Column:
+    """Deterministic pseudo-uniform draw in [0, n) keyed on a stable row
+    id: ``((id % P) * A + B + seed) % P % n``. Plain int64 arithmetic —
+    no engine-specific hash — so oracle SQL can reproduce it exactly.
+    (The id is reduced mod P first so the product stays within int64.)"""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    n_col = F.lit(n) if isinstance(n, int) else n
+    return ((c % _HASH_P) * _HASH_A + _HASH_B + seed) % _HASH_P % n_col
+
+
 def random_sample_fill(
-    df: DataFrame, cols: Sequence[str], seed: int = 42, id_col: str | None = None
+    df: DataFrame, cols: Sequence[str], id_col: str, seed: int = 42
 ) -> DataFrame:
     """Fill NULLs in each column by sampling from that column's own
     non-null empirical distribution (reference F16, ``python.py:73-84``
-    — there unseeded; here seeded for reproducibility).
+    — there unseeded; here deterministic given (id_col, seed)).
 
-    Distributed formulation: for each target column, pair every null
-    row with a uniformly-chosen member of the non-null value pool via
-    a modulo join on a seeded hash — two small shuffles, no driver
-    collect of data rows (only the pool *size* is collected).
+    Distributed formulation — inverse-CDF over the value-frequency
+    table: build (value, count, cumulative offset) for the non-null pool
+    (one parallel groupBy + a window over #distinct values), then map
+    each null row's draw in [0, pool size) onto its value via a
+    broadcast range join. No row-level pool indexing, no global window
+    over data rows — at 100 TB the only sequential structure is the
+    distinct-value frequency table. For continuous high-cardinality
+    columns, bin values first (the frequency table is the histogram).
+
+    ``id_col`` is required: fills are a pure function of (id, seed),
+    reproducible across runs, partitionings, and engines (the round-1
+    ``monotonically_increasing_id`` fallback was neither).
     """
     out = df
     for i, c in enumerate(cols):
-        pool = (
-            df.filter(F.col(c).isNotNull())
-            .select(F.col(c).alias("_pool_value"))
-            .withColumn(
-                "_pool_idx",
-                F.row_number().over(Window.orderBy("_pool_value")).cast("long") - 1,
-            )
+        freq = (
+            out.filter(F.col(c).isNotNull())
+            .groupBy(F.col(c).alias("_pool_value"))
+            .agg(F.count(F.lit(1)).alias("_n"))
         )
-        n = pool.count()
-        if n == 0:
+        # cumulative offsets over the (small) distinct-value table
+        w = Window.orderBy("_pool_value").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        freq = freq.withColumn("_off", F.sum("_n").over(w) - F.col("_n"))
+        totals = freq.agg(F.sum("_n").alias("t")).collect()
+        n = totals[0]["t"] if totals else None
+        if not n:
             continue
-        key = F.coalesce(F.col(id_col), F.lit(0)) if id_col else F.monotonically_increasing_id()
+        draw = F.when(F.col(c).isNull(), sample_draw(id_col, seed + i, int(n))).otherwise(
+            F.lit(-1)
+        )
         out = (
-            out.withColumn(
-                "_draw",
-                F.pmod(F.xxhash64(key.cast("string"), F.lit(seed + i)), F.lit(n)),
-            )
+            out.withColumn("_draw", draw)
             .join(
-                pool,
-                on=F.when(F.col(c).isNull(), F.col("_draw")).otherwise(F.lit(-1))
-                == F.col("_pool_idx"),
+                F.broadcast(freq),
+                on=(F.col("_draw") >= F.col("_off"))
+                & (F.col("_draw") < F.col("_off") + F.col("_n")),
                 how="left",
             )
             .withColumn(c, F.coalesce(F.col(c), F.col("_pool_value")))
-            .drop("_draw", "_pool_idx", "_pool_value")
+            .drop("_draw", "_pool_value", "_n", "_off")
         )
     return out

@@ -108,6 +108,14 @@ def null_canonical_join(
     return left.join(right, cond, how)
 
 
+def drop_columns_matching(df: DataFrame, substring: str) -> DataFrame:
+    """Column-name predicate filter (reference P8: drop all columns
+    whose name contains 'census', ``python.py:121-124``).
+    Case-insensitive, like the reference's ``.str.contains`` usage."""
+    keep = [c for c in df.columns if substring.lower() not in c.lower()]
+    return df.select(*[F.col(f"`{c}`") for c in keep])
+
+
 def limit_preview(df: DataFrame, n: int = 1000) -> DataFrame:
     """CTAS + LIMIT preview snapshot (reference S6,
     ``inserting-data.sql:7-10``). LocalLimit pushes into the scan."""

@@ -21,12 +21,15 @@ def melt(
     object/float the same way). Runs as a generator expression
     (UNPIVOT), one pass, no shuffle.
     """
+    # names are backtick-escaped throughout: melted columns are often
+    # compound ("a.b.2014") and must not resolve as struct paths
     casted = df.select(
-        *id_vars, *[F.col(c).cast("double").alias(c) for c in value_vars]
+        *[F.col(f"`{c}`") for c in id_vars],
+        *[F.col(f"`{c}`").cast("double").alias(c) for c in value_vars],
     )
-    return casted.melt(
-        ids=list(id_vars),
-        values=list(value_vars),
+    return casted.unpivot(
+        ids=[F.col(f"`{c}`") for c in id_vars],
+        values=[F.col(f"`{c}`") for c in value_vars],
         variableColumnName=var_name,
         valueColumnName=value_name,
     )

@@ -773,6 +773,32 @@ FROM star GROUP BY n_name ORDER BY n_name
 """
 
 
+def priority_pivot_first(t: dict[str, DataFrame]) -> DataFrame:
+    """A8: ``aggfunc='first'`` pivot (reference ``python.py:159-161``).
+    first() is only deterministic when each pivot cell holds exactly one
+    row — guaranteed here by pre-aggregating counts per (nation,
+    priority) before pivoting, which is also the reference's situation
+    (one population value per (state, county, year, category))."""
+    star = _orders_star(t).select("n_name", "o_orderpriority")
+    counts = star.groupBy("n_name", "o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+    wide = reshape.pivot_wide(
+        counts,
+        index=["n_name"],
+        pivot_col="o_orderpriority",
+        value_col="n",
+        values=PRIORITIES,
+        agg="first",
+        fill=0,
+    )
+    return wide.select(
+        "n_name",
+        *[F.col(f"`{p}`").cast("long").alias(a) for p, a in PRIORITY_ALIASES.items()],
+    ).orderBy("n_name")
+
+
+PRIORITY_PIVOT_FIRST_ORACLE = PRIORITY_PIVOT_ORACLE
+
+
 # ---------------------------------------------------------------------------
 # F17: melt (wide -> long)
 

@@ -20,7 +20,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .plans import analytics, ingest_queries, scd_queries, warehouse
+from .plans import analytics, etl, ingest_queries, scd_queries, warehouse
 from .session import load_tables
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
@@ -114,4 +114,12 @@ register(
 )
 register(
     "warehouse_fact_build", warehouse.warehouse_fact_build, warehouse.WAREHOUSE_FACT_BUILD_ORACLE
+)
+
+# ETL cleaning pipelines (SURVEY §7 Step 5; P8/F11/F12/F13/F14/F16/A8/A9/A10)
+register("complaints_clean", etl.complaints_clean, etl.COMPLAINTS_CLEAN_ORACLE)
+register("demo_reshape_pipeline", etl.demo_reshape_pipeline, etl.DEMO_RESHAPE_ORACLE)
+register("segment_mode_fill", etl.segment_mode_fill, etl.SEGMENT_MODE_FILL_ORACLE)
+register(
+    "priority_pivot_first", analytics.priority_pivot_first, analytics.PRIORITY_PIVOT_FIRST_ORACLE
 )
