@@ -1,0 +1,194 @@
+"""Deduplication operators for LLM-scale corpus hygiene: exact dedup,
+MinHash + banded-LSH near-dup detection, SimHash fingerprints, and
+n-gram Jaccard verification (brief requirement; no reference analog —
+the reference dedups only dimension natural keys, A7).
+
+Design constraints:
+
+1. **Never all-pairs.** Candidate generation is a banded-LSH equi-join:
+   docs collide only within (band_id, band_key) buckets, so the join is
+   a plain shuffle join on the band key — the classic scalable shape.
+   Exact Jaccard is computed *only* for LSH candidates.
+2. **Engine-portable hashing.** Min-hash permutations are universal
+   hashes ``(a_i * tid + b_i) mod P`` over dictionary-assigned shingle
+   ids — plain int64 arithmetic any SQL engine reproduces bit-for-bit,
+   so the DuckDB oracle replays the *whole* pipeline (signatures, bands,
+   candidates, verification). A pair the LSH config misses is missed
+   identically by both engines — the differential never depends on LSH
+   recall.
+
+Scale note on the dictionary: shingle ids come from ``row_number`` over
+distinct shingles — a global window kept ONLY for cross-engine oracle
+determinism. At production scale replace ``build_dictionary`` +
+``tokens_to_ids`` with ``tid = pmod(xxhash64(shingle), P)`` (same
+downstream algebra, no global sort, collisions statistically
+irrelevant for 64-bit ids).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+HASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime modulus)
+
+# Fixed universal-hash coefficients (k=16 permutations). Literal values
+# so Spark code and oracle SQL share them verbatim.
+MINHASH_A = [1103515245 + 12345 * i for i in range(16)]
+MINHASH_B = [7 + 1013904223 * i for i in range(16)]
+
+
+def word_shingles(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct n-word shingles per document: lowercase, whitespace
+    split, sliding windows of n words joined by single spaces. Documents
+    shorter than n words produce no shingles."""
+    arr = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+    shingle_expr = (
+        f"transform(sequence(1, size(_arr) - {n - 1}), "
+        f"i -> concat_ws(' ', {', '.join(f'element_at(_arr, i + {j})' for j in range(n))}))"
+    )
+    return (
+        df.select(F.col(id_col), arr.alias("_arr"))
+        .filter(F.size("_arr") >= n)
+        .select(
+            id_col,
+            F.explode(F.array_distinct(F.expr(shingle_expr))).alias("shingle"),
+        )
+    )
+
+
+def build_dictionary(items: DataFrame, col: str, id_name: str = "tid") -> DataFrame:
+    """Deterministic dense ids for distinct values (see module note: the
+    global window is the oracle-portability concession; swap for a
+    64-bit hash at production scale)."""
+    return (
+        items.select(col)
+        .distinct()
+        .withColumn(id_name, F.row_number().over(Window.orderBy(col)).cast("long"))
+    )
+
+
+def minhash_signatures(doc_ids: DataFrame, k: int = 16, id_col: str = "doc_id") -> DataFrame:
+    """K min-hash values per doc over its shingle-id set — one hash
+    aggregate (k mins) per doc, a single shuffle on the doc id."""
+    aggs = [
+        F.min(((F.col("tid") % HASH_P) * MINHASH_A[i] + MINHASH_B[i]) % HASH_P).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return doc_ids.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(
+    sig: DataFrame, bands: int = 8, rows: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """Split each signature into ``bands`` bands of ``rows`` values;
+    band key = joined values. Docs agreeing on any full band collide."""
+    structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.concat_ws("_", *[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias(
+                "band_key"
+            ),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(id_col, F.explode(F.array(*structs)).alias("band")).select(
+        id_col, F.col("band.band_id").alias("band_id"), F.col("band.band_key").alias("band_key")
+    )
+
+
+def candidate_pairs(bands_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct (a < b) doc pairs sharing any band bucket — an
+    equi-join on (band_id, band_key), never a cross product."""
+    left = bands_df.select(
+        F.col(id_col).alias("doc_a"), "band_id", "band_key"
+    )
+    right = bands_df.select(
+        F.col(id_col).alias("doc_b"), "band_id", "band_key"
+    )
+    return (
+        left.join(right, on=["band_id", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def pairwise_jaccard(
+    pairs: DataFrame, doc_items: DataFrame, id_col: str = "doc_id", item_col: str = "tid"
+) -> DataFrame:
+    """Exact Jaccard for given pairs via set-intersection counts:
+    pairs ⋈ items(a) ⋈ items(b) on the item id (intersection), sizes
+    from a per-doc count. Join work is proportional to candidate pairs ×
+    shared items — LSH has already pruned the pair space."""
+    sizes = doc_items.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
+    a_items = doc_items.select(F.col(id_col).alias("_aid"), F.col(item_col).alias("_ia"))
+    b_items = doc_items.select(F.col(id_col).alias("_bid"), F.col(item_col).alias("_ib"))
+    inter = (
+        pairs.join(a_items, F.col("doc_a") == F.col("_aid"))
+        .join(b_items, (F.col("doc_b") == F.col("_bid")) & (F.col("_ia") == F.col("_ib")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({id_col: "doc_a", "_sz": "_sza"}), on="doc_a")
+        .join(sizes.withColumnsRenamed({id_col: "doc_b", "_sz": "_szb"}), on="doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("_inter").cast("double")
+            / (F.col("_sza") + F.col("_szb") - F.col("_inter")).cast("double"),
+        )
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def near_dup_pairs(
+    docs: DataFrame,
+    n_shingle: int = 3,
+    k: int = 16,
+    bands: int = 8,
+    rows: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + banded LSH near-duplicate pairs with exact-Jaccard
+    verification of candidates (shingle -> minhash -> band -> bucket
+    join -> verify)."""
+    shingles = word_shingles(docs, n=n_shingle)
+    dictionary = build_dictionary(shingles, "shingle")
+    doc_tids = shingles.join(dictionary, on="shingle").select("doc_id", "tid")
+    sig = minhash_signatures(doc_tids, k=k)
+    cands = candidate_pairs(lsh_bands(sig, bands=bands, rows=rows))
+    return pairwise_jaccard(cands, doc_tids).filter(F.col("jaccard") >= threshold)
+
+
+def exact_dedup(
+    df: DataFrame, cols: list[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup, keep-first: one representative (min id) per distinct
+    value tuple + the duplicate count. A hash groupBy on the content
+    columns (hash the content first when values are long — see
+    doc_fingerprint)."""
+    return df.groupBy(*cols).agg(
+        F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+def simhash16(doc_ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """16-bit SimHash over a doc's item-id set: per bit, sum +1/-1 by
+    the bit of each item's universal hash; bit set iff the sum is
+    positive. One aggregate pass (16 conditional sums)."""
+    h = ((F.col("tid") % HASH_P) * MINHASH_A[0] + MINHASH_B[0]) % HASH_P
+    sums = [
+        F.sum(
+            F.when(h.bitwiseAND(F.lit(1 << j)) > 0, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"_s{j}")
+        for j in range(16)
+    ]
+    agg = doc_ids.groupBy(id_col).agg(*sums)
+    bit_terms = [
+        F.when(F.col(f"_s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)) for j in range(16)
+    ]
+    out = agg.withColumn("simhash", sum(bit_terms[1:], bit_terms[0]).cast("long"))
+    return out.select(id_col, "simhash")

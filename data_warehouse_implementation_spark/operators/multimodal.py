@@ -1,0 +1,93 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+payload columns with typed metadata, processed by Arrow-batched
+``mapInPandas`` stages (brief requirement; no reference analog).
+
+What is REAL here: the schema contract, the partition/batch shape, and
+the ``mapInPandas`` pipeline structure (Arrow transfer, vectorized
+pandas ops per batch, no row-at-a-time Python). What is STUBBED: the
+codec calls — image/audio libraries are not in this container, so
+``decode_meta``/``extract_features`` run a clearly-marked deterministic
+fake over the raw bytes, and the real-decode entry point raises
+``NotImplementedError`` unless a codec import succeeds.
+
+Scale notes: payloads stay in executor memory one Arrow batch at a
+time; tune ``spark.sql.execution.arrow.maxRecordsPerBatch`` down for
+large blobs (10k rows x 10 MB payloads per batch will not fit). Wide
+binary columns should live in their own parquet column chunk (they do,
+parquet is columnar) so metadata-only queries never read the bytes —
+keep payloads in a separate column, never inside a struct with hot
+metadata.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+try:  # pragma: no cover - codec not present in this container
+    from PIL import Image  # noqa: F401
+
+    HAVE_IMAGE_CODEC = True
+except ImportError:
+    HAVE_IMAGE_CODEC = False
+
+#: Canonical media-table schema (DDL string form).
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary,"
+    " meta struct<width: int, height: int, sample_rate: int>"
+)
+
+FEATURE_DIM = 8
+
+FEATURES_SCHEMA = (
+    "media_id long, kind string, n_bytes long, checksum long, feature array<double>"
+)
+
+
+def _fake_feature_frame(pdf: pd.DataFrame, dim: int) -> pd.DataFrame:
+    """Deterministic stand-in for decode+embed: byte-count, additive
+    checksum, and a dim-length feature of strided byte sums — pure
+    functions of the payload, vectorizable, stable across engines."""
+    payloads = pdf["payload"]
+    n_bytes = payloads.map(lambda b: 0 if b is None else len(b))
+    checksum = payloads.map(lambda b: 0 if b is None else sum(b) % 2_147_483_647)
+    feats = payloads.map(
+        lambda b: [0.0] * dim
+        if not b
+        else [sum(b[j::dim]) % 256 / 255.0 for j in range(dim)]
+    )
+    return pd.DataFrame(
+        {
+            "media_id": pdf["media_id"],
+            "kind": pdf["kind"],
+            "n_bytes": n_bytes,
+            "checksum": checksum,
+            "feature": feats,
+        }
+    )
+
+
+def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Arrow-batched feature extraction over the payload column. With a
+    real codec this is where decode -> resize -> embed runs per batch;
+    the batch shape, schema, and partition behavior are identical."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _fake_feature_frame(pdf, dim)
+
+    return df.mapInPandas(run, FEATURES_SCHEMA)
+
+
+def decode_images(df: DataFrame) -> DataFrame:
+    """Real image decode (resize/frame-sample feed-in). STUB: raises
+    unless an image codec is importable — the Spark-side contract
+    (mapInPandas over payload batches) is what this module tests."""
+    if not HAVE_IMAGE_CODEC:
+        raise NotImplementedError(
+            "image codec not available in this environment; "
+            "install Pillow and implement decode in _fake_feature_frame's place"
+        )
+    raise NotImplementedError("real decode intentionally unimplemented in this build")

@@ -1,0 +1,94 @@
+"""Similarity search over embedding columns (``array<float>``): exact
+brute-force cosine top-k as the baseline, and an IVF-style
+cluster-pruned variant as the scale path (brief requirement; no
+reference analog).
+
+Everything is JVM-side array algebra — ``zip_with`` + ``aggregate``
+fold for dot products (sequential in array order, so results are
+bit-reproducible and match DuckDB's ``list_dot_product`` on DOUBLE[]
+exactly; verified empirically). No UDFs.
+
+Scale shapes:
+
+- **Brute force**: broadcast the (small) query batch; one pass over the
+  corpus, per-query top-k via a window partitioned by query id. Work is
+  O(|Q|·|C|) — the right plan for ad-hoc lookups, wrong for |Q| ~ |C|.
+- **IVF probe**: an equi-join on the coarse-quantizer cell (here the
+  pre-assigned ``label`` column; in production, argmin over a broadcast
+  centroid table) restricts each query to its cluster — the classic
+  inverted-file pruning, turning the cross product into a hash join.
+- For |Q| ~ |C| dense scoring, the right tool is a block-partitioned
+  matrix multiply via ``applyInPandas`` over (query-block × corpus-
+  block) pairs — out of scope here, the two shapes above cover the
+  lookup and pruned-search cases.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double precision. Fold order is
+    array order — deterministic, unlike a parallel sum."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(v: Column) -> Column:
+    return F.sqrt(dot(v, v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str | None = None,
+) -> DataFrame:
+    """Top-k cosine neighbors per query (self excluded).
+
+    ``cell_col=None`` -> brute force: broadcast nested-loop over the
+    corpus. ``cell_col='label'`` -> IVF probe: equi-join on the cell so
+    each query scores only its own cluster.
+    Output: (query_id, rank, neighbor_id, cosine).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        *([F.col(cell_col).alias("_qcell")] if cell_col else []),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        *([F.col(cell_col).alias("_ccell")] if cell_col else []),
+    )
+    if cell_col:
+        joined = c.join(broadcast(q), F.col("_qcell") == F.col("_ccell"))
+    else:
+        joined = c.crossJoin(broadcast(q))
+    scored = (
+        joined.filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine(F.col("_qv"), F.col("_cv")))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    from .relational import top_k_per_group
+
+    return top_k_per_group(
+        scored,
+        partition_by=["query_id"],
+        order_by=[F.desc("cosine"), F.asc("neighbor_id")],
+        k=k,
+        rank_col="rank",
+        keep_rank=True,
+    ).select("query_id", "rank", "neighbor_id", "cosine")

@@ -1,0 +1,339 @@
+"""LLM-data-pipeline CORRECTNESS queries over ``documents`` (brief
+requirement — dedup, text analysis, fingerprinting; SURVEY §7 Step 6).
+
+Every oracle replays the *full* pipeline in DuckDB SQL — including the
+minhash permutations, banding, and candidate join — which is possible
+because all hashing is plain int64 modular arithmetic (see
+operators/dedup.py). The differential therefore checks the algorithm,
+not just a downstream summary, and is immune to LSH recall: any pair
+the banding misses is missed identically by both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import dedup, similarity, text
+from ..operators.dedup import HASH_P, MINHASH_A, MINHASH_B
+
+K = 16
+BANDS = 8
+ROWS = 2
+NEAR_DUP_THRESHOLD = 0.5
+
+# Shared SQL fragments -------------------------------------------------------
+
+_TOKS_SQL = r"""
+toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS arr
+  FROM documents
+)
+"""
+
+_WORD_DICT_SQL = """
+tok AS (SELECT doc_id, unnest(list_distinct(arr)) AS token FROM toks),
+dict AS (
+  SELECT token, CAST(ROW_NUMBER() OVER (ORDER BY token) AS BIGINT) AS tid
+  FROM (SELECT DISTINCT token FROM tok)
+)
+"""
+
+
+def _mh_sql(i: int) -> str:
+    return f"MIN(((tid % {HASH_P}) * {MINHASH_A[i]} + {MINHASH_B[i]}) % {HASH_P}) AS mh{i}"
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (keep-first)
+
+
+def exact_dedup_docs(t: dict[str, DataFrame]) -> DataFrame:
+    """Exact deduplication of the corpus: one keeper (min doc_id) per
+    distinct text + copy count. At 100 TB, group on a content hash
+    (doc_fingerprint) instead of the raw text bytes."""
+    out = dedup.exact_dedup(t["documents"], ["text"], id_col="doc_id")
+    return out.select("keeper_id", "n_copies").orderBy("keeper_id")
+
+
+EXACT_DEDUP_DOCS_ORACLE = """
+SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+FROM documents GROUP BY text ORDER BY keeper_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH near-dup
+
+
+def near_dup_minhash(t: dict[str, DataFrame]) -> DataFrame:
+    """Banded-LSH near-duplicate pairs with exact-Jaccard verification
+    (shingle -> minhash -> band -> bucket equi-join -> verify).
+    The physical plan's candidate stage is a shuffle join on
+    (band_id, band_key) — never an all-pairs product."""
+    return dedup.near_dup_pairs(
+        t["documents"], n_shingle=3, k=K, bands=BANDS, rows=ROWS,
+        threshold=NEAR_DUP_THRESHOLD,
+    ).orderBy("doc_a", "doc_b")
+
+
+_BANDS_SQL = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS band_id, mh{b * ROWS}"
+    + "".join(f" || '_' || mh{b * ROWS + r}" for r in range(1, ROWS))
+    + " AS band_key FROM sig"
+    for b in range(BANDS)
+)
+
+NEAR_DUP_MINHASH_ORACLE = f"""
+WITH {_TOKS_SQL.strip()},
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, len(arr) - 2),
+           i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]))) AS shingle
+  FROM toks WHERE len(arr) >= 3
+),
+dict AS (
+  SELECT shingle, CAST(ROW_NUMBER() OVER (ORDER BY shingle) AS BIGINT) AS tid
+  FROM (SELECT DISTINCT shingle FROM sh)
+),
+dt AS (SELECT doc_id, tid FROM sh JOIN dict USING (shingle)),
+sig AS (
+  SELECT doc_id, {", ".join(_mh_sql(i) for i in range(K))}
+  FROM dt GROUP BY doc_id
+),
+bands AS (
+{_BANDS_SQL}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM dt GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+  FROM cand c
+  JOIN dt ta ON ta.doc_id = c.doc_a
+  JOIN dt tb ON tb.doc_id = c.doc_b AND ta.tid = tb.tid
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT n.doc_a, n.doc_b,
+       CAST(n.i AS DOUBLE) / CAST(sa.sz + sb.sz - n.i AS DOUBLE) AS jaccard
+FROM inter n
+JOIN sizes sa ON sa.doc_id = n.doc_a
+JOIN sizes sb ON sb.doc_id = n.doc_b
+WHERE CAST(n.i AS DOUBLE) / CAST(sa.sz + sb.sz - n.i AS DOUBLE) >= {NEAR_DUP_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints
+
+
+def doc_simhash(t: dict[str, DataFrame]) -> DataFrame:
+    """16-bit SimHash per document over its distinct word set. Near-dup
+    variant of use: group by simhash (or by hamming-ball buckets) to
+    find candidates; here the fingerprint itself is the checked output."""
+    docs = t["documents"]
+    tokens = docs.select(
+        "doc_id", F.explode(F.array_distinct(text.words("text"))).alias("token")
+    )
+    dictionary = dedup.build_dictionary(tokens, "token")
+    doc_tids = tokens.join(dictionary, on="token").select("doc_id", "tid")
+    return dedup.simhash16(doc_tids).orderBy("doc_id")
+
+
+_SIMHASH_SUMS = ", ".join(
+    f"SUM(CASE WHEN (((tid % {HASH_P}) * {MINHASH_A[0]} + {MINHASH_B[0]}) % {HASH_P})"
+    f" & {1 << j} > 0 THEN 1 ELSE -1 END) AS s{j}"
+    for j in range(16)
+)
+_SIMHASH_VALUE = " + ".join(f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(16))
+
+DOC_SIMHASH_ORACLE = f"""
+WITH {_TOKS_SQL.strip()},
+{_WORD_DICT_SQL.strip()},
+dt AS (SELECT doc_id, tid FROM tok JOIN dict USING (token)),
+sums AS (
+  SELECT doc_id, {_SIMHASH_SUMS}
+  FROM dt GROUP BY doc_id
+)
+SELECT doc_id, CAST({_SIMHASH_VALUE} AS BIGINT) AS simhash
+FROM sums ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Language-ID heuristic
+
+
+def doc_language_id(t: dict[str, DataFrame]) -> DataFrame:
+    out = text.language_features(t["documents"])
+    return out.select("doc_id", "n_words", "stop_hits", "stop_ratio", "lang_pred").orderBy(
+        "doc_id"
+    )
+
+
+_STOPLIST = ", ".join(f"'{w}'" for w in text.EN_STOPWORDS)
+
+DOC_LANGUAGE_ID_ORACLE = f"""
+WITH {_TOKS_SQL.strip()}
+SELECT doc_id,
+       CAST(len(arr) AS BIGINT) AS n_words,
+       CAST(len(list_filter(arr, x -> list_contains([{_STOPLIST}], x))) AS BIGINT) AS stop_hits,
+       CASE WHEN len(arr) > 0
+            THEN CAST(len(list_filter(arr, x -> list_contains([{_STOPLIST}], x))) AS DOUBLE)
+                 / CAST(len(arr) AS DOUBLE)
+            ELSE 0.0 END AS stop_ratio,
+       CASE WHEN len(arr) > 0
+             AND CAST(len(list_filter(arr, x -> list_contains([{_STOPLIST}], x))) AS DOUBLE)
+                 / CAST(len(arr) AS DOUBLE) >= 0.05
+            THEN 'en' ELSE 'unknown' END AS lang_pred
+FROM toks ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring (incl. token counting)
+
+
+def doc_quality_score(t: dict[str, DataFrame]) -> DataFrame:
+    out = text.quality_score(text.token_counts(t["documents"]))
+    return out.select(
+        "doc_id", "n_words", "n_bpeish", "mean_word_len", "quality"
+    ).orderBy("doc_id")
+
+
+DOC_QUALITY_SCORE_ORACLE = rf"""
+WITH {_TOKS_SQL.strip()},
+feat AS (
+  SELECT doc_id,
+         CAST(len(arr) AS BIGINT) AS n_words,
+         CAST(len(regexp_extract_all(lower(text), '{text.BPE_ISH_PATTERN}')) AS BIGINT) AS n_bpeish,
+         CASE WHEN len(arr) > 0
+              THEN CAST(length(regexp_replace(lower(text), '\s+', '', 'g')) AS DOUBLE)
+                   / CAST(len(arr) AS DOUBLE)
+              ELSE 0.0 END AS mean_word_len,
+         CASE WHEN len(arr) > 0
+              THEN CAST(len(list_filter(arr, x -> list_contains([{_STOPLIST}], x))) AS DOUBLE)
+                   / CAST(len(arr) AS DOUBLE)
+              ELSE 0.0 END AS stop_ratio
+  FROM toks JOIN documents USING (doc_id)
+)
+SELECT doc_id, n_words, n_bpeish, mean_word_len,
+       0.4 * least(greatest(CAST(n_words AS DOUBLE) / 100.0, 0.0), 1.0)
+     + 0.3 * least(greatest((mean_word_len - 2.0) / 6.0, 0.0), 1.0)
+     + 0.3 * least(greatest(stop_ratio * 5.0, 0.0), 1.0) AS quality
+FROM feat ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rolling document fingerprint
+
+
+def doc_fingerprint(t: dict[str, DataFrame]) -> DataFrame:
+    """Order-sensitive token-sequence fingerprint: equal values <=>
+    identical token sequences (mod collisions) — the content-hash key
+    for exact dedup at scale."""
+    docs = t["documents"]
+    pos_tokens = docs.select(
+        "doc_id", F.posexplode(text.words("text")).alias("pos", "token")
+    )
+    dictionary = dedup.build_dictionary(pos_tokens, "token")
+    doc_pos_ids = pos_tokens.join(dictionary, on="token").select("doc_id", "pos", "tid")
+    return text.fingerprint(doc_pos_ids).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+
+N_QUERIES = 10  # query batch: vec_id < 10
+TOP_K = 5
+
+
+def embedding_cosine_topk(t: dict[str, DataFrame]) -> DataFrame:
+    """Brute-force cosine top-k: broadcast query batch, one corpus pass,
+    per-query ranking window. The exact baseline every ANN variant is
+    measured against."""
+    emb = t["embeddings"]
+    return similarity.cosine_topk(
+        emb.filter(F.col("vec_id") < N_QUERIES), emb, k=TOP_K
+    ).orderBy("query_id", "rank")
+
+
+_COSINE_SQL = (
+    "list_dot_product(qv, cv)"
+    " / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))"
+)
+
+EMBEDDING_COSINE_TOPK_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS qlabel
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv, label AS clabel FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, {_COSINE_SQL} AS cosine
+  FROM q JOIN c ON query_id <> neighbor_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank
+"""
+
+
+def embedding_ann_ivf(t: dict[str, DataFrame]) -> DataFrame:
+    """IVF-style pruned search: each query scores only its coarse cell
+    (the pre-assigned ``label`` cluster) — an equi-join instead of a
+    cross product. Results differ from the exact baseline exactly where
+    the true neighbor lives in another cell; the oracle applies the
+    same pruning, so the differential checks the algorithm."""
+    emb = t["embeddings"]
+    return similarity.cosine_topk(
+        emb.filter(F.col("vec_id") < N_QUERIES), emb, k=TOP_K, cell_col="label"
+    ).orderBy("query_id", "rank")
+
+
+EMBEDDING_ANN_IVF_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS qlabel
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv, label AS clabel FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, {_COSINE_SQL} AS cosine
+  FROM q JOIN c ON query_id <> neighbor_id AND qlabel = clabel
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank
+"""
+
+
+DOC_FINGERPRINT_ORACLE = f"""
+WITH {_TOKS_SQL.strip()},
+pt AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(arr)),
+                i -> {{'pos': i - 1, 'tok': arr[i]}})) AS u
+  FROM toks
+),
+ptok AS (SELECT doc_id, u.pos AS pos, u.tok AS token FROM pt),
+dict AS (
+  SELECT token, CAST(ROW_NUMBER() OVER (ORDER BY token) AS BIGINT) AS tid
+  FROM (SELECT DISTINCT token FROM ptok)
+)
+SELECT doc_id,
+       CAST(CAST(SUM(((tid % {HASH_P}) * (pos * 131 + 7)) % {HASH_P}) AS BIGINT)
+            % {HASH_P} AS BIGINT) AS fingerprint
+FROM ptok JOIN dict USING (token)
+GROUP BY doc_id ORDER BY doc_id
+"""

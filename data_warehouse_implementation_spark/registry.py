@@ -20,7 +20,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .plans import analytics, etl, ingest_queries, scd_queries, warehouse
+from .plans import analytics, etl, ingest_queries, llm_queries, scd_queries, warehouse
 from .session import load_tables
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
@@ -123,3 +123,19 @@ register("segment_mode_fill", etl.segment_mode_fill, etl.SEGMENT_MODE_FILL_ORACL
 register(
     "priority_pivot_first", analytics.priority_pivot_first, analytics.PRIORITY_PIVOT_FIRST_ORACLE
 )
+
+# LLM-data-pipeline operators over documents (brief; SURVEY §7 Step 6)
+register("exact_dedup_docs", llm_queries.exact_dedup_docs, llm_queries.EXACT_DEDUP_DOCS_ORACLE)
+register("near_dup_minhash", llm_queries.near_dup_minhash, llm_queries.NEAR_DUP_MINHASH_ORACLE)
+register("doc_simhash", llm_queries.doc_simhash, llm_queries.DOC_SIMHASH_ORACLE)
+register("doc_language_id", llm_queries.doc_language_id, llm_queries.DOC_LANGUAGE_ID_ORACLE)
+register(
+    "doc_quality_score", llm_queries.doc_quality_score, llm_queries.DOC_QUALITY_SCORE_ORACLE
+)
+register("doc_fingerprint", llm_queries.doc_fingerprint, llm_queries.DOC_FINGERPRINT_ORACLE)
+register(
+    "embedding_cosine_topk",
+    llm_queries.embedding_cosine_topk,
+    llm_queries.EMBEDDING_COSINE_TOPK_ORACLE,
+)
+register("embedding_ann_ivf", llm_queries.embedding_ann_ivf, llm_queries.EMBEDDING_ANN_IVF_ORACLE)

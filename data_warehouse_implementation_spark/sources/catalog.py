@@ -115,15 +115,24 @@ class WarehouseCatalog:
         schema = self.table(name).schema
         self.create_table(name, schema, overwrite=True)
 
+    def replace(self, name: str, df: DataFrame, internal: bool = False) -> None:
+        """Replace a table's contents with a DataFrame *derived from
+        that table* (SCD applies, predicate deletes): write to a side
+        directory first, then swap — never overwrite files still being
+        read by the plan. Guarded (a replace can drop rows) unless
+        ``internal=True`` — SCD maintenance only closes/adds versions,
+        mirroring how the reference's SCD trigger UPDATEs bypass its
+        BEFORE-DELETE guard (``creating-tables.sql:205-239``)."""
+        if not internal:
+            self._check_mutable(name)
+        tmp = self.path(name) + "._tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        if self.exists(name):
+            shutil.rmtree(self.path(name))
+        os.rename(tmp, self.path(name))
+
     def delete_where(self, name: str, condition: str) -> None:
         """Predicate delete = keep the complement (batch formulation of
         row deletes). Guarded like all destructive ops."""
         self._check_mutable(name)
-        kept = self.table(name).filter(f"NOT ({condition})")
-        # Materialize before overwriting the files being read.
-        kept_local = kept.cache()
-        kept_local.count()
-        kept_local.write.mode("overwrite").parquet(self.path(name) + "._tmp")
-        kept_local.unpersist()
-        shutil.rmtree(self.path(name))
-        os.rename(self.path(name) + "._tmp", self.path(name))
+        self.replace(name, self.table(name).filter(f"NOT ({condition})"))

@@ -1,0 +1,11 @@
+"""Structured Streaming extension (SURVEY §2.10 — extension, not
+reference parity): incremental versions of the batch operators via
+``readStream`` + watermarked windows + ``foreachBatch`` SCD
+maintenance."""
+
+from .pipelines import (  # noqa: F401
+    incremental_scd2_sink,
+    run_to_memory,
+    stream_events,
+    tumbling_counts,
+)

@@ -1,0 +1,89 @@
+"""Property tests for the LLM-pipeline operators (dedup, simhash,
+similarity) beyond the oracle differentials."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_warehouse_implementation_spark.operators import dedup, similarity
+from data_warehouse_implementation_spark.session import load_tables
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_near_dup_finds_planted_pairs_and_only_high_jaccard(spark):
+    docs = load_tables(spark, SF)["documents"]
+    pairs = dedup.near_dup_pairs(docs, threshold=0.5).collect()
+    assert len(pairs) > 0  # the generator plants near-dups
+    assert all(r.jaccard >= 0.5 for r in pairs)
+    assert all(r.doc_a < r.doc_b for r in pairs)
+
+
+def test_near_dup_plan_has_no_cartesian_product(spark):
+    docs = load_tables(spark, SF)["documents"]
+    plan = (
+        dedup.near_dup_pairs(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_identical_docs_get_identical_simhash_and_fingerprint(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "a completely different set of words entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    from data_warehouse_implementation_spark.operators import text as text_ops
+
+    tokens = df.select(
+        "doc_id", F.explode(F.array_distinct(text_ops.words("text"))).alias("token")
+    )
+    d = dedup.build_dictionary(tokens, "token")
+    tids = tokens.join(d, on="token").select("doc_id", "tid")
+    sh = {r.doc_id: r.simhash for r in dedup.simhash16(tids).collect()}
+    assert sh[1] == sh[2] != sh[3]
+
+    pos = df.select("doc_id", F.posexplode(text_ops.words("text")).alias("pos", "token"))
+    d2 = dedup.build_dictionary(pos, "token")
+    fp_in = pos.join(d2, on="token").select("doc_id", "pos", "tid")
+    fp = {r.doc_id: r.fingerprint for r in text_ops.fingerprint(fp_in).collect()}
+    assert fp[1] == fp[2] != fp[3]
+
+
+def test_fingerprint_is_order_sensitive(spark):
+    from data_warehouse_implementation_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha")], "doc_id long, text string"
+    )
+    pos = df.select("doc_id", F.posexplode(text_ops.words("text")).alias("pos", "token"))
+    d = dedup.build_dictionary(pos, "token")
+    fp_in = pos.join(d, on="token").select("doc_id", "pos", "tid")
+    fp = {r.doc_id: r.fingerprint for r in text_ops.fingerprint(fp_in).collect()}
+    assert fp[1] != fp[2]  # same token set, different order
+
+
+def test_cosine_topk_self_similarity_and_ordering(spark):
+    emb = load_tables(spark, SF)["embeddings"]
+    out = similarity.cosine_topk(emb.filter("vec_id < 3"), emb, k=4).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        assert [r.rank for r in rows] == [1, 2, 3, 4]
+        scores = [r.cosine for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        assert all(r.neighbor_id != q for r in rows)
+        assert all(-1.0000001 <= r.cosine <= 1.0000001 for r in rows)
+
+
+def test_ivf_probe_stays_in_cell(spark):
+    emb = load_tables(spark, SF)["embeddings"]
+    out = similarity.cosine_topk(emb.filter("vec_id < 5"), emb, k=3, cell_col="label")
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    for r in out.collect():
+        assert labels[r.neighbor_id] == labels[r.query_id]
