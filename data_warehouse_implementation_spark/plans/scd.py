@@ -46,6 +46,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.scalar import null_safe_ne
+
 SCD2_SENTINEL = "2099-12-31"  # open-ended end_date (``inserting-data.sql:117``, F9)
 
 
@@ -194,8 +196,12 @@ def scd3_apply(
     seq = (
         seq.withColumn("_lag", F.lag("_val").over(w_seq))
         .withColumn("_minpos", F.min("_pos").over(Window.partitionBy(*keys)))
-        # keep the base state + every null-safe change point
-        .filter((F.col("_pos") == F.col("_minpos")) | ~F.col("_val").eqNullSafe(F.col("_lag")))
+        # keep the base state + every null-safe change point (F10:
+        # IS DISTINCT FROM, ``creating-tables.sql:258``)
+        .filter(
+            (F.col("_pos") == F.col("_minpos"))
+            | null_safe_ne(F.col("_val"), F.col("_lag"))
+        )
     )
     w_kept = Window.partitionBy(*keys).orderBy("_pos")
     last = (

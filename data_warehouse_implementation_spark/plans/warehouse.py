@@ -223,6 +223,68 @@ def _build_fact(
     )
 
 
+def population_fact_build(t: dict[str, DataFrame]) -> DataFrame:
+    """The second fact build (J8 — ``population_fact``,
+    ``inserting-data.sql:128-141``): a measures table joined through a
+    dim *pair* (year ⋈ location) to resolve surrogate FKs, with
+    COALESCE(measure, 0) defaulting. Analog: order activity per
+    (order year, market segment)."""
+    orders = t["orders"].select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    cust = t["customer"].select("c_custkey", "c_mktsegment")
+    demo = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias(
+                "total_price"
+            ),
+        )
+    )
+    year_dim = build_dim(demo.select("yr"), ["yr"], "year_id", canonicalize=False)
+    location_dim = build_dim(demo.select("segment"), ["segment"], "location_id")
+    return (
+        demo.join(broadcast(year_dim), on="yr")
+        .join(broadcast(location_dim), on="segment")
+        .select(
+            "year_id",
+            "location_id",
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+            F.coalesce(F.col("total_price"), F.lit(0.0)).alias("total_price"),
+        )
+        .orderBy("year_id", "location_id")
+    )
+
+
+POPULATION_FACT_BUILD_ORACLE = """
+WITH demo AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, c_mktsegment AS segment,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+year_dim AS (
+  SELECT yr, CAST(ROW_NUMBER() OVER (ORDER BY yr) AS BIGINT) AS year_id
+  FROM (SELECT DISTINCT yr FROM demo)
+),
+location_dim AS (
+  SELECT segment, CAST(ROW_NUMBER() OVER (ORDER BY segment) AS BIGINT) AS location_id
+  FROM (SELECT DISTINCT segment FROM demo)
+)
+SELECT y.year_id, l.location_id,
+       COALESCE(d.n_orders, 0) AS n_orders,
+       COALESCE(d.total_price, 0.0) AS total_price
+FROM demo d
+JOIN year_dim y ON d.yr = y.yr
+JOIN location_dim l ON d.segment = l.segment
+ORDER BY year_id, location_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registered queries
 

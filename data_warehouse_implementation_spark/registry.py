@@ -115,6 +115,11 @@ register(
 register(
     "warehouse_fact_build", warehouse.warehouse_fact_build, warehouse.WAREHOUSE_FACT_BUILD_ORACLE
 )
+register(
+    "population_fact_build",
+    warehouse.population_fact_build,
+    warehouse.POPULATION_FACT_BUILD_ORACLE,
+)
 
 # ETL cleaning pipelines (SURVEY §7 Step 5; P8/F11/F12/F13/F14/F16/A8/A9/A10)
 register("complaints_clean", etl.complaints_clean, etl.COMPLAINTS_CLEAN_ORACLE)
