@@ -123,6 +123,15 @@ def pairwise_jaccard(
     pairs ⋈ items(a) ⋈ items(b) on the item id (intersection), sizes
     from a per-doc count. Join work is proportional to candidate pairs ×
     shared items — LSH has already pruned the pair space."""
+    # score only docs that appear in some pair: the candidate doc set is
+    # tiny relative to the corpus, so this semi-join prunes the two
+    # intersection joins from corpus-scale to candidate-scale
+    cand_docs = (
+        pairs.select(F.col("doc_a").alias(id_col))
+        .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    doc_items = doc_items.join(cand_docs, on=id_col, how="left_semi")
     sizes = doc_items.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
     a_items = doc_items.select(F.col(id_col).alias("_aid"), F.col(item_col).alias("_ia"))
     b_items = doc_items.select(F.col(id_col).alias("_bid"), F.col(item_col).alias("_ib"))

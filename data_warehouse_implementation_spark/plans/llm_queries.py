@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup, similarity, text
 from ..operators.dedup import HASH_P, MINHASH_A, MINHASH_B
+from . import materialize
 
 K = 16
 BANDS = 8
@@ -70,11 +71,25 @@ def near_dup_minhash(t: dict[str, DataFrame]) -> DataFrame:
     """Banded-LSH near-duplicate pairs with exact-Jaccard verification
     (shingle -> minhash -> band -> bucket equi-join -> verify).
     The physical plan's candidate stage is a shuffle join on
-    (band_id, band_key) — never an all-pairs product."""
-    return dedup.near_dup_pairs(
-        t["documents"], n_shingle=3, k=K, bands=BANDS, rows=ROWS,
-        threshold=NEAR_DUP_THRESHOLD,
-    ).orderBy("doc_a", "doc_b")
+    (band_id, band_key) — never an all-pairs product. The (doc, tid)
+    set feeds both the signature and the verification branches, so it
+    is materialized once per session (S7) instead of re-exploding the
+    corpus."""
+    docs = t["documents"]
+    shingles = dedup.word_shingles(docs, n=3)
+    dictionary = dedup.build_dictionary(shingles, "shingle")
+    doc_tids = materialize.get_or_build(
+        "near_dup_doc_tids",
+        str(docs.semanticHash()),
+        lambda: shingles.join(dictionary, on="shingle").select("doc_id", "tid"),
+    )
+    sig = dedup.minhash_signatures(doc_tids, k=K)
+    cands = dedup.candidate_pairs(dedup.lsh_bands(sig, bands=BANDS, rows=ROWS))
+    return (
+        dedup.pairwise_jaccard(cands, doc_tids)
+        .filter(F.col("jaccard") >= NEAR_DUP_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
 
 
 _BANDS_SQL = "\nUNION ALL\n".join(
