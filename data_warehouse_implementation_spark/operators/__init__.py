@@ -1,3 +1,21 @@
-from . import calendar, imputation, relational, reshape
+from . import (
+    calendar,
+    dedup,
+    imputation,
+    multimodal,
+    relational,
+    reshape,
+    similarity,
+    text,
+)
 
-__all__ = ["calendar", "imputation", "relational", "reshape"]
+__all__ = [
+    "calendar",
+    "dedup",
+    "imputation",
+    "multimodal",
+    "relational",
+    "reshape",
+    "similarity",
+    "text",
+]

@@ -1,3 +1,21 @@
-from . import analytics, etl, scd, warehouse
+from . import (
+    analytics,
+    etl,
+    ingest_queries,
+    llm_queries,
+    materialize,
+    scd,
+    scd_queries,
+    warehouse,
+)
 
-__all__ = ["analytics", "etl", "scd", "warehouse"]
+__all__ = [
+    "analytics",
+    "etl",
+    "ingest_queries",
+    "llm_queries",
+    "materialize",
+    "scd",
+    "scd_queries",
+    "warehouse",
+]

@@ -799,6 +799,31 @@ def priority_pivot_first(t: dict[str, DataFrame]) -> DataFrame:
 PRIORITY_PIVOT_FIRST_ORACLE = PRIORITY_PIVOT_ORACLE
 
 
+def order_rollup(t: dict[str, DataFrame]) -> DataFrame:
+    """ROLLUP aggregate (SURVEY §2.4 notes grouping sets as a free
+    Spark built-in beyond reference parity): per (status, priority)
+    counts with subtotals and a grand total; grouping_id distinguishes
+    aggregation levels."""
+    return (
+        t["orders"]
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .orderBy("gid", "o_orderstatus", "o_orderpriority")
+    )
+
+
+ORDER_ROLLUP_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY gid, o_orderstatus, o_orderpriority
+"""
+
+
 # ---------------------------------------------------------------------------
 # F17: melt (wide -> long)
 

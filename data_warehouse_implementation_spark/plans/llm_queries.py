@@ -333,6 +333,47 @@ FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank
 """
 
 
+NEAR_DUP_COSINE = 0.30
+
+
+def embedding_near_dup(t: dict[str, DataFrame]) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, restricted to the coarse
+    cell (label) so the pair space is an equi-join per cluster instead
+    of a corpus cross product — the IVF analog of LSH-bucketed text
+    dedup. (This corpus has no planted duplicate vectors; the threshold
+    sits just under the top of the natural cosine distribution so the
+    op returns real pairs.)"""
+    emb = t["embeddings"].select("vec_id", "embedding", "label")
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("_va"), "label"
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("_vb"), "label"
+    )
+    return (
+        a.join(b, on="label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", similarity.cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cosine") >= NEAR_DUP_COSINE)
+        .select("vec_a", "vec_b", "cosine")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+EMBEDDING_NEAR_DUP_ORACLE = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+       / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+          * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cosine
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= {NEAR_DUP_COSINE}
+ORDER BY vec_a, vec_b
+"""
+
+
 DOC_FINGERPRINT_ORACLE = f"""
 WITH {_TOKS_SQL.strip()},
 pt AS (

@@ -144,3 +144,7 @@ register(
     llm_queries.EMBEDDING_COSINE_TOPK_ORACLE,
 )
 register("embedding_ann_ivf", llm_queries.embedding_ann_ivf, llm_queries.EMBEDDING_ANN_IVF_ORACLE)
+register(
+    "embedding_near_dup", llm_queries.embedding_near_dup, llm_queries.EMBEDDING_NEAR_DUP_ORACLE
+)
+register("order_rollup", analytics.order_rollup, analytics.ORDER_ROLLUP_ORACLE)
