@@ -1,0 +1,143 @@
+"""Time-series join operators: as-of join and band/range join.
+
+Extensions beyond the reference's own surface (SURVEY §7 "explicitly
+absent" list) — added because a training-data / event-analytics
+pipeline needs them constantly and Spark has no native ASOF JOIN.
+
+Scale notes (the whole point of the design):
+
+- ``asof_join`` uses the *union + running last(ignorenulls)* plan — ONE
+  shuffle of (left ∪ right) on the key columns, a per-key sorted window
+  pass, zero range-join row explosion. The naive alternatives either
+  explode (inequality theta-join → BroadcastNestedLoop / cartesian per
+  key) or single-thread (global sort). This formulation scales exactly
+  like any other keyed window: keys spread across executors, AQE
+  handles skewed keys.
+- ``band_range_join`` broadcasts the (tiny, by contract) band table and
+  lets Catalyst pick BroadcastNestedLoopJoin; with B bands each fact
+  row matches exactly one band, so the output is |fact| rows — no
+  explosion. For band tables too big to broadcast, band the fact side
+  with a computed bucket column and equi-join instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_SIDE = "__asof_side"
+_RTS = "__asof_right_ts"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    ts_col: str,
+    payload: Sequence[str],
+    matched_ts_col: str = "matched_ts",
+) -> DataFrame:
+    """Backward as-of (left) join: for every left row, attach ``payload``
+    columns from the right row with the greatest ``ts_col`` <=
+    left.``ts_col`` within the same ``on`` key group; nulls when no such
+    row exists. Matches DuckDB ``ASOF LEFT JOIN`` semantics
+    (``ON l.ts >= r.ts``, inclusive).
+
+    Requirements: ``payload`` names must not collide with left columns;
+    both inputs carry ``on`` + ``ts_col``.
+
+    Plan: tag sides, union, one window per key ordered by
+    (ts, side) with right rows sorting first at equal ts (inclusive
+    match), ``last(payload, ignorenulls=True)`` over rows from the
+    start of the key group to the current row, then keep left rows.
+    """
+    on = list(on)
+    overlap = set(payload) & set(left.columns)
+    if overlap:
+        raise ValueError(f"payload columns collide with left columns: {sorted(overlap)}")
+
+    left_extra = [c for c in left.columns if c not in on and c != ts_col]
+    tagged_left = left.select(
+        *on,
+        F.col(ts_col),
+        *[F.col(c) for c in left_extra],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload],
+        F.lit(None).cast(right.schema[ts_col].dataType).alias(_RTS),
+        F.lit(1).alias(_SIDE),
+    )
+    tagged_right = right.select(
+        *on,
+        F.col(ts_col),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_extra],
+        *[F.col(c) for c in payload],
+        F.col(ts_col).alias(_RTS),
+        F.lit(0).alias(_SIDE),
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(ts_col, _SIDE)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *on,
+        F.col(ts_col),
+        *[F.col(c) for c in left_extra],
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload],
+        F.last(_RTS, ignorenulls=True).over(w).alias(matched_ts_col),
+        F.col(_SIDE),
+    )
+    return filled.filter(F.col(_SIDE) == 1).drop(_SIDE)
+
+
+def band_range_join(
+    fact: DataFrame,
+    bands: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    how: str = "inner",
+) -> DataFrame:
+    """Range (band) join: attach the band row whose [lo, hi) interval
+    contains ``fact.value_col``; a NULL ``hi`` means unbounded above.
+    The band table is broadcast (tiny by contract) so the fact side
+    never shuffles or explodes — each fact row matches at most one band
+    when bands are disjoint.
+    """
+    cond = (F.col(value_col) >= bands[lo_col]) & (
+        bands[hi_col].isNull() | (F.col(value_col) < bands[hi_col])
+    )
+    return fact.join(F.broadcast(bands), cond, how)
+
+
+def salted_two_phase_agg(
+    df: DataFrame,
+    group_by: Sequence[str],
+    partials: dict[str, tuple[Column, "Callable[[Column], Column]"]],
+    salt_expr: Column,
+    buckets: int = 32,
+) -> DataFrame:
+    """Two-phase aggregation with explicit salting for skewed group
+    keys. ``partials`` maps output name -> (phase1 aggregate over raw
+    rows, phase2 re-aggregate over the partial column of the same
+    name). Phase 1 groups by (keys, salt) — skewed keys fan out over
+    ``buckets`` reducers; phase 2 groups the tiny partial table by the
+    keys alone.
+
+    With AQE skew handling on, plain groupBy already does map-side
+    partial aggregation and this is rarely needed; it exists for the
+    pathological case (one key ≫ everything, e.g. the empty-string
+    canonical key at 100 TB) and as the documented salting pattern.
+    Algebraic aggregates only (SUM/COUNT/MIN/MAX — not exact medians).
+    """
+    group_by = list(group_by)
+    salted = df.withColumn("__salt", F.pmod(salt_expr, F.lit(buckets)))
+    phase1 = salted.groupBy(*group_by, "__salt").agg(
+        *[expr.alias(name) for name, (expr, _) in partials.items()]
+    )
+    return phase1.groupBy(*group_by).agg(
+        *[re_agg(F.col(name)).alias(name) for name, (_, re_agg) in partials.items()]
+    )

@@ -1,0 +1,274 @@
+"""Time-series / window-frame / set-operation / skew-aggregation
+extension queries (beyond the reference's own surface — SURVEY §7 lists
+as-of joins, frame-spec windows, INTERSECT/EXCEPT, and grouping sets as
+extensions; the brief's event-analytics angle needs all of them).
+
+Every query here has a full DuckDB oracle — the as-of join is checked
+against DuckDB's native ``ASOF LEFT JOIN``, which is the strongest
+differential available for it (an independent implementation of the
+same semantics, not a replay of ours).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..operators import asof
+from .ingest_queries import _decimal_sum_as_double, _event_ts
+
+# ---------------------------------------------------------------------------
+# As-of join: each purchase joined to the user's most recent prior view.
+
+
+def events_asof_join(t: dict[str, DataFrame]) -> DataFrame:
+    """Backward as-of join over the event stream: for every purchase,
+    the same user's latest view at-or-before the purchase time (the
+    trade/quote pattern). Implementation is the scalable union +
+    running-``last(ignorenulls)`` window (`operators/asof.py`) — one
+    shuffle on user_id, no range-join explosion; DuckDB's native
+    ASOF LEFT JOIN is the oracle."""
+    ev = t["events"].select(
+        "event_id", "user_id", "event_type", "value", _event_ts().alias("ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("view_value")
+    )
+    joined = asof.asof_join(
+        purchases, views, on=["user_id"], ts_col="ts",
+        payload=["view_value"], matched_ts_col="view_ts",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        "value",
+        "view_value",
+        F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("view_ts"),
+        (F.unix_micros("ts") - F.unix_micros("view_ts")).alias("us_since_view"),
+    ).orderBy("event_id")
+
+
+EVENTS_ASOF_JOIN_ORACLE = """
+WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+     v AS (SELECT user_id, ts, value AS view_value FROM events WHERE event_type = 'view')
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       p.value,
+       v.view_value,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+       epoch_us(p.ts) - epoch_us(v.ts) AS us_since_view
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+ORDER BY p.event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Band / range join: broadcast interval lookup.
+
+_BANDS = [
+    ("b0_low", 0.0, 50.0),
+    ("b1_mid", 50.0, 150.0),
+    ("b2_high", 150.0, 300.0),
+    ("b3_top", 300.0, None),
+]
+
+
+def event_value_band_join(t: dict[str, DataFrame]) -> DataFrame:
+    """Range join of the event stream against a tiny interval table
+    ([lo, hi) value bands, NULL hi = unbounded). The band table is
+    broadcast — the fact side never shuffles and each row matches
+    exactly one disjoint band."""
+    ev = t["events"].select("event_type", "value")
+    bands = ev.sparkSession.createDataFrame(_BANDS, "band string, lo double, hi double")
+    joined = asof.band_range_join(ev, bands, "value")
+    return (
+        joined.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _decimal_sum_as_double(F.col("value")).alias("total_value"),
+        )
+        .orderBy("band")
+    )
+
+
+EVENT_VALUE_BAND_JOIN_ORACLE = """
+WITH bands(band, lo, hi) AS (VALUES
+  ('b0_low', 0.0, 50.0), ('b1_mid', 50.0, 150.0),
+  ('b2_high', 150.0, 300.0), ('b3_top', 300.0, CAST(NULL AS DOUBLE)))
+SELECT band, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events e JOIN bands b ON e.value >= b.lo AND (b.hi IS NULL OR e.value < b.hi)
+GROUP BY band ORDER BY band
+"""
+
+
+# ---------------------------------------------------------------------------
+# Salted two-phase aggregation (skew pattern, oracle = plain GROUP BY).
+
+
+def salted_skew_agg(t: dict[str, DataFrame]) -> DataFrame:
+    """Two-phase salted aggregation over lineitem grouped by the
+    3-value (maximally skewed) l_returnflag key. The salt fans each hot
+    key over 32 reducers in phase 1; phase 2 re-aggregates ~96 partial
+    rows. Result is algebraically identical to the direct GROUP BY —
+    which is exactly what the oracle runs."""
+    out = asof.salted_two_phase_agg(
+        t["lineitem"],
+        ["l_returnflag"],
+        {
+            "n_items": (F.count(F.lit(1)), F.sum),
+            "sum_qty": (F.sum(F.col("l_quantity").cast("decimal(18,2)")), F.sum),
+            "max_price": (F.max("l_extendedprice"), F.max),
+        },
+        salt_expr=F.hash("l_orderkey"),
+        buckets=32,
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("n_items").cast("long").alias("n_items"),
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        "max_price",
+    ).orderBy("l_returnflag")
+
+
+SALTED_SKEW_AGG_ORACLE = """
+SELECT l_returnflag, COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       MAX(l_extendedprice) AS max_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact distinct counts (the dedup-adjacent cardinality primitive).
+
+
+def event_user_distinct(t: dict[str, DataFrame]) -> DataFrame:
+    """Exact per-type distinct-user counts. COUNT(DISTINCT) expands to
+    a two-level aggregate in Spark (partial distinct per partition,
+    then merge) — no driver-side set. For 100 TB cardinality scans use
+    approx_count_distinct (HLL) instead; exact is the oracle-checkable
+    variant."""
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENT_USER_DISTINCT_ORACLE = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Frame-spec windows: running totals, moving window, lag deltas.
+
+
+def customer_running_totals(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-customer order timeline: running spend (UNBOUNDED PRECEDING),
+    3-order moving average (ROWS 2 PRECEDING), and days since the
+    previous order (LAG). All windows are partitioned by customer —
+    the work spreads across executors; sums run over decimal casts so
+    the running accumulation is order-exact on both engines."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mov = w.rowsBetween(-2, Window.currentRow)
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return (
+        t["orders"]
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_totalprice",
+            F.sum(dec).over(run).cast("double").alias("running_spend"),
+            (F.sum(dec).over(mov).cast("double") / F.count(F.lit(1)).over(mov)).alias("mov3_avg"),
+            F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).cast("long").alias("days_since_prev"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+CUSTOMER_RUNNING_TOTALS_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       o_totalprice,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w3 AS DOUBLE)
+            / COUNT(*) OVER w3 AS mov3_avg,
+       date_diff('day', LAG(o_orderdate) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), o_orderdate) AS days_since_prev
+FROM orders
+WINDOW w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Set operations: INTERSECT / EXCEPT.
+
+
+def customer_set_ops(t: dict[str, DataFrame]) -> DataFrame:
+    """Customers active in both 1995 and 1996 but not in 1997 —
+    INTERSECT then EXCEPT (both distinct), matching SQL's precedence
+    ((A INTERSECT B) EXCEPT C). Spark plans these as aggregated
+    left-semi / left-anti joins on the hashed key."""
+    o = t["orders"]
+
+    def _year(y: int) -> DataFrame:
+        return o.filter(F.year("o_orderdate") == y).select("o_custkey")
+
+    return _year(1995).intersect(_year(1996)).subtract(_year(1997)).orderBy("o_custkey")
+
+
+CUSTOMER_SET_OPS_ORACLE = """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+EXCEPT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+ORDER BY o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# CUBE grouping sets (completes rollup coverage).
+
+
+def order_cube(t: dict[str, DataFrame]) -> DataFrame:
+    """CUBE over (status, priority): all four grouping sets in one
+    pass; grouping_id distinguishes levels (companion to
+    analytics.order_rollup)."""
+    return (
+        t["orders"]
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _decimal_sum_as_double(F.col("o_totalprice")).alias("total_price"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .orderBy("gid", "o_orderstatus", "o_orderpriority")
+    )
+
+
+ORDER_CUBE_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY gid, o_orderstatus, o_orderpriority
+"""

@@ -20,7 +20,15 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .plans import analytics, etl, ingest_queries, llm_queries, scd_queries, warehouse
+from .plans import (
+    analytics,
+    etl,
+    ingest_queries,
+    llm_queries,
+    scd_queries,
+    timeseries_queries,
+    warehouse,
+)
 from .session import load_tables
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
@@ -148,3 +156,30 @@ register(
     "embedding_near_dup", llm_queries.embedding_near_dup, llm_queries.EMBEDDING_NEAR_DUP_ORACLE
 )
 register("order_rollup", analytics.order_rollup, analytics.ORDER_ROLLUP_ORACLE)
+
+# Time-series / window-frame / set-op / skew extensions
+register(
+    "events_asof_join", timeseries_queries.events_asof_join, timeseries_queries.EVENTS_ASOF_JOIN_ORACLE
+)
+register(
+    "event_value_band_join",
+    timeseries_queries.event_value_band_join,
+    timeseries_queries.EVENT_VALUE_BAND_JOIN_ORACLE,
+)
+register(
+    "salted_skew_agg", timeseries_queries.salted_skew_agg, timeseries_queries.SALTED_SKEW_AGG_ORACLE
+)
+register(
+    "event_user_distinct",
+    timeseries_queries.event_user_distinct,
+    timeseries_queries.EVENT_USER_DISTINCT_ORACLE,
+)
+register(
+    "customer_running_totals",
+    timeseries_queries.customer_running_totals,
+    timeseries_queries.CUSTOMER_RUNNING_TOTALS_ORACLE,
+)
+register(
+    "customer_set_ops", timeseries_queries.customer_set_ops, timeseries_queries.CUSTOMER_SET_OPS_ORACLE
+)
+register("order_cube", timeseries_queries.order_cube, timeseries_queries.ORDER_CUBE_ORACLE)
