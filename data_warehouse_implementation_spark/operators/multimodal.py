@@ -81,6 +81,77 @@ def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     return df.mapInPandas(run, FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "media_id long, kind string, payload binary,"
+    " meta struct<width: int, height: int, sample_rate: int>"
+)
+
+FRAMES_SCHEMA = "media_id long, frame_idx int, frame binary, n_bytes long"
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Arrow-batched resize stage. With a real codec this is
+    decode -> resample to (width, height) -> re-encode per batch; the
+    deterministic fake keeps the contract real — output payload is a
+    pure function of input bytes with exactly ``width*height`` bytes
+    (strided byte selection, cycled if the source is smaller) and the
+    meta struct carries the new dimensions. Narrow (metadata-only)
+    downstream reads never touch the payload column chunk."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = width * height
+        for pdf in batches:
+            out = pdf[["media_id", "kind"]].copy()
+            out["payload"] = pdf["payload"].map(
+                lambda b: b""
+                if not b
+                else bytes(b[(i * len(b)) // n] for i in range(n))
+            )
+            out["meta"] = [
+                {"width": width, "height": height, "sample_rate": None}
+            ] * len(pdf)
+            yield out
+
+    return df.mapInPandas(run, RESIZED_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame, frame_bytes: int = 256, every_nth: int = 2
+) -> DataFrame:
+    """Row-exploding frame sampler for video payloads: each input row
+    yields one output row per sampled frame (the 1->N mapInPandas
+    shape). The fake treats the payload as fixed-size ``frame_bytes``
+    chunks and keeps every ``every_nth`` chunk; a real build swaps the
+    chunker for a container demuxer + keyframe picker, same schema and
+    same batch mechanics. Output stays partitioned like the input — no
+    shuffle is introduced by the explosion."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if not payload:
+                    continue
+                chunks = [
+                    payload[i : i + frame_bytes]
+                    for i in range(0, len(payload), frame_bytes)
+                ]
+                for k in range(0, len(chunks), every_nth):
+                    ids.append(mid)
+                    idxs.append(k)
+                    frames.append(bytes(chunks[k]))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "frame": frames,
+                    "n_bytes": [len(f) for f in frames],
+                }
+            )
+
+    return df.mapInPandas(run, FRAMES_SCHEMA)
+
+
 def decode_images(df: DataFrame) -> DataFrame:
     """Real image decode (resize/frame-sample feed-in). STUB: raises
     unless an image codec is importable — the Spark-side contract

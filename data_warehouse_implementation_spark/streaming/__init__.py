@@ -4,8 +4,10 @@ reference parity): incremental versions of the batch operators via
 maintenance."""
 
 from .pipelines import (  # noqa: F401
+    EVENTS_STREAM_SCHEMA,
     incremental_scd2_sink,
     run_to_memory,
+    sessionize_stateful,
     stream_events,
     tumbling_counts,
 )

@@ -65,6 +65,113 @@ def run_to_memory(stream: DataFrame, name: str, output_mode: str = "append") -> 
     q.awaitTermination()
 
 
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_seq long, n_events long,"
+    " session_start string, session_value double"
+)
+_SESSION_STATE_SCHEMA = (
+    "session_seq long, start_us long, last_us long, n_events long, cents long"
+)
+
+
+def sessionize_stateful(
+    events: DataFrame, gap_seconds: int = 1800, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Custom stateful streaming operator: gap-based sessionization via
+    ``applyInPandasWithState`` — the streaming twin of the batch
+    ``ingest_queries.events_sessionize`` (lag + cumulative-sum windows).
+
+    Per-user state holds only the one *open* session (5 longs), so state
+    size is O(#active users), not O(#events) — bounded at any scale.
+    Sessions close two ways: eagerly when a same-batch event arrives
+    more than ``gap_seconds`` after the previous one, or by event-time
+    timeout once the watermark passes ``last_event + gap`` (late events
+    beyond the watermark are dropped, same contract as the windowed
+    aggregate).
+
+    Values are summed as exact cents (``Decimal(repr(v))`` reproduces
+    Spark's shortest-repr double→decimal(18,2) HALF_UP cast) so the
+    emitted ``session_value`` is bit-identical to the batch twin's
+    decimal sum.
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_seconds * 1_000_000
+
+    def _to_cents(v) -> int:
+        from decimal import ROUND_HALF_UP, Decimal
+
+        if v is None or pd.isna(v):
+            return 0
+        return int(
+            (Decimal(repr(float(v))) * 100).to_integral_value(rounding=ROUND_HALF_UP)
+        )
+
+    def _emit(user_id: int, seq: int, start_us: int, n: int, cents: int) -> pd.DataFrame:
+        start = pd.Timestamp(start_us * 1000).strftime("%Y-%m-%d %H:%M:%S.%f")
+        return pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_seq": [seq],
+                "n_events": [n],
+                "session_start": [start],
+                "session_value": [cents / 100.0],
+            }
+        )
+
+    def fn(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            seq, start_us, last_us, n, cents = state.get
+            state.remove()
+            yield _emit(user_id, seq, start_us, n, cents)
+            return
+        if state.exists:
+            seq, start_us, last_us, n, cents = state.get
+        else:
+            seq, start_us, last_us, n, cents = 0, None, None, 0, 0
+        chunks = [p for p in pdf_iter if len(p)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+            ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
+            vals = pdf["value"].tolist()
+            for us, v in zip(ts_us, vals):
+                if last_us is not None and us - last_us > gap_us:
+                    yield _emit(user_id, seq, start_us, n, cents)
+                    start_us, n, cents = None, 0, 0
+                if start_us is None:
+                    seq += 1
+                    start_us = us
+                n += 1
+                cents += _to_cents(v)
+                last_us = us
+        if n == 0:
+            state.remove()
+            return
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if wm_us >= last_us + gap_us:
+            # Watermark already closed this session — emit now; a
+            # timeout timestamp <= watermark would be rejected.
+            state.remove()
+            yield _emit(user_id, seq, start_us, n, cents)
+        else:
+            state.update((seq, start_us, last_us, n, cents))
+            state.setTimeoutTimestamp(last_us // 1000 + gap_seconds * 1000)
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            SESSION_OUT_SCHEMA,
+            _SESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def incremental_scd2_sink(
     stream: DataFrame,
     catalog: WarehouseCatalog,

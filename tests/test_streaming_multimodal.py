@@ -8,6 +8,7 @@ from __future__ import annotations
 import os
 import shutil
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -59,6 +60,62 @@ def test_stream_window_agg_matches_batch(spark, tmp_dir):
         (r.hour, r.event_type): (r.n_events, r.total_value) for r in batch.collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stateful_sessionize_matches_batch(spark, tmp_dir):
+    """applyInPandasWithState sessionizer == batch lag+cumsum sessionizer.
+
+    Events are replayed as three time-ordered chunk files (micro-batches
+    via maxFilesPerTrigger=1) plus a far-future sentinel event that
+    advances the watermark past every real session, firing the
+    event-time timeouts that flush the open sessions."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_warehouse_implementation_spark.plans import ingest_queries
+
+    tbl = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    pdf = tbl.to_pandas().sort_values("ts").reset_index(drop=True)
+    src = os.path.join(tmp_dir, "sess_src")
+    os.makedirs(src)
+    n = len(pdf)
+    cuts = [0, n // 3, 2 * n // 3, n]
+    paths = []
+    for i in range(3):
+        chunk = pdf.iloc[cuts[i] : cuts[i + 1]]
+        p = os.path.join(src, f"chunk{i}.parquet")
+        pq.write_table(pa.Table.from_pandas(chunk, preserve_index=False), p)
+        paths.append(p)
+    sentinel = pdf.iloc[[n - 1]].copy()
+    sentinel["user_id"] = -1
+    sentinel["event_id"] = -1
+    sentinel["ts"] = sentinel["ts"] + pd.Timedelta(days=30)
+    p = os.path.join(src, "chunk3.parquet")
+    pq.write_table(pa.Table.from_pandas(sentinel, preserve_index=False), p)
+    paths.append(p)
+    for i, p in enumerate(paths):  # force discovery order = time order
+        os.utime(p, (1_700_000_000 + 60 * i, 1_700_000_000 + 60 * i))
+
+    stream = (
+        spark.readStream.schema(streaming.EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    sessions = streaming.sessionize_stateful(stream)
+    streaming.run_to_memory(sessions, "stream_sessions", output_mode="append")
+    got = {
+        (r.user_id, r.session_seq): (r.n_events, r.session_start, r.session_value)
+        for r in spark.table("stream_sessions").filter("user_id >= 0").collect()
+    }
+    batch = ingest_queries.events_sessionize(
+        {"events": spark.read.parquet("/root/testdata/sf0.001/events.parquet")}
+    )
+    want = {
+        (r.user_id, r.session_seq): (r.n_events, r.session_start, r.session_value)
+        for r in batch.collect()
+    }
+    assert len(got) > 0 and got == want
 
 
 def test_incremental_scd2_over_two_microbatches(spark, tmp_dir):
@@ -116,6 +173,43 @@ def test_multimodal_feature_extraction_plumbing(spark):
     # determinism across runs
     again = {r.media_id: r.feature for r in multimodal.extract_features(df, dim=4).collect()}
     assert {k: v.feature for k, v in got.items()} == again
+
+
+def test_multimodal_resize_plumbing(spark):
+    rows = [
+        (1, "image", bytearray(range(100)), (10, 10, None)),
+        (2, "image", bytearray(b"\x05"), (1, 1, None)),
+        (3, "image", None, (0, 0, None)),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = multimodal.resize_images(df, width=4, height=3)
+    got = {r.media_id: r for r in out.collect()}
+    assert len(got[1].payload) == 12  # exactly width*height bytes
+    assert len(got[2].payload) == 12  # smaller source cycles
+    assert got[2].payload == b"\x05" * 12
+    assert got[3].payload == b""
+    assert got[1].meta.width == 4 and got[1].meta.height == 3
+    # pure function of input bytes: stable across runs
+    again = {r.media_id: bytes(r.payload) for r in out.collect()}
+    assert {k: bytes(v.payload) for k, v in got.items()} == again
+
+
+def test_multimodal_frame_sampling_explodes_rows(spark):
+    payload = bytearray(range(256)) * 4  # 1024 bytes = 4 frames of 256
+    rows = [
+        (1, "video", payload, (None, None, None)),
+        (2, "video", bytearray(b"xy"), (None, None, None)),  # 1 short frame
+        (3, "video", None, (None, None, None)),  # no frames
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = multimodal.sample_frames(df, frame_bytes=256, every_nth=2).collect()
+    by_media = {}
+    for r in out:
+        by_media.setdefault(r.media_id, []).append(r)
+    assert sorted(r.frame_idx for r in by_media[1]) == [0, 2]  # every 2nd of 4
+    assert all(r.n_bytes == 256 for r in by_media[1])
+    assert [r.n_bytes for r in by_media[2]] == [2]
+    assert 3 not in by_media
 
 
 def test_real_decode_is_explicitly_stubbed(spark):
