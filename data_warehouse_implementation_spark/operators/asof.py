@@ -113,6 +113,36 @@ def band_range_join(
     return fact.join(F.broadcast(bands), cond, how)
 
 
+def salted_skew_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str],
+    salt_expr: Column,
+    buckets: int = 32,
+) -> DataFrame:
+    """Skew-safe equi-join: salt the (skewed) fact side with a
+    deterministic per-row bucket, replicate each dim row across all
+    ``buckets`` salt values, and join on (keys, salt). A hot key that
+    would land 100% of its rows on one reducer instead fans out over
+    ``buckets`` reducers; the dim side grows only |dim| x buckets rows.
+
+    This is the classic salting pattern for when the dim is too big to
+    broadcast but small enough to replicate, or when AQE skew-join
+    splitting is unavailable (it only fires on sort-merge joins past
+    size thresholds). ``shuffle_hash`` is hinted so the demonstration
+    actually exercises the salted shuffle instead of collapsing to a
+    broadcast. ``salt_expr`` must be deterministic (hash a row id, not
+    rand()) so retried tasks produce identical output.
+    """
+    on = list(on)
+    salted_fact = fact.withColumn("__salt", F.pmod(salt_expr, F.lit(buckets)))
+    replicated = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    )
+    joined = salted_fact.join(replicated.hint("shuffle_hash"), [*on, "__salt"])
+    return joined.drop("__salt")
+
+
 def salted_two_phase_agg(
     df: DataFrame,
     group_by: Sequence[str],

@@ -272,3 +272,119 @@ FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 ORDER BY gid, o_orderstatus, o_orderpriority
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact percentile aggregation (interpolated, order-statistics class).
+
+
+def brand_price_percentiles(t: dict[str, DataFrame]) -> DataFrame:
+    """Exact interpolated p50/p90/p99 of part retail price per brand.
+    Prices are first cast to exact integer cents so both engines
+    interpolate over identical integer order statistics — the
+    lower + (upper-lower)*fraction arithmetic is then bit-identical.
+    Exact percentiles sort within each group (fine for bounded group
+    cardinality); at 100 TB switch to percentile_approx (t-digest
+    sketch, mergeable map-side)."""
+    cents = (F.col("p_retailprice").cast("decimal(18,2)") * 100).cast("bigint")
+    agg = t["part"].select("p_brand", cents.alias("cents")).groupBy("p_brand")
+    return agg.agg(
+        (F.percentile("cents", 0.5) / 100.0).alias("p50"),
+        (F.percentile("cents", 0.9) / 100.0).alias("p90"),
+        (F.percentile("cents", 0.99) / 100.0).alias("p99"),
+        F.count(F.lit(1)).alias("n_parts"),
+    ).orderBy("p_brand")
+
+
+BRAND_PRICE_PERCENTILES_ORACLE = """
+WITH c AS (SELECT p_brand,
+                  CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM part)
+SELECT p_brand,
+       quantile_cont(cents, 0.5) / 100.0 AS p50,
+       quantile_cont(cents, 0.9) / 100.0 AS p90,
+       quantile_cont(cents, 0.99) / 100.0 AS p99,
+       COUNT(*) AS n_parts
+FROM c GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch cardinality, checked against the exact count.
+
+
+def user_sketch_distinct(t: dict[str, DataFrame]) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++, rsd=1%) next to the exact
+    distinct count, emitting a within-5% acceptance flag. The sketch is
+    the 100 TB path — mergeable partial state, no shuffle of distinct
+    values; the exact count is what the oracle can check, and the flag
+    pins the sketch's accuracy contract (deterministic: HLL++ has no
+    RNG, identical input -> identical estimate)."""
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.approx_count_distinct("user_id", rsd=0.01).alias("n_approx"),
+        )
+        .select(
+            "event_type",
+            "n_users",
+            (
+                F.abs(F.col("n_approx") - F.col("n_users"))
+                <= 0.05 * F.col("n_users")
+            ).alias("sketch_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
+USER_SKETCH_DISTINCT_ORACLE = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, TRUE AS sketch_ok
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Salted skew JOIN (companion to the salted two-phase AGG above).
+
+_FLAG_LABELS = [("R", "returned"), ("A", "accepted"), ("N", "none")]
+
+
+def salted_flag_join(t: dict[str, DataFrame]) -> DataFrame:
+    """Join the maximally-skewed lineitem.l_returnflag (3 hot keys)
+    against a label dim through ``salted_skew_join``: the fact side is
+    salted by a row-id hash, the dim replicated x32, so each hot key
+    fans out over 32 reducers instead of hot-spotting 3. The oracle is
+    the plain unsalted join — salting must be algebraically invisible."""
+    li = t["lineitem"].select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    dim = li.sparkSession.createDataFrame(
+        _FLAG_LABELS, "l_returnflag string, flag_label string"
+    )
+    joined = asof.salted_skew_join(
+        li,
+        dim,
+        on=["l_returnflag"],
+        salt_expr=F.xxhash64("l_orderkey", "l_linenumber"),
+        buckets=32,
+    )
+    return (
+        joined.groupBy("flag_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _decimal_sum_as_double(F.col("l_quantity")).alias("total_qty"),
+        )
+        .orderBy("flag_label")
+    )
+
+
+SALTED_FLAG_JOIN_ORACLE = """
+WITH labels(l_returnflag, flag_label) AS (VALUES
+  ('R', 'returned'), ('A', 'accepted'), ('N', 'none'))
+SELECT flag_label, COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM lineitem JOIN labels USING (l_returnflag)
+GROUP BY flag_label ORDER BY flag_label
+"""

@@ -183,3 +183,20 @@ register(
     "customer_set_ops", timeseries_queries.customer_set_ops, timeseries_queries.CUSTOMER_SET_OPS_ORACLE
 )
 register("order_cube", timeseries_queries.order_cube, timeseries_queries.ORDER_CUBE_ORACLE)
+
+# Order-statistics / sketch / skew-join extensions
+register(
+    "brand_price_percentiles",
+    timeseries_queries.brand_price_percentiles,
+    timeseries_queries.BRAND_PRICE_PERCENTILES_ORACLE,
+)
+register(
+    "user_sketch_distinct",
+    timeseries_queries.user_sketch_distinct,
+    timeseries_queries.USER_SKETCH_DISTINCT_ORACLE,
+)
+register(
+    "salted_flag_join",
+    timeseries_queries.salted_flag_join,
+    timeseries_queries.SALTED_FLAG_JOIN_ORACLE,
+)
