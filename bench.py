@@ -38,6 +38,18 @@ def main() -> None:
         wdf.groupBy().count().collect()
     # JIT the local-relation path used by the SCD golden-batch queries
     spark.createDataFrame([(1,)], "x long").groupBy().count().collect()
+    # JIT the codegen paths the first timed queries hit (hash agg with
+    # keys, sort window, broadcast hash join, sort-merge join) so query
+    # #1 isn't charged the one-time compile cost the others skip.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    wdf = spark.range(200_000).select("id", (F.col("id") % 97).alias("k"))
+    wdf.groupBy("k").agg(F.count(F.lit(1)), F.sum("id")).collect()
+    wdf.select(F.row_number().over(Window.partitionBy("k").orderBy("id"))).groupBy().count().collect()
+    dim = spark.range(97).select(F.col("id").alias("k"))
+    wdf.join(F.broadcast(dim), "k").groupBy().count().collect()
+    wdf.join(wdf.select(F.col("id").alias("id2")), F.col("id") == F.col("id2")).groupBy().count().collect()
 
     total = 0.0
     for name, q in qs.items():

@@ -63,14 +63,21 @@ def cosine_topk(
     each query scores only its own cluster.
     Output: (query_id, rank, neighbor_id, cosine).
     """
+    # Norms are a per-VECTOR quantity: compute them once on each side
+    # before the join instead of re-folding dot(v, v) per PAIR — at
+    # |Q|·|C| pairs that's 3 array folds per pair down to 1. Same
+    # double-precision expressions in the same order, so results are
+    # bit-identical to the naive cosine().
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
+        l2_norm(F.col(vec_col)).alias("_qnorm"),
         *([F.col(cell_col).alias("_qcell")] if cell_col else []),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
+        l2_norm(F.col(vec_col)).alias("_cnorm"),
         *([F.col(cell_col).alias("_ccell")] if cell_col else []),
     )
     if cell_col:
@@ -79,7 +86,10 @@ def cosine_topk(
         joined = c.crossJoin(broadcast(q))
     scored = (
         joined.filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine(F.col("_qv"), F.col("_cv")))
+        .withColumn(
+            "cosine",
+            dot(F.col("_qv"), F.col("_cv")) / (F.col("_qnorm") * F.col("_cnorm")),
+        )
         .select("query_id", "neighbor_id", "cosine")
     )
     from .relational import top_k_per_group

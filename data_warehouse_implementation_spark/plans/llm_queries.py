@@ -343,17 +343,30 @@ def embedding_near_dup(t: dict[str, DataFrame]) -> DataFrame:
     dedup. (This corpus has no planted duplicate vectors; the threshold
     sits just under the top of the natural cosine distribution so the
     op returns real pairs.)"""
-    emb = t["embeddings"].select("vec_id", "embedding", "label")
+    # per-vector norms computed before the pair join (1 fold per pair
+    # instead of 3 — see similarity.cosine_topk); bit-identical doubles
+    emb = t["embeddings"].select(
+        "vec_id", "embedding", "label", similarity.l2_norm(F.col("embedding")).alias("_norm")
+    )
     a = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("_va"), "label"
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("_va"),
+        F.col("_norm").alias("_na"),
+        "label",
     )
     b = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("_vb"), "label"
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("_vb"),
+        F.col("_norm").alias("_nb"),
+        "label",
     )
     return (
         a.join(b, on="label")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", similarity.cosine(F.col("_va"), F.col("_vb")))
+        .withColumn(
+            "cosine",
+            similarity.dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
+        )
         .filter(F.col("cosine") >= NEAR_DUP_COSINE)
         .select("vec_a", "vec_b", "cosine")
         .orderBy("vec_a", "vec_b")

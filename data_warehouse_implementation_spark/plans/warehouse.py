@@ -89,6 +89,14 @@ def build_warehouse(t: dict[str, DataFrame], as_of: str = AS_OF) -> dict[str, Da
     """Compose every dim + the star fact, mirroring the reference's load
     order (``inserting-data.sql``). Returns {table_name: DataFrame}."""
     spark = t["orders"].sparkSession
+    # The staging join feeds three dim builds AND the fact. It is NOT
+    # cached: each dim build reads a 1-3 column pruned variant of the
+    # join chain (Catalyst prunes the scans), which measures faster than
+    # paying one wide-row cache materialization (measured at sf0.1:
+    # cached-staging fact build 8.3s vs 4.7s pruned recompute). At
+    # 100 TB the right staging reuse is a real parquet staging table
+    # (WarehouseCatalog.create_table_as) — how the reference stages too
+    # (MongoDB -> postgres staging) — not executor-memory cache.
     staging = _staging(t)
 
     company_dim = build_dim(staging.select(F.col("n_name").alias("company")), ["company"], "company_id")
