@@ -60,13 +60,30 @@ def word_shingles(
 
 
 def build_dictionary(items: DataFrame, col: str, id_name: str = "tid") -> DataFrame:
-    """Deterministic dense ids for distinct values (see module note: the
-    global window is the oracle-portability concession; swap for a
-    64-bit hash at production scale)."""
+    """Deterministic dense ids for distinct values — identical to
+    ``row_number() OVER (ORDER BY value)`` (what the oracle SQL runs),
+    but computed WITHOUT a global single-task sort: values are bucketed
+    by their first character (binary collation on both engines, so the
+    first char dominates the total order), ranked in parallel within
+    each bucket, and offset by the cumulative bucket counts (a window
+    over #buckets rows). The only sequential structure is the bucket
+    count table. At production scale swap for
+    ``tid = pmod(xxhash64(value), P)`` — same downstream algebra, no
+    ranking at all; the rank form is kept for bit-exact oracle replay."""
+    distinct = items.select(col).distinct()
+    bucket = F.coalesce(F.substring(F.col(col), 1, 1), F.lit(""))
+    with_bucket = distinct.withColumn("_b", bucket)
+    counts = with_bucket.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    offsets = counts.withColumn("_off", F.sum("_n").over(w_off) - F.col("_n")).select(
+        "_b", "_off"
+    )
+    w_in = Window.partitionBy("_b").orderBy(col)
     return (
-        items.select(col)
-        .distinct()
-        .withColumn(id_name, F.row_number().over(Window.orderBy(col)).cast("long"))
+        with_bucket.withColumn("_rn", F.row_number().over(w_in))
+        .join(F.broadcast(offsets), on="_b")
+        .withColumn(id_name, (F.col("_off") + F.col("_rn")).cast("long"))
+        .select(col, id_name)
     )
 
 
@@ -184,20 +201,67 @@ def exact_dedup(
     )
 
 
-def simhash16(doc_ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """16-bit SimHash over a doc's item-id set: per bit, sum +1/-1 by
-    the bit of each item's universal hash; bit set iff the sum is
-    positive. One aggregate pass (16 conditional sums)."""
+def simhash_band_pairs(
+    sim: DataFrame,
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    sim_col: str = "simhash",
+) -> DataFrame:
+    """SimHash near-duplicate pairs: band the ``bits``-bit fingerprint
+    into ``bands`` equal slices, collide docs sharing any slice (an
+    equi-join on the band value — the pigeonhole guarantee: any pair
+    within ``bands - 1`` bit flips shares at least one intact band),
+    then verify candidates by exact Hamming distance ``bit_count(a ^
+    b) <= max_hamming``. Never all-pairs — the same LSH shape as the
+    minhash path. At production scale use a 64-bit simhash with 4x16-bit
+    bands (65k buckets per band); 16 bits here keeps the arithmetic
+    replayable in oracle SQL."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.shiftright(F.col(sim_col), b * width).bitwiseAND(F.lit(mask)).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    banded = sim.select(id_col, F.explode(F.array(*structs)).alias("band")).select(
+        id_col, F.col("band.band_id").alias("band_id"), F.col("band.band_key").alias("band_key")
+    )
+    cands = candidate_pairs(banded, id_col=id_col)
+    a = sim.select(F.col(id_col).alias("doc_a"), F.col(sim_col).alias("_sa"))
+    b = sim.select(F.col(id_col).alias("doc_b"), F.col(sim_col).alias("_sb"))
+    return (
+        cands.join(a, on="doc_a")
+        .join(b, on="doc_b")
+        .withColumn("hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def simhash_bits(doc_ids: DataFrame, bits: int, id_col: str = "doc_id") -> DataFrame:
+    """``bits``-bit SimHash (bits <= 31 — the universal hash is mod
+    2^31-1) over a doc's item-id set: per bit, sum +1/-1 by the bit of
+    each item's universal hash; bit set iff the sum is positive. One
+    aggregate pass (``bits`` conditional sums)."""
     h = ((F.col("tid") % HASH_P) * MINHASH_A[0] + MINHASH_B[0]) % HASH_P
     sums = [
         F.sum(
             F.when(h.bitwiseAND(F.lit(1 << j)) > 0, F.lit(1)).otherwise(F.lit(-1))
         ).alias(f"_s{j}")
-        for j in range(16)
+        for j in range(bits)
     ]
     agg = doc_ids.groupBy(id_col).agg(*sums)
     bit_terms = [
-        F.when(F.col(f"_s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)) for j in range(16)
+        F.when(F.col(f"_s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)) for j in range(bits)
     ]
     out = agg.withColumn("simhash", sum(bit_terms[1:], bit_terms[0]).cast("long"))
     return out.select(id_col, "simhash")
+
+
+def simhash16(doc_ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """16-bit SimHash (see :func:`simhash_bits`)."""
+    return simhash_bits(doc_ids, 16, id_col=id_col)

@@ -48,6 +48,45 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def assign_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cen_id_col: str = "cen_id",
+    cen_vec_col: str = "cen_vec",
+    cell_col: str = "cell_id",
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest
+    centroid by squared L2 distance (broadcast the centroid table —
+    it is tiny by construction — so assignment is one corpus pass, no
+    shuffle). dist^2 is expanded as dot(v,v) - 2*dot(v,c) + dot(c,c)
+    with the same sequential folds on both engines, so the argmin (tie
+    -> smallest centroid id) is oracle-reproducible. Returns
+    (id_col, cell_col).
+
+    The argmin is a ``min_by`` aggregate, not a window: partial (map-
+    side) aggregation collapses the k candidate rows per vector before
+    any shuffle, so the exchange carries one narrow (id, cell) row per
+    vector — no sort, no fat shuffle. (At extreme scale, assignment is
+    pure map-side: collect the centroid matrix and score inside
+    mapInPandas; k here is small enough that the agg shape is already
+    cheap.)"""
+    v = vectors.select(id_col, F.col(vec_col).alias("_v"))
+    c = centroids.select(
+        F.col(cen_id_col).alias("_cid"), F.col(cen_vec_col).alias("_cv")
+    )
+    dist2 = (
+        dot(F.col("_v"), F.col("_v"))
+        - 2 * dot(F.col("_v"), F.col("_cv"))
+        + dot(F.col("_cv"), F.col("_cv"))
+    )
+    scored = v.crossJoin(broadcast(c)).withColumn("_d2", dist2)
+    return scored.groupBy(id_col).agg(
+        F.min_by("_cid", F.struct(F.col("_d2"), F.col("_cid"))).alias(cell_col)
+    )
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,

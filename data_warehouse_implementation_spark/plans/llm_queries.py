@@ -179,6 +179,88 @@ FROM sums ORDER BY doc_id
 """
 
 
+SIMHASH_BITS = 28  # 4x7-bit bands; word-SET simhash at 16 bits is not
+SIMHASH_BANDS = 4  # discriminative on a shared-vocabulary corpus —
+SIMHASH_MAX_HAMMING = 3  # shingle sets + 28 bits separate real near-dups
+
+
+def simhash_near_dup(t: dict[str, DataFrame]) -> DataFrame:
+    """SimHash near-dup pairs over 3-word shingles: band the 28-bit
+    fingerprint into 4x7-bit slices, collide on any shared band
+    (pigeonhole: hamming <= 3 guarantees a shared band), verify by
+    exact ``bit_count(a ^ b)``. The third dedup family (exact,
+    MinHash-Jaccard, SimHash-Hamming) as a first-class query."""
+    docs = t["documents"]
+    # identical (doc, shingle-id) substructure to near_dup_minhash —
+    # shared under the same S7 cache entry, so whichever query runs
+    # first pays the tokenize+dictionary cost once per session
+    shingles = dedup.word_shingles(docs, n=3)
+    dictionary = dedup.build_dictionary(shingles, "shingle")
+    doc_tids = materialize.get_or_build(
+        "near_dup_doc_tids",
+        str(docs.semanticHash()),
+        lambda: shingles.join(dictionary, on="shingle").select("doc_id", "tid"),
+    )
+    sim = dedup.simhash_bits(doc_tids, SIMHASH_BITS)
+    return dedup.simhash_band_pairs(
+        sim,
+        bits=SIMHASH_BITS,
+        bands=SIMHASH_BANDS,
+        max_hamming=SIMHASH_MAX_HAMMING,
+    ).orderBy("doc_a", "doc_b")
+
+
+_SIMHASH28_SUMS = ", ".join(
+    f"SUM(CASE WHEN (((tid % {HASH_P}) * {MINHASH_A[0]} + {MINHASH_B[0]}) % {HASH_P})"
+    f" & {1 << j} > 0 THEN 1 ELSE -1 END) AS s{j}"
+    for j in range(SIMHASH_BITS)
+)
+_SIMHASH28_VALUE = " + ".join(
+    f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(SIMHASH_BITS)
+)
+_SIMHASH_WIDTH = SIMHASH_BITS // SIMHASH_BANDS
+_SIMHASH_BAND_SQL = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS band_id,"
+    f" (simhash >> {b * _SIMHASH_WIDTH}) & {(1 << _SIMHASH_WIDTH) - 1} AS band_key FROM sim"
+    for b in range(SIMHASH_BANDS)
+)
+
+SIMHASH_NEAR_DUP_ORACLE = f"""
+WITH {_TOKS_SQL.strip()},
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, len(arr) - 2),
+           i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]))) AS shingle
+  FROM toks WHERE len(arr) >= 3
+),
+dict AS (
+  SELECT shingle, CAST(ROW_NUMBER() OVER (ORDER BY shingle) AS BIGINT) AS tid
+  FROM (SELECT DISTINCT shingle FROM sh)
+),
+dt AS (SELECT doc_id, tid FROM sh JOIN dict USING (shingle)),
+sums AS (
+  SELECT doc_id, {_SIMHASH28_SUMS}
+  FROM dt GROUP BY doc_id
+),
+sim AS (SELECT doc_id, CAST({_SIMHASH28_VALUE} AS BIGINT) AS simhash FROM sums),
+bands AS (
+{_SIMHASH_BAND_SQL}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+FROM cand c
+JOIN sim sa ON sa.doc_id = c.doc_a
+JOIN sim sb ON sb.doc_id = c.doc_b
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {SIMHASH_MAX_HAMMING}
+ORDER BY doc_a, doc_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # Language-ID heuristic
 
@@ -323,6 +405,68 @@ c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv, label AS clabel F
 scored AS (
   SELECT query_id, neighbor_id, {_COSINE_SQL} AS cosine
   FROM q JOIN c ON query_id <> neighbor_id AND qlabel = clabel
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank
+"""
+
+
+N_CENTROIDS = 8
+
+
+def embedding_ann_kmeans(t: dict[str, DataFrame]) -> DataFrame:
+    """IVF with a real coarse quantizer: pick deterministic seed
+    centroids (the first ``N_CENTROIDS`` vectors), assign every vector
+    to its nearest centroid by squared L2 (broadcast centroids, map-side
+    argmin — see similarity.assign_cells), then each query probes ONLY
+    its own cell. Unlike ``embedding_ann_ivf`` (which trusts the
+    pre-assigned ``label``), the partitioning here is computed from the
+    vectors themselves — the full inverted-file pipeline."""
+    emb = t["embeddings"]
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cen_id"), F.col("embedding").alias("cen_vec")
+    )
+    assigned = similarity.assign_cells(emb, centroids)
+    emb_cells = emb.select("vec_id", "embedding").join(assigned, on="vec_id")
+    return similarity.cosine_topk(
+        emb_cells.filter(F.col("vec_id") < N_QUERIES), emb_cells, k=TOP_K, cell_col="cell_id"
+    ).orderBy("query_id", "rank")
+
+
+EMBEDDING_ANN_KMEANS_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cen AS (SELECT vec_id AS cen_id, embedding::DOUBLE[] AS cv FROM embeddings
+        WHERE vec_id < {N_CENTROIDS}),
+d AS (
+  SELECT e.vec_id, cen.cen_id,
+         list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, cen.cv)
+         + list_dot_product(cen.cv, cen.cv) AS d2
+  FROM e CROSS JOIN cen
+),
+assigned AS (
+  SELECT vec_id, cen_id AS cell_id FROM (
+    SELECT vec_id, cen_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cen_id ASC) AS rn
+    FROM d
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT e.vec_id AS query_id, e.v AS qv, a.cell_id AS qcell
+  FROM e JOIN assigned a USING (vec_id) WHERE e.vec_id < {N_QUERIES}
+),
+c AS (
+  SELECT e.vec_id AS neighbor_id, e.v AS cv, a.cell_id AS ccell
+  FROM e JOIN assigned a USING (vec_id)
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv)
+         / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+  FROM q JOIN c ON query_id <> neighbor_id AND qcell = ccell
 ),
 ranked AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank

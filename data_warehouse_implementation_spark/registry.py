@@ -26,6 +26,7 @@ from .plans import (
     ingest_queries,
     llm_queries,
     scd_queries,
+    sql_api,
     timeseries_queries,
     warehouse,
 )
@@ -141,6 +142,9 @@ register(
 register("exact_dedup_docs", llm_queries.exact_dedup_docs, llm_queries.EXACT_DEDUP_DOCS_ORACLE)
 register("near_dup_minhash", llm_queries.near_dup_minhash, llm_queries.NEAR_DUP_MINHASH_ORACLE)
 register("doc_simhash", llm_queries.doc_simhash, llm_queries.DOC_SIMHASH_ORACLE)
+register(
+    "simhash_near_dup", llm_queries.simhash_near_dup, llm_queries.SIMHASH_NEAR_DUP_ORACLE
+)
 register("doc_language_id", llm_queries.doc_language_id, llm_queries.DOC_LANGUAGE_ID_ORACLE)
 register(
     "doc_quality_score", llm_queries.doc_quality_score, llm_queries.DOC_QUALITY_SCORE_ORACLE
@@ -152,6 +156,11 @@ register(
     llm_queries.EMBEDDING_COSINE_TOPK_ORACLE,
 )
 register("embedding_ann_ivf", llm_queries.embedding_ann_ivf, llm_queries.EMBEDDING_ANN_IVF_ORACLE)
+register(
+    "embedding_ann_kmeans",
+    llm_queries.embedding_ann_kmeans,
+    llm_queries.EMBEDDING_ANN_KMEANS_ORACLE,
+)
 register(
     "embedding_near_dup", llm_queries.embedding_near_dup, llm_queries.EMBEDDING_NEAR_DUP_ORACLE
 )
@@ -199,4 +208,9 @@ register(
     "salted_flag_join",
     timeseries_queries.salted_flag_join,
     timeseries_queries.SALTED_FLAG_JOIN_ORACLE,
+)
+
+# Raw-SQL surface: the same SQL text runs on spark.sql AND the oracle
+register(
+    "pricing_summary_sql", sql_api.pricing_summary_sql, sql_api.PRICING_SUMMARY_ORACLE
 )

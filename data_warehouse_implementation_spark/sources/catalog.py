@@ -98,6 +98,45 @@ class WarehouseCatalog:
         protection is append-ONLY, not read-only."""
         df.write.mode("append").parquet(self.path(name))
 
+    # -- bucketed sinks (co-located joins at scale) ---------------------
+    def write_bucketed(
+        self,
+        name: str,
+        df: DataFrame,
+        buckets: int,
+        bucket_by: list[str],
+        sort_by: list[str] | None = None,
+        mode: str = "overwrite",
+    ) -> None:
+        """Bucketed managed-table sink: rows are hash-partitioned into
+        ``buckets`` files by ``bucket_by`` at WRITE time, so a later join
+        or aggregation on those keys needs NO shuffle — the exchange is
+        paid once at load instead of per query. This is the engine-level
+        answer to the reference's btree indexes (``creating-tables.sql``
+        S10): both pre-organize the table by key at write time.
+
+        Spark only supports bucketing through the session catalog
+        (``saveAsTable``), so bucketed tables live in the metastore
+        warehouse dir, not under ``self.root``; read them back with
+        :meth:`managed_table`. Guarded like any overwrite.
+        """
+        if mode == "overwrite":
+            self._check_mutable(name)
+        writer = df.write.mode(mode).bucketBy(buckets, *bucket_by)
+        if sort_by:
+            writer = writer.sortBy(*sort_by)
+        writer.format("parquet").saveAsTable(name)
+
+    def managed_table(self, name: str) -> DataFrame:
+        """Read back a bucketed (metastore-managed) table with its
+        bucketing metadata intact — joins on the bucket key skip the
+        exchange."""
+        return self.spark.table(name)
+
+    def drop_managed_table(self, name: str) -> None:
+        self._check_mutable(name)
+        self.spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+
     # -- reads ---------------------------------------------------------
     def table(self, name: str) -> DataFrame:
         return self.spark.read.parquet(self.path(name))

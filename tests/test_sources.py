@@ -142,6 +142,52 @@ def test_catalog_truncate_and_delete_where(spark, tmp_root):
     assert [f.name for f in cat.table("f").schema.fields] == ["k", "v"]
 
 
+def test_bucketed_tables_join_without_shuffle(spark, tmp_root):
+    """S10 at scale: two tables bucketed on the join key at write time
+    join with NO Exchange in the physical plan — the shuffle was paid
+    once at load, not per query (the engine analog of the reference's
+    btree indexes)."""
+    cat = WarehouseCatalog(spark, tmp_root)
+    fact = spark.range(10_000).select(
+        (F.col("id") % 500).alias("k"), F.col("id").alias("m")
+    )
+    dim = spark.range(500).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    cat.write_bucketed("bkt_fact", fact, buckets=8, bucket_by=["k"], sort_by=["k"])
+    cat.write_bucketed("bkt_dim", dim, buckets=8, bucket_by=["k"], sort_by=["k"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the sort-merge path so the assertion targets bucketing,
+        # not broadcast
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = cat.managed_table("bkt_fact").join(cat.managed_table("bkt_dim"), on="k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 10_000
+        # a groupBy on the bucket key also rides the bucketing
+        agg = cat.managed_table("bkt_fact").groupBy("k").agg(F.sum("m"))
+        agg_plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in agg_plan, agg_plan
+        assert agg.count() == 500
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        cat.drop_managed_table("bkt_fact")
+        cat.drop_managed_table("bkt_dim")
+
+
+def test_partition_pruning_shows_in_plan(spark, tmp_root):
+    """A year-partitioned fact scanned with a year predicate must carry
+    it as a PartitionFilter (metadata pruning), not a data filter."""
+    cat = WarehouseCatalog(spark, tmp_root)
+    df = spark.createDataFrame(
+        [(1, 1992), (2, 1992), (3, 1993), (4, 1994)], "k long, year int"
+    )
+    cat.write("fact_py", df, partition_by=["year"])
+    scan = cat.table("fact_py").filter(F.col("year") == 1992)
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "1992" in plan, plan
+    assert scan.count() == 2
+
+
 def test_partitioned_fact_write_prunes(spark, tmp_root):
     """Facts partitioned by a date-ish key: reading one partition must
     not list the others (partition pruning at the source)."""
