@@ -106,15 +106,17 @@ def random_sample_fill(
         # cumulative offsets over the (small) distinct-value table
         w = Window.orderBy("_pool_value").rowsBetween(Window.unboundedPreceding, Window.currentRow)
         freq = freq.withColumn("_off", F.sum("_n").over(w) - F.col("_n"))
-        totals = freq.agg(F.sum("_n").alias("t")).collect()
-        n = totals[0]["t"] if totals else None
-        if not n:
-            continue
-        draw = F.when(F.col(c).isNull(), sample_draw(id_col, seed + i, int(n))).otherwise(
-            F.lit(-1)
-        )
+        # pool size stays a lazy broadcast scalar — no eager collect()
+        # per column, so the whole multi-column fill is a single job.
+        # Empty pool => empty broadcast side => draw/fill stay NULL,
+        # which is the only possible semantics anyway.
+        totals = freq.agg(F.sum("_n").alias("_t"))
+        draw = F.when(
+            F.col(c).isNull(), sample_draw(id_col, seed + i, F.col("_t"))
+        ).otherwise(F.lit(-1))
         out = (
-            out.withColumn("_draw", draw)
+            out.crossJoin(F.broadcast(totals))
+            .withColumn("_draw", draw)
             .join(
                 F.broadcast(freq),
                 on=(F.col("_draw") >= F.col("_off"))
@@ -122,6 +124,6 @@ def random_sample_fill(
                 how="left",
             )
             .withColumn(c, F.coalesce(F.col(c), F.col("_pool_value")))
-            .drop("_draw", "_pool_value", "_n", "_off")
+            .drop("_draw", "_pool_value", "_n", "_off", "_t")
         )
     return out

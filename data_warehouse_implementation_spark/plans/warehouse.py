@@ -58,11 +58,19 @@ def build_dim(
     return dim.withColumn(surrogate_col, F.row_number().over(w).cast("long"))
 
 
-def _staging(t: dict[str, DataFrame]) -> DataFrame:
+def _staging(
+    t: dict[str, DataFrame], orderkey_extra: DataFrame | None = None
+) -> DataFrame:
     """The wide staging row (``complaints`` analog): lineitem ⋈ orders
     ⋈ customer, with the category natural keys pulled from part and
     NULLs synthesized on the brand key (NULLIF) so the COALESCE join
-    discipline is actually exercised (testdata has no NULLs)."""
+    discipline is actually exercised (testdata has no NULLs).
+
+    ``orderkey_extra`` (if given) is joined on ``o_orderkey``
+    immediately after the orders join, while the chain is still hash-
+    partitioned on the order key — a free co-partitioned join instead
+    of a fourth fact-wide shuffle at the end of the chain (the SCD
+    lookup uses this)."""
     li = t["lineitem"].select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_shipdate", "l_returnflag"
     )
@@ -77,11 +85,13 @@ def _staging(t: dict[str, DataFrame]) -> DataFrame:
         "p_type",
         "p_size",
     )
+    chain = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    if orderkey_extra is not None:
+        chain = chain.join(orderkey_extra, on="o_orderkey")
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
+        chain.join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .join(part, li.l_partkey == part.p_partkey)
+        .join(part, F.col("l_partkey") == part.p_partkey)
     )
 
 
@@ -139,8 +149,25 @@ def build_warehouse(t: dict[str, DataFrame], as_of: str = AS_OF) -> dict[str, Da
         old_col="o_orderpriority_old",
     )
 
+    # keyed SCD lookups: active resolution version only (M6/J9). The two
+    # order-keyed dims are pre-joined with each other (dim-scale shuffle)
+    # and then injected into the fact chain while it is still partitioned
+    # on the order key (see _staging) — the fact is never reshuffled for
+    # the SCD resolution.
+    scd_lookup = (
+        scd.active_rows(resolution_dim)
+        .select("o_orderkey", F.col("o_orderkey").alias("resolution_id"))
+        .join(
+            issue_dim.select("o_orderkey", F.col("o_orderkey").alias("issue_id")),
+            on="o_orderkey",
+        )
+    )
     fact = _build_fact(
-        staging, date_dim, company_dim, location_dim, category_dim, issue_dim, resolution_dim
+        _staging(t, orderkey_extra=scd_lookup),
+        date_dim,
+        company_dim,
+        location_dim,
+        category_dim,
     )
     return {
         "company_dim": company_dim,
@@ -159,13 +186,12 @@ def _build_fact(
     company_dim: DataFrame,
     location_dim: DataFrame,
     category_dim: DataFrame,
-    issue_dim: DataFrame,
-    resolution_dim: DataFrame,
 ) -> DataFrame:
     """The star fact build (``inserting-data.sql:150-178``): role-playing
     date joins (J3/J5), COALESCE natural-key category join (J2/J4),
-    broadcast dim resolution (J1/S10), SCD active filter (M6), flag
-    measures (F5/F6/F11 analog)."""
+    broadcast dim resolution (J1/S10), flag measures (F5/F6/F11 analog).
+    The SCD active-version lookup (M6/J9) arrives pre-joined inside
+    ``staging`` (co-partitioned on the order key — see build_warehouse)."""
     ship_cal = date_dim.select(
         F.col("date_id").alias("date_id_ship"),
         F.col("year").alias("_sy"),
@@ -206,16 +232,6 @@ def _build_fact(
         ),
         [("p_brand", "cat_brand"), ("p_type", "cat_type")],
     ).filter(F.col("p_size").eqNullSafe(F.col("cat_size")))
-    # keyed SCD lookups: active resolution version only (M6/J9). The two
-    # order-keyed dims are pre-joined with each other (dim-scale shuffle)
-    # so the fact side is joined — and potentially shuffled — only once.
-    scd_lookup = scd.active_rows(resolution_dim).select(
-        "o_orderkey", F.col("o_orderkey").alias("resolution_id")
-    ).join(
-        issue_dim.select("o_orderkey", F.col("o_orderkey").alias("issue_id")),
-        on="o_orderkey",
-    )
-    resolved = resolved.join(scd_lookup, on="o_orderkey")
     return resolved.select(
         "l_orderkey",
         "l_linenumber",

@@ -87,3 +87,64 @@ def test_ivf_probe_stays_in_cell(spark):
     labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
     for r in out.collect():
         assert labels[r.neighbor_id] == labels[r.query_id]
+
+
+def test_build_dictionary_matches_global_rank(spark):
+    """The bucketed two-phase ranking must equal row_number() OVER
+    (ORDER BY value) — including unicode, empty strings, and shared
+    prefixes (binary collation)."""
+    vals = [
+        "", "a", "aa", "ab", "b", "banana", "zebra", "Zebra", "éclair",
+        "łódź", "中文", "z", "0digit", " space", "a b",
+    ]
+    df = spark.createDataFrame([(v,) for v in vals for _ in (0, 1)], "item string")
+    got = {
+        r.item: r.tid for r in dedup.build_dictionary(df, "item").collect()
+    }
+    expected = {v: i + 1 for i, v in enumerate(sorted(set(vals)))}
+    assert got == expected
+
+
+def test_simhash_band_pairs_full_recall_within_hamming_budget(spark):
+    """Pigeonhole: with 4 bands, ANY pair within hamming <= 3 shares an
+    intact band — banding must find every such pair (recall = 1), and
+    verification must drop every pair beyond the budget."""
+    base = 0b1011_0110_0011_1100
+    sims = [
+        (1, base),
+        (2, base ^ 0b1),            # ham 1
+        (3, base ^ 0b1100),         # ham 2 (single band)
+        (4, base ^ 0b1000_0100_0001),  # ham 3, spread across 3 bands
+        (5, base ^ 0xF0F0),         # ham 8 — candidate maybe, verified out
+        (6, 0),                     # far away
+    ]
+    sim = spark.createDataFrame(sims, "doc_id long, simhash long")
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup.simhash_band_pairs(sim, bits=16, bands=4, max_hamming=3).collect()
+    }
+    expected = {}
+    for i, (ida, sa) in enumerate(sims):
+        for idb, sb in sims[i + 1:]:
+            h = bin(sa ^ sb).count("1")
+            if h <= 3:
+                expected[(ida, idb)] = h
+    assert got == expected
+    assert (1, 5) not in got  # ham 8 verified out despite band collision odds
+
+
+def test_assign_cells_is_nearest_centroid(spark):
+    vectors = spark.createDataFrame(
+        [
+            (10, [0.0, 0.1]),
+            (11, [5.0, 5.2]),
+            (12, [0.4, 0.0]),
+            (13, [2.5, 2.5]),  # equidistant from both -> smaller cen_id
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    centroids = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [5.0, 5.0])], "cen_id long, cen_vec array<double>"
+    )
+    got = {r.vec_id: r.cell_id for r in similarity.assign_cells(vectors, centroids).collect()}
+    assert got == {10: 0, 11: 1, 12: 0, 13: 0}
