@@ -134,12 +134,26 @@ def candidate_pairs(bands_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def pairwise_jaccard(
-    pairs: DataFrame, doc_items: DataFrame, id_col: str = "doc_id", item_col: str = "tid"
+    pairs: DataFrame,
+    doc_items: DataFrame,
+    id_col: str = "doc_id",
+    item_col: str = "tid",
+    assume_small_pairs: bool = True,
 ) -> DataFrame:
     """Exact Jaccard for given pairs via set-intersection counts:
     pairs ⋈ items(a) ⋈ items(b) on the item id (intersection), sizes
     from a per-doc count. Join work is proportional to candidate pairs ×
-    shared items — LSH has already pruned the pair space."""
+    shared items — LSH has already pruned the pair space.
+
+    ``pairs`` feeds three branches of this plan (the two cand_docs
+    unions and the intersection join) — callers should ``.cache()`` it
+    so the candidate join isn't re-executed per branch.
+    ``assume_small_pairs`` broadcasts the pair-scale structures (pairs,
+    candidate-doc set, candidate sizes) into every join — right whenever
+    the LSH threshold keeps candidates ≪ corpus (the normal regime);
+    pass False for adversarial corpora where candidates are fact-scale
+    and let AQE pick the join strategy at runtime."""
+    maybe_small = F.broadcast if assume_small_pairs else (lambda df: df)
     # score only docs that appear in some pair: the candidate doc set is
     # tiny relative to the corpus, so this semi-join prunes the two
     # intersection joins from corpus-scale to candidate-scale
@@ -148,19 +162,19 @@ def pairwise_jaccard(
         .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    doc_items = doc_items.join(cand_docs, on=id_col, how="left_semi")
+    doc_items = doc_items.join(maybe_small(cand_docs), on=id_col, how="left_semi")
     sizes = doc_items.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
     a_items = doc_items.select(F.col(id_col).alias("_aid"), F.col(item_col).alias("_ia"))
     b_items = doc_items.select(F.col(id_col).alias("_bid"), F.col(item_col).alias("_ib"))
     inter = (
-        pairs.join(a_items, F.col("doc_a") == F.col("_aid"))
+        maybe_small(pairs).join(a_items, F.col("doc_a") == F.col("_aid"))
         .join(b_items, (F.col("doc_b") == F.col("_bid")) & (F.col("_ia") == F.col("_ib")))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("_inter"))
     )
     return (
-        inter.join(sizes.withColumnsRenamed({id_col: "doc_a", "_sz": "_sza"}), on="doc_a")
-        .join(sizes.withColumnsRenamed({id_col: "doc_b", "_sz": "_szb"}), on="doc_b")
+        inter.join(maybe_small(sizes.withColumnsRenamed({id_col: "doc_a", "_sz": "_sza"})), on="doc_a")
+        .join(maybe_small(sizes.withColumnsRenamed({id_col: "doc_b", "_sz": "_szb"})), on="doc_b")
         .withColumn(
             "jaccard",
             F.col("_inter").cast("double")

@@ -84,7 +84,13 @@ def near_dup_minhash(t: dict[str, DataFrame]) -> DataFrame:
         lambda: shingles.join(dictionary, on="shingle").select("doc_id", "tid"),
     )
     sig = dedup.minhash_signatures(doc_tids, k=K)
-    cands = dedup.candidate_pairs(dedup.lsh_bands(sig, bands=BANDS, rows=ROWS))
+    # the candidate set feeds three branches of the verification plan —
+    # materialize it (|pairs| rows) so the band self-join runs once
+    cands = materialize.get_or_build(
+        "near_dup_cands",
+        str(docs.semanticHash()),
+        lambda: dedup.candidate_pairs(dedup.lsh_bands(sig, bands=BANDS, rows=ROWS)),
+    )
     return (
         dedup.pairwise_jaccard(cands, doc_tids)
         .filter(F.col("jaccard") >= NEAR_DUP_THRESHOLD)
