@@ -40,3 +40,60 @@ def pricing_summary_sql(t: dict[str, DataFrame]) -> DataFrame:
 
 
 PRICING_SUMMARY_ORACLE = PRICING_SUMMARY_SQL
+
+
+# Q3-shaped shipping priority: selective dim predicate -> 3-way join ->
+# grouped revenue -> deterministic top-10. Revenue is an EXACT decimal
+# product/sum (both engines compute the identical exact value), surfaced
+# as DOUBLE; the LIMIT is made order-deterministic by the full tiebreak.
+SHIPPING_PRIORITY_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < DATE '1995-03-15'
+  AND l_shipdate  > DATE '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+def shipping_priority_sql(t: dict[str, DataFrame]) -> DataFrame:
+    return t["lineitem"].sparkSession.sql(SHIPPING_PRIORITY_SQL)
+
+
+SHIPPING_PRIORITY_ORACLE = SHIPPING_PRIORITY_SQL
+
+
+# Q5-shaped local-supplier volume: the 6-way join (customer, orders,
+# lineitem, supplier, nation, region) with the customer-and-supplier-
+# same-nation equi-constraint — exercises the supplier and region tables
+# end to end. nation/region broadcast under AQE; the fact chain shuffles
+# on its join keys only.
+LOCAL_SUPPLIER_VOLUME_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def local_supplier_volume_sql(t: dict[str, DataFrame]) -> DataFrame:
+    return t["lineitem"].sparkSession.sql(LOCAL_SUPPLIER_VOLUME_SQL)
+
+
+LOCAL_SUPPLIER_VOLUME_ORACLE = LOCAL_SUPPLIER_VOLUME_SQL

@@ -214,3 +214,11 @@ register(
 register(
     "pricing_summary_sql", sql_api.pricing_summary_sql, sql_api.PRICING_SUMMARY_ORACLE
 )
+register(
+    "shipping_priority_sql", sql_api.shipping_priority_sql, sql_api.SHIPPING_PRIORITY_ORACLE
+)
+register(
+    "local_supplier_volume_sql",
+    sql_api.local_supplier_volume_sql,
+    sql_api.LOCAL_SUPPLIER_VOLUME_ORACLE,
+)
