@@ -5,6 +5,7 @@ maintenance."""
 
 from .pipelines import (  # noqa: F401
     EVENTS_STREAM_SCHEMA,
+    dedup_stream,
     incremental_scd2_sink,
     run_to_memory,
     sessionize_stateful,

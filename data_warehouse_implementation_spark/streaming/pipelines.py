@@ -52,6 +52,23 @@ def tumbling_counts(
     )
 
 
+def dedup_stream(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup — the streaming twin of
+    ``operators.dedup.exact_dedup`` keep-first semantics for
+    at-least-once sources (replayed events, duplicated delivery).
+
+    ``dropDuplicatesWithinWatermark`` keeps one state entry per key
+    only until the watermark passes it: duplicates are assumed to
+    arrive within the delivery window, so state is O(keys-per-window),
+    bounded at any scale — unlike ``dropDuplicates`` on a stream, whose
+    state grows forever."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
 def run_to_memory(stream: DataFrame, name: str, output_mode: str = "append") -> None:
     """Drain all available input through the streaming plan into an
     in-memory table (test/debug sink), blocking until done."""

@@ -217,3 +217,23 @@ def test_real_decode_is_explicitly_stubbed(spark):
     if not multimodal.HAVE_IMAGE_CODEC:
         with pytest.raises(NotImplementedError):
             multimodal.decode_images(df)
+
+
+def test_stream_dedup_matches_batch_distinct(spark, tmp_dir):
+    """dropDuplicatesWithinWatermark on a doubled event stream ==
+    batch distinct on event_id (at-least-once delivery collapsed)."""
+    src = os.path.join(tmp_dir, "dup_src")
+    base = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    base.unionAll(base).write.parquet(src)  # every event delivered twice
+
+    stream = streaming.stream_events(spark, src)
+    deduped = streaming.dedup_stream(stream, keys=["event_id"])
+    streaming.run_to_memory(deduped, "stream_dedup", output_mode="append")
+    got = spark.table("stream_dedup")
+    n_base = base.count()
+    assert got.count() == n_base  # duplicates collapsed ...
+    assert got.select("event_id").distinct().count() == n_base  # ... one per key
+    # and the surviving rows are real events (spot-check a full row)
+    one = got.orderBy("event_id").limit(1).collect()[0]
+    orig = base.orderBy("event_id").limit(1).collect()[0]
+    assert one.event_id == orig.event_id and one.user_id == orig.user_id
