@@ -98,6 +98,23 @@ class WarehouseCatalog:
         protection is append-ONLY, not read-only."""
         df.write.mode("append").parquet(self.path(name))
 
+    # -- maintenance ----------------------------------------------------
+    def compact(self, name: str, target_files: int, sort_by: list[str] | None = None) -> None:
+        """Rewrite a table into ``target_files`` files (small-files
+        compaction — the operational tax of frequent appends; thousands
+        of tiny files destroy scan throughput and driver listing time).
+        ``sort_by`` additionally sorts rows within each output file so
+        parquet row-group min/max statistics become selective: scans
+        with predicates on the sort key skip whole row groups.
+        Compaction only reorganizes bytes — never drops rows — so it is
+        allowed on protected (append-only) tables."""
+        df = self.table(name)
+        if sort_by:
+            df = df.repartitionByRange(target_files, *sort_by).sortWithinPartitions(*sort_by)
+        else:
+            df = df.coalesce(target_files)
+        self.replace(name, df, internal=True)
+
     # -- bucketed sinks (co-located joins at scale) ---------------------
     def write_bucketed(
         self,

@@ -202,3 +202,30 @@ def test_partitioned_fact_write_prunes(spark, tmp_root):
     assert any(d.startswith("year=1992") for d in os.listdir(cat.path("fact")))
     only_1992 = spark.read.parquet(os.path.join(cat.path("fact"), "year=1992"))
     assert only_1992.count() == 2
+
+
+def test_compact_reduces_files_preserves_rows(spark, tmp_root):
+    cat = WarehouseCatalog(spark, tmp_root)
+    schema = "k long, v double"
+    cat.create_table("frag", schema)
+    for i in range(6):  # six tiny appends -> many small files
+        cat.insert_into(
+            "frag", spark.createDataFrame([(i * 10 + j, float(j)) for j in range(10)], schema)
+        )
+    before = sorted(r.k for r in cat.table("frag").collect())
+    n_files_before = len([f for f in os.listdir(cat.path("frag")) if f.endswith(".parquet")])
+    assert n_files_before > 2
+
+    cat.protect("frag")  # compaction must be allowed on append-only tables
+    cat.compact("frag", target_files=2, sort_by=["k"])
+    after_df = cat.table("frag")
+    assert sorted(r.k for r in after_df.collect()) == before
+    n_files_after = len([f for f in os.listdir(cat.path("frag")) if f.endswith(".parquet")])
+    assert n_files_after <= 2
+    # range-partitioned + sorted: each file holds a contiguous, sorted k-range
+    import pyarrow.parquet as pq
+
+    for f in os.listdir(cat.path("frag")):
+        if f.endswith(".parquet"):
+            ks = pq.read_table(os.path.join(cat.path("frag"), f)).column("k").to_pylist()
+            assert ks == sorted(ks)
