@@ -203,6 +203,71 @@ def near_dup_pairs(
     return pairwise_jaccard(cands, doc_tids).filter(F.col("jaccard") >= threshold)
 
 
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair graph by min-label
+    propagation: every node's label converges to the smallest node id
+    reachable from it (the component representative — dedup keeps that
+    doc and drops the rest of the cluster).
+
+    This is genuinely iterative (Pregel-style): each round is one
+    join + aggregate, all distributed; the driver only checks a scalar
+    convergence count per round, so rounds = graph diameter (near-dup
+    clusters are shallow — a handful). Each round's labels are
+    ``localCheckpoint``-ed: iterative plans otherwise nest every prior
+    round's lineage, and the per-round Catalyst analysis cost compounds
+    until planning, not execution, dominates. The checkpoint cuts the
+    plan back to a leaf — O(|nodes|) state, constant-size plans."""
+    # the edge list is consulted every round — materialize it once (and
+    # cut the upstream pair-pipeline lineage out of every round's plan)
+    sym = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .localCheckpoint()
+    )
+    nodes = sym.select(F.col("src").alias("id")).distinct()
+    labels = nodes.withColumn("label", F.col("id")).localCheckpoint()
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("_nbr"))
+        )
+        # pointer jumping: also adopt the label OF the current label
+        # (labels ⋈ labels), so chains collapse in O(log diameter)
+        # rounds instead of O(diameter)
+        parent = labels.select(
+            F.col("id").alias("_pid"), F.col("label").alias("_plabel")
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .join(parent, labels.label == F.col("_pid"), "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("_nbr"), F.col("label")),
+                    F.coalesce(F.col("_plabel"), F.col("label")),
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
 def exact_dedup(
     df: DataFrame, cols: list[str], id_col: str = "doc_id"
 ) -> DataFrame:

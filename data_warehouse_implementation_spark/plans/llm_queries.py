@@ -105,8 +105,9 @@ _BANDS_SQL = "\nUNION ALL\n".join(
     for b in range(BANDS)
 )
 
-NEAR_DUP_MINHASH_ORACLE = f"""
-WITH {_TOKS_SQL.strip()},
+# shared CTE chain ending in `nd` = the verified near-dup pair set;
+# composed by both the pairs oracle and the clusters oracle
+_ND_PAIR_CTES = f"""{_TOKS_SQL.strip()},
 sh AS (
   SELECT doc_id, unnest(list_distinct(list_transform(
            generate_series(1, len(arr) - 2),
@@ -137,14 +138,51 @@ inter AS (
   JOIN dt ta ON ta.doc_id = c.doc_a
   JOIN dt tb ON tb.doc_id = c.doc_b AND ta.tid = tb.tid
   GROUP BY c.doc_a, c.doc_b
+),
+nd AS (
+  SELECT n.doc_a, n.doc_b,
+         CAST(n.i AS DOUBLE) / CAST(sa.sz + sb.sz - n.i AS DOUBLE) AS jaccard
+  FROM inter n
+  JOIN sizes sa ON sa.doc_id = n.doc_a
+  JOIN sizes sb ON sb.doc_id = n.doc_b
+  WHERE CAST(n.i AS DOUBLE) / CAST(sa.sz + sb.sz - n.i AS DOUBLE) >= {NEAR_DUP_THRESHOLD}
+)"""
+
+NEAR_DUP_MINHASH_ORACLE = f"""
+WITH {_ND_PAIR_CTES}
+SELECT doc_a, doc_b, jaccard FROM nd ORDER BY doc_a, doc_b
+"""
+
+
+def near_dup_clusters(t: dict[str, DataFrame]) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the verified pair
+    graph (min-label propagation — see dedup.connected_components).
+    cluster_id = smallest doc id in the component, i.e. the keeper under
+    keep-first dedup; every other member is a droppable near-duplicate.
+    The iterative Spark loop is checked against a DuckDB RECURSIVE CTE
+    replaying the identical reachability computation."""
+    pairs = near_dup_minhash(t).select("doc_a", "doc_b")
+    return (
+        dedup.connected_components(pairs)
+        .select(F.col("id").alias("doc_id"), "cluster_id")
+        .orderBy("doc_id")
+    )
+
+
+NEAR_DUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_ND_PAIR_CTES},
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM nd
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM nd
+),
+walk(id, label) AS (
+  SELECT DISTINCT src, src FROM sym
+  UNION
+  SELECT s.src, w.label FROM sym s JOIN walk w ON s.dst = w.id
 )
-SELECT n.doc_a, n.doc_b,
-       CAST(n.i AS DOUBLE) / CAST(sa.sz + sb.sz - n.i AS DOUBLE) AS jaccard
-FROM inter n
-JOIN sizes sa ON sa.doc_id = n.doc_a
-JOIN sizes sb ON sb.doc_id = n.doc_b
-WHERE CAST(n.i AS DOUBLE) / CAST(sa.sz + sb.sz - n.i AS DOUBLE) >= {NEAR_DUP_THRESHOLD}
-ORDER BY doc_a, doc_b
+SELECT id AS doc_id, MIN(label) AS cluster_id
+FROM walk GROUP BY id ORDER BY doc_id
 """
 
 

@@ -141,6 +141,9 @@ register(
 # LLM-data-pipeline operators over documents (brief; SURVEY §7 Step 6)
 register("exact_dedup_docs", llm_queries.exact_dedup_docs, llm_queries.EXACT_DEDUP_DOCS_ORACLE)
 register("near_dup_minhash", llm_queries.near_dup_minhash, llm_queries.NEAR_DUP_MINHASH_ORACLE)
+register(
+    "near_dup_clusters", llm_queries.near_dup_clusters, llm_queries.NEAR_DUP_CLUSTERS_ORACLE
+)
 register("doc_simhash", llm_queries.doc_simhash, llm_queries.DOC_SIMHASH_ORACLE)
 register(
     "simhash_near_dup", llm_queries.simhash_near_dup, llm_queries.SIMHASH_NEAR_DUP_ORACLE

@@ -148,3 +148,20 @@ def test_assign_cells_is_nearest_centroid(spark):
     )
     got = {r.vec_id: r.cell_id for r in similarity.assign_cells(vectors, centroids).collect()}
     assert got == {10: 0, 11: 1, 12: 0, 13: 0}
+
+
+def test_connected_components_labels_min_reachable(spark):
+    """Chain, triangle, isolated pair: every node's cluster_id must be
+    the smallest id reachable from it."""
+    edges = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4), (4, 5),     # chain -> all label 1
+            (10, 11), (11, 12), (10, 12),       # triangle -> label 10
+            (20, 21),                           # pair -> label 20
+        ],
+        "doc_a long, doc_b long",
+    )
+    got = {r.id: r.cluster_id for r in dedup.connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
