@@ -66,6 +66,49 @@ def language_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out
 
 
+# Most-frequent English character trigrams ('_' marks a word boundary).
+# Real deployments hold one profile per language and take the argmax;
+# the scoring algebra below is language-count-agnostic.
+EN_TRIGRAMS = [
+    "the", "_th", "he_", "and", "_an", "nd_", "ing", "ng_", "_of", "of_",
+    "ion", "tio", "ati", "_to", "to_", "_in", "in_", "ed_", "er_", "ent",
+]
+
+
+def char_trigram_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """N-gram language-ID: slide a 3-char window over the lowercased,
+    boundary-marked text ('_' for whitespace runs) and score the share
+    of trigrams that hit the language profile. Pure column algebra
+    (sequence -> transform -> filter), no explode — the trigram array
+    never leaves the row, so the operator is a single map-side pass."""
+    txt = F.concat(
+        F.lit("_"),
+        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", "_"),
+        F.lit("_"),
+    )
+    tri = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(txt) - 2, F.lit(0))),
+        lambda i: txt.substr(i, F.lit(3)),
+    )
+    hits = F.size(F.filter(tri, lambda x: x.isin(EN_TRIGRAMS)))
+    n_tri = F.greatest(F.length(txt) - 2, F.lit(0))
+    return (
+        df.withColumn("n_trigrams", n_tri.cast("long"))
+        .withColumn("trigram_hits", hits.cast("long"))
+        .withColumn(
+            "ngram_score",
+            F.when(
+                F.col("n_trigrams") > 0,
+                F.col("trigram_hits").cast("double") / F.col("n_trigrams").cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "ngram_lang_pred",
+            F.when(F.col("ngram_score") >= 0.04, "en").otherwise("unknown"),
+        )
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic document quality in [0,1] from length, mean word
     length, and stopword ratio — rational arithmetic only (no

@@ -335,6 +335,46 @@ FROM toks ORDER BY doc_id
 """
 
 
+def doc_language_ngram(t: dict[str, DataFrame]) -> DataFrame:
+    """Char-trigram profile language-ID (the n-gram heuristic): share of
+    boundary-marked 3-char windows hitting the English trigram profile.
+    Complements the word-level stopword heuristic (`doc_language_id`)."""
+    out = text.char_trigram_features(t["documents"])
+    return out.select(
+        "doc_id", "n_trigrams", "trigram_hits", "ngram_score", "ngram_lang_pred"
+    ).orderBy("doc_id")
+
+
+_TRIGRAM_LIST = ", ".join(f"'{g}'" for g in text.EN_TRIGRAMS)
+
+DOC_LANGUAGE_NGRAM_ORACLE = rf"""
+WITH marked AS (
+  SELECT doc_id,
+         '_' || regexp_replace(lower(text), '\s+', '_', 'g') || '_' AS txt
+  FROM documents
+),
+tri AS (
+  SELECT doc_id,
+         greatest(length(txt) - 2, 0) AS n_trigrams,
+         len(list_filter(
+           list_transform(generate_series(1, greatest(length(txt) - 2, 0)),
+                          i -> substr(txt, i, 3)),
+           x -> list_contains([{_TRIGRAM_LIST}], x))) AS trigram_hits
+  FROM marked
+)
+SELECT doc_id,
+       CAST(n_trigrams AS BIGINT) AS n_trigrams,
+       CAST(trigram_hits AS BIGINT) AS trigram_hits,
+       CASE WHEN n_trigrams > 0
+            THEN CAST(trigram_hits AS DOUBLE) / CAST(n_trigrams AS DOUBLE)
+            ELSE 0.0 END AS ngram_score,
+       CASE WHEN n_trigrams > 0
+             AND CAST(trigram_hits AS DOUBLE) / CAST(n_trigrams AS DOUBLE) >= 0.04
+            THEN 'en' ELSE 'unknown' END AS ngram_lang_pred
+FROM tri ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Quality scoring (incl. token counting)
 

@@ -150,6 +150,9 @@ register(
 )
 register("doc_language_id", llm_queries.doc_language_id, llm_queries.DOC_LANGUAGE_ID_ORACLE)
 register(
+    "doc_language_ngram", llm_queries.doc_language_ngram, llm_queries.DOC_LANGUAGE_NGRAM_ORACLE
+)
+register(
     "doc_quality_score", llm_queries.doc_quality_score, llm_queries.DOC_QUALITY_SCORE_ORACLE
 )
 register("doc_fingerprint", llm_queries.doc_fingerprint, llm_queries.DOC_FINGERPRINT_ORACLE)

@@ -165,3 +165,17 @@ def test_connected_components_labels_min_reachable(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
                    10: 10, 11: 10, 12: 10,
                    20: 20, 21: 20}
+
+
+def test_char_trigram_features_counts(spark):
+    from data_warehouse_implementation_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [(1, "the cat"), (2, "zzz qqq"), (3, "")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in text_ops.char_trigram_features(df).collect()}
+    # '_the_cat_' has 7 trigrams; '_th','the','he_' hit the EN profile
+    assert out[1].n_trigrams == 7 and out[1].trigram_hits == 3
+    assert out[1].ngram_lang_pred == "en"
+    assert out[2].trigram_hits == 0 and out[2].ngram_lang_pred == "unknown"
+    assert out[3].n_trigrams == 0 and out[3].ngram_score == 0.0
