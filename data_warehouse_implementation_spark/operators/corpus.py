@@ -1,0 +1,180 @@
+"""Corpus-preparation operators for LLM training-data pipelines:
+deterministic train/val/test splitting, context-window chunking,
+corpus vocabulary, TF-IDF term scoring, and token-budget contiguous
+sharding (brief requirement; no reference analog — the reference has no
+document processing at all).
+
+Scale discipline (the 100 TB lens):
+
+- **Splitting** is a pure map-side hash of the document id — no
+  shuffle, no state, reproducible across runs/partitionings/backfills
+  (the property `df.randomSplit` does NOT have).
+- **Chunking** is per-row array algebra + one explode — embarrassingly
+  parallel, never materializes the token array off-row except as its
+  own output chunks.
+- **Vocabulary / TF-IDF** shuffle once on the token (the unavoidable
+  key); doc-frequency and term-frequency come from the same exploded
+  pass. Per-doc top-k terms use a window partitioned by doc_id (never
+  global).
+- **Sharding** needs a *global* running token total — the classic
+  single-partition-window trap. It is computed two-phase instead:
+  per-range-bucket subtotals (tiny; one narrow shuffle), a cumulative
+  offset over #buckets rows, then a within-bucket cumulative window —
+  every stage distributed, no O(corpus) single task (same pattern as
+  dedup.build_dictionary).
+
+All arithmetic is int64 modular hashing and double ratios of exact
+integers, so DuckDB oracles replay every pipeline bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import words
+
+HASH_P = 2_147_483_647
+SPLIT_A = 1_103_527_590  # fixed universal-hash coefficients, shared
+SPLIT_B = 377_401_575  # verbatim with the oracle SQL
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket = universal hash
+    of the id into [0,100); split by cumulative percentage. Map-side
+    only — a document keeps its split forever, on any cluster layout,
+    which is what makes held-out sets trustworthy across re-runs."""
+    h = ((F.col(id_col) % HASH_P) * SPLIT_A + SPLIT_B) % HASH_P
+    bucket = h % 100
+    return df.withColumn("split_bucket", bucket.cast("long")).withColumn(
+        "split",
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    size: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping fixed-size word chunks (context-window packing):
+    chunk c covers words [1 + c*stride, 1 + c*stride + size). The final
+    chunk may be short; a document shorter than one stride yields one
+    chunk. One explode per document — no shuffle at all."""
+    base = df.select(F.col(id_col), words(text_col).alias("_arr")).filter(
+        F.size("_arr") > 0
+    )
+    starts = F.sequence(F.lit(1), F.size("_arr"), F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            ((s - 1) / F.lit(stride)).cast("long").alias("chunk_id"),
+            F.least(F.lit(size), F.size(F.col("_arr")) - s + 1)
+            .cast("long")
+            .alias("n_chunk_tokens"),
+            F.concat_ws(" ", F.slice(F.col("_arr"), s, F.lit(size))).alias("chunk_text"),
+        ),
+    )
+    return (
+        base.select(id_col, F.explode(chunks).alias("_c"))
+        .select(
+            id_col,
+            F.col("_c.chunk_id").alias("chunk_id"),
+            F.col("_c.n_chunk_tokens").alias("n_chunk_tokens"),
+            F.col("_c.chunk_text").alias("chunk_text"),
+        )
+    )
+
+
+def vocabulary(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus vocabulary: per token, total occurrences (tf) and
+    document frequency (dfreq). One explode + one shuffle on the token;
+    dfreq needs no second pass because (doc, token) pairs are counted
+    distinct inside the same aggregate."""
+    tok = df.select(F.col(id_col), F.explode(words(text_col)).alias("token"))
+    return tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct(id_col).alias("dfreq"),
+    )
+
+
+def tfidf_terms(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-(doc, token) TF-IDF with a *rational* idf
+    ``(N - dfreq + 0.5) / (dfreq + 0.5)`` (the BM25 idf core without the
+    log — monotone in the same order, and, unlike log, bit-portable
+    across engines). tf is the within-doc relative frequency. All
+    inputs are exact integers, so the double arithmetic is
+    deterministic."""
+    tok = df.select(F.col(id_col), F.explode(words(text_col)).alias("token"))
+    tf_tab = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("_n"))
+    doclen = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("_len"))
+    dfreq = tf_tab.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
+    n_docs = df.select(F.countDistinct(id_col).alias("_ndocs"))
+    return (
+        tf_tab.join(doclen, on=id_col)
+        .join(dfreq, on="token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            (F.col("_n").cast("double") / F.col("_len").cast("double"))
+            * (
+                (F.col("_ndocs").cast("double") - F.col("_df").cast("double") + F.lit(0.5))
+                / (F.col("_df").cast("double") + F.lit(0.5))
+            ),
+        )
+        .select(id_col, "token", "tfidf")
+    )
+
+
+def shard_by_token_budget(
+    df: DataFrame,
+    budget: int = 4096,
+    bucket_width: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Contiguous token-budget sharding: documents in id order are laid
+    end to end and cut into shards of ~``budget`` tokens (the training
+    shard-file assignment). shard_id = the shard containing the doc's
+    first token; token_start = its global token offset.
+
+    The global running total is computed WITHOUT a global window:
+    per-bucket (id range) token subtotals -> cumulative offsets over
+    #buckets rows -> within-bucket cumulative window, all distributed.
+    """
+    base = df.select(
+        F.col(id_col),
+        F.size(words(text_col)).cast("long").alias("n_tokens"),
+        (F.col(id_col) / F.lit(bucket_width)).cast("long").alias("_bkt"),
+    )
+    totals = base.groupBy("_bkt").agg(F.sum("n_tokens").alias("_tot"))
+    w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    offsets = totals.withColumn("_off", F.sum("_tot").over(w_off) - F.col("_tot")).select(
+        "_bkt", "_off"
+    )
+    w_in = Window.partitionBy("_bkt").orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        base.withColumn("_cum", F.sum("n_tokens").over(w_in))
+        .join(F.broadcast(offsets), on="_bkt")
+        .withColumn("token_start", F.col("_off") + F.col("_cum") - F.col("n_tokens"))
+        .withColumn(
+            "shard_id",
+            F.floor(F.col("token_start").cast("double") / F.lit(float(budget))).cast("long"),
+        )
+        .select(id_col, "n_tokens", "token_start", "shard_id")
+    )

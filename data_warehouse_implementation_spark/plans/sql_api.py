@@ -97,3 +97,54 @@ def local_supplier_volume_sql(t: dict[str, DataFrame]) -> DataFrame:
 
 
 LOCAL_SUPPLIER_VOLUME_ORACLE = LOCAL_SUPPLIER_VOLUME_SQL
+
+
+# Q4-shaped order-priority check: correlated EXISTS against the fact
+# table. Catalyst decorrelates this into a left-semi join on
+# l_orderkey (with the shipdate>orderdate comparison as the join
+# residual) — no per-row subquery execution, one shuffle.
+LATE_ORDER_EXISTS_SQL = """
+SELECT o_orderpriority, COUNT(*) AS late_order_count
+FROM orders
+WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-07-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def late_order_exists_sql(t: dict[str, DataFrame]) -> DataFrame:
+    return t["lineitem"].sparkSession.sql(LATE_ORDER_EXISTS_SQL)
+
+
+LATE_ORDER_EXISTS_ORACLE = LATE_ORDER_EXISTS_SQL
+
+
+# Q17-shaped small-quantity revenue: correlated SCALAR subquery (the
+# per-part average) in the predicate. Catalyst rewrites it into an
+# aggregate-then-join on l_partkey. The average is a double division of
+# an exactly-representable integer-valued sum by a count, so the
+# comparison threshold is bit-identical on both engines.
+SMALL_QTY_REVENUE_SQL = """
+SELECT p_brand,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_qty_revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE l_quantity < (
+    SELECT 0.2 * AVG(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+  )
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+def small_qty_revenue_sql(t: dict[str, DataFrame]) -> DataFrame:
+    return t["lineitem"].sparkSession.sql(SMALL_QTY_REVENUE_SQL)
+
+
+SMALL_QTY_REVENUE_ORACLE = SMALL_QTY_REVENUE_SQL

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .plans import (
     analytics,
+    corpus_queries,
     etl,
     ingest_queries,
     llm_queries,
@@ -227,4 +228,28 @@ register(
     "local_supplier_volume_sql",
     sql_api.local_supplier_volume_sql,
     sql_api.LOCAL_SUPPLIER_VOLUME_ORACLE,
+)
+register(
+    "late_order_exists_sql", sql_api.late_order_exists_sql, sql_api.LATE_ORDER_EXISTS_ORACLE
+)
+register(
+    "small_qty_revenue_sql", sql_api.small_qty_revenue_sql, sql_api.SMALL_QTY_REVENUE_ORACLE
+)
+
+# Corpus-preparation operators (brief: splitting/chunking/vocab/tf-idf/
+# shard packing for LLM training-data pipelines)
+register("doc_hash_split", corpus_queries.doc_hash_split, corpus_queries.DOC_HASH_SPLIT_ORACLE)
+register("doc_chunks", corpus_queries.doc_chunks, corpus_queries.DOC_CHUNKS_ORACLE)
+register(
+    "vocab_top_terms", corpus_queries.vocab_top_terms, corpus_queries.VOCAB_TOP_TERMS_ORACLE
+)
+register(
+    "doc_tfidf_top_terms",
+    corpus_queries.doc_tfidf_top_terms,
+    corpus_queries.DOC_TFIDF_TOP_TERMS_ORACLE,
+)
+register(
+    "doc_shard_assignment",
+    corpus_queries.doc_shard_assignment,
+    corpus_queries.DOC_SHARD_ASSIGNMENT_ORACLE,
 )

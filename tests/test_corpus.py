@@ -1,0 +1,69 @@
+"""Unit tests for corpus-preparation operators (splitting, chunking,
+sharding) — properties the oracle differential doesn't state directly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_warehouse_implementation_spark.operators import corpus
+
+
+def test_hash_split_is_deterministic_and_partition_invariant(spark):
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    a = corpus.hash_split(df).select("doc_id", "split")
+    b = corpus.hash_split(df.repartition(7)).select("doc_id", "split")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # roughly the requested proportions (hash uniformity, not exactness)
+    frac = {
+        r["split"]: r["n"] for r in a.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert 700 < frac["train"] < 900
+    assert 50 < frac["val"] < 160
+    assert 50 < frac["test"] < 160
+
+
+def test_chunk_boundaries_cover_without_gaps(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(50))), (2, "one two")], ["doc_id", "text"]
+    )
+    out = corpus.chunk_documents(df, size=32, stride=24).collect()
+    d1 = sorted((r.chunk_id, r.n_chunk_tokens) for r in out if r.doc_id == 1)
+    # 50 words, stride 24: chunks at 1, 25, 49 -> sizes 32, 26, 2
+    assert d1 == [(0, 32), (1, 26), (2, 2)]
+    d1_rows = {r.chunk_id: r for r in out if r.doc_id == 1}
+    assert d1_rows[0].chunk_text.split()[0] == "w0"
+    assert d1_rows[1].chunk_text.split()[0] == "w24"  # overlap of size-stride=8
+    assert d1_rows[2].chunk_text == "w48 w49"
+    d2 = [(r.chunk_id, r.chunk_text) for r in out if r.doc_id == 2]
+    assert d2 == [(0, "one two")]
+
+
+def test_shard_two_phase_matches_global_cumsum(spark):
+    df = spark.createDataFrame(
+        [(i, " ".join("t" for _ in range(1 + i % 7))) for i in range(300)],
+        ["doc_id", "text"],
+    )
+    out = (
+        corpus.shard_by_token_budget(df, budget=100, bucket_width=32)
+        .orderBy("doc_id")
+        .collect()
+    )
+    running = 0
+    for r in out:
+        assert r.token_start == running, r
+        assert r.shard_id == running // 100
+        running += r.n_tokens
+
+
+def test_shard_ids_are_contiguous_from_zero(spark):
+    df = spark.createDataFrame(
+        [(i, "a b c d e") for i in range(100)], ["doc_id", "text"]
+    )
+    shards = sorted(
+        r.shard_id
+        for r in corpus.shard_by_token_budget(df, budget=50, bucket_width=16)
+        .select("shard_id")
+        .distinct()
+        .collect()
+    )
+    assert shards == list(range(shards[-1] + 1))
