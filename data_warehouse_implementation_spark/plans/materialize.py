@@ -10,8 +10,10 @@ the bench both call queries independently in one process).
 
 Cache entries are keyed by (name, sf_dir) and validated against the
 current SparkSession — a new session (tests stop/recreate them) simply
-rebuilds. Entries hold ~#groups rows (interest lists, pre-aggregates),
-never raw fact rows, so executor memory cost is negligible at any scale.
+rebuilds. Most entries hold ~#groups rows (interest lists,
+pre-aggregates); the near-dup (doc, shingle-id) entry is corpus-scale —
+at 100 TB it belongs in a parquet staging table (WarehouseCatalog.ctas)
+rather than executor memory, at the cost of one write/read cycle.
 """
 
 from __future__ import annotations
