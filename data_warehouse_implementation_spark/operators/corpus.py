@@ -178,3 +178,24 @@ def shard_by_token_budget(
         )
         .select(id_col, "n_tokens", "token_start", "shard_id")
     )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    rates_pct: dict[str, int],
+    default_pct: int = 0,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified sampling: per stratum, keep rows whose
+    id-hash bucket falls under that stratum's percentage. Same
+    map-side-only, partition-invariant discipline as :func:`hash_split`
+    (unlike ``df.sampleBy``, which depends on partitioning and seed
+    plumbing) — re-running a backfill reselects exactly the same rows.
+    """
+    h = ((F.col(id_col) % HASH_P) * SPLIT_A + SPLIT_B) % HASH_P
+    bucket = h % 100
+    rate = F.lit(default_pct)
+    for stratum, pct in sorted(rates_pct.items()):
+        rate = F.when(F.col(strata_col) == stratum, F.lit(pct)).otherwise(rate)
+    return df.filter(bucket < rate)

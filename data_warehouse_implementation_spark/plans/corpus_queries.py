@@ -192,3 +192,34 @@ SELECT doc_id, n_tokens, token_start,
        CAST(FLOOR(CAST(token_start AS DOUBLE) / {SHARD_BUDGET}.0) AS BIGINT) AS shard_id
 FROM cum ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling
+
+SAMPLE_RATES = {f"src{i}": (60 if i % 2 == 0 else 20) for i in range(20)}
+
+
+def doc_stratified_sample(t: dict[str, DataFrame]) -> DataFrame:
+    """Stratified hash-sample of the corpus (60% of even sources, 20% of
+    odd) plus the per-source census of what survived — the
+    source-rebalancing move of a training-data mix, reproducible across
+    runs and partitionings."""
+    sampled = corpus.stratified_hash_sample(t["documents"], SAMPLE_RATES)
+    return (
+        sampled.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .orderBy("source")
+    )
+
+
+_RATE_CASE = "CASE " + " ".join(
+    f"WHEN source = '{s}' THEN {p}" for s, p in sorted(SAMPLE_RATES.items())
+) + " ELSE 0 END"
+
+DOC_STRATIFIED_SAMPLE_ORACLE = f"""
+SELECT source, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+FROM documents
+WHERE ((doc_id % {HASH_P}) * {SPLIT_A} + {SPLIT_B}) % {HASH_P} % 100 < {_RATE_CASE}
+GROUP BY source ORDER BY source
+"""

@@ -188,3 +188,48 @@ SELECT user_id, session_seq,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
 FROM sess GROUP BY user_id, session_seq ORDER BY user_id, session_seq
 """
+
+
+# ---------------------------------------------------------------------------
+# CDC compaction: keep-latest row per key
+
+
+def events_keep_latest(t: dict[str, DataFrame]) -> DataFrame:
+    """CDC-style compaction of the events change stream: the single
+    latest row per user_id by (ts, event_id) — the upsert-log ->
+    current-state snapshot every incremental warehouse load performs.
+    One shuffle on the key; the window is partitioned by user_id (never
+    global), and at 100 TB this is the shape that replaces a full-table
+    MERGE: compact the day's log, then SCD1-upsert the survivors."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        t["events"]
+        .select("user_id", "event_id", _event_ts().alias("ts"), "event_type", "value")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("latest_ts"),
+            "event_type",
+            "value",
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENTS_KEEP_LATEST_ORACLE = """
+SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS latest_ts,
+       event_type, value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+ORDER BY user_id
+"""

@@ -91,11 +91,17 @@ def near_dup_minhash(t: dict[str, DataFrame]) -> DataFrame:
         str(docs.semanticHash()),
         lambda: dedup.candidate_pairs(dedup.lsh_bands(sig, bands=BANDS, rows=ROWS)),
     )
-    return (
-        dedup.pairwise_jaccard(cands, doc_tids)
-        .filter(F.col("jaccard") >= NEAR_DUP_THRESHOLD)
-        .orderBy("doc_a", "doc_b")
+    # the verified pair set is consumed downstream too (near_dup_clusters
+    # runs connected components over it) — cache the |pairs|-row result
+    # so the Jaccard verification joins run once per session
+    verified = materialize.get_or_build(
+        "near_dup_verified_pairs",
+        str(docs.semanticHash()),
+        lambda: dedup.pairwise_jaccard(cands, doc_tids).filter(
+            F.col("jaccard") >= NEAR_DUP_THRESHOLD
+        ),
     )
+    return verified.orderBy("doc_a", "doc_b")
 
 
 _BANDS_SQL = "\nUNION ALL\n".join(

@@ -391,3 +391,118 @@ JOIN location_dim ld ON c_mktsegment = ld.segment
 JOIN category_dim cd ON COALESCE(NULLIF(part.p_brand, 'Brand#33'), '') = cd.p_brand
                      AND part.p_type = cd.p_type AND part.p_size = cd.p_size
 """
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance (materialized-rollup refresh)
+
+INCR_CUTOFF = "1997-01-01"  # the "already loaded" / "new batch" boundary
+
+
+def incremental_agg_refresh(t: dict[str, DataFrame]) -> DataFrame:
+    """Incremental refresh of a materialized rollup: the pre-cutoff
+    pre-aggregate (the state a nightly job would have on disk) is merged
+    with the aggregate of ONLY the delta batch by re-aggregating the
+    partial sums/counts — never rescanning history. This is the 100 TB
+    maintenance move: a day's refresh costs O(delta) + O(|rollup|), not
+    O(fact). COUNT merges as SUM of partial counts; AVG is derived at
+    read time from merged SUM/COUNT (never merged directly).
+
+    The oracle is the full recompute over all rows — the differential
+    proves partial-aggregate merge == full aggregation.
+    """
+    orders = t["orders"]
+    cutoff = F.lit(INCR_CUTOFF).cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority", "o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_sum_price"),
+        )
+
+    existing = partial(orders.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(orders.filter(F.col("o_orderdate") >= cutoff))
+    merged = (
+        existing.unionByName(delta)
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("_sum_price").alias("_sum_price"),
+        )
+    )
+    return merged.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "n_orders",
+        F.col("_sum_price").cast("double").alias("sum_price"),
+        (F.col("_sum_price").cast("double") / F.col("n_orders")).alias("avg_price"),
+    ).orderBy("o_orderpriority", "o_orderstatus")
+
+
+INCREMENTAL_AGG_REFRESH_ORACLE = """
+SELECT o_orderpriority, o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+FROM orders
+GROUP BY o_orderpriority, o_orderstatus
+ORDER BY o_orderpriority, o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity report (data-quality gate after a fact load)
+
+
+def integrity_report(t: dict[str, DataFrame]) -> DataFrame:
+    """Warehouse data-quality gate: per foreign-key edge, the number of
+    orphan child rows (anti-join on the parent key) next to the child
+    row count. Each check is one left-anti broadcast/shuffle join —
+    the shape a post-load CI assertion runs at any scale. A healthy
+    star reports zero orphans; the row is emitted either way.
+    """
+    lineitem, orders, customer, part = (
+        t["lineitem"],
+        t["orders"],
+        t["customer"],
+        t["part"],
+    )
+
+    def check(name: str, child: DataFrame, key, parent: DataFrame, pkey) -> DataFrame:
+        orphans = (
+            child.join(parent, child[key] == parent[pkey], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        total = child.agg(F.count(F.lit(1)).alias("n_child_rows"))
+        return orphans.crossJoin(total).select(
+            F.lit(name).alias("fk_edge"), "n_orphans", "n_child_rows"
+        )
+
+    checks = [
+        check("lineitem->orders", lineitem, "l_orderkey", orders, "o_orderkey"),
+        check("lineitem->part", lineitem, "l_partkey", part, "p_partkey"),
+        check("orders->customer", orders, "o_custkey", customer, "c_custkey"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("fk_edge")
+
+
+INTEGRITY_REPORT_ORACLE = """
+SELECT 'lineitem->orders' AS fk_edge,
+       (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey IS NULL) AS n_orphans,
+       (SELECT COUNT(*) FROM lineitem) AS n_child_rows
+UNION ALL
+SELECT 'lineitem->part',
+       (SELECT COUNT(*) FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_partkey IS NULL),
+       (SELECT COUNT(*) FROM lineitem)
+UNION ALL
+SELECT 'orders->customer',
+       (SELECT COUNT(*) FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_custkey IS NULL),
+       (SELECT COUNT(*) FROM orders)
+ORDER BY fk_edge
+"""

@@ -253,3 +253,22 @@ register(
     corpus_queries.doc_shard_assignment,
     corpus_queries.DOC_SHARD_ASSIGNMENT_ORACLE,
 )
+register(
+    "doc_stratified_sample",
+    corpus_queries.doc_stratified_sample,
+    corpus_queries.DOC_STRATIFIED_SAMPLE_ORACLE,
+)
+
+# Warehouse maintenance: incremental rollup refresh, post-load
+# data-quality gate, CDC log compaction
+register(
+    "incremental_agg_refresh",
+    warehouse.incremental_agg_refresh,
+    warehouse.INCREMENTAL_AGG_REFRESH_ORACLE,
+)
+register("integrity_report", warehouse.integrity_report, warehouse.INTEGRITY_REPORT_ORACLE)
+register(
+    "events_keep_latest",
+    ingest_queries.events_keep_latest,
+    ingest_queries.EVENTS_KEEP_LATEST_ORACLE,
+)
