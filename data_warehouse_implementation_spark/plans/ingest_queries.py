@@ -11,7 +11,7 @@ import os
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..sources import csvio, nested
+from ..sources import csvio, jsonio, nested
 
 # CSV staging cache inside the repo (testdata is read-only; the staging
 # copy is written once per sf dir and reused — gitignored).
@@ -232,4 +232,59 @@ FROM (
   FROM events
 ) WHERE rn = 1
 ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# JSONL staging round trip (S2-adjacent semi-structured file feed)
+
+CUSTOMER_JSONL_SCHEMA = (
+    "c_custkey long, c_nationkey int, c_acctbal double, segment string"
+)
+
+
+def jsonl_scan_agg(t: dict[str, DataFrame]) -> DataFrame:
+    """JSONL staging scan: stage customers to JSON-lines (with NULLs
+    synthesized into ``segment`` — JSON drops null keys on write, the
+    explicit read schema resolves them back), read back, aggregate per
+    segment including the NULL group. The oracle aggregates the original
+    parquet, so the differential proves the JSONL round trip is lossless
+    for longs, doubles, strings, AND missing keys."""
+    customer = t["customer"]
+    spark = customer.sparkSession
+    staged = os.path.join(
+        _CSV_CACHE_ROOT, f"customer_jsonl_{customer.semanticHash() & 0xFFFFFFFF:x}"
+    )
+    if not os.path.exists(staged):
+        jsonio.write_jsonl(
+            customer.select(
+                "c_custkey",
+                "c_nationkey",
+                "c_acctbal",
+                F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("segment"),
+            ),
+            staged,
+        )
+    back = jsonio.read_jsonl(spark, staged, schema=CUSTOMER_JSONL_SCHEMA)
+    return (
+        back.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.count("segment").alias("n_nonnull"),
+            _decimal_sum_as_double(F.col("c_acctbal")).alias("sum_acctbal"),
+            F.min("c_custkey").alias("min_custkey"),
+        )
+        .orderBy(F.col("segment").asc_nulls_first())
+    )
+
+
+JSONL_SCAN_AGG_ORACLE = """
+SELECT NULLIF(c_mktsegment, 'BUILDING') AS segment,
+       COUNT(*) AS n_customers,
+       COUNT(NULLIF(c_mktsegment, 'BUILDING')) AS n_nonnull,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal,
+       MIN(c_custkey) AS min_custkey
+FROM customer
+GROUP BY NULLIF(c_mktsegment, 'BUILDING')
+ORDER BY segment NULLS FIRST
 """

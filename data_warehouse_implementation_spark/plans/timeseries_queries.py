@@ -388,3 +388,94 @@ SELECT flag_label, COUNT(*) AS n_items,
 FROM lineitem JOIN labels USING (l_returnflag)
 GROUP BY flag_label ORDER BY flag_label
 """
+
+
+# ---------------------------------------------------------------------------
+# Day-over-day deltas via lag (the metric-dashboard staple)
+
+
+def events_daily_delta(t: dict[str, DataFrame]) -> DataFrame:
+    """Daily event value totals per event_type with day-over-day delta
+    and percent change via ``lag`` over a per-type window. The window
+    partitions by event_type and holds #days rows per partition — the
+    fact stream is aggregated to day grain BEFORE any window runs, so
+    at 100 TB the window input is ~|types|x|days|, not |events|."""
+    ev = t["events"].select(
+        "event_type",
+        F.date_format(F.date_trunc("day", _event_ts()), "yyyy-MM-dd").alias("day"),
+        "value",
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        _decimal_sum_as_double(F.col("value")).alias("day_value")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev = F.lag("day_value").over(w)
+    return (
+        daily.withColumn("prev_value", prev)
+        .withColumn("delta", F.col("day_value") - prev)
+        .withColumn(
+            "pct_change",
+            F.when(prev != 0.0, (F.col("day_value") - prev) / prev),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+EVENTS_DAILY_DELTA_ORACLE = """
+WITH daily AS (
+  SELECT event_type,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, day_value,
+       LAG(day_value) OVER w AS prev_value,
+       day_value - LAG(day_value) OVER w AS delta,
+       CASE WHEN LAG(day_value) OVER w <> 0.0
+            THEN (day_value - LAG(day_value) OVER w) / LAG(day_value) OVER w END AS pct_change
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day)
+ORDER BY event_type, day
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quartile assignment via ntile + percent_rank
+
+
+def customer_spend_quartiles(t: dict[str, DataFrame]) -> DataFrame:
+    """Customer lifetime-spend quartiles per market segment: exact
+    decimal spend totals, then ``ntile(4)`` and ``percent_rank`` over a
+    window partitioned by segment (the cohort-bucketing pattern). The
+    window input is the aggregated per-customer table, one row per
+    customer."""
+    spend = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(_decimal_sum_as_double(F.col("o_totalprice")).alias("total_spend"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("total_spend").desc(), F.col("c_custkey")
+    )
+    return (
+        spend.withColumn("quartile", F.ntile(4).over(w).cast("long"))
+        .withColumn("spend_pct_rank", F.percent_rank().over(w))
+        .orderBy("c_mktsegment", "quartile", "c_custkey")
+    )
+
+
+CUSTOMER_SPEND_QUARTILES_ORACLE = """
+WITH spend AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_custkey, c_mktsegment
+)
+SELECT c_custkey, c_mktsegment, total_spend,
+       CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+       PERCENT_RANK() OVER w AS spend_pct_rank
+FROM spend
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY total_spend DESC, c_custkey)
+ORDER BY c_mktsegment, quartile, c_custkey
+"""

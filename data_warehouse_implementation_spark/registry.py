@@ -272,3 +272,14 @@ register(
     ingest_queries.events_keep_latest,
     ingest_queries.EVENTS_KEEP_LATEST_ORACLE,
 )
+register("jsonl_scan_agg", ingest_queries.jsonl_scan_agg, ingest_queries.JSONL_SCAN_AGG_ORACLE)
+register(
+    "events_daily_delta",
+    timeseries_queries.events_daily_delta,
+    timeseries_queries.EVENTS_DAILY_DELTA_ORACLE,
+)
+register(
+    "customer_spend_quartiles",
+    timeseries_queries.customer_spend_quartiles,
+    timeseries_queries.CUSTOMER_SPEND_QUARTILES_ORACLE,
+)
