@@ -148,3 +148,26 @@ def small_qty_revenue_sql(t: dict[str, DataFrame]) -> DataFrame:
 
 
 SMALL_QTY_REVENUE_ORACLE = SMALL_QTY_REVENUE_SQL
+
+
+# Explicit GROUPING SETS with GROUPING() disambiguation — the
+# report-cube primitive underlying ROLLUP/CUBE (both also registered);
+# one shuffle, Spark expands the sets in a single Expand node rather
+# than unioning three scans.
+PRIORITY_STATUS_SETS_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+ORDER BY g_priority, g_status,
+         o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+"""
+
+
+def priority_status_sets_sql(t: dict[str, DataFrame]) -> DataFrame:
+    return t["lineitem"].sparkSession.sql(PRIORITY_STATUS_SETS_SQL)
+
+
+PRIORITY_STATUS_SETS_ORACLE = PRIORITY_STATUS_SETS_SQL

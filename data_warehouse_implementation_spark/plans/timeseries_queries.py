@@ -479,3 +479,91 @@ FROM spend
 WINDOW w AS (PARTITION BY c_mktsegment ORDER BY total_spend DESC, c_custkey)
 ORDER BY c_mktsegment, quartile, c_custkey
 """
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width histogram binning (the profiling staple)
+
+HIST_BIN_WIDTH = 50_000.0
+
+
+def price_histogram(t: dict[str, DataFrame]) -> DataFrame:
+    """Order-price histogram: fixed-width bins via floor division — a
+    single map-side bin assignment + one aggregate, the distribution
+    profile every data-quality dashboard starts with. Bin edges are
+    exact double arithmetic, identical on both engines."""
+    binned = t["orders"].withColumn(
+        "bin_id", F.floor(F.col("o_totalprice") / F.lit(HIST_BIN_WIDTH)).cast("long")
+    )
+    return (
+        binned.groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .withColumn("bin_low", F.col("bin_id") * F.lit(HIST_BIN_WIDTH))
+        .select("bin_id", "bin_low", "n_orders", "min_price", "max_price")
+        .orderBy("bin_id")
+    )
+
+
+PRICE_HISTOGRAM_ORACLE = f"""
+SELECT CAST(FLOOR(o_totalprice / {HIST_BIN_WIDTH}) AS BIGINT) AS bin_id,
+       CAST(FLOOR(o_totalprice / {HIST_BIN_WIDTH}) AS BIGINT) * {HIST_BIN_WIDTH} AS bin_low,
+       COUNT(*) AS n_orders,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price
+FROM orders
+GROUP BY 1, 2 ORDER BY bin_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sorted string aggregation (listagg) over per-group top-k
+
+
+def nation_top_customer_list(t: dict[str, DataFrame]) -> DataFrame:
+    """Per nation: customer count and a comma-joined list of its top-3
+    customers by account balance (deterministic tie-break on name). The
+    Spark side builds the list with ``collect_list(struct) ->
+    array_sort -> transform -> concat_ws`` — sorted-array algebra that
+    makes the unordered ``collect_list`` deterministic; the oracle is
+    DuckDB's ordered ``string_agg``. The window is partitioned per
+    nation; only 3 rows per group reach the list aggregation."""
+    cust = t["customer"].join(
+        F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_name")
+    )
+    top3 = cust.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= 3)
+    counts = cust.groupBy("n_name").agg(F.count(F.lit(1)).alias("n_customers"))
+    lists = top3.groupBy("n_name").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_rk", "c_name"))),
+                lambda s: s["c_name"],
+            ),
+        ).alias("top_customers")
+    )
+    return counts.join(lists, on="n_name").orderBy("n_name")
+
+
+NATION_TOP_CUSTOMER_LIST_ORACLE = """
+WITH ranked AS (
+  SELECT n_name, c_name, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_name) AS rk
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+),
+counts AS (
+  SELECT n_name, COUNT(*) AS n_customers
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT n_name, n_customers,
+       (SELECT string_agg(c_name, ',' ORDER BY rk)
+        FROM ranked r WHERE r.n_name = counts.n_name AND rk <= 3) AS top_customers
+FROM counts ORDER BY n_name
+"""

@@ -283,3 +283,16 @@ register(
     timeseries_queries.customer_spend_quartiles,
     timeseries_queries.CUSTOMER_SPEND_QUARTILES_ORACLE,
 )
+register(
+    "price_histogram", timeseries_queries.price_histogram, timeseries_queries.PRICE_HISTOGRAM_ORACLE
+)
+register(
+    "nation_top_customer_list",
+    timeseries_queries.nation_top_customer_list,
+    timeseries_queries.NATION_TOP_CUSTOMER_LIST_ORACLE,
+)
+register(
+    "priority_status_sets_sql",
+    sql_api.priority_status_sets_sql,
+    sql_api.PRIORITY_STATUS_SETS_ORACLE,
+)
