@@ -6,7 +6,9 @@ maintenance."""
 from .pipelines import (  # noqa: F401
     EVENTS_STREAM_SCHEMA,
     dedup_stream,
+    enrich_stream,
     incremental_scd2_sink,
+    interval_join_stream,
     run_to_memory,
     sessionize_stateful,
     stream_events,

@@ -235,3 +235,41 @@ def _empty_like(spark: SparkSession, batch: DataFrame, order_col: str) -> DataFr
         StructField("active", BooleanType()),
     ]
     return spark.createDataFrame([], StructType(fields))
+
+
+def enrich_stream(
+    stream: DataFrame, dim: DataFrame, on: list[str] | str, how: str = "left"
+) -> DataFrame:
+    """Stream-static dimension enrichment: join each micro-batch against
+    a (small) static dimension. The dim is broadcast, so the join is
+    STATELESS — no streaming state at all, the canonical way to attach
+    dimension attributes to a live fact stream. The static side is
+    re-read per micro-batch, so a slowly-changing dim table picks up
+    updates between batches (eventual-consistency enrichment)."""
+    return stream.join(F.broadcast(dim), on=on, how=how)
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    interval_seconds: int,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Time-bounded stream-stream inner join: pair each left event with
+    the same key's right events from the preceding ``interval_seconds``
+    (attribution: purchase <- recent views). Both sides are watermarked,
+    and the join condition bounds right.ts to a closed interval behind
+    left.ts — Spark can therefore evict buffered rows once the watermark
+    passes the interval, keeping state O(events-per-interval), bounded
+    at any scale. An UNbounded stream-stream join would grow state
+    forever: the time bound is what makes this shape production-safe."""
+    lw = left.withWatermark("ts", watermark).alias("l")
+    rw = right.withWatermark("ts", watermark).alias("r")
+    return lw.join(
+        rw,
+        F.expr(
+            f"l.{key} = r.{key} AND r.ts >= l.ts - INTERVAL {interval_seconds} SECONDS"
+            " AND r.ts <= l.ts"
+        ),
+    )

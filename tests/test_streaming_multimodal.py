@@ -237,3 +237,65 @@ def test_stream_dedup_matches_batch_distinct(spark, tmp_dir):
     one = got.orderBy("event_id").limit(1).collect()[0]
     orig = base.orderBy("event_id").limit(1).collect()[0]
     assert one.event_id == orig.event_id and one.user_id == orig.user_id
+
+
+def test_stream_static_enrichment_matches_batch_join(spark, tmp_dir):
+    src = _stage_events(spark, tmp_dir)
+    dim = spark.range(200).select(
+        F.col("id").alias("user_id"),
+        F.when(F.col("id") % 3 == 0, "gold").otherwise("basic").alias("tier"),
+    )
+    stream = streaming.stream_events(spark, src)
+    enriched = streaming.enrich_stream(stream, dim, on="user_id").groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    streaming.run_to_memory(enriched, "stream_enriched", output_mode="complete")
+    got = {r.tier: r.n_events for r in spark.table("stream_enriched").collect()}
+    batch = (
+        spark.read.parquet(src)
+        .join(dim, on="user_id", how="left")
+        .groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    want = {r.tier: r.n_events for r in batch.collect()}
+    assert got == want and len(got) == 2
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_dir):
+    src = _stage_events(spark, tmp_dir)
+    stream = streaming.stream_events(spark, src)
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    views = streaming.stream_events(spark, src).filter(
+        F.col("event_type") == "view"
+    ).select(F.col("user_id").alias("v_user"), F.col("event_id").alias("view_id"), "ts")
+    joined = streaming.interval_join_stream(
+        purchases.withColumnRenamed("user_id", "user_id"),
+        views.withColumnRenamed("v_user", "user_id"),
+        key="user_id",
+        interval_seconds=3600,
+    ).select("l.user_id", "purchase_id", "view_id")
+    streaming.run_to_memory(joined, "stream_attrib", output_mode="append")
+    got = {
+        (r.user_id, r.purchase_id, r.view_id)
+        for r in spark.table("stream_attrib").collect()
+    }
+    ev = spark.read.parquet(src).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    batch = p.join(
+        v,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 3600 SECONDS"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+    )
+    want = {(r.user_id, r.purchase_id, r.view_id) for r in batch.collect()}
+    assert got == want and len(got) > 0
