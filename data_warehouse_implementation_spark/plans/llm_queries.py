@@ -640,3 +640,56 @@ SELECT doc_id,
 FROM ptok JOIN dict USING (token)
 GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary-column plumbing on the correctness gate
+
+MEDIA_FEATURE_DIM = 8
+
+
+def media_feature_extract(t: dict[str, DataFrame]) -> DataFrame:
+    """Multimodal plumbing end-to-end on the CORRECTNESS gate: documents
+    are re-encoded as opaque ``binary`` payloads (the media-table shape)
+    and pushed through the REAL Arrow-batched ``mapInPandas`` feature
+    extractor (operators/multimodal.py). The deterministic stand-in
+    features are pure byte arithmetic — byte count, additive checksum,
+    strided byte sum — so the oracle replays them in SQL over the ASCII
+    code points, proving the Python batch path computes exactly what it
+    claims (schema, batching, and values — not just 'it runs')."""
+    from ..operators import multimodal
+
+    media = t["documents"].select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text").alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit(None)
+        .cast("struct<width: int, height: int, sample_rate: int>")
+        .alias("meta"),
+    )
+    feats = multimodal.extract_features(media, dim=MEDIA_FEATURE_DIM)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "checksum",
+        F.element_at("feature", 1).alias("f0"),
+    ).orderBy("media_id")
+
+
+MEDIA_FEATURE_EXTRACT_ORACLE = f"""
+WITH cps AS (
+  SELECT doc_id,
+         length(text) AS n_bytes,
+         list_transform(generate_series(1, length(text)),
+                        i -> ascii(substr(text, i, 1))) AS cp
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       'text' AS kind,
+       CAST(n_bytes AS BIGINT) AS n_bytes,
+       CAST(list_sum(cp) % 2147483647 AS BIGINT) AS checksum,
+       CAST(list_sum(list_transform(generate_series(1, n_bytes, {MEDIA_FEATURE_DIM}),
+                                    i -> cp[i])) % 256 AS DOUBLE) / 255.0 AS f0
+FROM cps ORDER BY media_id
+"""

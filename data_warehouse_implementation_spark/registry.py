@@ -171,6 +171,11 @@ register(
 register(
     "embedding_near_dup", llm_queries.embedding_near_dup, llm_queries.EMBEDDING_NEAR_DUP_ORACLE
 )
+register(
+    "media_feature_extract",
+    llm_queries.media_feature_extract,
+    llm_queries.MEDIA_FEATURE_EXTRACT_ORACLE,
+)
 register("order_rollup", analytics.order_rollup, analytics.ORDER_ROLLUP_ORACLE)
 
 # Time-series / window-frame / set-op / skew extensions
