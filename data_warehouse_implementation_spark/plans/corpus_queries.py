@@ -223,3 +223,169 @@ FROM documents
 WHERE ((doc_id % {HASH_P}) * {SPLIT_A} + {SPLIT_B}) % {HASH_P} % 100 < {_RATE_CASE}
 GROUP BY source ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (8-gram overlap vs a held-out set)
+
+DECONTAM_N = 8
+BENCHMARK_MAX_ID = 20  # stand-in benchmark: doc_id < 20
+
+
+def doc_decontaminate(t: dict[str, DataFrame]) -> DataFrame:
+    """Benchmark decontamination report: for every corpus document, the
+    number of distinct ``DECONTAM_N``-gram shingles it shares with the
+    benchmark set (here: docs with id < ``BENCHMARK_MAX_ID``), plus the
+    contamination flag. The benchmark shingle set is tiny and broadcast,
+    so the overlap check is a map-side semi-join per shingle — at 100 TB
+    the corpus is streamed once, never shuffled on the shingle. Every
+    doc is reported (zeros included): a decontamination run must prove
+    it looked at everything."""
+    from ..operators import dedup
+
+    docs = t["documents"]
+    corpus_sh = dedup.word_shingles(docs, n=DECONTAM_N)
+    bench_sh = (
+        dedup.word_shingles(docs.filter(F.col("doc_id") < BENCHMARK_MAX_ID), n=DECONTAM_N)
+        .select("shingle")
+        .distinct()
+    )
+    hits = (
+        corpus_sh.filter(F.col("doc_id") >= BENCHMARK_MAX_ID)
+        .join(F.broadcast(bench_sh), on="shingle", how="left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        docs.filter(F.col("doc_id") >= BENCHMARK_MAX_ID)
+        .select("doc_id")
+        .join(hits, on="doc_id", how="left")
+        .withColumn("n_overlap", F.coalesce(F.col("n_overlap"), F.lit(0)))
+        .withColumn("contaminated", F.col("n_overlap") > 0)
+        .orderBy("doc_id")
+    )
+
+
+_DECONTAM_SHINGLE = " || ' ' || ".join(f"arr[i+{j}]" for j in range(DECONTAM_N))
+
+DOC_DECONTAMINATE_ORACLE = f"""
+WITH {_TOKS_SQL.strip()},
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, len(arr) - {DECONTAM_N - 1}),
+           i -> {_DECONTAM_SHINGLE}))) AS shingle
+  FROM toks WHERE len(arr) >= {DECONTAM_N}
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < {BENCHMARK_MAX_ID}),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_overlap
+  FROM sh WHERE doc_id >= {BENCHMARK_MAX_ID} AND shingle IN (SELECT shingle FROM bench)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(h.n_overlap, 0) AS n_overlap,
+       COALESCE(h.n_overlap, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id >= {BENCHMARK_MAX_ID}
+ORDER BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition ratio (quality signal)
+
+
+def doc_repetition_ratio(t: dict[str, DataFrame]) -> DataFrame:
+    """Within-document 3-gram repetition: 1 - distinct/total shingles —
+    the boilerplate/looping-text quality signal. Pure per-row array
+    algebra (no explode, no shuffle): the shingle list never leaves its
+    row."""
+    arr = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+    shingle_expr = (
+        "transform(sequence(1, size(_arr) - 2), "
+        "i -> concat_ws(' ', element_at(_arr, i), element_at(_arr, i + 1), element_at(_arr, i + 2)))"
+    )
+    base = (
+        t["documents"]
+        .select("doc_id", arr.alias("_arr"))
+        .filter(F.size("_arr") >= 3)
+        .withColumn("_sh", F.expr(shingle_expr))
+    )
+    return base.select(
+        "doc_id",
+        F.size("_sh").cast("long").alias("n_shingles"),
+        F.size(F.array_distinct("_sh")).cast("long").alias("n_distinct"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct("_sh")).cast("double")
+            / F.size("_sh").cast("double")
+        ).alias("repetition_ratio"),
+    ).orderBy("doc_id")
+
+
+DOC_REPETITION_RATIO_ORACLE = f"""
+WITH {_TOKS_SQL.strip()},
+sh AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(arr) - 2),
+                        i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]) AS shingles
+  FROM toks WHERE len(arr) >= 3
+)
+SELECT doc_id,
+       CAST(len(shingles) AS BIGINT) AS n_shingles,
+       CAST(len(list_distinct(shingles)) AS BIGINT) AS n_distinct,
+       1.0 - CAST(len(list_distinct(shingles)) AS DOUBLE) / CAST(len(shingles) AS DOUBLE)
+         AS repetition_ratio
+FROM sh ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (map-side regex scrubbing)
+
+_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.]+[a-z]"
+_PHONE_RE = "555-[0-9]+"
+
+
+def doc_pii_redact(t: dict[str, DataFrame]) -> DataFrame:
+    """PII scrubbing: redact email addresses and phone-shaped tokens to
+    placeholder tags, reporting per-document redaction counts and the
+    scrubbed text. The corpus has no natural PII, so deterministic PII
+    is synthesized per doc first — the redaction path (regex match,
+    replace, count) is what the oracle checks, end to end. Map-side
+    only: one regexp pass per pattern, no shuffle."""
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.col("doc_id").cast("string"),
+    )
+    base = t["documents"].select("doc_id", pii_text.alias("_pii"))
+    n_emails = F.size(F.regexp_extract_all(F.col("_pii"), F.lit(_EMAIL_RE), 0))
+    n_phones = F.size(F.regexp_extract_all(F.col("_pii"), F.lit(_PHONE_RE), 0))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("_pii"), _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return base.select(
+        "doc_id",
+        n_emails.cast("long").alias("n_emails"),
+        n_phones.cast("long").alias("n_phones"),
+        redacted.alias("redacted_text"),
+    ).orderBy("doc_id")
+
+
+DOC_PII_REDACT_ORACLE = f"""
+WITH pii AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 555-' || CAST(doc_id AS VARCHAR) AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+       regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{_PHONE_RE}', '<PHONE>', 'g') AS redacted_text
+FROM pii ORDER BY doc_id
+"""

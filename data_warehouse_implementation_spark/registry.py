@@ -263,6 +263,15 @@ register(
     corpus_queries.doc_stratified_sample,
     corpus_queries.DOC_STRATIFIED_SAMPLE_ORACLE,
 )
+register(
+    "doc_decontaminate", corpus_queries.doc_decontaminate, corpus_queries.DOC_DECONTAMINATE_ORACLE
+)
+register(
+    "doc_repetition_ratio",
+    corpus_queries.doc_repetition_ratio,
+    corpus_queries.DOC_REPETITION_RATIO_ORACLE,
+)
+register("doc_pii_redact", corpus_queries.doc_pii_redact, corpus_queries.DOC_PII_REDACT_ORACLE)
 
 # Warehouse maintenance: incremental rollup refresh, post-load
 # data-quality gate, CDC log compaction
