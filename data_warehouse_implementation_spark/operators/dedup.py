@@ -116,9 +116,30 @@ def lsh_bands(
     )
 
 
-def candidate_pairs(bands_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def candidate_pairs(
+    bands_df: DataFrame, id_col: str = "doc_id", max_bucket_size: int | None = None
+) -> DataFrame:
     """Distinct (a < b) doc pairs sharing any band bucket — an
-    equi-join on (band_id, band_key), never a cross product."""
+    equi-join on (band_id, band_key), never a cross product.
+
+    ``max_bucket_size`` is the hot-bucket guard for real corpora: a
+    band key shared by boilerplate (cookie banners, license headers)
+    collects thousands of docs, and the self-join emits |bucket|^2
+    pairs — ONE hot bucket can dominate the entire candidate volume.
+    Capping drops buckets larger than the threshold before the join
+    (the standard production LSH mitigation; boilerplate-only overlap
+    is exactly what near-dup dedup wants to ignore, and truly similar
+    docs still collide in their other, rarer bands). The bucket census
+    is a groupBy on the band key — same shuffle key as the join — and
+    the keep-set joins back by broadcast/AQE (it is #buckets rows)."""
+    if max_bucket_size is not None:
+        sizes = (
+            bands_df.groupBy("band_id", "band_key")
+            .agg(F.count(F.lit(1)).alias("_bucket_n"))
+            .filter(F.col("_bucket_n") <= max_bucket_size)
+            .select("band_id", "band_key")
+        )
+        bands_df = bands_df.join(sizes, on=["band_id", "band_key"], how="left_semi")
     left = bands_df.select(
         F.col(id_col).alias("doc_a"), "band_id", "band_key"
     )

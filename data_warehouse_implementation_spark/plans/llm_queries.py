@@ -113,7 +113,22 @@ _BANDS_SQL = "\nUNION ALL\n".join(
 
 # shared CTE chain ending in `nd` = the verified near-dup pair set;
 # composed by both the pairs oracle and the clusters oracle
-_ND_PAIR_CTES = f"""{_TOKS_SQL.strip()},
+def _nd_pair_ctes(max_bucket_size: int | None = None) -> str:
+    """The shared CTE chain ending in ``nd`` (verified near-dup pairs),
+    optionally with the hot-bucket cap applied before the candidate
+    join (mirrors ``dedup.candidate_pairs(max_bucket_size=...)``)."""
+    if max_bucket_size is None:
+        joinable = "bands"
+        cap_ctes = ""
+    else:
+        joinable = "kept"
+        cap_ctes = f"""
+bsz AS (
+  SELECT band_id, band_key FROM bands
+  GROUP BY band_id, band_key HAVING COUNT(*) <= {max_bucket_size}
+),
+kept AS (SELECT b.* FROM bands b JOIN bsz USING (band_id, band_key)),"""
+    return f"""{_TOKS_SQL.strip()},
 sh AS (
   SELECT doc_id, unnest(list_distinct(list_transform(
            generate_series(1, len(arr) - 2),
@@ -131,11 +146,11 @@ sig AS (
 ),
 bands AS (
 {_BANDS_SQL}
-),
+),{cap_ctes}
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a
-  JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  FROM {joinable} a
+  JOIN {joinable} b ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM dt GROUP BY doc_id),
 inter AS (
@@ -153,6 +168,11 @@ nd AS (
   JOIN sizes sb ON sb.doc_id = n.doc_b
   WHERE CAST(n.i AS DOUBLE) / CAST(sa.sz + sb.sz - n.i AS DOUBLE) >= {NEAR_DUP_THRESHOLD}
 )"""
+
+
+# shared CTE chain ending in `nd` = the verified near-dup pair set;
+# composed by the pairs, clusters, and keep-best oracles
+_ND_PAIR_CTES = _nd_pair_ctes()
 
 NEAR_DUP_MINHASH_ORACLE = f"""
 WITH {_ND_PAIR_CTES}
@@ -692,4 +712,124 @@ SELECT doc_id AS media_id,
        CAST(list_sum(list_transform(generate_series(1, n_bytes, {MEDIA_FEATURE_DIM}),
                                     i -> cp[i])) % 256 AS DOUBLE) / 255.0 AS f0
 FROM cps ORDER BY media_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cluster-canonical dedup: keep the best-quality doc per near-dup cluster
+
+
+def dedup_keep_best(t: dict[str, DataFrame]) -> DataFrame:
+    """Canonical-document selection: for every near-dup cluster, keep
+    the member with the highest quality score (tie-broken by doc_id) and
+    mark the rest droppable — keep-BEST dedup, the production refinement
+    of keep-first (a boilerplate-ridden copy can outrank the clean
+    original under keep-first's min-id rule; quality ranking fixes
+    that). Composes the materialized near-dup pair graph (clusters) with
+    the quality scorer; the pick window is partitioned per cluster —
+    near-dup clusters are a handful of docs, so the rank is O(cluster
+    size), never corpus-wide."""
+    from pyspark.sql.window import Window
+
+    clusters = near_dup_clusters(t).select("doc_id", "cluster_id")
+    quality = text.quality_score(text.token_counts(t["documents"])).select(
+        "doc_id", "quality"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.col("quality").desc(), F.col("doc_id"))
+    return (
+        clusters.join(quality, on="doc_id")
+        .withColumn("pick_rank", F.row_number().over(w).cast("long"))
+        .withColumn("keep", F.col("pick_rank") == 1)
+        .select("doc_id", "cluster_id", "quality", "pick_rank", "keep")
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_KEEP_BEST_ORACLE = rf"""
+WITH RECURSIVE {_ND_PAIR_CTES},
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM nd
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM nd
+),
+walk(id, label) AS (
+  SELECT DISTINCT src, src FROM sym
+  UNION
+  SELECT s.src, w.label FROM sym s JOIN walk w ON s.dst = w.id
+),
+clusters AS (SELECT id AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY id),
+feat AS (
+  SELECT doc_id,
+         CAST(len(arr) AS BIGINT) AS n_words,
+         CASE WHEN len(arr) > 0
+              THEN CAST(length(regexp_replace(lower(text), '\s+', '', 'g')) AS DOUBLE)
+                   / CAST(len(arr) AS DOUBLE)
+              ELSE 0.0 END AS mean_word_len,
+         CASE WHEN len(arr) > 0
+              THEN CAST(len(list_filter(arr, x -> list_contains([{_STOPLIST}], x))) AS DOUBLE)
+                   / CAST(len(arr) AS DOUBLE)
+              ELSE 0.0 END AS stop_ratio
+  FROM toks JOIN documents USING (doc_id)
+),
+qual AS (
+  SELECT doc_id,
+         0.4 * least(greatest(CAST(n_words AS DOUBLE) / 100.0, 0.0), 1.0)
+       + 0.3 * least(greatest((mean_word_len - 2.0) / 6.0, 0.0), 1.0)
+       + 0.3 * least(greatest(stop_ratio * 5.0, 0.0), 1.0) AS quality
+  FROM feat
+),
+ranked AS (
+  SELECT c.doc_id, c.cluster_id, q.quality,
+         CAST(ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                 ORDER BY q.quality DESC, c.doc_id) AS BIGINT) AS pick_rank
+  FROM clusters c JOIN qual q USING (doc_id)
+)
+SELECT doc_id, cluster_id, quality, pick_rank, pick_rank = 1 AS keep
+FROM ranked ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hot-bucket-capped LSH (boilerplate guard)
+
+NEAR_DUP_MAX_BUCKET = 2
+
+
+def near_dup_capped(t: dict[str, DataFrame]) -> DataFrame:
+    """The minhash near-dup pipeline with the hot-bucket guard engaged
+    (``candidate_pairs(max_bucket_size=...)``): band buckets larger than
+    ``NEAR_DUP_MAX_BUCKET`` are dropped before the candidate self-join.
+    At 100 TB this is what keeps LSH alive — one boilerplate band key
+    shared by 10^5 docs would otherwise emit 10^10 candidate pairs from
+    a single bucket. The cap is deliberately tight here (2) so the
+    differential PROVES buckets were dropped: the output is a strict
+    subset of ``near_dup_minhash`` at sf0.01 (the corpus has size-3
+    buckets), and the oracle replays the same census + cap."""
+    docs = t["documents"]
+    shingles = dedup.word_shingles(docs, n=3)
+    dictionary = dedup.build_dictionary(shingles, "shingle")
+    doc_tids = materialize.get_or_build(
+        "near_dup_doc_tids",
+        str(docs.semanticHash()),
+        lambda: shingles.join(dictionary, on="shingle").select("doc_id", "tid"),
+    )
+    sig = dedup.minhash_signatures(doc_tids, k=K)
+    cands = materialize.get_or_build(
+        "near_dup_cands_capped",
+        str(docs.semanticHash()),
+        lambda: dedup.candidate_pairs(
+            dedup.lsh_bands(sig, bands=BANDS, rows=ROWS),
+            max_bucket_size=NEAR_DUP_MAX_BUCKET,
+        ),
+    )
+    return (
+        dedup.pairwise_jaccard(cands, doc_tids)
+        .filter(F.col("jaccard") >= NEAR_DUP_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+NEAR_DUP_CAPPED_ORACLE = f"""
+WITH {_nd_pair_ctes(NEAR_DUP_MAX_BUCKET)}
+SELECT doc_a, doc_b, jaccard FROM nd ORDER BY doc_a, doc_b
 """

@@ -567,3 +567,47 @@ SELECT n_name, n_customers,
         FROM ranked r WHERE r.n_name = counts.n_name AND rk <= 3) AS top_customers
 FROM counts ORDER BY n_name
 """
+
+
+# ---------------------------------------------------------------------------
+# Percent-of-total (ratio_to_report window)
+
+
+def nation_revenue_share(t: dict[str, DataFrame]) -> DataFrame:
+    """Revenue per nation with its share of the corpus total — the
+    ``ratio_to_report`` window shape. Revenue is aggregated FIRST (one
+    shuffle to #nations rows); the unpartitioned total-sum window then
+    runs over 25 post-aggregation rows, never the fact table, so the
+    single-task global window is O(#groups) — the same discipline as the
+    rank reports (analytics.py). Sums are exact-cents decimals; the
+    share is a double division of two exact decimals, bit-identical
+    across engines."""
+    rev = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_rev"))
+    )
+    w = Window.partitionBy()
+    return rev.select(
+        "n_name",
+        F.col("_rev").cast("double").alias("revenue"),
+        (F.col("_rev").cast("double") / F.sum("_rev").over(w).cast("double")).alias(
+            "revenue_share"
+        ),
+    ).orderBy("n_name")
+
+
+NATION_REVENUE_SHARE_ORACLE = """
+WITH rev AS (
+  SELECT n_name, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT n_name, CAST(rev AS DOUBLE) AS revenue,
+       CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER () AS DOUBLE) AS revenue_share
+FROM rev ORDER BY n_name
+"""

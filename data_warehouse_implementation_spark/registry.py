@@ -26,6 +26,7 @@ from .plans import (
     etl,
     ingest_queries,
     llm_queries,
+    quality_queries,
     scd_queries,
     sql_api,
     timeseries_queries,
@@ -310,3 +311,19 @@ register(
     sql_api.priority_status_sets_sql,
     sql_api.PRIORITY_STATUS_SETS_ORACLE,
 )
+
+# Data-quality surface: post-load profiling, full-outer reconciliation,
+# percent-of-total reporting, and quality-aware dedup refinements
+register("orders_profile", quality_queries.orders_profile, quality_queries.ORDERS_PROFILE_ORACLE)
+register(
+    "customer_order_reconcile",
+    quality_queries.customer_order_reconcile,
+    quality_queries.CUSTOMER_ORDER_RECONCILE_ORACLE,
+)
+register(
+    "nation_revenue_share",
+    timeseries_queries.nation_revenue_share,
+    timeseries_queries.NATION_REVENUE_SHARE_ORACLE,
+)
+register("dedup_keep_best", llm_queries.dedup_keep_best, llm_queries.DEDUP_KEEP_BEST_ORACLE)
+register("near_dup_capped", llm_queries.near_dup_capped, llm_queries.NEAR_DUP_CAPPED_ORACLE)

@@ -179,3 +179,32 @@ def test_char_trigram_features_counts(spark):
     assert out[1].ngram_lang_pred == "en"
     assert out[2].trigram_hits == 0 and out[2].ngram_lang_pred == "unknown"
     assert out[3].n_trigrams == 0 and out[3].ngram_score == 0.0
+
+
+def test_hot_bucket_cap_prunes_boilerplate_candidate_explosion(spark):
+    # 40 docs sharing one boilerplate band bucket would emit C(40,2)=780
+    # pairs; with the cap the hot bucket contributes nothing while the
+    # rare-bucket pair survives.
+    rows = [(i, 0, "boiler") for i in range(40)] + [(100, 0, "rare"), (101, 0, "rare")]
+    bands = spark.createDataFrame(rows, "doc_id long, band_id int, band_key string")
+    uncapped = dedup.candidate_pairs(bands)
+    capped = dedup.candidate_pairs(bands, max_bucket_size=5)
+    assert uncapped.count() == 780 + 1
+    got = [(r.doc_a, r.doc_b) for r in capped.collect()]
+    assert got == [(100, 101)]
+
+
+def test_profile_table_counts_nulls_and_distincts(spark):
+    from data_warehouse_implementation_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "a", None), (3, None, 2.5), (4, "b", 2.5)],
+        "id long, s string, v double",
+    )
+    prof = {r.column_name: r for r in profile_table(df).collect()}
+    assert prof["id"].n_rows == 4 and prof["id"].n_distinct == 4
+    assert prof["s"].n_nonnull == 3 and prof["s"].n_distinct == 2
+    assert prof["s"].min_value == "a" and prof["s"].max_value == "b"
+    # double min/max stringify through the decimal cast
+    assert prof["v"].min_value == "1.50" and prof["v"].max_value == "2.50"
+    assert prof["v"].n_nonnull == 3 and prof["v"].n_distinct == 2
