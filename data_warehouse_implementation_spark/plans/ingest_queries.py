@@ -23,12 +23,19 @@ ORDERS_CSV_SCHEMA = (
 )
 
 
-def _event_ts(col: str = "ts"):
-    """events.ts is parquet TIMESTAMP(NANOS), which the session conf
-    ``nanosAsLong`` surfaces as a BIGINT of nanoseconds. Truncate to
-    microseconds (integer div, exactly DuckDB's ns->us conversion) and
-    rebuild a timestamp. Session timeZone=UTC keeps formatting stable."""
-    return F.timestamp_micros(F.expr(f"{col} div 1000"))
+def _event_ts(df: DataFrame, col: str = "ts"):
+    """Schema-adaptive event timestamp: testdata generations have
+    shipped ``events.ts`` both as parquet TIMESTAMP(NANOS) — which the
+    session conf ``nanosAsLong`` surfaces as a BIGINT of nanoseconds —
+    and as plain TIMESTAMP(MICROS)/(MILLIS), which Spark reads natively
+    as a timestamp. Inspect the bound schema and convert only when the
+    column really is a nanos BIGINT (integer div, exactly DuckDB's
+    ns->us conversion). Session timeZone=UTC keeps formatting stable."""
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema[col].dataType, LongType):
+        return F.timestamp_micros(F.expr(f"{col} div 1000"))
+    return F.col(col)
 
 
 def _decimal_sum_as_double(col, scale: str = "decimal(18,2)"):
@@ -107,7 +114,7 @@ def events_window_agg(t: dict[str, DataFrame]) -> DataFrame:
     ``F.window(ts, '1 hour')`` — SURVEY §2.10 streaming down-payment):
     per (hour, event_type) counts and value sums. The decimal cast makes
     the double sum order-independent across engines."""
-    ev = t["events"].withColumn("ts_us", _event_ts())
+    ev = t["events"].withColumn("ts_us", _event_ts(t["events"]))
     return (
         ev.withColumn(
             "hour", F.date_format(F.date_trunc("hour", "ts_us"), "yyyy-MM-dd HH:mm:ss")
@@ -139,7 +146,7 @@ def events_sessionize(t: dict[str, DataFrame]) -> DataFrame:
     extension's ``applyInPandasWithState`` session operator (and the
     standard gap-based formulation: lag + cumulative sum, both windows
     partitioned by user, never global)."""
-    ev = t["events"].select("user_id", _event_ts().alias("ts"), "event_id", "value")
+    ev = t["events"].select("user_id", _event_ts(t["events"]).alias("ts"), "event_id", "value")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gapped = ev.withColumn(
         "new_session",
@@ -209,7 +216,7 @@ def events_keep_latest(t: dict[str, DataFrame]) -> DataFrame:
     )
     return (
         t["events"]
-        .select("user_id", "event_id", _event_ts().alias("ts"), "event_type", "value")
+        .select("user_id", "event_id", _event_ts(t["events"]).alias("ts"), "event_type", "value")
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select(

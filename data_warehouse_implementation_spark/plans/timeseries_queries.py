@@ -29,7 +29,7 @@ def events_asof_join(t: dict[str, DataFrame]) -> DataFrame:
     shuffle on user_id, no range-join explosion; DuckDB's native
     ASOF LEFT JOIN is the oracle."""
     ev = t["events"].select(
-        "event_id", "user_id", "event_type", "value", _event_ts().alias("ts")
+        "event_id", "user_id", "event_type", "value", _event_ts(t["events"]).alias("ts")
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", "value"
@@ -402,7 +402,7 @@ def events_daily_delta(t: dict[str, DataFrame]) -> DataFrame:
     at 100 TB the window input is ~|types|x|days|, not |events|."""
     ev = t["events"].select(
         "event_type",
-        F.date_format(F.date_trunc("day", _event_ts()), "yyyy-MM-dd").alias("day"),
+        F.date_format(F.date_trunc("day", _event_ts(t["events"])), "yyyy-MM-dd").alias("day"),
         "value",
     )
     daily = ev.groupBy("event_type", "day").agg(

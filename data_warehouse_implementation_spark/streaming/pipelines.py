@@ -16,17 +16,29 @@ from pyspark.sql import functions as F
 from ..plans import scd
 from ..sources.catalog import WarehouseCatalog
 
-EVENTS_STREAM_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string,"
-    " value double, props string"
-)
+def _events_stream_schema(spark: SparkSession, path: str) -> str:
+    """readStream needs an explicit schema; infer the ts physical type
+    from the batch reader so both nanos-long and native-timestamp
+    testdata generations stream correctly."""
+    from pyspark.sql.types import LongType
+
+    batch = spark.read.parquet(path)
+    ts_t = "long" if isinstance(batch.schema["ts"].dataType, LongType) else "timestamp_ntz"
+    return (
+        f"event_id long, ts {ts_t}, user_id long, event_type string,"
+        " value double, props string"
+    )
 
 
 def stream_events(spark: SparkSession, path: str) -> DataFrame:
-    """File-source stream of events parquet (ts arrives as nanos-long,
-    converted to a proper timestamp for watermarking)."""
-    raw = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    """File-source stream of events parquet. When ts arrives as
+    nanos-long (TIMESTAMP(NANOS) + nanosAsLong conf) it is converted to
+    a proper timestamp for watermarking; native timestamps pass through."""
+    schema = _events_stream_schema(spark, path)
+    raw = spark.readStream.schema(schema).parquet(path)
+    if "ts long" in schema:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(
