@@ -59,30 +59,40 @@ def main() -> None:
     smallest = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     first = next(iter(qs))
     if os.path.isdir(smallest) and os.path.abspath(smallest) != os.path.abspath(sf_dir):
-        qs[first](spark, smallest).count()
+        try:
+            qs[first](spark, smallest).count()
+        except Exception as e:  # warmup must never kill the bench
+            print(f"# warmup failed: {type(e).__name__}: {e}", file=sys.stderr)
         load_tables(spark, sf_dir)  # re-point the temp views at the timed sf
 
     total = 0.0
+    errors: dict[str, str] = {}
     for name, q in qs.items():
+        # Failure isolation: one broken query must never zero the whole
+        # round's bench — record the error and keep timing the rest.
         t0 = time.perf_counter()
-        df = q(spark, sf_dir)
-        n = df.count()  # full materialization of the result
+        try:
+            df = q(spark, sf_dir)
+            n = df.count()  # full materialization of the result
+        except Exception as e:
+            errors[name] = f"{type(e).__name__}: {e}"[:500]
+            print(f"# {name}: ERROR {type(e).__name__}", file=sys.stderr)
+            continue
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "total_query_wall_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -27,15 +27,18 @@ def _event_ts(df: DataFrame, col: str = "ts"):
     """Schema-adaptive event timestamp: testdata generations have
     shipped ``events.ts`` both as parquet TIMESTAMP(NANOS) — which the
     session conf ``nanosAsLong`` surfaces as a BIGINT of nanoseconds —
-    and as plain TIMESTAMP(MICROS)/(MILLIS), which Spark reads natively
-    as a timestamp. Inspect the bound schema and convert only when the
-    column really is a nanos BIGINT (integer div, exactly DuckDB's
-    ns->us conversion). Session timeZone=UTC keeps formatting stable."""
+    and as plain TIMESTAMP(MICROS)/(MILLIS) without a timezone, which
+    Spark reads as TIMESTAMP_NTZ. Inspect the bound schema: a nanos
+    BIGINT is converted via integer div (exactly DuckDB's ns->us
+    conversion); anything else is cast to TIMESTAMP (LTZ) so downstream
+    ``unix_micros``/window arithmetic type-checks — the session
+    timeZone is UTC, so the NTZ->LTZ mapping is value-preserving and
+    formatting stays stable."""
     from pyspark.sql.types import LongType
 
     if isinstance(df.schema[col].dataType, LongType):
         return F.timestamp_micros(F.expr(f"{col} div 1000"))
-    return F.col(col)
+    return F.col(col).cast("timestamp")
 
 
 def _decimal_sum_as_double(col, scale: str = "decimal(18,2)"):

@@ -4,11 +4,12 @@ reference parity): incremental versions of the batch operators via
 maintenance."""
 
 from .pipelines import (  # noqa: F401
-    EVENTS_STREAM_SCHEMA,
     dedup_stream,
     enrich_stream,
+    events_stream_schema,
     incremental_scd2_sink,
     interval_join_stream,
+    normalize_event_ts,
     run_to_memory,
     sessionize_stateful,
     stream_events,

@@ -16,29 +16,43 @@ from pyspark.sql import functions as F
 from ..plans import scd
 from ..sources.catalog import WarehouseCatalog
 
-def _events_stream_schema(spark: SparkSession, path: str) -> str:
-    """readStream needs an explicit schema; infer the ts physical type
-    from the batch reader so both nanos-long and native-timestamp
-    testdata generations stream correctly."""
+def events_stream_schema(spark: SparkSession, path: str) -> tuple[str, bool]:
+    """readStream needs an explicit schema; probe the path with the
+    batch reader so both nanos-long (TIMESTAMP(NANOS) + ``nanosAsLong``)
+    and native-timestamp testdata generations stream correctly. The
+    probed ``ts`` type is used verbatim (LTZ stays LTZ, NTZ stays NTZ);
+    if the probe fails — empty source dir is normal for a file stream
+    whose files arrive later — fall back to the nanos-long layout.
+
+    Returns ``(schema_ddl, is_nanos_long)`` so callers branch on an
+    explicit flag rather than re-parsing the DDL string."""
     from pyspark.sql.types import LongType
 
-    batch = spark.read.parquet(path)
-    ts_t = "long" if isinstance(batch.schema["ts"].dataType, LongType) else "timestamp_ntz"
+    try:
+        dt = spark.read.parquet(path).schema["ts"].dataType
+        is_nanos, ts_t = isinstance(dt, LongType), dt.simpleString()
+    except Exception:
+        is_nanos, ts_t = True, "long"
     return (
         f"event_id long, ts {ts_t}, user_id long, event_type string,"
         " value double, props string"
-    )
+    ), is_nanos
+
+
+def normalize_event_ts(df: DataFrame, is_nanos_long: bool) -> DataFrame:
+    """Normalize the raw ``ts`` column to a proper TIMESTAMP for
+    watermarking: nanos-long becomes ``timestamp_micros(ts div 1000)``
+    (integer div — exactly DuckDB's ns->us), anything else (LTZ or NTZ)
+    is cast to TIMESTAMP (value-preserving under the UTC session tz)."""
+    if is_nanos_long:
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def stream_events(spark: SparkSession, path: str) -> DataFrame:
-    """File-source stream of events parquet. When ts arrives as
-    nanos-long (TIMESTAMP(NANOS) + nanosAsLong conf) it is converted to
-    a proper timestamp for watermarking; native timestamps pass through."""
-    schema = _events_stream_schema(spark, path)
-    raw = spark.readStream.schema(schema).parquet(path)
-    if "ts long" in schema:
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    """File-source stream of events parquet, ts normalized to TIMESTAMP."""
+    schema, is_nanos = events_stream_schema(spark, path)
+    return normalize_event_ts(spark.readStream.schema(schema).parquet(path), is_nanos)
 
 
 def tumbling_counts(
@@ -163,7 +177,9 @@ def sessionize_stateful(
         chunks = [p for p in pdf_iter if len(p)]
         if chunks:
             pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
-            ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
+            # datetime64[us] first so the int64 view is micros regardless
+            # of the Arrow batch's native unit (ns vs us)
+            ts_us = pdf["ts"].astype("datetime64[us]").astype("int64").tolist()
             vals = pdf["value"].tolist()
             for us, v in zip(ts_us, vals):
                 if last_us is not None and us - last_us > gap_us:

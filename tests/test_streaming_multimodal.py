@@ -14,10 +14,18 @@ from pyspark.sql import functions as F
 
 from data_warehouse_implementation_spark import streaming
 from data_warehouse_implementation_spark.operators import multimodal
+from data_warehouse_implementation_spark.plans.ingest_queries import _event_ts
 from data_warehouse_implementation_spark.sources.catalog import WarehouseCatalog
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TMP = os.path.join(REPO, ".cache", "stream_tests")
+
+
+def _batch_events(spark, path):
+    """Batch oracle read with ts normalized the same schema-adaptive way
+    as the library (nanos-long OR native timestamp testdata)."""
+    df = spark.read.parquet(path)
+    return df.withColumn("ts", _event_ts(df))
 
 
 @pytest.fixture()
@@ -45,8 +53,7 @@ def test_stream_window_agg_matches_batch(spark, tmp_dir):
         for r in spark.table("stream_counts").collect()
     }
     batch = (
-        spark.read.parquet(src)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        _batch_events(spark, src)
         .groupBy(
             F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
             "event_type",
@@ -89,18 +96,24 @@ def test_stateful_sessionize_matches_batch(spark, tmp_dir):
     sentinel = pdf.iloc[[n - 1]].copy()
     sentinel["user_id"] = -1
     sentinel["event_id"] = -1
-    sentinel["ts"] = sentinel["ts"] + pd.Timedelta(days=30)
+    if pd.api.types.is_integer_dtype(sentinel["ts"]):  # nanos-long generation
+        sentinel["ts"] = sentinel["ts"] + 30 * 86400 * 1_000_000_000
+    else:
+        # keep the source resolution — a Timedelta add can upcast us->ns,
+        # which parquet would then write as TIMESTAMP(NANOS) and Spark
+        # would read as a different type than the other chunks
+        unit = sentinel["ts"].dtype
+        sentinel["ts"] = (sentinel["ts"] + pd.Timedelta(days=30)).astype(unit)
     p = os.path.join(src, "chunk3.parquet")
     pq.write_table(pa.Table.from_pandas(sentinel, preserve_index=False), p)
     paths.append(p)
     for i, p in enumerate(paths):  # force discovery order = time order
         os.utime(p, (1_700_000_000 + 60 * i, 1_700_000_000 + 60 * i))
 
-    stream = (
-        spark.readStream.schema(streaming.EVENTS_STREAM_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    schema, is_nanos = streaming.events_stream_schema(spark, src)
+    stream = streaming.normalize_event_ts(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        is_nanos,
     )
     sessions = streaming.sessionize_stateful(stream)
     streaming.run_to_memory(sessions, "stream_sessions", output_mode="append")
@@ -281,9 +294,7 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_dir):
         (r.user_id, r.purchase_id, r.view_id)
         for r in spark.table("stream_attrib").collect()
     }
-    ev = spark.read.parquet(src).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ev = _batch_events(spark, src)
     p = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
     )
