@@ -49,13 +49,42 @@ def build_dim(
     natural_keys: Sequence[str],
     surrogate_col: str,
     canonicalize: bool = True,
+    num_ranges: int = 32,
 ) -> DataFrame:
     """Generic dimension build (``inserting-data.sql:22-86``): dedup the
     natural key tuple (optionally NULL->'' canonicalized, F4) and assign
-    a deterministic surrogate."""
+    a deterministic surrogate equal to ``row_number() OVER (ORDER BY
+    natural keys)`` — but computed WITHOUT a global single-task sort:
+
+    1. range-partition the distinct keys (non-overlapping, ascending
+       ranges, so partition id order == key order);
+    2. rank within each range in parallel;
+    3. offset each range by the cumulative counts of earlier ranges
+       (a window over <= ``num_ranges`` rows, the only sequential piece).
+
+    The assigned ids are independent of where the sampled range bounds
+    fall — rank-within-range plus earlier-range counts is the global
+    rank for ANY ascending range split — so the result is deterministic
+    across runs and parallelism even though ``repartitionByRange``
+    samples its bounds. A million-row dimension ranks in parallel where
+    the old global window serialized on one task."""
+    keys = [F.col(k) for k in natural_keys]
     dim = relational.dedup_distinct(df.select(*natural_keys), canonicalize=canonicalize)
-    w = Window.orderBy(*[F.col(k) for k in natural_keys])
-    return dim.withColumn(surrogate_col, F.row_number().over(w).cast("long"))
+    ranged = dim.repartitionByRange(num_ranges, *keys).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    offsets = counts.withColumn("_off", F.sum("_n").over(w_off) - F.col("_n")).select(
+        "_pid", "_off"
+    )
+    w_in = Window.partitionBy("_pid").orderBy(*keys)
+    return (
+        ranged.withColumn("_rn", F.row_number().over(w_in))
+        .join(F.broadcast(offsets), on="_pid")
+        .withColumn(surrogate_col, (F.col("_off") + F.col("_rn")).cast("long"))
+        .select(*natural_keys, surrogate_col)
+    )
 
 
 def _staging(
@@ -178,6 +207,30 @@ def build_warehouse(t: dict[str, DataFrame], as_of: str = AS_OF) -> dict[str, Da
         "resolution_dim": resolution_dim,
         "lineitem_fact": fact,
     }
+
+
+def publish_warehouse(catalog, t: dict[str, DataFrame], as_of: str = AS_OF) -> None:
+    """Persist the star to a :class:`WarehouseCatalog`: dims as plain
+    parquet tables, the fact hive-partitioned by order month
+    (``order_month = date_id_order div 100``, a yyyymm int derived from
+    the deterministic yyyymmdd date surrogate).
+
+    The reference answers "queries hit recent months" with ~30 b-tree
+    indexes (``creating-tables.sql:11-21``); Spark's equivalent is
+    LAYOUT — a month-partitioned fact turns every date-range predicate
+    into metadata pruning (whole partition directories skipped before a
+    single byte is read), which is the difference between scanning one
+    month and scanning 100 TB."""
+    wh = build_warehouse(t, as_of=as_of)
+    for name, df in wh.items():
+        if name == "lineitem_fact":
+            catalog.write(
+                name,
+                df.withColumn("order_month", F.expr("date_id_order div 100")),
+                partition_by=["order_month"],
+            )
+        else:
+            catalog.write(name, df)
 
 
 def _build_fact(
