@@ -59,17 +59,31 @@ def word_shingles(
     )
 
 
-def build_dictionary(items: DataFrame, col: str, id_name: str = "tid") -> DataFrame:
-    """Deterministic dense ids for distinct values — identical to
-    ``row_number() OVER (ORDER BY value)`` (what the oracle SQL runs),
-    but computed WITHOUT a global single-task sort: values are bucketed
-    by their first character (binary collation on both engines, so the
-    first char dominates the total order), ranked in parallel within
-    each bucket, and offset by the cumulative bucket counts (a window
-    over #buckets rows). The only sequential structure is the bucket
-    count table. At production scale swap for
-    ``tid = pmod(xxhash64(value), P)`` — same downstream algebra, no
-    ranking at all; the rank form is kept for bit-exact oracle replay."""
+def build_dictionary(
+    items: DataFrame, col: str, id_name: str = "tid", hashed: bool = False
+) -> DataFrame:
+    """Deterministic ids for distinct values, two modes:
+
+    ``hashed=False`` (oracle-replay mode, default): dense ids identical
+    to ``row_number() OVER (ORDER BY value)`` (what the oracle SQL
+    runs), but computed WITHOUT a global single-task sort: values are
+    bucketed by their first character (binary collation on both engines,
+    so the first char dominates the total order), ranked in parallel
+    within each bucket, and offset by the cumulative bucket counts (a
+    window over #buckets rows). The only sequential structure is the
+    bucket count table.
+
+    ``hashed=True`` (production-scale mode): ``tid = pmod(xxhash64
+    (value), P)`` — pure map-side, no distinct, no ranking, no shuffle
+    at all. Ids are sparse rather than dense, which the downstream
+    min-hash algebra never cares about; 31-bit collisions over a corpus
+    vocabulary are statistically irrelevant to LSH banding. Not
+    DuckDB-replayable (xxhash64 is engine-specific) — the rank mode
+    exists exactly for the oracle differential."""
+    if hashed:
+        return items.select(col).distinct().withColumn(
+            id_name, F.pmod(F.xxhash64(F.col(col)), F.lit(HASH_P)).cast("long")
+        )
     distinct = items.select(col).distinct()
     bucket = F.coalesce(F.substring(F.col(col), 1, 1), F.lit(""))
     with_bucket = distinct.withColumn("_b", bucket)
@@ -85,6 +99,23 @@ def build_dictionary(items: DataFrame, col: str, id_name: str = "tid") -> DataFr
         .withColumn(id_name, (F.col("_off") + F.col("_rn")).cast("long"))
         .select(col, id_name)
     )
+
+
+def shingle_ids(
+    shingles: DataFrame, hashed: bool = False, col: str = "shingle", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc, tid) pairs from exploded shingles. ``hashed=False`` routes
+    through :func:`build_dictionary` (dense rank ids + a join back — the
+    oracle-replayable path). ``hashed=True`` computes
+    ``pmod(xxhash64(shingle), P)`` directly on the exploded rows: no
+    dictionary, no join, no shuffle — the id assignment is entirely
+    map-side, which is the production-scale path for a 100 TB corpus."""
+    if hashed:
+        return shingles.select(
+            id_col, F.pmod(F.xxhash64(F.col(col)), F.lit(HASH_P)).cast("long").alias("tid")
+        )
+    dictionary = build_dictionary(shingles, col)
+    return shingles.join(dictionary, on=col).select(id_col, "tid")
 
 
 def minhash_signatures(doc_ids: DataFrame, k: int = 16, id_col: str = "doc_id") -> DataFrame:

@@ -67,27 +67,33 @@ FROM documents GROUP BY text ORDER BY keeper_id
 # MinHash + banded LSH near-dup
 
 
-def near_dup_minhash(t: dict[str, DataFrame]) -> DataFrame:
+def near_dup_minhash(t: dict[str, DataFrame], hashed: bool = False) -> DataFrame:
     """Banded-LSH near-duplicate pairs with exact-Jaccard verification
     (shingle -> minhash -> band -> bucket equi-join -> verify).
     The physical plan's candidate stage is a shuffle join on
     (band_id, band_key) — never an all-pairs product. The (doc, tid)
     set feeds both the signature and the verification branches, so it
     is materialized once per session (S7) instead of re-exploding the
-    corpus."""
+    corpus.
+
+    ``hashed=True`` swaps the rank dictionary for map-side
+    ``xxhash64`` shingle ids (``dedup.shingle_ids``) — the production
+    path with NO global structure anywhere in the plan; the exact
+    Jaccard verification is unchanged, so every emitted pair still
+    satisfies the threshold on true shingle sets."""
     docs = t["documents"]
     shingles = dedup.word_shingles(docs, n=3)
-    dictionary = dedup.build_dictionary(shingles, "shingle")
+    mode = "hashed" if hashed else "rank"
     doc_tids = materialize.get_or_build(
-        "near_dup_doc_tids",
+        f"near_dup_doc_tids_{mode}",
         str(docs.semanticHash()),
-        lambda: shingles.join(dictionary, on="shingle").select("doc_id", "tid"),
+        lambda: dedup.shingle_ids(shingles, hashed=hashed),
     )
     sig = dedup.minhash_signatures(doc_tids, k=K)
     # the candidate set feeds three branches of the verification plan —
     # materialize it (|pairs| rows) so the band self-join runs once
     cands = materialize.get_or_build(
-        "near_dup_cands",
+        f"near_dup_cands_{mode}",
         str(docs.semanticHash()),
         lambda: dedup.candidate_pairs(dedup.lsh_bands(sig, bands=BANDS, rows=ROWS)),
     )
@@ -95,13 +101,21 @@ def near_dup_minhash(t: dict[str, DataFrame]) -> DataFrame:
     # runs connected components over it) — cache the |pairs|-row result
     # so the Jaccard verification joins run once per session
     verified = materialize.get_or_build(
-        "near_dup_verified_pairs",
+        f"near_dup_verified_pairs_{mode}",
         str(docs.semanticHash()),
         lambda: dedup.pairwise_jaccard(cands, doc_tids).filter(
             F.col("jaccard") >= NEAR_DUP_THRESHOLD
         ),
     )
     return verified.orderBy("doc_a", "doc_b")
+
+
+def near_dup_minhash_hashed(t: dict[str, DataFrame]) -> DataFrame:
+    """Production-scale near-dup: xxhash64 shingle ids, no dictionary.
+    No DuckDB oracle (xxhash64 is engine-specific); correctness is
+    covered by the rank-mode differential plus the parity test asserting
+    both modes confirm the same pair set on the test corpus."""
+    return near_dup_minhash(t, hashed=True)
 
 
 _BANDS_SQL = "\nUNION ALL\n".join(
@@ -265,11 +279,10 @@ def simhash_near_dup(t: dict[str, DataFrame]) -> DataFrame:
     # shared under the same S7 cache entry, so whichever query runs
     # first pays the tokenize+dictionary cost once per session
     shingles = dedup.word_shingles(docs, n=3)
-    dictionary = dedup.build_dictionary(shingles, "shingle")
     doc_tids = materialize.get_or_build(
-        "near_dup_doc_tids",
+        "near_dup_doc_tids_rank",
         str(docs.semanticHash()),
-        lambda: shingles.join(dictionary, on="shingle").select("doc_id", "tid"),
+        lambda: dedup.shingle_ids(shingles),
     )
     sim = dedup.simhash_bits(doc_tids, SIMHASH_BITS)
     return dedup.simhash_band_pairs(
@@ -807,11 +820,10 @@ def near_dup_capped(t: dict[str, DataFrame]) -> DataFrame:
     buckets), and the oracle replays the same census + cap."""
     docs = t["documents"]
     shingles = dedup.word_shingles(docs, n=3)
-    dictionary = dedup.build_dictionary(shingles, "shingle")
     doc_tids = materialize.get_or_build(
-        "near_dup_doc_tids",
+        "near_dup_doc_tids_rank",
         str(docs.semanticHash()),
-        lambda: shingles.join(dictionary, on="shingle").select("doc_id", "tid"),
+        lambda: dedup.shingle_ids(shingles),
     )
     sig = dedup.minhash_signatures(doc_tids, k=K)
     cands = materialize.get_or_build(

@@ -402,3 +402,7 @@ register(
 )
 register("dedup_keep_best", llm_queries.dedup_keep_best, llm_queries.DEDUP_KEEP_BEST_ORACLE)
 register("near_dup_capped", llm_queries.near_dup_capped, llm_queries.NEAR_DUP_CAPPED_ORACLE)
+# Production-mode near-dup (xxhash64 shingle ids): deliberately NO
+# oracle — xxhash64 is not portable SQL; rows-only driver check, with
+# rank-mode parity asserted in tests/test_llm_ops.py.
+register("near_dup_minhash_hashed", llm_queries.near_dup_minhash_hashed, None)

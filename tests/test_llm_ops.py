@@ -105,6 +105,29 @@ def test_build_dictionary_matches_global_rank(spark):
     assert got == expected
 
 
+def test_near_dup_hashed_mode_parity_and_no_global_sort(spark):
+    """xxhash64 shingle ids (production mode) must confirm the same
+    verified pair set as the rank dictionary on the test corpus (the
+    exact-Jaccard verification is mode-independent; only LSH candidate
+    recall could differ), and its plan must contain NO ranking window
+    and NO single-partition exchange anywhere."""
+    from data_warehouse_implementation_spark.plans import llm_queries
+
+    t = load_tables(spark, SF)
+    rank_pairs = {
+        (r.doc_a, r.doc_b) for r in llm_queries.near_dup_minhash(t).collect()
+    }
+    hashed_df = llm_queries.near_dup_minhash(t, hashed=True)
+    hashed_pairs = {(r.doc_a, r.doc_b) for r in hashed_df.collect()}
+    assert len(rank_pairs) > 0
+    assert hashed_pairs == rank_pairs
+    # the production path must be free of global sequential structure
+    sids = dedup.shingle_ids(dedup.word_shingles(t["documents"], n=3), hashed=True)
+    plan = sids._jdf.queryExecution().executedPlan().toString()
+    assert "row_number" not in plan and "SinglePartition" not in plan, plan
+    assert "Exchange" not in plan, plan  # fully map-side
+
+
 def test_simhash_band_pairs_full_recall_within_hamming_budget(spark):
     """Pigeonhole: with 4 bands, ANY pair within hamming <= 3 shares an
     intact band — banding must find every such pair (recall = 1), and
