@@ -180,6 +180,88 @@ def shard_by_token_budget(
     )
 
 
+def mix_sources(
+    df: DataFrame,
+    weights: dict[str, int],
+    token_budget: int,
+    default_weight: int = 1,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-data mixture: sample each source down to its share of a
+    global token budget (``budget * weight / sum(weights)``), the core
+    "data mixing" step of an LLM pretraining pipeline (e.g. upweight
+    curated sources, downweight crawl).
+
+    Per-source sampling rates are derived INSIDE the plan (per-source
+    token totals joined back by broadcast — no collect), and the
+    per-document keep decision is the same partition-invariant id-hash
+    as :func:`hash_split`, so the same mixture is reproduced exactly on
+    any cluster layout, and re-running a backfill keeps the same
+    documents. All rate arithmetic is int64 (``div``), replayable in
+    any engine. A source whose target exceeds its actual tokens keeps
+    everything (rate caps at 100%) — upsampling/epoch repetition is a
+    separate concern.
+
+    Returns the kept documents with ``n_tokens`` and the applied
+    ``rate_pct``."""
+    wcol = F.lit(default_weight)
+    for s, w in sorted(weights.items()):
+        wcol = F.when(F.col(strata_col) == s, F.lit(w)).otherwise(wcol)
+    wsum_df = df.select(F.col(strata_col)).distinct().withColumn("_w0", wcol)
+    wsum = wsum_df.agg(F.sum("_w0").alias("_wsum"))
+    base = df.withColumn("_w", wcol).withColumn(
+        "n_tokens", F.size(words(text_col)).cast("long")
+    )
+    totals = base.groupBy(strata_col).agg(F.sum("n_tokens").alias("_tot"))
+    h = ((F.col(id_col) % HASH_P) * SPLIT_A + SPLIT_B) % HASH_P
+    return (
+        base.join(F.broadcast(totals), on=strata_col)
+        .crossJoin(F.broadcast(wsum))
+        .withColumn(
+            "rate_pct",
+            F.expr(
+                f"least(cast(100 as bigint), "
+                f"(cast({token_budget} as bigint) * 100 * _w) div (_wsum * _tot))"
+            ),
+        )
+        .filter((h % 100) < F.col("rate_pct"))
+        .drop("_w", "_tot", "_wsum")
+    )
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    n: int = 3,
+    min_doc_share_pct: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide boilerplate detector: n-grams present in at least
+    ``min_doc_share_pct`` percent of documents (cookie banners, license
+    headers, navigation chrome). The output is the removal list a
+    cleaning pass or an LSH hot-bucket cap feeds on. One explode + one
+    shuffle on the n-gram; per-doc n-grams are already distinct, so the
+    document frequency is a plain count. The share threshold is exact
+    integer arithmetic (``dfreq * 100 >= n_docs * pct``)."""
+    from .dedup import word_shingles
+
+    grams = word_shingles(df, n=n, text_col=text_col, id_col=id_col)
+    n_docs = df.select(F.countDistinct(id_col).alias("_nd"))
+    return (
+        grams.groupBy(F.col("shingle").alias("ngram"))
+        .agg(F.count(F.lit(1)).alias("dfreq"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("dfreq") * 100 >= F.col("_nd") * min_doc_share_pct)
+        .withColumn(
+            "doc_share", F.col("dfreq").cast("double") / F.col("_nd").cast("double")
+        )
+        .select("ngram", "dfreq", "doc_share")
+        .orderBy(F.desc("dfreq"), "ngram")
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame,
     rates_pct: dict[str, int],

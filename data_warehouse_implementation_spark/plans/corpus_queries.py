@@ -389,3 +389,97 @@ SELECT doc_id,
                       '{_PHONE_RE}', '<PHONE>', 'g') AS redacted_text
 FROM pii ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Training-data source mixing (weighted token-budget sampling)
+
+MIX_WEIGHTS = {"src0": 5, "src1": 3}
+MIX_DEFAULT_WEIGHT = 1
+MIX_TOKEN_BUDGET = 5000
+
+
+def corpus_mix_sources(t: dict[str, DataFrame]) -> DataFrame:
+    """Data-mixture census: sample each source toward its weighted share
+    of a global token budget (corpus.mix_sources) and report the applied
+    per-source rate plus kept docs/tokens — the table a pipeline owner
+    reads to confirm the mixture matches the recipe."""
+    kept = corpus.mix_sources(
+        t["documents"],
+        weights=MIX_WEIGHTS,
+        token_budget=MIX_TOKEN_BUDGET,
+        default_weight=MIX_DEFAULT_WEIGHT,
+    )
+    return (
+        kept.groupBy("source", "rate_pct")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+CORPUS_MIX_SOURCES_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+w AS (
+  SELECT source,
+         CASE source WHEN 'src0' THEN {MIX_WEIGHTS["src0"]}
+                     WHEN 'src1' THEN {MIX_WEIGHTS["src1"]}
+                     ELSE {MIX_DEFAULT_WEIGHT} END AS wt
+  FROM (SELECT DISTINCT source FROM base)
+),
+wsum AS (SELECT SUM(wt) AS ws FROM w),
+tot AS (SELECT source, SUM(n_tokens) AS tt FROM base GROUP BY source),
+rated AS (
+  SELECT b.doc_id, b.source, b.n_tokens,
+         least(CAST(100 AS BIGINT),
+               (CAST({MIX_TOKEN_BUDGET} AS BIGINT) * 100 * w.wt) // (wsum.ws * tot.tt))
+           AS rate_pct
+  FROM base b JOIN w USING (source) JOIN tot USING (source) CROSS JOIN wsum
+),
+kept AS (
+  SELECT * FROM rated
+  WHERE ((doc_id % {HASH_P}) * {SPLIT_A} + {SPLIT_B}) % {HASH_P} % 100 < rate_pct
+)
+SELECT source, rate_pct, COUNT(*) AS n_docs, SUM(n_tokens) AS sum_tokens
+FROM kept GROUP BY source, rate_pct ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate n-gram detection (corpus-wide document frequency)
+
+BOILERPLATE_N = 3
+BOILERPLATE_MIN_SHARE_PCT = 1
+
+
+def boilerplate_ngrams(t: dict[str, DataFrame]) -> DataFrame:
+    """High document-frequency n-grams — the removal list a boilerplate
+    cleaning pass feeds on (corpus.boilerplate_ngrams)."""
+    return corpus.boilerplate_ngrams(
+        t["documents"], n=BOILERPLATE_N, min_doc_share_pct=BOILERPLATE_MIN_SHARE_PCT
+    )
+
+
+BOILERPLATE_NGRAMS_ORACLE = f"""
+WITH {_TOKS_SQL.strip()},
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, len(arr) - {BOILERPLATE_N - 1}),
+           i -> {" || ' ' || ".join(f"arr[i+{j}]" for j in range(BOILERPLATE_N)).replace("arr[i+0]", "arr[i]")}))) AS ngram
+  FROM toks WHERE len(arr) >= {BOILERPLATE_N}
+),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM toks)
+SELECT ngram, COUNT(*) AS dfreq,
+       CAST(COUNT(*) AS DOUBLE) / CAST(nd.n_docs AS DOUBLE) AS doc_share
+FROM sh CROSS JOIN nd
+GROUP BY ngram, nd.n_docs
+HAVING COUNT(*) * 100 >= nd.n_docs * {BOILERPLATE_MIN_SHARE_PCT}
+ORDER BY dfreq DESC, ngram
+"""

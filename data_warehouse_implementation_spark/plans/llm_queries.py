@@ -118,6 +118,46 @@ def near_dup_minhash_hashed(t: dict[str, DataFrame]) -> DataFrame:
     return near_dup_minhash(t, hashed=True)
 
 
+def near_dup_incremental(t: dict[str, DataFrame]) -> DataFrame:
+    """Incremental corpus hygiene: near-dup a NEW document batch against
+    the EXISTING corpus without ever pairing the corpus with itself —
+    the nightly-crawl production shape. At 100 TB the corpus-side band
+    table is a maintained staging table (append each admitted batch's
+    bands); per-batch cost is then O(batch bands) plus one equi-join,
+    independent of corpus self-pair volume. Demonstrated here by
+    splitting ``documents`` into a new batch (doc_id % 4 = 0) and the
+    standing corpus (the rest); the shared rank-dictionary (doc, tid)
+    cache keeps shingle ids consistent across both sides (in hashed
+    mode consistency is free — xxhash64 needs no dictionary at all).
+    Emits (new_id, corpus_id, jaccard) for every verified duplicate of
+    the incoming batch."""
+    docs = t["documents"]
+    doc_tids = materialize.get_or_build(
+        "near_dup_doc_tids_rank",
+        str(docs.semanticHash()),
+        lambda: dedup.shingle_ids(dedup.word_shingles(docs, n=3)),
+    )
+    bands = dedup.lsh_bands(dedup.minhash_signatures(doc_tids, k=K), bands=BANDS, rows=ROWS)
+    is_new = F.col("doc_id") % 4 == 0
+    new_b = bands.filter(is_new).select(
+        F.col("doc_id").alias("doc_a"), "band_id", "band_key"
+    )
+    old_b = bands.filter(~is_new).select(
+        F.col("doc_id").alias("doc_b"), "band_id", "band_key"
+    )
+    cands = (
+        new_b.join(old_b, on=["band_id", "band_key"]).select("doc_a", "doc_b").distinct()
+    )
+    verified = dedup.pairwise_jaccard(cands, doc_tids).filter(
+        F.col("jaccard") >= NEAR_DUP_THRESHOLD
+    )
+    return verified.select(
+        F.col("doc_a").alias("new_id"),
+        F.col("doc_b").alias("corpus_id"),
+        "jaccard",
+    ).orderBy("new_id", "corpus_id")
+
+
 _BANDS_SQL = "\nUNION ALL\n".join(
     f"SELECT doc_id, {b} AS band_id, mh{b * ROWS}"
     + "".join(f" || '_' || mh{b * ROWS + r}" for r in range(1, ROWS))
@@ -127,10 +167,16 @@ _BANDS_SQL = "\nUNION ALL\n".join(
 
 # shared CTE chain ending in `nd` = the verified near-dup pair set;
 # composed by both the pairs oracle and the clusters oracle
-def _nd_pair_ctes(max_bucket_size: int | None = None) -> str:
+def _nd_pair_ctes(
+    max_bucket_size: int | None = None,
+    pair_pred: str = "a.doc_id < b.doc_id",
+) -> str:
     """The shared CTE chain ending in ``nd`` (verified near-dup pairs),
     optionally with the hot-bucket cap applied before the candidate
-    join (mirrors ``dedup.candidate_pairs(max_bucket_size=...)``)."""
+    join (mirrors ``dedup.candidate_pairs(max_bucket_size=...)``).
+    ``pair_pred`` restricts which band collisions become candidates
+    (default: unordered self-pairs; the incremental query uses a
+    new-batch x existing-corpus predicate instead)."""
     if max_bucket_size is None:
         joinable = "bands"
         cap_ctes = ""
@@ -164,7 +210,7 @@ bands AS (
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM {joinable} a
-  JOIN {joinable} b ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  JOIN {joinable} b ON a.band_id = b.band_id AND a.band_key = b.band_key AND {pair_pred}
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM dt GROUP BY doc_id),
 inter AS (
@@ -193,6 +239,12 @@ WITH {_ND_PAIR_CTES}
 SELECT doc_a, doc_b, jaccard FROM nd ORDER BY doc_a, doc_b
 """
 
+NEAR_DUP_INCREMENTAL_ORACLE = f"""
+WITH {_nd_pair_ctes(pair_pred="a.doc_id % 4 = 0 AND b.doc_id % 4 <> 0")}
+SELECT doc_a AS new_id, doc_b AS corpus_id, jaccard
+FROM nd ORDER BY new_id, corpus_id
+"""
+
 
 def near_dup_clusters(t: dict[str, DataFrame]) -> DataFrame:
     """Near-dup CLUSTERS: connected components over the verified pair
@@ -200,13 +252,19 @@ def near_dup_clusters(t: dict[str, DataFrame]) -> DataFrame:
     cluster_id = smallest doc id in the component, i.e. the keeper under
     keep-first dedup; every other member is a droppable near-duplicate.
     The iterative Spark loop is checked against a DuckDB RECURSIVE CTE
-    replaying the identical reachability computation."""
-    pairs = near_dup_minhash(t).select("doc_a", "doc_b")
-    return (
-        dedup.connected_components(pairs)
-        .select(F.col("id").alias("doc_id"), "cluster_id")
-        .orderBy("doc_id")
+    replaying the identical reachability computation. The component
+    assignment is itself session-materialized (S7): ``dedup_keep_best``
+    composes on top of it, and the CC fixpoint iterations should run
+    once per session, not once per consuming query."""
+    docs = t["documents"]
+    cc = materialize.get_or_build(
+        "near_dup_cc",
+        str(docs.semanticHash()),
+        lambda: dedup.connected_components(
+            near_dup_minhash(t).select("doc_a", "doc_b")
+        ),
     )
+    return cc.select(F.col("id").alias("doc_id"), "cluster_id").orderBy("doc_id")
 
 
 NEAR_DUP_CLUSTERS_ORACLE = f"""

@@ -406,3 +406,21 @@ register("near_dup_capped", llm_queries.near_dup_capped, llm_queries.NEAR_DUP_CA
 # oracle — xxhash64 is not portable SQL; rows-only driver check, with
 # rank-mode parity asserted in tests/test_llm_ops.py.
 register("near_dup_minhash_hashed", llm_queries.near_dup_minhash_hashed, None)
+
+# Round-3 training-pipeline additions: incremental batch-vs-corpus
+# near-dup, weighted source mixing, boilerplate n-gram detection
+register(
+    "near_dup_incremental",
+    llm_queries.near_dup_incremental,
+    llm_queries.NEAR_DUP_INCREMENTAL_ORACLE,
+)
+register(
+    "corpus_mix_sources",
+    corpus_queries.corpus_mix_sources,
+    corpus_queries.CORPUS_MIX_SOURCES_ORACLE,
+)
+register(
+    "boilerplate_ngrams",
+    corpus_queries.boilerplate_ngrams,
+    corpus_queries.BOILERPLATE_NGRAMS_ORACLE,
+)

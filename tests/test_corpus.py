@@ -67,3 +67,36 @@ def test_shard_ids_are_contiguous_from_zero(spark):
         .collect()
     )
     assert shards == list(range(shards[-1] + 1))
+
+
+def test_mix_sources_rates_and_invariance(spark):
+    rows = [(i, "curated" if i < 40 else "crawl", "w " * (10 + i % 5)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    kept = corpus.mix_sources(df, {"curated": 9}, token_budget=1000, default_weight=1)
+    rates = {r.source: r.rate_pct for r in kept.select("source", "rate_pct").distinct().collect()}
+    # curated target = 900 tokens vs ~480 available -> rate caps at 100 (keep all)
+    assert rates["curated"] == 100
+    assert kept.filter("source = 'curated'").count() == 40
+    # crawl target = 100 tokens out of ~1900 -> small but nonzero rate
+    assert 0 < rates["crawl"] < 100
+    # partition invariance: identical keep set under different layouts
+    k1 = {r.doc_id for r in kept.collect()}
+    k2 = {
+        r.doc_id
+        for r in corpus.mix_sources(
+            df.repartition(13), {"curated": 9}, token_budget=1000
+        ).collect()
+    }
+    assert k1 == k2
+
+
+def test_boilerplate_ngrams_threshold_exact(spark):
+    common = "the quick brown"
+    rows = [(i, f"{common} fox {i}") for i in range(10)] + [
+        (100 + i, f"unique words here {i} nothing shared beyond") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = corpus.boilerplate_ngrams(df, n=3, min_doc_share_pct=50)
+    got = {r.ngram: (r.dfreq, r.doc_share) for r in out.collect()}
+    assert got[common] == (10, 0.5)  # exactly at the threshold -> kept
+    assert all(share >= 0.5 for _, share in got.values())
