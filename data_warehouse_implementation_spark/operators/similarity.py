@@ -87,6 +87,123 @@ def assign_cells(
     )
 
 
+def pq_subvectors(
+    df: DataFrame, m: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Split each vector into ``m`` contiguous subvectors: one row per
+    (vector, subspace j) with the slice. Pure per-row array algebra —
+    an explode of a literal 0..m-1 sequence, no shuffle."""
+    base = df.select(
+        id_col,
+        F.col(vec_col).alias("_v"),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("j"),
+    )
+    return base.withColumn(
+        "subvec",
+        F.expr(f"slice(_v, j * (size(_v) div {m}) + 1, size(_v) div {m})"),
+    ).select(id_col, "j", "subvec")
+
+
+def pq_encode(
+    vectors: DataFrame,
+    sub_centroids: DataFrame,
+    m: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encoding: per subspace j, assign the
+    subvector to its nearest sub-centroid (squared L2, tie -> smallest
+    centroid id). Returns long-format codes (id, j, code) — the layout
+    ADC scoring consumes directly.
+
+    This is the memory-compression scale path for embeddings: a 64-dim
+    float vector (256 B) becomes m single-byte codes (8 B at m=8) —
+    the difference between an embedding index that fits in cluster
+    memory and one that doesn't. ``sub_centroids`` is (j, cen_id,
+    cen_sub), tiny by construction, broadcast; encoding is one corpus
+    pass with a map-side ``min_by`` argmin per (vector, subspace) —
+    the same no-sort shape as :func:`assign_cells`."""
+    sv = pq_subvectors(vectors, m, id_col=id_col, vec_col=vec_col)
+    c = sub_centroids.select(
+        "j", F.col("cen_id").alias("_cid"), F.col("cen_sub").alias("_cs")
+    )
+    d2 = (
+        dot(F.col("subvec"), F.col("subvec"))
+        - 2 * dot(F.col("subvec"), F.col("_cs"))
+        + dot(F.col("_cs"), F.col("_cs"))
+    )
+    return (
+        sv.join(broadcast(c), on="j")
+        .withColumn("_d2", d2)
+        .groupBy(id_col, "j")
+        .agg(F.min_by("_cid", F.struct(F.col("_d2"), F.col("_cid"))).alias("code"))
+    )
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    sub_centroids: DataFrame,
+    m: int,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query, build
+    the (j, cen_id) -> d2 lookup table against the RAW query subvectors
+    (|Q|*m*K rows, broadcast), join it to the corpus codes on (j, code),
+    and sum the m partial distances. The corpus side touches only the
+    1-byte codes — never the raw vectors — which is the entire point of
+    PQ at scale; combine with IVF cell pruning to cut the scanned code
+    rows further.
+
+    The per-neighbor sum over subspaces is an explicitly ordered
+    ``d0 + d1 + ... + d{{m-1}}`` expression after a pivot (NOT an
+    unordered float SUM aggregate), so the double arithmetic is
+    bit-reproducible and oracle-replayable. Output:
+    (query_id, rank, neighbor_id, adc_dist2)."""
+    qsub = pq_subvectors(queries, m, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("query_id"), "j", "subvec"
+    )
+    c = sub_centroids.select(
+        "j", F.col("cen_id").alias("code"), F.col("cen_sub").alias("_cs")
+    )
+    d2 = (
+        dot(F.col("subvec"), F.col("subvec"))
+        - 2 * dot(F.col("subvec"), F.col("_cs"))
+        + dot(F.col("_cs"), F.col("_cs"))
+    )
+    lut = qsub.join(broadcast(c), on="j").select(
+        "query_id", "j", "code", d2.alias("_d2")
+    )
+    parts = (
+        codes.withColumnRenamed(id_col, "neighbor_id")
+        .join(broadcast(lut), on=["j", "code"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(*[
+            F.max(F.when(F.col("j") == jj, F.col("_d2"))).alias(f"_p{jj}")
+            for jj in range(m)
+        ])
+    )
+    adc = F.col("_p0")
+    for jj in range(1, m):
+        adc = adc + F.col(f"_p{jj}")
+    scored = parts.withColumn("adc_dist2", adc).select(
+        "query_id", "neighbor_id", "adc_dist2"
+    )
+    from .relational import top_k_per_group
+
+    return top_k_per_group(
+        scored,
+        partition_by=["query_id"],
+        order_by=[F.asc("adc_dist2"), F.asc("neighbor_id")],
+        k=k,
+        rank_col="rank",
+        keep_rank=True,
+    ).select("query_id", "rank", "neighbor_id", "adc_dist2")
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,

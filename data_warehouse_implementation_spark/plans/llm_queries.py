@@ -658,6 +658,86 @@ FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank
 """
 
 
+PQ_M = 8  # subspaces (64-dim -> 8 subvectors of 8)
+PQ_K = 16  # sub-centroids per subspace (codes are 0..15, 4 bits)
+
+
+def embedding_ann_pq(t: dict[str, DataFrame]) -> DataFrame:
+    """Product-quantization ANN: encode the corpus to PQ codes
+    (deterministic seed sub-centroids: the first ``PQ_K`` vectors'
+    subvectors, mirroring ``embedding_ann_kmeans``'s seed quantizer),
+    then answer the query batch by asymmetric distance over the codes
+    alone (similarity.pq_adc_topk). The corpus-side scan reads m
+    small-int codes per vector instead of the raw floats — the
+    memory-compression scale path; the full pipeline (slicing,
+    encoding argmin, LUT build, ordered ADC sum, ranking) is replayed
+    by the oracle."""
+    emb = t["embeddings"]
+    sub_centroids = similarity.pq_subvectors(
+        emb.filter(F.col("vec_id") < PQ_K), PQ_M
+    ).select(F.col("j"), F.col("vec_id").alias("cen_id"), F.col("subvec").alias("cen_sub"))
+    codes = similarity.pq_encode(emb, sub_centroids, PQ_M)
+    return similarity.pq_adc_topk(
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        codes,
+        sub_centroids,
+        PQ_M,
+        TOP_K,
+    ).orderBy("query_id", "rank")
+
+
+_PQ_SUB = f"(len(v) // {PQ_M})"
+_PQ_PIVOT = ", ".join(
+    f"MAX(CASE WHEN j = {jj} THEN d2 END) AS p{jj}" for jj in range(PQ_M)
+)
+_PQ_ADC = " + ".join(f"p{jj}" for jj in range(PQ_M))
+
+EMBEDDING_ANN_PQ_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+js AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS j),
+sub AS (
+  SELECT vec_id, j, v[(j * {_PQ_SUB} + 1):((j + 1) * {_PQ_SUB})] AS sv
+  FROM e CROSS JOIN js
+),
+cen AS (
+  SELECT j, vec_id AS cen_id, sv AS cs FROM sub WHERE vec_id < {PQ_K}
+),
+enc AS (
+  SELECT vec_id, j, cen_id AS code FROM (
+    SELECT s.vec_id, s.j, c.cen_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.vec_id, s.j
+             ORDER BY list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.cs)
+                      + list_dot_product(c.cs, c.cs) ASC, c.cen_id ASC
+           ) AS rn
+    FROM sub s JOIN cen c USING (j)
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT s.vec_id AS query_id, s.j, c.cen_id AS code,
+         list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.cs)
+         + list_dot_product(c.cs, c.cs) AS d2
+  FROM sub s JOIN cen c USING (j)
+  WHERE s.vec_id < {N_QUERIES}
+),
+parts AS (
+  SELECT l.query_id, enc.vec_id AS neighbor_id, {_PQ_PIVOT}
+  FROM enc JOIN lut l USING (j, code)
+  WHERE l.query_id <> enc.vec_id
+  GROUP BY l.query_id, enc.vec_id
+),
+scored AS (SELECT query_id, neighbor_id, {_PQ_ADC} AS adc_dist2 FROM parts),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY adc_dist2 ASC, neighbor_id ASC
+  ) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adc_dist2
+FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank
+"""
+
+
 NEAR_DUP_COSINE = 0.30
 
 

@@ -424,3 +424,6 @@ register(
     corpus_queries.boilerplate_ngrams,
     corpus_queries.BOILERPLATE_NGRAMS_ORACLE,
 )
+register(
+    "embedding_ann_pq", llm_queries.embedding_ann_pq, llm_queries.EMBEDDING_ANN_PQ_ORACLE
+)

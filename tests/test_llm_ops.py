@@ -231,3 +231,26 @@ def test_profile_table_counts_nulls_and_distincts(spark):
     # double min/max stringify through the decimal cast
     assert prof["v"].min_value == "1.50" and prof["v"].max_value == "2.50"
     assert prof["v"].n_nonnull == 3 and prof["v"].n_distinct == 2
+
+
+def test_pq_adc_exact_on_duplicate_vectors(spark):
+    """A corpus vector identical to the query must get ADC distance 0
+    and rank first — PQ is lossy, but codes of identical inputs are
+    identical, so the approximation error cancels exactly."""
+    from data_warehouse_implementation_spark.operators import similarity
+
+    emb = load_tables(spark, SF)["embeddings"]
+    dup = emb.filter("vec_id = 3").select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(dup)
+    sub_cen = similarity.pq_subvectors(corpus.filter("vec_id < 16"), 8).select(
+        "j", F.col("vec_id").alias("cen_id"), F.col("subvec").alias("cen_sub")
+    )
+    codes = similarity.pq_encode(corpus, sub_cen, 8)
+    out = similarity.pq_adc_topk(
+        corpus.filter("vec_id = 3"), codes, sub_cen, 8, k=3
+    ).collect()
+    first = [r for r in out if r.rank == 1][0]
+    assert first.neighbor_id == 100003
+    assert first.adc_dist2 == 0.0
