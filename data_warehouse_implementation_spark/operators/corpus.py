@@ -145,6 +145,7 @@ def shard_by_token_budget(
     bucket_width: int = 256,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Contiguous token-budget sharding: documents in id order are laid
     end to end and cut into shards of ~``budget`` tokens (the training
@@ -154,10 +155,18 @@ def shard_by_token_budget(
     The global running total is computed WITHOUT a global window:
     per-bucket (id range) token subtotals -> cumulative offsets over
     #buckets rows -> within-bucket cumulative window, all distributed.
+
+    ``tokens_col`` supplies precomputed token counts (e.g. chunk sizes
+    from :func:`chunk_documents`) instead of tokenizing ``text_col``.
     """
+    n_tokens = (
+        F.col(tokens_col).cast("long")
+        if tokens_col
+        else F.size(words(text_col)).cast("long")
+    )
     base = df.select(
         F.col(id_col),
-        F.size(words(text_col)).cast("long").alias("n_tokens"),
+        n_tokens.alias("n_tokens"),
         (F.col(id_col) / F.lit(bucket_width)).cast("long").alias("_bkt"),
     )
     totals = base.groupBy("_bkt").agg(F.sum("n_tokens").alias("_tot"))
@@ -177,6 +186,50 @@ def shard_by_token_budget(
             F.floor(F.col("token_start").cast("double") / F.lit(float(budget))).cast("long"),
         )
         .select(id_col, "n_tokens", "token_start", "shard_id")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_budget: int = 512,
+    chunk_size: int = 32,
+    chunk_stride: int = 32,
+    bucket_width: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-sequence packing: chunk every document into context
+    windows, lay the chunks end to end in (doc, chunk) order, and cut
+    the stream into sequences of ~``seq_budget`` tokens — the step that
+    turns a cleaned corpus into the fixed-length examples a trainer
+    actually consumes. Pure composition of :func:`chunk_documents` (per
+    -row, no shuffle) and :func:`shard_by_token_budget`'s two-phase
+    distributed cumsum over a composite (doc, chunk) key — no global
+    window anywhere. Returns (doc_id, chunk_id, n_chunk_tokens,
+    token_start, seq_id)."""
+    chunks = chunk_documents(
+        df, size=chunk_size, stride=chunk_stride, text_col=text_col, id_col=id_col
+    )
+    # composite order key: chunk counts are bounded by the context math
+    # (size/stride), 1024 is far above any real per-doc chunk count
+    keyed = chunks.withColumn("_key", F.col(id_col) * 1024 + F.col("chunk_id"))
+    assigned = shard_by_token_budget(
+        keyed,
+        budget=seq_budget,
+        bucket_width=bucket_width * 1024,
+        id_col="_key",
+        tokens_col="n_chunk_tokens",
+    )
+    return (
+        assigned.withColumn(id_col, F.expr("_key div 1024"))
+        .withColumn("chunk_id", F.col("_key") % 1024)
+        .select(
+            id_col,
+            "chunk_id",
+            F.col("n_tokens").alias("n_chunk_tokens"),
+            "token_start",
+            F.col("shard_id").alias("seq_id"),
+        )
     )
 
 

@@ -483,3 +483,45 @@ GROUP BY ngram, nd.n_docs
 HAVING COUNT(*) * 100 >= nd.n_docs * {BOILERPLATE_MIN_SHARE_PCT}
 ORDER BY dfreq DESC, ngram
 """
+
+
+# ---------------------------------------------------------------------------
+# Training-sequence packing (chunk + contiguous token-budget cut)
+
+SEQ_BUDGET = 64
+SEQ_CHUNK = 32
+
+
+def training_sequences(t: dict[str, DataFrame]) -> DataFrame:
+    """Pack the chunked corpus into fixed-budget training sequences
+    (corpus.pack_sequences): non-overlapping context windows laid end to
+    end in (doc, chunk) order, cut every SEQ_BUDGET tokens. The oracle
+    replays the packing with a global running-sum window — exactly the
+    single-task shape the Spark two-phase cumsum avoids."""
+    return corpus.pack_sequences(
+        t["documents"], seq_budget=SEQ_BUDGET, chunk_size=SEQ_CHUNK, chunk_stride=SEQ_CHUNK
+    ).orderBy("doc_id", "chunk_id")
+
+
+TRAINING_SEQUENCES_ORACLE = f"""
+WITH {_TOKS_SQL.strip()},
+st AS (
+  SELECT doc_id, arr, unnest(generate_series(1, len(arr), {SEQ_CHUNK})) AS s
+  FROM toks WHERE len(arr) > 0
+),
+c AS (
+  SELECT doc_id,
+         CAST((s - 1) / {SEQ_CHUNK} AS BIGINT) AS chunk_id,
+         CAST(least({SEQ_CHUNK}, len(arr) - s + 1) AS BIGINT) AS n_chunk_tokens
+  FROM st
+),
+cum AS (
+  SELECT *, SUM(n_chunk_tokens) OVER (
+    ORDER BY doc_id, chunk_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) - n_chunk_tokens AS token_start
+  FROM c
+)
+SELECT doc_id, chunk_id, n_chunk_tokens, token_start,
+       CAST(FLOOR(CAST(token_start AS DOUBLE) / {SEQ_BUDGET}.0) AS BIGINT) AS seq_id
+FROM cum ORDER BY doc_id, chunk_id
+"""

@@ -137,7 +137,15 @@ def near_dup_incremental(t: dict[str, DataFrame]) -> DataFrame:
         str(docs.semanticHash()),
         lambda: dedup.shingle_ids(dedup.word_shingles(docs, n=3)),
     )
-    bands = dedup.lsh_bands(dedup.minhash_signatures(doc_tids, k=K), bands=BANDS, rows=ROWS)
+    # the band table feeds BOTH sides of the new x corpus join —
+    # materialize it so the signature pipeline runs once, not per branch
+    bands = materialize.get_or_build(
+        "near_dup_bands_rank",
+        str(docs.semanticHash()),
+        lambda: dedup.lsh_bands(
+            dedup.minhash_signatures(doc_tids, k=K), bands=BANDS, rows=ROWS
+        ),
+    )
     is_new = F.col("doc_id") % 4 == 0
     new_b = bands.filter(is_new).select(
         F.col("doc_id").alias("doc_a"), "band_id", "band_key"

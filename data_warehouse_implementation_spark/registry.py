@@ -427,3 +427,8 @@ register(
 register(
     "embedding_ann_pq", llm_queries.embedding_ann_pq, llm_queries.EMBEDDING_ANN_PQ_ORACLE
 )
+register(
+    "training_sequences",
+    corpus_queries.training_sequences,
+    corpus_queries.TRAINING_SEQUENCES_ORACLE,
+)
