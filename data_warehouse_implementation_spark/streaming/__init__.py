@@ -7,6 +7,7 @@ from .pipelines import (  # noqa: F401
     dedup_stream,
     enrich_stream,
     events_stream_schema,
+    incremental_dedup_sink,
     incremental_scd2_sink,
     interval_join_stream,
     normalize_event_ts,

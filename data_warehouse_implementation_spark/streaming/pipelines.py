@@ -265,6 +265,110 @@ def _empty_like(spark: SparkSession, batch: DataFrame, order_col: str) -> DataFr
     return spark.createDataFrame([], StructType(fields))
 
 
+def incremental_dedup_sink(
+    stream: DataFrame,
+    catalog: WarehouseCatalog,
+    prefix: str,
+    checkpoint: str,
+    n_shingle: int = 3,
+    k: int = 16,
+    bands: int = 8,
+    rows: int = 2,
+    threshold: float = 0.5,
+):
+    """Continuous-crawl near-dup admission: each micro-batch of documents
+    is near-dup-checked against the STANDING corpus state and only
+    novel documents are admitted — the streaming twin of the batch
+    ``near_dup_incremental`` query, maintained via ``foreachBatch``.
+
+    Corpus state lives in two parquet staging tables (``{prefix}_bands``,
+    ``{prefix}_tids``) — exactly the at-scale answer the batch module's
+    docstrings prescribe instead of executor-memory caches. Shingle ids
+    are map-side ``xxhash64`` (``dedup.shingle_ids(hashed=True)``), so
+    ids are consistent across every batch with NO shared dictionary to
+    maintain. Per batch: O(batch) shingling + one band equi-join against
+    the state table + exact-Jaccard verification of candidates; admitted
+    docs append their bands/tids to the state, duplicates are recorded
+    in ``{prefix}_verdicts`` with their best corpus match. Intra-batch
+    duplicates are not split here (both admitted if novel vs the
+    corpus) — run the batch exact/near-dup pass inside the batch first
+    if at-least-once sources can replay documents within one trigger.
+    """
+    from pyspark.sql import functions as SF  # local alias for closures
+
+    from ..operators import dedup
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.select("doc_id", "text")
+        tids_new = dedup.shingle_ids(
+            dedup.word_shingles(batch, n=n_shingle), hashed=True
+        )
+        bands_new = dedup.lsh_bands(
+            dedup.minhash_signatures(tids_new, k=k), bands=bands, rows=rows
+        )
+        if catalog.exists(f"{prefix}_bands"):
+            old_bands = catalog.table(f"{prefix}_bands")
+            old_tids = catalog.table(f"{prefix}_tids")
+            cands = (
+                bands_new.select(SF.col("doc_id").alias("doc_a"), "band_id", "band_key")
+                .join(
+                    old_bands.select(
+                        SF.col("doc_id").alias("doc_b"), "band_id", "band_key"
+                    ),
+                    on=["band_id", "band_key"],
+                )
+                .select("doc_a", "doc_b")
+                .distinct()
+            )
+            verified = dedup.pairwise_jaccard(
+                cands, tids_new.unionByName(old_tids)
+            ).filter(SF.col("jaccard") >= threshold)
+            best = verified.groupBy("doc_a").agg(
+                SF.max_by("doc_b", SF.struct("jaccard", SF.col("doc_b"))).alias(
+                    "matched_corpus_id"
+                ),
+                SF.max("jaccard").alias("jaccard"),
+            )
+        else:
+            best = batch.sparkSession.createDataFrame(
+                [], "doc_a long, matched_corpus_id long, jaccard double"
+            )
+        verdicts = (
+            batch.select("doc_id")
+            .join(best.withColumnRenamed("doc_a", "doc_id"), on="doc_id", how="left")
+            .select(
+                "doc_id",
+                SF.lit(batch_id).alias("batch_id"),
+                SF.col("matched_corpus_id").isNotNull().alias("is_dup"),
+                "matched_corpus_id",
+                "jaccard",
+            )
+        )
+        # verdicts must be decided before the state tables grow below
+        verdicts = verdicts.localCheckpoint()
+        admitted = verdicts.filter(~SF.col("is_dup")).select("doc_id")
+        for name, df in (
+            (f"{prefix}_bands", bands_new),
+            (f"{prefix}_tids", tids_new),
+        ):
+            admit_rows = df.join(admitted, on="doc_id", how="left_semi")
+            if catalog.exists(name):
+                catalog.insert_into(name, admit_rows)
+            else:
+                catalog.write(name, admit_rows)
+        if catalog.exists(f"{prefix}_verdicts"):
+            catalog.insert_into(f"{prefix}_verdicts", verdicts)
+        else:
+            catalog.write(f"{prefix}_verdicts", verdicts)
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def enrich_stream(
     stream: DataFrame, dim: DataFrame, on: list[str] | str, how: str = "left"
 ) -> DataFrame:

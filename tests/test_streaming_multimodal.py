@@ -310,3 +310,47 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_dir):
     )
     want = {(r.user_id, r.purchase_id, r.view_id) for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_incremental_dedup_sink_admits_novel_rejects_dups(spark, tmp_dir):
+    """Two micro-batches of documents: batch 2 contains a near-copy of
+    an admitted batch-1 doc (one word changed) plus a novel doc. The
+    copy must be flagged with its corpus match; novel docs admitted and
+    added to the state tables."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    src = os.path.join(tmp_dir, "docs_src")
+    os.makedirs(src)
+    b1 = [(1, base), (2, "completely different words about spark engines and shuffles here")]
+    b2 = [(10, base.replace("kappa", "KAPPA2")), (11, "yet another novel document with fresh content words")]
+    for i, rows in enumerate([b1, b2]):
+        p = os.path.join(src, f"b{i}.parquet")
+        pq.write_table(
+            pa.table({"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]}), p
+        )
+        os.utime(p, (1_700_000_000 + 60 * i, 1_700_000_000 + 60 * i))
+
+    cat = WarehouseCatalog(spark, os.path.join(tmp_dir, "dedup_wh"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming.incremental_dedup_sink(
+        stream, cat, "corpus", checkpoint=os.path.join(tmp_dir, "ckpt_dedup")
+    )
+    q.awaitTermination()
+
+    v = {r.doc_id: r for r in cat.table("corpus_verdicts").collect()}
+    assert set(v) == {1, 2, 10, 11}
+    assert not v[1].is_dup and not v[2].is_dup and not v[11].is_dup
+    assert v[10].is_dup and v[10].matched_corpus_id == 1
+    assert v[10].jaccard >= 0.5
+    # state holds only admitted docs
+    state_docs = {r.doc_id for r in cat.table("corpus_tids").select("doc_id").distinct().collect()}
+    assert state_docs == {1, 2, 11}
