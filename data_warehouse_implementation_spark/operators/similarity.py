@@ -148,6 +148,7 @@ def pq_adc_topk(
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes: per query, build
     the (j, cen_id) -> d2 lookup table against the RAW query subvectors
@@ -161,7 +162,12 @@ def pq_adc_topk(
     ``d0 + d1 + ... + d{{m-1}}`` expression after a pivot (NOT an
     unordered float SUM aggregate), so the double arithmetic is
     bit-reproducible and oracle-replayable. Output:
-    (query_id, rank, neighbor_id, adc_dist2)."""
+    (query_id, rank, neighbor_id, adc_dist2).
+
+    ``cells`` ((id, cell_id) from :func:`assign_cells`) composes IVF on
+    top: the cell id becomes an extra equi-key of the LUT join, so each
+    query scores only the code rows of its own inverted-file cell — the
+    standard IVF+PQ production stack, still one hash join."""
     qsub = pq_subvectors(queries, m, id_col=id_col, vec_col=vec_col).select(
         F.col(id_col).alias("query_id"), "j", "subvec"
     )
@@ -176,9 +182,24 @@ def pq_adc_topk(
     lut = qsub.join(broadcast(c), on="j").select(
         "query_id", "j", "code", d2.alias("_d2")
     )
+    join_keys = ["j", "code"]
+    corpus_codes = codes.withColumnRenamed(id_col, "neighbor_id")
+    if cells is not None:
+        # cells is corpus-scale — never broadcast it; both attachment
+        # joins are id-keyed equi-joins AQE sizes at runtime (at scale,
+        # fold cell_id into the code table at encode time instead)
+        corpus_codes = corpus_codes.join(
+            cells.select(F.col(id_col).alias("neighbor_id"), "cell_id"),
+            on="neighbor_id",
+        )
+        lut = lut.join(
+            cells.select(F.col(id_col).alias("query_id"), "cell_id"),
+            on="query_id",
+        )
+        join_keys = ["j", "code", "cell_id"]
     parts = (
-        codes.withColumnRenamed(id_col, "neighbor_id")
-        .join(broadcast(lut), on=["j", "code"])
+        corpus_codes
+        .join(broadcast(lut), on=join_keys)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .groupBy("query_id", "neighbor_id")
         .agg(*[

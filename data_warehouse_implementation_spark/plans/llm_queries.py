@@ -746,6 +746,100 @@ FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank
 """
 
 
+def embedding_ann_ivfpq(t: dict[str, DataFrame]) -> DataFrame:
+    """IVF+PQ — the production ANN stack: coarse-quantize every vector
+    into an inverted-file cell (seed centroids, as ``embedding_ann_
+    kmeans``), PQ-encode the corpus, and answer queries by asymmetric
+    distance over the codes of the query's OWN cell only. The cell id
+    is just one more equi-key of the ADC hash join, so the plan stays a
+    single join — candidate volume drops by the cell count while the
+    corpus side still never touches a raw float."""
+    emb = t["embeddings"]
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cen_id"), F.col("embedding").alias("cen_vec")
+    )
+    cells = similarity.assign_cells(emb, centroids)
+    sub_centroids = similarity.pq_subvectors(
+        emb.filter(F.col("vec_id") < PQ_K), PQ_M
+    ).select(F.col("j"), F.col("vec_id").alias("cen_id"), F.col("subvec").alias("cen_sub"))
+    codes = similarity.pq_encode(emb, sub_centroids, PQ_M)
+    return similarity.pq_adc_topk(
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        codes,
+        sub_centroids,
+        PQ_M,
+        TOP_K,
+        cells=cells,
+    ).orderBy("query_id", "rank")
+
+
+_IVF_ASSIGN_SQL = f"""
+cvr AS (SELECT vec_id AS ccen_id, embedding::DOUBLE[] AS ccv FROM embeddings
+        WHERE vec_id < {N_CENTROIDS}),
+celld AS (
+  SELECT e.vec_id, cvr.ccen_id,
+         list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, cvr.ccv)
+         + list_dot_product(cvr.ccv, cvr.ccv) AS cd2
+  FROM e CROSS JOIN cvr
+),
+cells AS (
+  SELECT vec_id, ccen_id AS cell_id FROM (
+    SELECT vec_id, ccen_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cd2 ASC, ccen_id ASC) AS rn
+    FROM celld
+  ) WHERE rn = 1
+)"""
+
+EMBEDDING_ANN_IVFPQ_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+js AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS j),
+sub AS (
+  SELECT vec_id, j, v[(j * {_PQ_SUB} + 1):((j + 1) * {_PQ_SUB})] AS sv
+  FROM e CROSS JOIN js
+),
+cen AS (
+  SELECT j, vec_id AS cen_id, sv AS cs FROM sub WHERE vec_id < {PQ_K}
+),
+{_IVF_ASSIGN_SQL.strip().lstrip()},
+enc AS (
+  SELECT vec_id, j, cen_id AS code FROM (
+    SELECT s.vec_id, s.j, c.cen_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.vec_id, s.j
+             ORDER BY list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.cs)
+                      + list_dot_product(c.cs, c.cs) ASC, c.cen_id ASC
+           ) AS rn
+    FROM sub s JOIN cen c USING (j)
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT s.vec_id AS query_id, s.j, c.cen_id AS code,
+         list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.cs)
+         + list_dot_product(c.cs, c.cs) AS d2
+  FROM sub s JOIN cen c USING (j)
+  WHERE s.vec_id < {N_QUERIES}
+),
+parts AS (
+  SELECT l.query_id, enc.vec_id AS neighbor_id, {_PQ_PIVOT}
+  FROM enc
+  JOIN cells nc ON nc.vec_id = enc.vec_id
+  JOIN lut l USING (j, code)
+  JOIN cells qc ON qc.vec_id = l.query_id AND qc.cell_id = nc.cell_id
+  WHERE l.query_id <> enc.vec_id
+  GROUP BY l.query_id, enc.vec_id
+),
+scored AS (SELECT query_id, neighbor_id, {_PQ_ADC} AS adc_dist2 FROM parts),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY adc_dist2 ASC, neighbor_id ASC
+  ) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adc_dist2
+FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank
+"""
+
+
 NEAR_DUP_COSINE = 0.30
 
 

@@ -432,3 +432,8 @@ register(
     corpus_queries.training_sequences,
     corpus_queries.TRAINING_SEQUENCES_ORACLE,
 )
+register(
+    "embedding_ann_ivfpq",
+    llm_queries.embedding_ann_ivfpq,
+    llm_queries.EMBEDDING_ANN_IVFPQ_ORACLE,
+)
