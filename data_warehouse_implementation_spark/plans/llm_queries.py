@@ -88,6 +88,7 @@ def near_dup_minhash(t: dict[str, DataFrame], hashed: bool = False) -> DataFrame
         f"near_dup_doc_tids_{mode}",
         str(docs.semanticHash()),
         lambda: dedup.shingle_ids(shingles, hashed=hashed),
+        corpus_scale=True,
     )
     sig = dedup.minhash_signatures(doc_tids, k=K)
     # the candidate set feeds three branches of the verification plan —
@@ -136,6 +137,7 @@ def near_dup_incremental(t: dict[str, DataFrame]) -> DataFrame:
         "near_dup_doc_tids_rank",
         str(docs.semanticHash()),
         lambda: dedup.shingle_ids(dedup.word_shingles(docs, n=3)),
+        corpus_scale=True,
     )
     # the band table feeds BOTH sides of the new x corpus join —
     # materialize it so the signature pipeline runs once, not per branch
@@ -145,6 +147,7 @@ def near_dup_incremental(t: dict[str, DataFrame]) -> DataFrame:
         lambda: dedup.lsh_bands(
             dedup.minhash_signatures(doc_tids, k=K), bands=BANDS, rows=ROWS
         ),
+        corpus_scale=True,
     )
     is_new = F.col("doc_id") % 4 == 0
     new_b = bands.filter(is_new).select(
@@ -349,6 +352,7 @@ def simhash_near_dup(t: dict[str, DataFrame]) -> DataFrame:
         "near_dup_doc_tids_rank",
         str(docs.semanticHash()),
         lambda: dedup.shingle_ids(shingles),
+        corpus_scale=True,
     )
     sim = dedup.simhash_bits(doc_tids, SIMHASH_BITS)
     return dedup.simhash_band_pairs(
@@ -1064,6 +1068,7 @@ def near_dup_capped(t: dict[str, DataFrame]) -> DataFrame:
         "near_dup_doc_tids_rank",
         str(docs.semanticHash()),
         lambda: dedup.shingle_ids(shingles),
+        corpus_scale=True,
     )
     sig = dedup.minhash_signatures(doc_tids, k=K)
     cands = materialize.get_or_build(

@@ -18,6 +18,7 @@ rather than executor memory, at the cost of one write/read cycle.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -26,10 +27,19 @@ _CACHE: dict[tuple[str, str], tuple[SparkSession, DataFrame]] = {}
 
 
 def get_or_build(
-    name: str, sf_dir: str, builder: Callable[[], DataFrame]
+    name: str,
+    sf_dir: str,
+    builder: Callable[[], DataFrame],
+    corpus_scale: bool = False,
 ) -> DataFrame:
     """Return the cached DataFrame for (name, sf_dir), building and
-    ``.cache()``-ing it on first use in the current session."""
+    ``.cache()``-ing it on first use in the current session.
+
+    ``corpus_scale=True`` marks entries whose size grows with the corpus
+    (exploded shingle sets, band tables): when ``SPARK_GRAFT_STAGE_DIR``
+    is set, those are staged as parquet tables instead of executor
+    memory — the 100 TB answer; unset (tests/bench at small sf) they use
+    the memory cache like everything else."""
     spark = SparkSession.getActiveSession()
     entry = _CACHE.get((name, sf_dir))
     if entry is not None:
@@ -38,7 +48,18 @@ def get_or_build(
             return df
         # stale entry from a stopped/replaced session — rebuild
         _CACHE.pop((name, sf_dir), None)
-    df = builder().cache()
+    stage_dir = os.environ.get("SPARK_GRAFT_STAGE_DIR")
+    if corpus_scale and stage_dir:
+        # Corpus-scale intermediates don't belong in executor memory at
+        # production scale — persist to a parquet staging table instead
+        # (one write/read cycle; columnar scans thereafter). Keyed by
+        # (name, dataset) exactly like the memory cache.
+        path = os.path.join(stage_dir, f"{name}_{sf_dir.strip('/').replace('/', '_')}")
+        if not os.path.exists(path):
+            builder().write.mode("overwrite").parquet(path)
+        df = spark.read.parquet(path)
+    else:
+        df = builder().cache()
     _CACHE[(name, sf_dir)] = (spark, df)
     return df
 

@@ -254,3 +254,23 @@ def test_pq_adc_exact_on_duplicate_vectors(spark):
     first = [r for r in out if r.rank == 1][0]
     assert first.neighbor_id == 100003
     assert first.adc_dist2 == 0.0
+
+
+def test_corpus_scale_cache_stages_to_parquet(spark, tmp_path, monkeypatch):
+    """With SPARK_GRAFT_STAGE_DIR set, corpus-scale intermediates are
+    persisted as parquet staging tables (not executor memory) and the
+    query result is unchanged."""
+    import os as _os
+
+    from data_warehouse_implementation_spark.plans import llm_queries, materialize
+
+    t = load_tables(spark, SF)
+    want = {(r.doc_a, r.doc_b) for r in llm_queries.near_dup_minhash(t).collect()}
+    materialize.clear()
+    stage = str(tmp_path / "stage")
+    monkeypatch.setenv("SPARK_GRAFT_STAGE_DIR", stage)
+    got = {(r.doc_a, r.doc_b) for r in llm_queries.near_dup_minhash(t).collect()}
+    materialize.clear()
+    assert got == want
+    staged = _os.listdir(stage)
+    assert any(d.startswith("near_dup_doc_tids_rank") for d in staged), staged
