@@ -87,6 +87,43 @@ def assign_cells(
     )
 
 
+def probe_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    n_probe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cen_id_col: str = "cen_id",
+    cen_vec_col: str = "cen_vec",
+    cell_col: str = "cell_id",
+) -> DataFrame:
+    """Multi-probe assignment: the ``n_probe`` nearest centroids per
+    vector (one row each) — the recall knob of IVF search. A query
+    probing its 2-3 closest cells recovers most neighbors that fell
+    just across a Voronoi boundary, at probe-count-proportional cost.
+    Same broadcast-centroid distance as :func:`assign_cells`; the
+    per-vector top-``n_probe`` is a window over the k centroid rows of
+    that vector only (never corpus-wide)."""
+    v = vectors.select(id_col, F.col(vec_col).alias("_v"))
+    c = centroids.select(
+        F.col(cen_id_col).alias("_cid"), F.col(cen_vec_col).alias("_cv")
+    )
+    dist2 = (
+        dot(F.col("_v"), F.col("_v"))
+        - 2 * dot(F.col("_v"), F.col("_cv"))
+        + dot(F.col("_cv"), F.col("_cv"))
+    )
+    scored = v.crossJoin(broadcast(c)).withColumn("_d2", dist2)
+    from .relational import top_k_per_group
+
+    return top_k_per_group(
+        scored,
+        partition_by=[id_col],
+        order_by=[F.asc("_d2"), F.asc("_cid")],
+        k=n_probe,
+    ).select(id_col, F.col("_cid").alias(cell_col))
+
+
 def pq_subvectors(
     df: DataFrame, m: int, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

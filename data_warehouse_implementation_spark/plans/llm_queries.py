@@ -777,6 +777,79 @@ def embedding_ann_ivfpq(t: dict[str, DataFrame]) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+N_PROBE = 2
+
+
+def embedding_ann_multiprobe(t: dict[str, DataFrame]) -> DataFrame:
+    """IVF with multi-probe queries: the corpus is assigned to its
+    single nearest cell, but each query probes its ``N_PROBE`` nearest
+    cells — the standard recall knob that recovers neighbors sitting
+    just across a Voronoi boundary at probe-proportional cost. The
+    probed (query, cell) rows simply replace the single-cell query side
+    of the same equi-join; a neighbor can match at most once because
+    the corpus side holds one cell per vector."""
+    emb = t["embeddings"]
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cen_id"), F.col("embedding").alias("cen_vec")
+    )
+    assigned = similarity.assign_cells(emb, centroids)
+    emb_cells = emb.select("vec_id", "embedding").join(assigned, on="vec_id")
+    probed = similarity.probe_cells(
+        emb.filter(F.col("vec_id") < N_QUERIES), centroids, n_probe=N_PROBE
+    )
+    queries = emb.select("vec_id", "embedding").join(probed, on="vec_id")
+    return similarity.cosine_topk(
+        queries, emb_cells, k=TOP_K, cell_col="cell_id"
+    ).orderBy("query_id", "rank")
+
+
+EMBEDDING_ANN_MULTIPROBE_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cen AS (SELECT vec_id AS cen_id, embedding::DOUBLE[] AS cv FROM embeddings
+        WHERE vec_id < {N_CENTROIDS}),
+d AS (
+  SELECT e.vec_id, cen.cen_id,
+         list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, cen.cv)
+         + list_dot_product(cen.cv, cen.cv) AS d2
+  FROM e CROSS JOIN cen
+),
+assigned AS (
+  SELECT vec_id, cen_id AS cell_id FROM (
+    SELECT vec_id, cen_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cen_id ASC) AS rn
+    FROM d
+  ) WHERE rn = 1
+),
+probed AS (
+  SELECT vec_id, cen_id AS cell_id FROM (
+    SELECT vec_id, cen_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cen_id ASC) AS rn
+    FROM d WHERE vec_id < {N_QUERIES}
+  ) WHERE rn <= {N_PROBE}
+),
+q AS (
+  SELECT e.vec_id AS query_id, e.v AS qv, p.cell_id AS qcell
+  FROM e JOIN probed p USING (vec_id)
+),
+c AS (
+  SELECT e.vec_id AS neighbor_id, e.v AS cv, a.cell_id AS ccell
+  FROM e JOIN assigned a USING (vec_id)
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv)
+         / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+  FROM q JOIN c ON query_id <> neighbor_id AND qcell = ccell
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank
+"""
+
+
 _IVF_ASSIGN_SQL = f"""
 cvr AS (SELECT vec_id AS ccen_id, embedding::DOUBLE[] AS ccv FROM embeddings
         WHERE vec_id < {N_CENTROIDS}),

@@ -437,3 +437,8 @@ register(
     llm_queries.embedding_ann_ivfpq,
     llm_queries.EMBEDDING_ANN_IVFPQ_ORACLE,
 )
+register(
+    "embedding_ann_multiprobe",
+    llm_queries.embedding_ann_multiprobe,
+    llm_queries.EMBEDDING_ANN_MULTIPROBE_ORACLE,
+)

@@ -274,3 +274,24 @@ def test_corpus_scale_cache_stages_to_parquet(spark, tmp_path, monkeypatch):
     assert got == want
     staged = _os.listdir(stage)
     assert any(d.startswith("near_dup_doc_tids_rank") for d in staged), staged
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """2-probe candidates are a superset of 1-probe candidates, so
+    multiprobe recall vs brute force must be >= single-probe recall."""
+    from data_warehouse_implementation_spark.plans import llm_queries
+
+    t = load_tables(spark, "/root/testdata/sf0.01")
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in llm_queries.embedding_cosine_topk(t).collect()
+    }
+    single = {
+        (r.query_id, r.neighbor_id)
+        for r in llm_queries.embedding_ann_kmeans(t).collect()
+    }
+    multi = {
+        (r.query_id, r.neighbor_id)
+        for r in llm_queries.embedding_ann_multiprobe(t).collect()
+    }
+    assert len(multi & brute) >= len(single & brute)
