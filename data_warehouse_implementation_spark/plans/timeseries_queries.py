@@ -611,3 +611,132 @@ SELECT n_name, CAST(rev AS DOUBLE) AS revenue,
        CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER () AS DOUBLE) AS revenue_share
 FROM rev ORDER BY n_name
 """
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis (ordered event-sequence matching per user)
+
+FUNNEL_STAGES = ("signup", "view", "click", "purchase")
+
+
+def events_funnel(t: dict[str, DataFrame]) -> DataFrame:
+    """Ordered conversion funnel: per user, each stage counts only if it
+    occurs STRICTLY AFTER the user's entry into the previous stage
+    (min-timestamp chaining, the standard product-analytics funnel).
+    One shuffle per stage on user_id — each stage is a filtered
+    aggregate joined to the previous stage's (user, ts) frontier; no
+    windows over the event stream, no state. Emits one row per stage
+    with the surviving user count and the share of stage-1 users."""
+    ev = t["events"].select(
+        "user_id", "event_type", _event_ts(t["events"]).alias("ts")
+    )
+    frontier = None
+    counts = []
+    for stage in FUNNEL_STAGES:
+        stage_ev = ev.filter(F.col("event_type") == stage)
+        if frontier is None:
+            frontier = stage_ev.groupBy("user_id").agg(F.min("ts").alias("_t"))
+        else:
+            frontier = (
+                stage_ev.join(frontier.select("user_id", F.col("_t").alias("_prev")), on="user_id")
+                .filter(F.col("ts") > F.col("_prev"))
+                .groupBy("user_id")
+                .agg(F.min("ts").alias("_t"))
+            )
+        counts.append(frontier.select(F.lit(stage).alias("stage"), F.col("user_id")))
+    spark = ev.sparkSession
+    stage_order = spark.createDataFrame(
+        [(s, i + 1) for i, s in enumerate(FUNNEL_STAGES)], "stage string, stage_idx long"
+    )
+    out = None
+    for c in counts:
+        agg = c.groupBy("stage").agg(F.countDistinct("user_id").alias("n_users"))
+        out = agg if out is None else out.unionByName(agg)
+    first = out.filter(F.col("stage") == FUNNEL_STAGES[0]).select(
+        F.col("n_users").alias("_n0")
+    )
+    return (
+        out.join(F.broadcast(stage_order), on="stage")
+        .crossJoin(F.broadcast(first))
+        .select(
+            "stage_idx",
+            "stage",
+            "n_users",
+            (F.col("n_users").cast("double") / F.col("_n0").cast("double")).alias(
+                "share_of_entry"
+            ),
+        )
+        .orderBy("stage_idx")
+    )
+
+
+EVENTS_FUNNEL_ORACLE = """
+WITH ev AS (SELECT user_id, event_type, ts FROM events),
+s1 AS (
+  SELECT user_id, MIN(ts) AS t FROM ev WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM ev e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM ev e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY e.user_id
+),
+s4 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM ev e JOIN s3 ON e.user_id = s3.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY e.user_id
+),
+stages AS (
+  SELECT CAST(1 AS BIGINT) AS stage_idx, 'signup' AS stage, COUNT(*) AS n_users FROM s1
+  UNION ALL SELECT 2, 'view', COUNT(*) FROM s2
+  UNION ALL SELECT 3, 'click', COUNT(*) FROM s3
+  UNION ALL SELECT 4, 'purchase', COUNT(*) FROM s4
+)
+SELECT stage_idx, stage, n_users,
+       CAST(n_users AS DOUBLE)
+       / CAST((SELECT n_users FROM stages WHERE stage_idx = 1) AS DOUBLE)
+         AS share_of_entry
+FROM stages ORDER BY stage_idx
+"""
+
+
+# ---------------------------------------------------------------------------
+# Retention cohorts (first-activity cohort x day offset activity matrix)
+
+RETENTION_MAX_OFFSET = 7
+
+
+def user_retention_cohorts(t: dict[str, DataFrame]) -> DataFrame:
+    """Retention matrix: users cohorted by first-activity day; for each
+    day offset 0..RETENTION_MAX_OFFSET, how many of the cohort were
+    active that day. Two aggregates (first-day per user, distinct
+    user-days) joined on user_id, then one (cohort, offset) group-by —
+    every shuffle is on user or cohort keys, nothing corpus-global."""
+    ev = t["events"].select(
+        "user_id", F.to_date(_event_ts(t["events"])).alias("day")
+    )
+    first_day = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    user_days = ev.distinct()
+    return (
+        user_days.join(first_day, on="user_id")
+        .withColumn("day_offset", F.datediff("day", "cohort_day").cast("long"))
+        .filter(F.col("day_offset") <= RETENTION_MAX_OFFSET)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .withColumn("cohort_day", F.date_format("cohort_day", "yyyy-MM-dd"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+USER_RETENTION_COHORTS_ORACLE = f"""
+WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+fd AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id)
+SELECT strftime(fd.cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(day - cohort_day AS BIGINT) AS day_offset,
+       COUNT(DISTINCT ev.user_id) AS n_active
+FROM ev JOIN fd ON ev.user_id = fd.user_id
+WHERE day - cohort_day <= {RETENTION_MAX_OFFSET}
+GROUP BY fd.cohort_day, day_offset
+ORDER BY cohort_day, day_offset
+"""

@@ -442,3 +442,11 @@ register(
     llm_queries.embedding_ann_multiprobe,
     llm_queries.EMBEDDING_ANN_MULTIPROBE_ORACLE,
 )
+register(
+    "events_funnel", timeseries_queries.events_funnel, timeseries_queries.EVENTS_FUNNEL_ORACLE
+)
+register(
+    "user_retention_cohorts",
+    timeseries_queries.user_retention_cohorts,
+    timeseries_queries.USER_RETENTION_COHORTS_ORACLE,
+)
