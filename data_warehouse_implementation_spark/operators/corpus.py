@@ -334,3 +334,23 @@ def stratified_hash_sample(
     for stratum, pct in sorted(rates_pct.items()):
         rate = F.when(F.col(strata_col) == stratum, F.lit(pct)).otherwise(rate)
     return df.filter(bucket < rate)
+
+
+def group_hash_sample(
+    df: DataFrame, k: int, strata_col: str = "source", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic k-per-stratum sample: rank rows inside each stratum
+    by their id hash (ties by id) and keep the first ``k`` — the
+    held-out eval-set selection shape. Unlike ``sampleBy`` this is
+    partition-invariant and reproducible on any layout; unlike a rate,
+    it yields EXACTLY k per stratum (or all rows of a smaller one). The
+    ranking window is per-stratum, never global."""
+    from .relational import top_k_per_group
+
+    h = ((F.col(id_col) % HASH_P) * SPLIT_A + SPLIT_B) % HASH_P
+    return top_k_per_group(
+        df.withColumn("_h", h),
+        partition_by=[strata_col],
+        order_by=[F.asc("_h"), F.asc(id_col)],
+        k=k,
+    ).drop("_h")

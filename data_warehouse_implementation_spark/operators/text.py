@@ -148,3 +148,29 @@ def fingerprint(
     return doc_pos_ids.groupBy(id_col).agg(
         (F.sum(term) % HASH_P).cast("long").alias("fingerprint")
     )
+
+
+def quality_filter(
+    df: DataFrame,
+    min_words: int = 15,
+    max_words: int = 90,
+    min_quality: float = 0.35,
+    target_lang: str = "en",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style cleaning verdicts: every document gets exactly one
+    verdict — the FIRST failing rule in a fixed order (too_short,
+    too_long, non_target_lang, low_quality) or 'kept'. Rejected docs
+    are never silently dropped; per-reason accounting is what lets a
+    pipeline owner see that e.g. a tokenizer change doubled the
+    too_short rate. One map-side pass over the corpus — the verdict is
+    pure column algebra on the quality features, no shuffle at all."""
+    feat = quality_score(df, text_col)
+    verdict = (
+        F.when(F.col("n_words") < min_words, "too_short")
+        .when(F.col("n_words") > max_words, "too_long")
+        .when(F.col("lang_pred") != target_lang, "non_target_lang")
+        .when(F.col("quality") < min_quality, "low_quality")
+        .otherwise("kept")
+    )
+    return feat.withColumn("verdict", verdict)

@@ -525,3 +525,100 @@ SELECT doc_id, chunk_id, n_chunk_tokens, token_start,
        CAST(FLOOR(CAST(token_start AS DOUBLE) / {SEQ_BUDGET}.0) AS BIGINT) AS seq_id
 FROM cum ORDER BY doc_id, chunk_id
 """
+
+
+# ---------------------------------------------------------------------------
+# C4-style quality filter (per-reason rejection accounting)
+
+FILTER_MIN_WORDS = 15
+FILTER_MAX_WORDS = 90
+FILTER_MIN_QUALITY = 0.35
+
+
+def corpus_quality_filter(t: dict[str, DataFrame]) -> DataFrame:
+    """Cleaning-pass verdicts per document (text.quality_filter): the
+    first failing rule of too_short / too_long / non_target_lang /
+    low_quality, or kept. Full per-doc verdict rows are the checked
+    output, so the rule ORDER (first match decides) is verified, not
+    just the counts."""
+    from ..operators import text as text_ops
+
+    out = text_ops.quality_filter(
+        t["documents"],
+        min_words=FILTER_MIN_WORDS,
+        max_words=FILTER_MAX_WORDS,
+        min_quality=FILTER_MIN_QUALITY,
+    )
+    return out.select("doc_id", "source", "n_words", "quality", "verdict").orderBy(
+        "doc_id"
+    )
+
+
+from ..operators.text import EN_STOPWORDS as _QF_STOPWORDS
+
+_QF_STOPLIST = ", ".join(f"'{w}'" for w in _QF_STOPWORDS)
+
+CORPUS_QUALITY_FILTER_ORACLE = rf"""
+WITH {_TOKS_SQL.strip()},
+feat AS (
+  SELECT d.doc_id, d.source,
+         CAST(len(arr) AS BIGINT) AS n_words,
+         CASE WHEN len(arr) > 0
+              THEN CAST(length(regexp_replace(lower(d.text), '\s+', '', 'g')) AS DOUBLE)
+                   / CAST(len(arr) AS DOUBLE)
+              ELSE 0.0 END AS mean_word_len,
+         CASE WHEN len(arr) > 0
+              THEN CAST(len(list_filter(arr, x -> list_contains([{_QF_STOPLIST}], x))) AS DOUBLE)
+                   / CAST(len(arr) AS DOUBLE)
+              ELSE 0.0 END AS stop_ratio
+  FROM toks JOIN documents d USING (doc_id)
+),
+scored AS (
+  SELECT doc_id, source, n_words, stop_ratio,
+         0.4 * least(greatest(CAST(n_words AS DOUBLE) / 100.0, 0.0), 1.0)
+       + 0.3 * least(greatest((mean_word_len - 2.0) / 6.0, 0.0), 1.0)
+       + 0.3 * least(greatest(stop_ratio * 5.0, 0.0), 1.0) AS quality
+  FROM feat
+)
+SELECT doc_id, source, n_words, quality,
+       CASE WHEN n_words < {FILTER_MIN_WORDS} THEN 'too_short'
+            WHEN n_words > {FILTER_MAX_WORDS} THEN 'too_long'
+            WHEN (CASE WHEN stop_ratio >= 0.05 THEN 'en' ELSE 'unknown' END) <> 'en'
+              THEN 'non_target_lang'
+            WHEN quality < {FILTER_MIN_QUALITY} THEN 'low_quality'
+            ELSE 'kept' END AS verdict
+FROM scored ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic k-per-source eval sample
+
+EVAL_K = 5
+
+
+def doc_eval_sample(t: dict[str, DataFrame]) -> DataFrame:
+    """Exactly EVAL_K docs per source, selected by id-hash rank
+    (corpus.group_hash_sample) — the held-out eval-set pick,
+    reproducible on any partitioning."""
+    return (
+        corpus.group_hash_sample(
+            t["documents"].select("doc_id", "source", "n_chars"), k=EVAL_K
+        )
+        .orderBy("source", "doc_id")
+    )
+
+
+DOC_EVAL_SAMPLE_ORACLE = f"""
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY ((doc_id % {HASH_P}) * {SPLIT_A} + {SPLIT_B}) % {HASH_P} ASC,
+                    doc_id ASC
+         ) AS rn
+  FROM documents
+)
+SELECT doc_id, source, n_chars FROM ranked
+WHERE rn <= {EVAL_K} ORDER BY source, doc_id
+"""

@@ -450,3 +450,11 @@ register(
     timeseries_queries.user_retention_cohorts,
     timeseries_queries.USER_RETENTION_COHORTS_ORACLE,
 )
+register(
+    "corpus_quality_filter",
+    corpus_queries.corpus_quality_filter,
+    corpus_queries.CORPUS_QUALITY_FILTER_ORACLE,
+)
+register(
+    "doc_eval_sample", corpus_queries.doc_eval_sample, corpus_queries.DOC_EVAL_SAMPLE_ORACLE
+)
