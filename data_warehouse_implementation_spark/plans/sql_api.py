@@ -171,3 +171,76 @@ def priority_status_sets_sql(t: dict[str, DataFrame]) -> DataFrame:
 
 
 PRIORITY_STATUS_SETS_ORACLE = PRIORITY_STATUS_SETS_SQL
+
+
+# Q7-shaped bilateral shipping volume: two role-playing nation joins
+# (supplier's nation AND customer's nation), a symmetric OR pair filter,
+# year extraction, exact-decimal revenue by (supp_nation, cust_nation,
+# year). Same text on both engines; EXTRACT is ANSI.
+NATION_VOLUME_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(volume) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * CAST(1 - l_discount AS DECIMAL(18,2)) AS volume
+  FROM supplier
+  JOIN lineitem  ON s_suppkey = l_suppkey
+  JOIN orders    ON o_orderkey = l_orderkey
+  JOIN customer  ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_0' AND n2.n_name = 'NATION_1')
+      OR (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_0'))
+    AND l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def nation_volume_sql(t: dict[str, DataFrame]) -> DataFrame:
+    return t["lineitem"].sparkSession.sql(NATION_VOLUME_SQL)
+
+
+NATION_VOLUME_ORACLE = NATION_VOLUME_SQL
+
+
+# Q8-shaped market share: a 7-way join through BOTH nation roles and
+# region, then a conditional-share ratio per order year. The share is a
+# double division of two exact decimal sums — bit-identical on both
+# engines regardless of aggregation order.
+MARKET_SHARE_SQL = """
+SELECT o_year,
+       CAST(SUM(CASE WHEN nation = 'NATION_0' THEN volume ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(volume) AS DOUBLE) AS mkt_share,
+       COUNT(*) AS n_items
+FROM (
+  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * CAST(1 - l_discount AS DECIMAL(18,2)) AS volume,
+         n2.n_name AS nation
+  FROM part
+  JOIN lineitem  ON p_partkey = l_partkey
+  JOIN orders    ON l_orderkey = o_orderkey
+  JOIN customer  ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region    ON n1.n_regionkey = r_regionkey
+  JOIN supplier  ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA'
+    AND p_type = 'PROMO'
+    AND o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+def market_share_sql(t: dict[str, DataFrame]) -> DataFrame:
+    return t["lineitem"].sparkSession.sql(MARKET_SHARE_SQL)
+
+
+MARKET_SHARE_ORACLE = MARKET_SHARE_SQL

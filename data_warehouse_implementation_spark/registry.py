@@ -458,3 +458,5 @@ register(
 register(
     "doc_eval_sample", corpus_queries.doc_eval_sample, corpus_queries.DOC_EVAL_SAMPLE_ORACLE
 )
+register("nation_volume_sql", sql_api.nation_volume_sql, sql_api.NATION_VOLUME_ORACLE)
+register("market_share_sql", sql_api.market_share_sql, sql_api.MARKET_SHARE_ORACLE)
