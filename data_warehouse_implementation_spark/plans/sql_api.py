@@ -192,9 +192,9 @@ FROM (
   JOIN customer  ON c_custkey = o_custkey
   JOIN nation n1 ON s_nationkey = n1.n_nationkey
   JOIN nation n2 ON c_nationkey = n2.n_nationkey
-  WHERE ((n1.n_name = 'NATION_0' AND n2.n_name = 'NATION_1')
-      OR (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_0'))
-    AND l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_3'))
+    AND l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1998-12-31'
 ) shipping
 GROUP BY supp_nation, cust_nation, l_year
 ORDER BY supp_nation, cust_nation, l_year
