@@ -73,3 +73,29 @@ def with_date_parts(df: DataFrame, col: str, prefix: str = "") -> DataFrame:
         .withColumn(f"{prefix}month", F.month(c))
         .withColumn(f"{prefix}day", F.dayofmonth(c))
     )
+
+
+def zorder_key(cols: list[Column | str], bits: int = 16) -> Column:
+    """Morton (Z-order) interleave of up to 4 non-negative int columns:
+    bit i of column j lands at position ``i * len(cols) + j`` of the
+    key. Sorting by this key clusters rows so that EVERY participating
+    column's values are locally contiguous — the multi-column
+    data-skipping layout (Delta's OPTIMIZE ZORDER) that a single-column
+    sort cannot give: parquet min/max row-group stats become selective
+    for predicates on ANY of the columns, not just the first sort key.
+
+    Values are first rank-compressed by the caller if they exceed
+    ``bits`` bits (here they are masked). Pure int64 bit algebra —
+    works in any engine, no UDF."""
+    n = len(cols)
+    assert 1 <= n <= 4 and bits * n <= 62
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    key = F.lit(0).cast("long")
+    for j, c in enumerate(cs):
+        v = c.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+        for i in range(bits):
+            key = key.bitwiseOR(
+                v.bitwiseAND(F.lit(1 << i)).cast("long")
+                * F.lit(1 << (i * (n - 1) + j))
+            )
+    return key

@@ -115,6 +115,26 @@ class WarehouseCatalog:
             df = df.coalesce(target_files)
         self.replace(name, df, internal=True)
 
+    def compact_zorder(
+        self, name: str, target_files: int, zorder_by: list[str], bits: int = 16
+    ) -> None:
+        """Z-order compaction: rewrite the table range-partitioned and
+        sorted by the Morton interleave of ``zorder_by``, so parquet
+        min/max statistics are selective for predicates on ANY of those
+        columns (a plain sort clusters only its leading key). The
+        multi-column analog of :meth:`compact`'s sort_by."""
+        from ..functions.scalar import zorder_key
+
+        df = self.table(name)
+        z = zorder_key(zorder_by, bits=bits)
+        out = (
+            df.withColumn("_z", z)
+            .repartitionByRange(target_files, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+        self.replace(name, out, internal=True)
+
     # -- bucketed sinks (co-located joins at scale) ---------------------
     def write_bucketed(
         self,

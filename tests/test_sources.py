@@ -229,3 +229,48 @@ def test_compact_reduces_files_preserves_rows(spark, tmp_root):
         if f.endswith(".parquet"):
             ks = pq.read_table(os.path.join(cat.path("frag"), f)).column("k").to_pylist()
             assert ks == sorted(ks)
+
+
+def test_zorder_compaction_clusters_both_columns(spark, tmp_root):
+    """Z-order files must be selective on BOTH interleaved columns: the
+    mean per-file min/max span of each column is a fraction of its
+    global span, whereas a plain single-column sort leaves the second
+    column's per-file span at ~full range."""
+    import pyarrow.parquet as pq
+
+    cat = WarehouseCatalog(spark, tmp_root)
+    # full 64x64 grid: x and y independent, so a single-column sort
+    # cannot cluster the other column
+    df = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    cat.write("zt", df)
+    before = sorted(r.payload for r in cat.table("zt").collect())
+
+    def mean_spans(table):
+        spans_x, spans_y = [], []
+        for f in os.listdir(cat.path(table)):
+            if not f.endswith(".parquet"):
+                continue
+            t = pq.read_table(os.path.join(cat.path(table), f))
+            if t.num_rows == 0:
+                continue
+            xs, ys = t.column("x").to_pylist(), t.column("y").to_pylist()
+            spans_x.append(max(xs) - min(xs))
+            spans_y.append(max(ys) - min(ys))
+        return sum(spans_x) / len(spans_x), sum(spans_y) / len(spans_y)
+
+    cat.compact_zorder("zt", target_files=16, zorder_by=["x", "y"], bits=6)
+    zx, zy = mean_spans("zt")
+    # both columns clustered: mean per-file span well under the 0..63 range
+    assert zx <= 32 and zy <= 32, (zx, zy)
+    # rows preserved exactly
+    assert sorted(r.payload for r in cat.table("zt").collect()) == before
+
+    # contrast: plain sort by x clusters x but leaves y at ~full span
+    cat.write("st", df)
+    cat.compact("st", target_files=16, sort_by=["x"])
+    sx, sy = mean_spans("st")
+    assert sx <= 8 and sy >= 48, (sx, sy)
