@@ -740,3 +740,92 @@ WHERE day - cohort_day <= {RETENTION_MAX_OFFSET}
 GROUP BY fd.cohort_day, day_offset
 ORDER BY cohort_day, day_offset
 """
+
+
+# ---------------------------------------------------------------------------
+# Rolling z-score volume anomaly detection
+
+ANOMALY_WINDOW = 7  # preceding days in the baseline
+ANOMALY_Z = 2.0
+
+
+def events_volume_anomaly(t: dict[str, DataFrame]) -> DataFrame:
+    """Operational anomaly detection: per (event_type, day), compare the
+    day's event count against the trailing ANOMALY_WINDOW-day baseline
+    (rolling mean and population stddev over a rowsBetween frame) and
+    flag |z| >= ANOMALY_Z. Day-grain pre-aggregation first, so the
+    frame windows run over ~#days rows per event type — never the raw
+    event stream. Variance comes from (sum, sum-of-squares, count) in a
+    fixed expression order, so the doubles are engine-portable."""
+    ev = t["events"].select(
+        "event_type", F.to_date(_event_ts(t["events"])).alias("day")
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-ANOMALY_WINDOW, -1)
+    )
+    base_n = F.count(F.lit(1)).over(w)
+    base_sum = F.sum("n_events").over(w)
+    base_sumsq = F.sum(F.col("n_events") * F.col("n_events")).over(w)
+    mean = base_sum.cast("double") / base_n.cast("double")
+    var = base_sumsq.cast("double") / base_n.cast("double") - mean * mean
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    out = (
+        daily.withColumn("_bn", base_n)
+        .withColumn("base_mean", mean)
+        .withColumn("base_std", std)
+        .filter(F.col("_bn") >= ANOMALY_WINDOW)  # full baseline only
+        .withColumn(
+            "z",
+            F.when(
+                F.col("base_std") > 0,
+                (F.col("n_events").cast("double") - F.col("base_mean"))
+                / F.col("base_std"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn("is_anomaly", F.abs(F.col("z")) >= ANOMALY_Z)
+    )
+    return out.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        "base_mean",
+        "base_std",
+        "z",
+        "is_anomaly",
+    ).orderBy("event_type", "day")
+
+
+EVENTS_VOLUME_ANOMALY_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+framed AS (
+  SELECT event_type, day, n_events,
+         COUNT(*) OVER w AS bn,
+         SUM(n_events) OVER w AS bsum,
+         SUM(n_events * n_events) OVER w AS bsumsq
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN {ANOMALY_WINDOW} PRECEDING AND 1 PRECEDING)
+),
+scored AS (
+  SELECT event_type, day, n_events,
+         CAST(bsum AS DOUBLE) / CAST(bn AS DOUBLE) AS base_mean,
+         sqrt(greatest(CAST(bsumsq AS DOUBLE) / CAST(bn AS DOUBLE)
+              - (CAST(bsum AS DOUBLE) / CAST(bn AS DOUBLE))
+                * (CAST(bsum AS DOUBLE) / CAST(bn AS DOUBLE)), 0.0)) AS base_std
+  FROM framed WHERE bn >= {ANOMALY_WINDOW}
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n_events, base_mean, base_std,
+       CASE WHEN base_std > 0
+            THEN (CAST(n_events AS DOUBLE) - base_mean) / base_std
+            ELSE 0.0 END AS z,
+       CASE WHEN base_std > 0
+            THEN abs((CAST(n_events AS DOUBLE) - base_mean) / base_std) >= {ANOMALY_Z}
+            ELSE false END AS is_anomaly
+FROM scored ORDER BY event_type, day
+"""

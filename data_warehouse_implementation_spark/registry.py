@@ -459,4 +459,9 @@ register(
     "doc_eval_sample", corpus_queries.doc_eval_sample, corpus_queries.DOC_EVAL_SAMPLE_ORACLE
 )
 register("nation_volume_sql", sql_api.nation_volume_sql, sql_api.NATION_VOLUME_ORACLE)
+register(
+    "events_volume_anomaly",
+    timeseries_queries.events_volume_anomaly,
+    timeseries_queries.EVENTS_VOLUME_ANOMALY_ORACLE,
+)
 register("market_share_sql", sql_api.market_share_sql, sql_api.MARKET_SHARE_ORACLE)
