@@ -117,18 +117,21 @@ _DRIVER_WINDOW = [
     "nation_revenue_share",
     "dedup_keep_best",
     "near_dup_capped",
-    # high-value anchors from the round-2-verified set
-    "scd2_apply_batch",
+    # anchors kept under continuous watch (driver-green in round 2)
     "warehouse_fact_build",
     "near_dup_minhash",
-    "near_dup_clusters",
-    "embedding_cosine_topk",
-    "embedding_ann_ivf",
-    "csv_scan_agg",
-    "complaints_clean",
-    "media_feature_extract",
-    "priority_pivot_first",
-    "null_canonical_join",
+    # round-3 additions not yet driver-checked: ANN (PQ / IVF+PQ /
+    # multiprobe), incremental dedup, corpus mixing/packing/filtering,
+    # funnel, and the new raw-SQL parity queries
+    "embedding_ann_pq",
+    "embedding_ann_ivfpq",
+    "embedding_ann_multiprobe",
+    "near_dup_incremental",
+    "corpus_mix_sources",
+    "training_sequences",
+    "corpus_quality_filter",
+    "events_funnel",
+    "market_share_sql",
 ]
 
 
