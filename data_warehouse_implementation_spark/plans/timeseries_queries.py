@@ -829,3 +829,55 @@ SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n_events, base_mean, base_s
             ELSE false END AS is_anomaly
 FROM scored ORDER BY event_type, day
 """
+
+
+# ---------------------------------------------------------------------------
+# Mergeable sketch rollup (incremental distinct maintenance)
+
+
+def user_sketch_rollup(t: dict[str, DataFrame]) -> DataFrame:
+    """Incremental distinct-count maintenance via MERGEABLE sketches:
+    COUNT(DISTINCT) is not algebraic — a rollup table of daily distinct
+    counts cannot be summed into a monthly one. Datasketches HLL
+    sketches can: build one sketch per (event_type, day), then merge
+    the day sketches per type (``hll_union_agg``) and estimate. This is
+    the O(delta) maintenance path for distincts at 100 TB — each new
+    day appends one sketch row, month-to-date re-estimates from ~30
+    sketch merges instead of rescanning the raw stream. The exact
+    distinct pins the estimate with a within-5% acceptance flag
+    (deterministic: HLL has no RNG)."""
+    ev = t["events"].select(
+        "event_type", "user_id", F.to_date(_event_ts(t["events"])).alias("day")
+    )
+    daily_sketches = ev.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id").alias("_sk")
+    )
+    merged = daily_sketches.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_n_approx"),
+        F.count(F.lit(1)).alias("n_day_sketches"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users")
+    )
+    return (
+        exact.join(merged, on="event_type")
+        .select(
+            "event_type",
+            "n_users",
+            "n_day_sketches",
+            (
+                F.abs(F.col("_n_approx") - F.col("n_users"))
+                <= 0.05 * F.col("n_users")
+            ).alias("rollup_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
+USER_SKETCH_ROLLUP_ORACLE = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(DISTINCT CAST(ts AS DATE)) AS n_day_sketches,
+       TRUE AS rollup_ok
+FROM events GROUP BY event_type ORDER BY event_type
+"""

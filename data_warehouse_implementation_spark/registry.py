@@ -463,6 +463,11 @@ register(
 )
 register("nation_volume_sql", sql_api.nation_volume_sql, sql_api.NATION_VOLUME_ORACLE)
 register(
+    "user_sketch_rollup",
+    timeseries_queries.user_sketch_rollup,
+    timeseries_queries.USER_SKETCH_ROLLUP_ORACLE,
+)
+register(
     "events_volume_anomaly",
     timeseries_queries.events_volume_anomaly,
     timeseries_queries.EVENTS_VOLUME_ANOMALY_ORACLE,
