@@ -100,3 +100,53 @@ def test_boilerplate_ngrams_threshold_exact(spark):
     got = {r.ngram: (r.dfreq, r.doc_share) for r in out.collect()}
     assert got[common] == (10, 0.5)  # exactly at the threshold -> kept
     assert all(share >= 0.5 for _, share in got.values())
+
+
+def test_pack_sequences_stream_invariants(spark):
+    """token_start must be the exact running sum in (doc, chunk) order
+    and every chunk's sequence is the one containing its first token."""
+    rows = [(i, "w " * (5 + (i * 7) % 40)) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = (
+        corpus.pack_sequences(df, seq_budget=64, chunk_size=16, chunk_stride=16)
+        .orderBy("doc_id", "chunk_id")
+        .collect()
+    )
+    run = 0
+    for r in out:
+        assert r.token_start == run, (r, run)
+        assert r.seq_id == r.token_start // 64
+        run += r.n_chunk_tokens
+
+
+def test_funnel_counts_are_monotone_nonincreasing(spark):
+    from data_warehouse_implementation_spark.plans import timeseries_queries
+    from data_warehouse_implementation_spark.session import load_tables
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    rows = timeseries_queries.events_funnel(t).orderBy("stage_idx").collect()
+    counts = [r.n_users for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert rows[0].share_of_entry == 1.0
+
+
+def test_zorder_key_matches_python_reference(spark):
+    from data_warehouse_implementation_spark.functions.scalar import zorder_key
+
+    def z_ref(vals, bits):
+        n = len(vals)
+        k = 0
+        for j, v in enumerate(vals):
+            v &= (1 << bits) - 1
+            for i in range(bits):
+                k |= (v & (1 << i)) << (i * (n - 1) + j)
+        return k
+
+    rows = [(a, b, c) for a in (0, 1, 5, 63) for b in (0, 2, 62) for c in (0, 7)]
+    df = spark.createDataFrame(rows, "a long, b long, c long")
+    got = {
+        (r.a, r.b, r.c): r.z
+        for r in df.withColumn("z", zorder_key(["a", "b", "c"], bits=6)).collect()
+    }
+    for a, b, c in rows:
+        assert got[(a, b, c)] == z_ref([a, b, c], 6), (a, b, c)
