@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup, similarity, text
 from ..operators.dedup import HASH_P, MINHASH_A, MINHASH_B
+from ..operators.corpus import HASH_P as SPLIT_P, SPLIT_A, SPLIT_B
 from . import materialize
 
 K = 16
@@ -1162,4 +1163,82 @@ def near_dup_capped(t: dict[str, DataFrame]) -> DataFrame:
 NEAR_DUP_CAPPED_ORACLE = f"""
 WITH {_nd_pair_ctes(NEAR_DUP_MAX_BUCKET)}
 SELECT doc_a, doc_b, jaccard FROM nd ORDER BY doc_a, doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup-aware train/val/test split (leakage-safe)
+
+
+def doc_split_dedup_aware(t: dict[str, DataFrame]) -> DataFrame:
+    """Leakage-safe splitting: hash the near-dup CLUSTER label instead
+    of the document id, so every member of a near-duplicate cluster
+    lands on the same side of the split — a doc-id hash would put a
+    training copy of an eval document in the training set, silently
+    inflating eval scores. Singleton docs use their own id as the
+    group. Emits the per-split census plus a leaked_groups count
+    (groups spanning >1 split) that is 0 by construction — the oracle
+    recomputes it independently rather than trusting the construction."""
+    from ..operators import corpus
+
+    clusters = near_dup_clusters(t)
+    labeled = (
+        t["documents"]
+        .select("doc_id")
+        .join(clusters, on="doc_id", how="left")
+        .withColumn("group_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")))
+    )
+    assigned = corpus.hash_split(labeled, id_col="group_id")
+    census = assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("group_id").alias("n_groups"),
+    )
+    leaked = assigned.groupBy("group_id").agg(
+        F.countDistinct("split").alias("_ns")
+    ).agg(
+        F.count(F.when(F.col("_ns") > 1, 1)).alias("leaked_groups")
+    )
+    return (
+        census.crossJoin(F.broadcast(leaked))
+        .select("split", "n_docs", "n_groups", "leaked_groups")
+        .orderBy("split")
+    )
+
+
+DOC_SPLIT_DEDUP_AWARE_ORACLE = rf"""
+WITH RECURSIVE {_ND_PAIR_CTES},
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM nd
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM nd
+),
+walk(id, label) AS (
+  SELECT DISTINCT src, src FROM sym
+  UNION
+  SELECT s.src, w.label FROM sym s JOIN walk w ON s.dst = w.id
+),
+clusters AS (SELECT id AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY id),
+labeled AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS group_id
+  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+),
+assigned AS (
+  SELECT doc_id, group_id,
+         CASE WHEN ((group_id % {SPLIT_P}) * {SPLIT_A}
+                    + {SPLIT_B}) % {SPLIT_P} % 100 < 80
+              THEN 'train'
+              WHEN ((group_id % {SPLIT_P}) * {SPLIT_A}
+                    + {SPLIT_B}) % {SPLIT_P} % 100 < 90
+              THEN 'val' ELSE 'test' END AS split
+  FROM labeled
+),
+leak AS (
+  SELECT COUNT(*) FILTER (WHERE ns > 1) AS leaked_groups
+  FROM (SELECT group_id, COUNT(DISTINCT split) AS ns FROM assigned GROUP BY group_id)
+)
+SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT group_id) AS n_groups,
+       leak.leaked_groups
+FROM assigned CROSS JOIN leak
+GROUP BY split, leak.leaked_groups
+ORDER BY split
 """
