@@ -124,6 +124,41 @@ def probe_cells(
     ).select(id_col, F.col("_cid").alias(cell_col))
 
 
+def centroid_update(
+    vec_cells: DataFrame,
+    vec_col: str = "embedding",
+    cell_col: str = "cell_id",
+) -> DataFrame:
+    """One Lloyd (k-means) refinement step: the new centroid of every
+    cell is the elementwise mean of its member vectors. With
+    :func:`assign_cells` this closes the loop — IVF partitions are not
+    frozen at their seeds; the quantizer can be re-trained in place
+    (assign -> update -> assign ...), each step two shuffles keyed on
+    (cell, position).
+
+    Emits long format (cell_id, pos, mean_val, n_members). The mean is
+    a FOLD over the cell's sorted member values (sort_array +
+    sequential aggregate) rather than a float SUM aggregate, so the
+    double arithmetic has one defined order and the DuckDB oracle
+    reproduces it bit-for-bit (``list_reduce(list_sort(...))``). The
+    sorted fold materializes one cell's values per (cell, pos) group —
+    fine for quantizer-sized cells; swap the fold for a plain ``avg``
+    at production scale where bit-replay is not required."""
+    pos = vec_cells.select(cell_col, F.posexplode(vec_col).alias("pos", "val"))
+    per = pos.groupBy(cell_col, "pos").agg(
+        F.sort_array(F.collect_list(F.col("val").cast("double"))).alias("_vs")
+    )
+    return per.select(
+        cell_col,
+        F.col("pos").cast("long").alias("pos"),
+        (
+            F.aggregate("_vs", F.lit(0.0), lambda a, x: a + x)
+            / F.size("_vs").cast("double")
+        ).alias("mean_val"),
+        F.size("_vs").cast("long").alias("n_members"),
+    )
+
+
 def pq_subvectors(
     df: DataFrame, m: int, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

@@ -1242,3 +1242,55 @@ FROM assigned CROSS JOIN leak
 GROUP BY split, leak.leaked_groups
 ORDER BY split
 """
+
+
+# ---------------------------------------------------------------------------
+# K-means centroid refinement (one Lloyd step over the IVF cells)
+
+
+def embedding_kmeans_refine(t: dict[str, DataFrame]) -> DataFrame:
+    """Quantizer training step: assign every vector to its nearest seed
+    centroid, then recompute each cell's centroid as the elementwise
+    member mean (similarity.centroid_update). Looping assign/update is
+    full Lloyd k-means in pure DataFrame algebra; one step is enough to
+    differential the whole mechanism (the oracle replays assignment AND
+    the order-defined mean fold)."""
+    emb = t["embeddings"]
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cen_id"), F.col("embedding").alias("cen_vec")
+    )
+    assigned = similarity.assign_cells(emb, centroids)
+    vec_cells = emb.select("vec_id", "embedding").join(assigned, on="vec_id")
+    return similarity.centroid_update(vec_cells).orderBy("cell_id", "pos")
+
+
+EMBEDDING_KMEANS_REFINE_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cen AS (SELECT vec_id AS cen_id, embedding::DOUBLE[] AS cv FROM embeddings
+        WHERE vec_id < {N_CENTROIDS}),
+d AS (
+  SELECT e.vec_id, cen.cen_id,
+         list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, cen.cv)
+         + list_dot_product(cen.cv, cen.cv) AS d2
+  FROM e CROSS JOIN cen
+),
+assigned AS (
+  SELECT vec_id, cen_id AS cell_id FROM (
+    SELECT vec_id, cen_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cen_id ASC) AS rn
+    FROM d
+  ) WHERE rn = 1
+),
+elems AS (
+  SELECT a.cell_id, i - 1 AS pos, e.v[i] AS val
+  FROM e JOIN assigned a USING (vec_id)
+  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(e.v))) AS i) g
+)
+SELECT cell_id, CAST(pos AS BIGINT) AS pos,
+       CAST(list_reduce(list_sort(list(val)), (acc, x) -> acc + x) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS mean_val,
+       COUNT(*) AS n_members
+FROM elems
+GROUP BY cell_id, pos
+ORDER BY cell_id, pos
+"""
