@@ -25,7 +25,7 @@ Scale shapes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -157,6 +157,61 @@ def centroid_update(
         ).alias("mean_val"),
         F.size("_vs").cast("long").alias("n_members"),
     )
+
+
+def kmeans_fit(
+    vectors: DataFrame,
+    k: int,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Full Lloyd k-means in DataFrame algebra: seed with the first
+    ``k`` vectors (deterministic), then alternate
+    :func:`assign_cells` / :func:`centroid_update` for ``iters``
+    rounds. Each round is two keyed shuffles; like
+    ``dedup.connected_components`` the iterative lineage is truncated
+    with ``localCheckpoint`` so plans don't grow with the iteration
+    count. Returns ``(centroids, assignment)`` — centroids as
+    (cen_id, cen_vec), assignment as (id, cell_id).
+
+    This is quantizer TRAINING for the IVF/IVF+PQ search path — the
+    piece that turns the seed-centroid demo into a maintained index:
+    re-fit periodically, re-assign, and the inverted file tracks the
+    corpus distribution."""
+    centroids = (
+        vectors.orderBy(id_col)
+        .limit(k)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(id_col))
+            .cast("long")
+            .alias("cen_id"),
+            F.col(vec_col).alias("cen_vec"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    assigned = None
+    for _ in range(iters):
+        assigned = assign_cells(vectors, centroids, id_col=id_col, vec_col=vec_col)
+        members = vectors.select(id_col, vec_col).join(assigned, on=id_col)
+        new_cen = (
+            centroid_update(members, vec_col=vec_col)
+            .groupBy("cell_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "mean_val"))
+                ).alias("_pm")
+            )
+            .select(
+                F.col("cell_id").alias("cen_id"),
+                F.transform("_pm", lambda s: s["mean_val"]).alias("cen_vec"),
+            )
+        )
+        # plan truncation: the next round reads materialized centroids,
+        # not the whole history of prior rounds
+        centroids = new_cen.localCheckpoint(eager=True)
+    return centroids, assigned
 
 
 def pq_subvectors(

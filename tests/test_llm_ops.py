@@ -295,3 +295,41 @@ def test_multiprobe_recall_dominates_single_probe(spark):
         for r in llm_queries.embedding_ann_multiprobe(t).collect()
     }
     assert len(multi & brute) >= len(single & brute)
+
+
+def test_kmeans_fit_inertia_non_increasing(spark):
+    """Lloyd iterations must not increase inertia (sum of squared
+    distance to the assigned centroid) — the textbook monotonicity
+    guarantee, checked on the real embedding table."""
+    from data_warehouse_implementation_spark.operators.similarity import (
+        assign_cells,
+        dot,
+        kmeans_fit,
+    )
+
+    emb = load_tables(spark, SF)["embeddings"]
+
+    def inertia(centroids):
+        a = assign_cells(emb, centroids)
+        joined = (
+            emb.select("vec_id", "embedding")
+            .join(a, on="vec_id")
+            .join(
+                centroids.withColumnRenamed("cen_id", "cell_id"),
+                on="cell_id",
+            )
+        )
+        d2 = (
+            dot(F.col("embedding"), F.col("embedding"))
+            - 2 * dot(F.col("embedding"), F.col("cen_vec"))
+            + dot(F.col("cen_vec"), F.col("cen_vec"))
+        )
+        return joined.select(F.sum(d2).alias("s")).collect()[0].s
+
+    cen1, _ = kmeans_fit(emb, k=4, iters=1)
+    cen4, assigned = kmeans_fit(emb, k=4, iters=4)
+    i1, i4 = inertia(cen1), inertia(cen4)
+    assert i4 <= i1 * (1 + 1e-9), (i1, i4)
+    # every vector assigned, exactly k centroids
+    assert assigned.count() == emb.count()
+    assert cen4.count() == 4
