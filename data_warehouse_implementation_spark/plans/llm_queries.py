@@ -1294,3 +1294,16 @@ FROM elems
 GROUP BY cell_id, pos
 ORDER BY cell_id, pos
 """
+
+
+def embedding_dense_topk(t: dict[str, DataFrame]) -> DataFrame:
+    """The |Q| ~ |C| dense-scoring path: block-partitioned numpy matmul
+    inside cogroup().applyInPandas for candidates, exact fold-based
+    re-scoring for the final ranking (similarity.dense_topk_blocked).
+    Semantically identical to ``embedding_cosine_topk`` — same oracle —
+    but the physical plan is the Arrow-batched block matmul, which is
+    the shape that survives query batches too large to broadcast."""
+    emb = t["embeddings"]
+    return similarity.dense_topk_blocked(
+        emb.filter(F.col("vec_id") < N_QUERIES), emb, k=TOP_K, n_blocks=8
+    ).orderBy("query_id", "rank")

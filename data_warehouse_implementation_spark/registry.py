@@ -463,6 +463,11 @@ register(
 )
 register("nation_volume_sql", sql_api.nation_volume_sql, sql_api.NATION_VOLUME_ORACLE)
 register(
+    "embedding_dense_topk",
+    llm_queries.embedding_dense_topk,
+    llm_queries.EMBEDDING_COSINE_TOPK_ORACLE,
+)
+register(
     "embedding_kmeans_refine",
     llm_queries.embedding_kmeans_refine,
     llm_queries.EMBEDDING_KMEANS_REFINE_ORACLE,

@@ -333,3 +333,17 @@ def test_kmeans_fit_inertia_non_increasing(spark):
     # every vector assigned, exactly k centroids
     assert assigned.count() == emb.count()
     assert cen4.count() == 4
+
+
+def test_dense_blocked_topk_matches_brute_force(spark):
+    """Block-matmul candidate generation + exact re-scoring must equal
+    the broadcast brute-force result row for row (ids, ranks, and
+    bit-identical cosine scores)."""
+    emb = load_tables(spark, SF)["embeddings"]
+    q = emb.filter("vec_id < 20")
+    brute = similarity.cosine_topk(q, emb, k=4).collect()
+    blocked = similarity.dense_topk_blocked(q, emb, k=4, n_blocks=8).collect()
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    b = {key(r): (r.neighbor_id, r.cosine) for r in brute}
+    g = {key(r): (r.neighbor_id, r.cosine) for r in blocked}
+    assert b == g and len(b) == 20 * 4
