@@ -298,3 +298,54 @@ FROM customer
 GROUP BY NULLIF(c_mktsegment, 'BUILDING')
 ORDER BY segment NULLS FIRST
 """
+
+
+def events_cdc_apply(t: dict[str, DataFrame]) -> DataFrame:
+    """Full CDC apply with DELETE tombstones — the modern MERGE analog
+    of the reference's SCD surface: each change row carries an op
+    (insert/update/delete, synthesized deterministically from the event
+    type here: 'error' events are tombstones), the latest change per
+    key wins, and a key whose latest op is a delete vanishes from the
+    final state. One keyed shuffle + a per-key window; at 100 TB this
+    is log compaction followed by an anti-join-free filter, never a
+    row-at-a-time MERGE."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = t["events"].select(
+        "user_id",
+        "event_id",
+        _event_ts(t["events"]).alias("ts"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        "value",
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("latest_ts"),
+            "value",
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENTS_CDC_APPLY_ORACLE = """
+WITH changes AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS latest_ts,
+       value
+FROM changes WHERE rn = 1 AND op <> 'D'
+ORDER BY user_id
+"""

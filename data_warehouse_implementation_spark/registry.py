@@ -463,6 +463,11 @@ register(
 )
 register("nation_volume_sql", sql_api.nation_volume_sql, sql_api.NATION_VOLUME_ORACLE)
 register(
+    "events_cdc_apply",
+    ingest_queries.events_cdc_apply,
+    ingest_queries.EVENTS_CDC_APPLY_ORACLE,
+)
+register(
     "embedding_dense_topk",
     llm_queries.embedding_dense_topk,
     llm_queries.EMBEDDING_COSINE_TOPK_ORACLE,

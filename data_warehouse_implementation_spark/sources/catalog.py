@@ -175,8 +175,17 @@ class WarehouseCatalog:
         self.spark.sql(f"DROP TABLE IF EXISTS `{name}`")
 
     # -- reads ---------------------------------------------------------
-    def table(self, name: str) -> DataFrame:
-        return self.spark.read.parquet(self.path(name))
+    def table(self, name: str, merge_schema: bool = False) -> DataFrame:
+        """Read a table. ``merge_schema=True`` unions the schemas of all
+        parquet files in the table (schema evolution: batches appended
+        with extra columns surface them, older rows read NULL there) —
+        without it Spark takes one file's footer as the schema, which is
+        arbitrary for a mixed-schema dir. Pair with
+        :meth:`insert_into` appends that add columns over time."""
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(self.path(name))
 
     # -- teardown (S8/M7) ---------------------------------------------
     def drop_table(self, name: str) -> None:

@@ -274,3 +274,21 @@ def test_zorder_compaction_clusters_both_columns(spark, tmp_root):
     cat.compact("st", target_files=16, sort_by=["x"])
     sx, sy = mean_spans("st")
     assert sx <= 8 and sy >= 48, (sx, sy)
+
+
+def test_schema_evolution_append_and_merged_read(spark, tmp_root):
+    """Appending a batch that carries a NEW column must not break the
+    table: a merged read surfaces the union schema with NULLs for rows
+    written before the column existed, and a batch missing a column
+    reads back NULL there."""
+    cat = WarehouseCatalog(spark, tmp_root)
+    cat.write("ev", spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double"))
+    # batch 2 adds a column
+    cat.insert_into(
+        "ev", spark.createDataFrame([(3, 3.0, "x")], "k long, v double, tag string")
+    )
+    # batch 3 misses a column
+    cat.insert_into("ev", spark.createDataFrame([(4,)], "k long"))
+    got = {r.k: (r.v, r.tag) for r in cat.table("ev", merge_schema=True).collect()}
+    assert got == {1: (1.0, None), 2: (2.0, None), 3: (3.0, "x"), 4: (None, None)}
+    assert set(cat.table("ev", merge_schema=True).columns) == {"k", "v", "tag"}
