@@ -120,3 +120,49 @@ def limit_preview(df: DataFrame, n: int = 1000) -> DataFrame:
     """CTAS + LIMIT preview snapshot (reference S6,
     ``inserting-data.sql:7-10``). LocalLimit pushes into the scan."""
     return df.limit(n)
+
+
+def fuzzy_join_qgram(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    q: int = 3,
+    min_shared: int = 2,
+    max_distance: int = 2,
+) -> DataFrame:
+    """Edit-distance-bounded string join WITHOUT a cross product — the
+    entity-resolution primitive (dirty natural keys, misspelled company
+    names). Candidates are pairs sharing at least ``min_shared``
+    distinct character q-grams — an equi-join on the q-gram, the same
+    never-all-pairs discipline as the LSH dedup family — then verified
+    exactly with ``levenshtein() <= max_distance``. Candidate volume is
+    bounded by q-gram co-occurrence, not |L|x|R|; at scale, cap hot
+    q-grams the way ``dedup.candidate_pairs`` caps hot LSH buckets.
+    Returns distinct verified (left_val, right_val, distance) pairs."""
+    def grams(df, col, out):
+        base = df.select(F.col(col).alias(out)).distinct()
+        v = F.col(out)
+        g = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length(v) - (q - 1), F.lit(1))),
+                lambda i: v.substr(i, F.lit(q)),
+            )
+        )
+        return base.select(out, F.explode(g).alias("_gram"))
+
+    lg = grams(left, left_col, "left_val")
+    rg = grams(right, right_col, "right_val")
+    cands = (
+        lg.join(rg, on="_gram")
+        .groupBy("left_val", "right_val")
+        .agg(F.count(F.lit(1)).alias("_shared"))
+        .filter(F.col("_shared") >= min_shared)
+    )
+    return (
+        cands.withColumn(
+            "distance", F.levenshtein("left_val", "right_val").cast("long")
+        )
+        .filter(F.col("distance") <= max_distance)
+        .select("left_val", "right_val", "distance")
+    )

@@ -926,3 +926,62 @@ FROM orders
 WHERE o_orderdate BETWEEN TIMESTAMP '1998-01-01' AND TIMESTAMP '1998-12-31'
 ORDER BY o_orderkey ASC LIMIT 100
 """
+
+
+def brand_fuzzy_match(t: dict[str, DataFrame]) -> DataFrame:
+    """Entity resolution over dirty natural keys: a deterministically
+    mangled copy of every brand (chars 2 and 3 swapped — the classic
+    transposition typo) is matched back to the clean brand list with
+    relational.fuzzy_join_qgram: shared-q-gram candidates, levenshtein
+    verification, never a cross product. Output includes legitimate
+    near-misses (Brand#12 vs Brand#13) — fuzzy semantics, replayed
+    identically by the oracle."""
+    from ..operators.relational import fuzzy_join_qgram
+
+    brands = t["part"].select("p_brand").distinct()
+    dirty = brands.select(
+        F.concat(
+            F.substring("p_brand", 1, 1),
+            F.substring("p_brand", 3, 1),
+            F.substring("p_brand", 2, 1),
+            F.expr("substring(p_brand, 4)"),
+        ).alias("dirty_brand")
+    )
+    return fuzzy_join_qgram(
+        dirty, brands, "dirty_brand", "p_brand", q=3, min_shared=2, max_distance=2
+    ).orderBy("left_val", "right_val")
+
+
+BRAND_FUZZY_MATCH_ORACLE = """
+WITH brands AS (SELECT DISTINCT p_brand FROM part),
+dirty AS (
+  SELECT substr(p_brand, 1, 1) || substr(p_brand, 3, 1) || substr(p_brand, 2, 1)
+         || substr(p_brand, 4) AS dirty_brand
+  FROM brands
+),
+lg AS (
+  SELECT dirty_brand AS left_val,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(length(dirty_brand) - 2, 1)),
+           i -> substr(dirty_brand, i, 3)))) AS gram
+  FROM (SELECT DISTINCT dirty_brand FROM dirty)
+),
+rg AS (
+  SELECT p_brand AS right_val,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(length(p_brand) - 2, 1)),
+           i -> substr(p_brand, i, 3)))) AS gram
+  FROM brands
+),
+cand AS (
+  SELECT left_val, right_val, COUNT(*) AS shared
+  FROM lg JOIN rg USING (gram)
+  GROUP BY left_val, right_val
+  HAVING COUNT(*) >= 2
+)
+SELECT left_val, right_val,
+       CAST(levenshtein(left_val, right_val) AS BIGINT) AS distance
+FROM cand
+WHERE levenshtein(left_val, right_val) <= 2
+ORDER BY left_val, right_val
+"""

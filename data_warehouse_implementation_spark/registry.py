@@ -463,6 +463,9 @@ register(
 )
 register("nation_volume_sql", sql_api.nation_volume_sql, sql_api.NATION_VOLUME_ORACLE)
 register(
+    "brand_fuzzy_match", analytics.brand_fuzzy_match, analytics.BRAND_FUZZY_MATCH_ORACLE
+)
+register(
     "events_cdc_apply",
     ingest_queries.events_cdc_apply,
     ingest_queries.EVENTS_CDC_APPLY_ORACLE,
