@@ -50,7 +50,9 @@ class WarehouseCatalog:
 
     def tables(self) -> list[str]:
         return sorted(
-            d for d in os.listdir(self.root) if os.path.isdir(self.path(d))
+            d
+            for d in os.listdir(self.root)
+            if os.path.isdir(self.path(d)) and not d.startswith(".")
         )
 
     # -- DDL (S5) ------------------------------------------------------
@@ -200,21 +202,67 @@ class WarehouseCatalog:
         schema = self.table(name).schema
         self.create_table(name, schema, overwrite=True)
 
-    def replace(self, name: str, df: DataFrame, internal: bool = False) -> None:
+    def replace(
+        self, name: str, df: DataFrame, internal: bool = False, keep_versions: int = 3
+    ) -> None:
         """Replace a table's contents with a DataFrame *derived from
         that table* (SCD applies, predicate deletes): write to a side
         directory first, then swap — never overwrite files still being
         read by the plan. Guarded (a replace can drop rows) unless
         ``internal=True`` — SCD maintenance only closes/adds versions,
         mirroring how the reference's SCD trigger UPDATEs bypass its
-        BEFORE-DELETE guard (``creating-tables.sql:205-239``)."""
+        BEFORE-DELETE guard (``creating-tables.sql:205-239``).
+
+        The displaced contents are RETAINED as a time-travel version
+        (a directory rename — zero data copied): each replace pushes
+        the old state to ``.versions/<name>/v<N>``, pruned to the last
+        ``keep_versions``. Read old states with :meth:`table_version`,
+        restore with :meth:`rollback` — the audit/undo story an
+        SCD-maintained warehouse needs when a bad batch lands
+        (``keep_versions=0`` disables retention)."""
         if not internal:
             self._check_mutable(name)
         tmp = self.path(name) + "._tmp"
         df.write.mode("overwrite").parquet(tmp)
         if self.exists(name):
-            shutil.rmtree(self.path(name))
+            if keep_versions > 0:
+                vdir = self._version_dir(name)
+                os.makedirs(vdir, exist_ok=True)
+                nxt = max(self.versions(name), default=0) + 1
+                os.rename(self.path(name), os.path.join(vdir, f"v{nxt}"))
+                for old in sorted(self.versions(name))[:-keep_versions]:
+                    shutil.rmtree(os.path.join(vdir, f"v{old}"))
+            else:
+                shutil.rmtree(self.path(name))
         os.rename(tmp, self.path(name))
+
+    # -- time travel ----------------------------------------------------
+    def _version_dir(self, name: str) -> str:
+        return os.path.join(self.root, ".versions", name)
+
+    def versions(self, name: str) -> list[int]:
+        """Retained version numbers for ``name`` (ascending; each was
+        the table state displaced by one :meth:`replace`)."""
+        vdir = self._version_dir(name)
+        if not os.path.isdir(vdir):
+            return []
+        return sorted(
+            int(d[1:]) for d in os.listdir(vdir) if d.startswith("v")
+        )
+
+    def table_version(self, name: str, version: int) -> DataFrame:
+        """Time-travel read: the table as it was before the replace
+        that created version ``version``."""
+        return self.spark.read.parquet(
+            os.path.join(self._version_dir(name), f"v{version}")
+        )
+
+    def rollback(self, name: str, version: int) -> None:
+        """Restore a retained version as the current table state (the
+        bad-batch undo). The restore itself goes through
+        :meth:`replace`, so the pre-rollback state is retained too —
+        a rollback is never destructive. Guarded like any replace."""
+        self.replace(name, self.table_version(name, version))
 
     def delete_where(self, name: str, condition: str) -> None:
         """Predicate delete = keep the complement (batch formulation of

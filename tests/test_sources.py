@@ -292,3 +292,31 @@ def test_schema_evolution_append_and_merged_read(spark, tmp_root):
     got = {r.k: (r.v, r.tag) for r in cat.table("ev", merge_schema=True).collect()}
     assert got == {1: (1.0, None), 2: (2.0, None), 3: (3.0, "x"), 4: (None, None)}
     assert set(cat.table("ev", merge_schema=True).columns) == {"k", "v", "tag"}
+
+
+def test_time_travel_versions_and_rollback(spark, tmp_root):
+    """Each replace retains the displaced state as a version (pure
+    rename); table_version reads any retained state; rollback restores
+    one non-destructively (the pre-rollback state is itself retained);
+    retention prunes to keep_versions."""
+    cat = WarehouseCatalog(spark, tmp_root)
+    schema = "k long, v string"
+    cat.write("dim", spark.createDataFrame([(1, "a")], schema))
+    cat.replace("dim", spark.createDataFrame([(1, "b")], schema))   # v1 = {a}
+    cat.replace("dim", spark.createDataFrame([(1, "bad")], schema))  # v2 = {b}
+    assert cat.versions("dim") == [1, 2]
+    assert [tuple(r) for r in cat.table_version("dim", 1).collect()] == [(1, "a")]
+    assert [tuple(r) for r in cat.table_version("dim", 2).collect()] == [(1, "b")]
+    assert [tuple(r) for r in cat.table("dim").collect()] == [(1, "bad")]
+
+    cat.rollback("dim", 2)  # undo the bad batch; 'bad' retained as v3
+    assert [tuple(r) for r in cat.table("dim").collect()] == [(1, "b")]
+    assert [tuple(r) for r in cat.table_version("dim", 3).collect()] == [(1, "bad")]
+
+    # pruning: many replaces keep only the last 3 versions
+    for i in range(5):
+        cat.replace("dim", spark.createDataFrame([(1, f"r{i}")], schema))
+    vs = cat.versions("dim")
+    assert len(vs) == 3 and vs == sorted(vs)
+    # versions dir never leaks into the table listing
+    assert cat.tables() == ["dim"]
