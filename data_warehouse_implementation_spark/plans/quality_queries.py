@@ -136,3 +136,33 @@ SELECT status, segment, COUNT(*) AS n_keys, SUM(n_orders) AS n_orders,
        CAST(SUM(CAST(total_price AS DECIMAL(18,2))) AS DOUBLE) AS total_price
 FROM recon GROUP BY status, segment ORDER BY status, segment
 """
+
+
+# ---------------------------------------------------------------------------
+# Documents profile (the corpus-side twin of orders_profile)
+
+DOC_PROFILE_COLS = ["doc_id", "lang", "source", "n_chars"]
+
+
+def documents_profile(t: dict[str, DataFrame]) -> DataFrame:
+    """One-pass per-column profile of the corpus table — the ingest
+    health check a pipeline runs before admitting a crawl batch
+    (same single-Expand shape as orders_profile)."""
+    return profile_table(t["documents"], DOC_PROFILE_COLS).orderBy("column_name")
+
+
+def _doc_profile_col_sql(c: str) -> str:
+    return f"""
+SELECT '{c}' AS column_name,
+       COUNT(*) AS n_rows,
+       COUNT({c}) AS n_nonnull,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_value,
+       CAST(MAX({c}) AS VARCHAR) AS max_value
+FROM documents"""
+
+
+DOCUMENTS_PROFILE_ORACLE = (
+    "\nUNION ALL\n".join(_doc_profile_col_sql(c) for c in DOC_PROFILE_COLS)
+    + "\nORDER BY column_name"
+)

@@ -466,6 +466,11 @@ register(
     "brand_fuzzy_match", analytics.brand_fuzzy_match, analytics.BRAND_FUZZY_MATCH_ORACLE
 )
 register(
+    "documents_profile",
+    quality_queries.documents_profile,
+    quality_queries.DOCUMENTS_PROFILE_ORACLE,
+)
+register(
     "events_cdc_apply",
     ingest_queries.events_cdc_apply,
     ingest_queries.EVENTS_CDC_APPLY_ORACLE,
