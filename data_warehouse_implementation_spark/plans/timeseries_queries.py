@@ -881,3 +881,129 @@ SELECT event_type,
        TRUE AS rollup_ok
 FROM events GROUP BY event_type ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Event-type transition matrix (first-order Markov counts)
+
+
+def event_transitions(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-user event-type transition counts (prev_type -> type) with
+    each source type's outgoing share — the first-order Markov view of
+    user behavior (what follows a view? what precedes churn-y errors?).
+    One lag window partitioned by user, one (pair) aggregate; shares
+    are double divisions of exact counts."""
+    ev = t["events"].select(
+        "user_id", "event_type", _event_ts(t["events"]).alias("ts"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    w_src = Window.partitionBy("prev_type")
+    return (
+        pairs.withColumn(
+            "share_from_prev",
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(w_src).cast("double"),
+        )
+        .orderBy("prev_type", "event_type")
+    )
+
+
+EVENT_TRANSITIONS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+pairs AS (
+  SELECT prev_type, event_type, COUNT(*) AS n_transitions
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+)
+SELECT prev_type, event_type, n_transitions,
+       CAST(n_transitions AS DOUBLE)
+         / CAST(SUM(n_transitions) OVER (PARTITION BY prev_type) AS DOUBLE)
+         AS share_from_prev
+FROM pairs ORDER BY prev_type, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Within-session conversion (sessionize x funnel composition)
+
+
+def session_conversion(t: dict[str, DataFrame]) -> DataFrame:
+    """Conversion at SESSION grain: reuse the gap-based sessionizer's
+    algebra (same lag+cumsum, same 30-min gap) and ask, per session,
+    whether a purchase followed a view INSIDE the session — the
+    composition of the sessionization and funnel primitives. Emits one
+    summary row: sessions, sessions with a view, sessions converted
+    (first view strictly before last purchase), and the rate."""
+    ev = t["events"].select(
+        "user_id", _event_ts(t["events"]).alias("ts"), "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = ev.withColumn(
+        "new_session",
+        F.coalesce(
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+            > F.lit(1800 * 1_000_000),
+            F.lit(True),
+        ).cast("int"),
+    )
+    sess = gapped.withColumn(
+        "session_seq",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    per_session = sess.groupBy("user_id", "session_seq").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("_first_view"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "_last_purchase"
+        ),
+    )
+    return per_session.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count("_first_view").alias("n_with_view"),
+        F.count(
+            F.when(F.col("_first_view") < F.col("_last_purchase"), 1)
+        ).alias("n_converted"),
+    ).withColumn(
+        "conversion_rate",
+        F.col("n_converted").cast("double") / F.col("n_with_view").cast("double"),
+    )
+
+
+SESSION_CONVERSION_ORACLE = """
+WITH gapped AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+              OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_type, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM gapped
+),
+per_session AS (
+  SELECT user_id, session_seq,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+         MAX(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase
+  FROM sess GROUP BY user_id, session_seq
+)
+SELECT COUNT(*) AS n_sessions,
+       COUNT(first_view) AS n_with_view,
+       COUNT(CASE WHEN first_view < last_purchase THEN 1 END) AS n_converted,
+       CAST(COUNT(CASE WHEN first_view < last_purchase THEN 1 END) AS DOUBLE)
+         / CAST(COUNT(first_view) AS DOUBLE) AS conversion_rate
+FROM per_session
+"""

@@ -491,6 +491,16 @@ register(
     llm_queries.DOC_SPLIT_DEDUP_AWARE_ORACLE,
 )
 register(
+    "event_transitions",
+    timeseries_queries.event_transitions,
+    timeseries_queries.EVENT_TRANSITIONS_ORACLE,
+)
+register(
+    "session_conversion",
+    timeseries_queries.session_conversion,
+    timeseries_queries.SESSION_CONVERSION_ORACLE,
+)
+register(
     "user_sketch_rollup",
     timeseries_queries.user_sketch_rollup,
     timeseries_queries.USER_SKETCH_ROLLUP_ORACLE,
