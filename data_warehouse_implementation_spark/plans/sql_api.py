@@ -244,3 +244,51 @@ def market_share_sql(t: dict[str, DataFrame]) -> DataFrame:
 
 
 MARKET_SHARE_ORACLE = MARKET_SHARE_SQL
+
+
+# Q6-shaped forecast-revenue filter: pure scan + tight multi-predicate
+# filter + single exact-decimal aggregate. The whole WHERE clause
+# reaches the parquet scan as pushed filters.
+FORECAST_REVENUE_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue_delta,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def forecast_revenue_sql(t: dict[str, DataFrame]) -> DataFrame:
+    return t["lineitem"].sparkSession.sql(FORECAST_REVENUE_SQL)
+
+
+FORECAST_REVENUE_ORACLE = FORECAST_REVENUE_SQL
+
+
+# Q10-shaped returned-item report: who returned the most revenue in a
+# quarter — 4-way join, return-flag predicate, per-customer exact
+# revenue, deterministic top-20.
+RETURNED_ITEM_SQL = """
+SELECT c_custkey, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+GROUP BY c_custkey, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def returned_item_sql(t: dict[str, DataFrame]) -> DataFrame:
+    return t["lineitem"].sparkSession.sql(RETURNED_ITEM_SQL)
+
+
+RETURNED_ITEM_ORACLE = RETURNED_ITEM_SQL

@@ -462,6 +462,8 @@ register(
     "doc_eval_sample", corpus_queries.doc_eval_sample, corpus_queries.DOC_EVAL_SAMPLE_ORACLE
 )
 register("nation_volume_sql", sql_api.nation_volume_sql, sql_api.NATION_VOLUME_ORACLE)
+register("forecast_revenue_sql", sql_api.forecast_revenue_sql, sql_api.FORECAST_REVENUE_ORACLE)
+register("returned_item_sql", sql_api.returned_item_sql, sql_api.RETURNED_ITEM_ORACLE)
 register(
     "brand_fuzzy_match", analytics.brand_fuzzy_match, analytics.BRAND_FUZZY_MATCH_ORACLE
 )
