@@ -166,3 +166,56 @@ DOCUMENTS_PROFILE_ORACLE = (
     "\nUNION ALL\n".join(_doc_profile_col_sql(c) for c in DOC_PROFILE_COLS)
     + "\nORDER BY column_name"
 )
+
+
+# ---------------------------------------------------------------------------
+# Declared-constraint gate (reference DDL constraints as a batch job)
+
+
+def orders_constraint_gate(t: dict[str, DataFrame]) -> DataFrame:
+    """The reference's PRIMARY KEY / NOT NULL / FK / CHECK declarations
+    (``creating-tables.sql``) run as a post-load validation gate over
+    ``orders``: unique orderkey, non-null custkey, FK into customer,
+    non-negative totalprice, plus a CHECK the data actually violates
+    (totalprice > 100000 — roughly the lower third of orders fails) so
+    the differential proves violations are COUNTED, not just asserted
+    absent."""
+    from ..operators import constraints as C
+
+    orders, customer = t["orders"], t["customer"]
+    return C.validate(
+        [
+            C.unique_key(orders, ["o_orderkey"]),
+            C.not_null(orders, "o_custkey"),
+            C.foreign_key(orders, ["o_custkey"], customer, ["c_custkey"]),
+            C.check(orders, "totalprice_nonneg", "o_totalprice >= 0"),
+            C.check(orders, "totalprice_over_100k", "o_totalprice > 100000"),
+        ]
+    ).orderBy("constraint_name")
+
+
+ORDERS_CONSTRAINT_GATE_ORACLE = """
+SELECT 'unique(o_orderkey)' AS constraint_name, CAST(NULL AS VARCHAR) AS detail,
+       CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) AS n_violations
+FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+UNION ALL
+SELECT 'not_null(o_custkey)', NULL,
+       CAST(COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'fk(o_custkey)', NULL, CAST(COUNT(*) AS BIGINT)
+FROM (
+  SELECT o.o_custkey FROM orders o
+  WHERE o.o_custkey IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+)
+UNION ALL
+SELECT 'check(totalprice_nonneg)', 'o_totalprice >= 0',
+       CAST(COUNT(CASE WHEN NOT COALESCE(o_totalprice >= 0, FALSE) THEN 1 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'check(totalprice_over_100k)', 'o_totalprice > 100000',
+       CAST(COUNT(CASE WHEN NOT COALESCE(o_totalprice > 100000, FALSE) THEN 1 END) AS BIGINT)
+FROM orders
+ORDER BY constraint_name
+"""

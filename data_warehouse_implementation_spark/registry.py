@@ -473,6 +473,11 @@ register(
     quality_queries.DOCUMENTS_PROFILE_ORACLE,
 )
 register(
+    "orders_constraint_gate",
+    quality_queries.orders_constraint_gate,
+    quality_queries.ORDERS_CONSTRAINT_GATE_ORACLE,
+)
+register(
     "events_cdc_apply",
     ingest_queries.events_cdc_apply,
     ingest_queries.EVENTS_CDC_APPLY_ORACLE,
