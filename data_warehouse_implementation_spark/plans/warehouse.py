@@ -559,3 +559,51 @@ SELECT 'orders->customer',
        (SELECT COUNT(*) FROM orders)
 ORDER BY fk_edge
 """
+
+
+def order_lifecycle_fact(t: dict[str, DataFrame]) -> DataFrame:
+    """Accumulating-snapshot fact (the Kimball pattern the star/SCD
+    build doesn't cover): one row per order tracking its lifecycle
+    milestones — order date, first and last ship date, line counts, and
+    the days-to-first-ship lag. Each incremental load UPDATES milestone
+    columns as lineitems arrive (here computed in one pass: a single
+    orders⋈lineitem shuffle join + per-order aggregate)."""
+    orders = t["orders"].select("o_orderkey", "o_orderdate", "o_orderstatus")
+    li = t["lineitem"].select("l_orderkey", "l_shipdate", "l_quantity")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left")
+        .groupBy("o_orderkey", "o_orderdate", "o_orderstatus")
+        .agg(
+            F.count("l_shipdate").alias("n_lines"),
+            F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("first_ship"),
+            F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("last_ship"),
+            F.datediff(F.min("l_shipdate"), F.min("o_orderdate"))
+            .cast("long")
+            .alias("days_to_first_ship"),
+        )
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderstatus",
+            "n_lines",
+            "first_ship",
+            "last_ship",
+            "days_to_first_ship",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+ORDER_LIFECYCLE_FACT_ORACLE = """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       o_orderstatus,
+       COUNT(l_shipdate) AS n_lines,
+       strftime(MIN(l_shipdate), '%Y-%m-%d') AS first_ship,
+       strftime(MAX(l_shipdate), '%Y-%m-%d') AS last_ship,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(MIN(l_shipdate) AS DATE)) AS BIGINT)
+         AS days_to_first_ship
+FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderkey, o_orderdate, o_orderstatus
+ORDER BY o_orderkey
+"""

@@ -473,6 +473,11 @@ register(
     quality_queries.DOCUMENTS_PROFILE_ORACLE,
 )
 register(
+    "order_lifecycle_fact",
+    warehouse.order_lifecycle_fact,
+    warehouse.ORDER_LIFECYCLE_FACT_ORACLE,
+)
+register(
     "orders_constraint_gate",
     quality_queries.orders_constraint_gate,
     quality_queries.ORDERS_CONSTRAINT_GATE_ORACLE,
