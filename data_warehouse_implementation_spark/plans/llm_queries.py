@@ -1307,3 +1307,49 @@ def embedding_dense_topk(t: dict[str, DataFrame]) -> DataFrame:
     return similarity.dense_topk_blocked(
         emb.filter(F.col("vec_id") < N_QUERIES), emb, k=TOP_K, n_blocks=8
     ).orderBy("query_id", "rank")
+
+
+def exact_dedup_by_fingerprint(t: dict[str, DataFrame]) -> DataFrame:
+    """Exact dedup keyed on the content FINGERPRINT instead of the raw
+    text — the at-scale variant exact_dedup_docs' docstring prescribes:
+    the group-by shuffle moves an 8-byte hash per document, not the
+    document bytes. Identical token sequences share a fingerprint, so
+    keeper/copy-count results match text-keyed dedup up to hash
+    collisions (none on this corpus; at 2^31 ids collisions would merge
+    distinct docs — production uses a 128-bit hash for this exact
+    reason)."""
+    fp = doc_fingerprint(t)
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("keeper_id", "n_copies")
+        .orderBy("keeper_id")
+    )
+
+
+EXACT_DEDUP_BY_FINGERPRINT_ORACLE = f"""
+WITH {_TOKS_SQL.strip()},
+pt AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(arr)),
+                i -> {{'pos': i - 1, 'tok': arr[i]}})) AS u
+  FROM toks
+),
+ptok AS (SELECT doc_id, u.pos AS pos, u.tok AS token FROM pt),
+dict AS (
+  SELECT token, CAST(ROW_NUMBER() OVER (ORDER BY token) AS BIGINT) AS tid
+  FROM (SELECT DISTINCT token FROM ptok)
+),
+fp AS (
+  SELECT doc_id,
+         CAST(CAST(SUM(((tid % {HASH_P}) * (pos * 131 + 7)) % {HASH_P}) AS BIGINT)
+              % {HASH_P} AS BIGINT) AS fingerprint
+  FROM ptok JOIN dict USING (token)
+  GROUP BY doc_id
+)
+SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+FROM fp GROUP BY fingerprint ORDER BY keeper_id
+"""

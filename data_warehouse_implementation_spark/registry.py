@@ -473,6 +473,11 @@ register(
     quality_queries.DOCUMENTS_PROFILE_ORACLE,
 )
 register(
+    "exact_dedup_by_fingerprint",
+    llm_queries.exact_dedup_by_fingerprint,
+    llm_queries.EXACT_DEDUP_BY_FINGERPRINT_ORACLE,
+)
+register(
     "order_lifecycle_fact",
     warehouse.order_lifecycle_fact,
     warehouse.ORDER_LIFECYCLE_FACT_ORACLE,
