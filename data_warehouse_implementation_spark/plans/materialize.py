@@ -12,7 +12,7 @@ Cache entries are keyed by (name, sf_dir) and validated against the
 current SparkSession — a new session (tests stop/recreate them) simply
 rebuilds. Most entries hold ~#groups rows (interest lists,
 pre-aggregates); the near-dup (doc, shingle-id) entry is corpus-scale —
-at 100 TB it belongs in a parquet staging table (WarehouseCatalog.ctas)
+at 100 TB it belongs in a parquet staging table (WarehouseCatalog.create_table_as)
 rather than executor memory, at the cost of one write/read cycle.
 """
 

@@ -65,6 +65,20 @@ class WarehouseCatalog:
         empty = self.spark.createDataFrame([], schema)
         empty.write.mode("overwrite").parquet(self.path(name))
 
+    def create_table_as(
+        self, name: str, df: DataFrame, partition_by: list[str] | None = None
+    ) -> DataFrame:
+        """CTAS (reference ``CREATE TABLE ... AS SELECT``,
+        ``inserting-data.sql:7-10``): materialize a query result as a
+        table and return the read-back DataFrame — the parquet staging
+        move that replaces executor-memory caching for corpus-scale
+        intermediates (see plans/materialize.py). Errors if the table
+        exists; use :meth:`replace` to swap contents."""
+        if self.exists(name):
+            raise ValueError(f"table {name!r} already exists")
+        self.write(name, df, partition_by=partition_by)
+        return self.table(name)
+
     # -- guards (M5) ---------------------------------------------------
     def protect(self, *names: str) -> None:
         """Mark tables append-only (the BEFORE-DELETE trigger analog)."""

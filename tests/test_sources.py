@@ -320,3 +320,13 @@ def test_time_travel_versions_and_rollback(spark, tmp_root):
     assert len(vs) == 3 and vs == sorted(vs)
     # versions dir never leaks into the table listing
     assert cat.tables() == ["dim"]
+
+
+def test_create_table_as_stages_and_reads_back(spark, tmp_root):
+    cat = WarehouseCatalog(spark, tmp_root)
+    src = spark.range(100).select(F.col("id").alias("k"), (F.col("id") % 7).alias("g"))
+    staged = cat.create_table_as("agg", src.groupBy("g").count())
+    assert staged.count() == 7
+    assert sorted(r.g for r in cat.table("agg").collect()) == list(range(7))
+    with pytest.raises(ValueError):
+        cat.create_table_as("agg", src)
