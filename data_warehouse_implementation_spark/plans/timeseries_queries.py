@@ -1007,3 +1007,58 @@ SELECT COUNT(*) AS n_sessions,
          / CAST(COUNT(first_view) AS DOUBLE) AS conversion_rate
 FROM per_session
 """
+
+
+# ---------------------------------------------------------------------------
+# IQR outlier fences (per-group robust outlier detection)
+
+
+def brand_price_outliers(t: dict[str, DataFrame]) -> DataFrame:
+    """Robust per-brand price outlier census via Tukey fences: values
+    beyond Q1 - 1.5*IQR or Q3 + 1.5*IQR, with the quartiles computed
+    over exact integer cents so both engines interpolate identically.
+    Two passes over the group (quartile aggregate, then a broadcast
+    join back for the fence test) — the standard profiling shape; at
+    100 TB swap the exact quartiles for percentile_approx and keep the
+    identical fence algebra."""
+    cents = (F.col("p_retailprice").cast("decimal(18,2)") * 100).cast("bigint")
+    priced = t["part"].select("p_brand", cents.alias("cents"))
+    q = priced.groupBy("p_brand").agg(
+        F.percentile("cents", 0.25).alias("_q1"),
+        F.percentile("cents", 0.75).alias("_q3"),
+    )
+    fenced = priced.join(F.broadcast(q), on="p_brand").withColumn(
+        "_iqr", F.col("_q3") - F.col("_q1")
+    )
+    is_out = (F.col("cents") < F.col("_q1") - 1.5 * F.col("_iqr")) | (
+        F.col("cents") > F.col("_q3") + 1.5 * F.col("_iqr")
+    )
+    return (
+        fenced.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.count(F.when(is_out, 1)).alias("n_outliers"),
+            (F.min(F.col("_q1")) / 100.0).alias("q1"),
+            (F.min(F.col("_q3")) / 100.0).alias("q3"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+BRAND_PRICE_OUTLIERS_ORACLE = """
+WITH c AS (SELECT p_brand,
+                  CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM part),
+q AS (
+  SELECT p_brand, quantile_cont(cents, 0.25) AS q1c, quantile_cont(cents, 0.75) AS q3c
+  FROM c GROUP BY p_brand
+)
+SELECT c.p_brand,
+       COUNT(*) AS n_parts,
+       COUNT(CASE WHEN c.cents < q.q1c - 1.5 * (q.q3c - q.q1c)
+                    OR c.cents > q.q3c + 1.5 * (q.q3c - q.q1c) THEN 1 END) AS n_outliers,
+       MIN(q.q1c) / 100.0 AS q1,
+       MIN(q.q3c) / 100.0 AS q3
+FROM c JOIN q ON c.p_brand = q.p_brand
+GROUP BY c.p_brand ORDER BY c.p_brand
+"""

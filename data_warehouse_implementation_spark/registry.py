@@ -508,6 +508,11 @@ register(
     llm_queries.DOC_SPLIT_DEDUP_AWARE_ORACLE,
 )
 register(
+    "brand_price_outliers",
+    timeseries_queries.brand_price_outliers,
+    timeseries_queries.BRAND_PRICE_OUTLIERS_ORACLE,
+)
+register(
     "event_transitions",
     timeseries_queries.event_transitions,
     timeseries_queries.EVENT_TRANSITIONS_ORACLE,
