@@ -1353,3 +1353,51 @@ fp AS (
 SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
 FROM fp GROUP BY fingerprint ORDER BY keeper_id
 """
+
+
+def near_dup_source_matrix(t: dict[str, DataFrame]) -> DataFrame:
+    """Where do near-duplicates come from — the (source_a, source_b)
+    contamination matrix over the verified pair graph. Intra-source
+    mass means scraper re-crawls; cross-source mass means syndicated
+    content duplicated between feeds — they need different fixes, which
+    is why the matrix, not just the pair count, is the operator
+    pipelines watch. Reuses the session-materialized verified pairs;
+    the source lookup is a broadcast-sized join both ways."""
+    docs = t["documents"].select("doc_id", "source")
+    pairs = near_dup_minhash(t).select("doc_a", "doc_b")
+    labeled = (
+        pairs.join(
+            docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("_sa")),
+            on="doc_a",
+        )
+        .join(
+            docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("_sb")),
+            on="doc_b",
+        )
+        .select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+    )
+    return (
+        labeled.groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .withColumn("is_cross_source", F.col("source_a") != F.col("source_b"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+NEAR_DUP_SOURCE_MATRIX_ORACLE = f"""
+WITH {_ND_PAIR_CTES},
+labeled AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b
+  FROM nd
+  JOIN documents da ON nd.doc_a = da.doc_id
+  JOIN documents db ON nd.doc_b = db.doc_id
+)
+SELECT source_a, source_b, COUNT(*) AS n_pairs,
+       source_a <> source_b AS is_cross_source
+FROM labeled GROUP BY source_a, source_b
+ORDER BY source_a, source_b
+"""

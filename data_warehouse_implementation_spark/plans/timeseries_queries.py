@@ -1062,3 +1062,56 @@ SELECT c.p_brand,
 FROM c JOIN q ON c.p_brand = q.p_brand
 GROUP BY c.p_brand ORDER BY c.p_brand
 """
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical percent-of-parent shares (region -> nation)
+
+
+def region_nation_revenue_share(t: dict[str, DataFrame]) -> DataFrame:
+    """Two-level percent-of-parent report: each nation's share WITHIN
+    its region and each region's share of the total — the hierarchy
+    drill every finance report wants. One star aggregate, then two
+    window sums over #nations rows (post-aggregation, never
+    fact-scale); exact decimal revenue so the ratios are
+    order-independent doubles."""
+    rev = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_rev"))
+    )
+    w_region = Window.partitionBy("r_name")
+    w_all = Window.partitionBy()
+    return rev.select(
+        "r_name",
+        "n_name",
+        F.col("_rev").cast("double").alias("revenue"),
+        (
+            F.col("_rev").cast("double") / F.sum("_rev").over(w_region).cast("double")
+        ).alias("share_of_region"),
+        (
+            F.sum("_rev").over(w_region).cast("double")
+            / F.sum("_rev").over(w_all).cast("double")
+        ).alias("region_share_of_total"),
+    ).orderBy("r_name", "n_name")
+
+
+REGION_NATION_REVENUE_SHARE_ORACLE = """
+WITH rev AS (
+  SELECT r_name, n_name, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name
+)
+SELECT r_name, n_name, CAST(rev AS DOUBLE) AS revenue,
+       CAST(rev AS DOUBLE)
+         / CAST(SUM(rev) OVER (PARTITION BY r_name) AS DOUBLE) AS share_of_region,
+       CAST(SUM(rev) OVER (PARTITION BY r_name) AS DOUBLE)
+         / CAST(SUM(rev) OVER () AS DOUBLE) AS region_share_of_total
+FROM rev ORDER BY r_name, n_name
+"""

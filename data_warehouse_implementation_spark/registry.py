@@ -473,6 +473,16 @@ register(
     quality_queries.DOCUMENTS_PROFILE_ORACLE,
 )
 register(
+    "near_dup_source_matrix",
+    llm_queries.near_dup_source_matrix,
+    llm_queries.NEAR_DUP_SOURCE_MATRIX_ORACLE,
+)
+register(
+    "region_nation_revenue_share",
+    timeseries_queries.region_nation_revenue_share,
+    timeseries_queries.REGION_NATION_REVENUE_SHARE_ORACLE,
+)
+register(
     "exact_dedup_by_fingerprint",
     llm_queries.exact_dedup_by_fingerprint,
     llm_queries.EXACT_DEDUP_BY_FINGERPRINT_ORACLE,
