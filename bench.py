@@ -1,7 +1,11 @@
 """Benchmark harness — runs every registered headline query at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
 and prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+  {"metric": "...", "value": N, "ok": true, "unit": "sec",
+   "queries": {<slowest 20>}, "n_queries": N, "sf": ...}
+Full per-query timings land in bench_detail.json next to this script.
+If any query errors, "value" is null, "ok" is false, and the exit code
+is 1 — a partial total must never be compared against full-suite runs.
 """
 
 from __future__ import annotations
@@ -83,17 +87,40 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
 
+    # The one-line summary must stay small enough for the driver's tail
+    # capture (118 per-query timings on one line overran it in round 3
+    # -> "parsed": null), so the line carries only the slowest 20
+    # queries; the complete per-query timing map goes to
+    # bench_detail.json next to this script.
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
     out = {
         "metric": "total_query_wall_seconds",
-        "value": round(total, 3),
+        # A run with errors must never publish a total: a crashed slow
+        # query would silently IMPROVE the headline number (ADVICE r3).
+        "value": round(total, 3) if not errors else None,
+        "ok": not errors,
         "unit": "sec",
-        "queries": timings,
+        "queries": slowest,
+        "n_queries": len(timings),
         "sf": sf,
     }
     if errors:
         out["errors"] = errors
+    detail = {
+        "metric": "total_query_wall_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "errors": errors,
+        "sf": sf,
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
     print(json.dumps(out))
     spark.stop()
+    if errors:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -86,9 +86,15 @@ def zorder_key(cols: list[Column | str], bits: int = 16) -> Column:
 
     Values are first rank-compressed by the caller if they exceed
     ``bits`` bits (here they are masked). Pure int64 bit algebra —
-    works in any engine, no UDF."""
+    works in any engine, no UDF.
+
+    ``bits`` is the per-column budget and is lowered automatically so
+    the interleaved key fits in 62 bits (e.g. 4 columns at the default
+    16 → 15 effective bits each); pass a smaller ``bits`` explicitly to
+    keep more headroom."""
     n = len(cols)
-    assert 1 <= n <= 4 and bits * n <= 62
+    assert 1 <= n <= 4
+    bits = min(bits, 62 // n)
     cs = [F.col(c) if isinstance(c, str) else c for c in cols]
     key = F.lit(0).cast("long")
     for j, c in enumerate(cs):

@@ -2,13 +2,17 @@
 payload columns with typed metadata, processed by Arrow-batched
 ``mapInPandas`` stages (brief requirement; no reference analog).
 
-What is REAL here: the schema contract, the partition/batch shape, and
-the ``mapInPandas`` pipeline structure (Arrow transfer, vectorized
-pandas ops per batch, no row-at-a-time Python). What is STUBBED: the
-codec calls — image/audio libraries are not in this container, so
-``decode_meta``/``extract_features`` run a clearly-marked deterministic
-fake over the raw bytes, and the real-decode entry point raises
-``NotImplementedError`` unless a codec import succeeds.
+What is REAL here: the schema contract, the partition/batch shape, the
+``mapInPandas`` pipeline structure (Arrow transfer, vectorized pandas
+ops per batch, no row-at-a-time Python), and — as of round 4 — the
+image decode itself: :func:`decode_images` ships built-in PPM (P6) and
+uncompressed-BMP decoders (pure ``struct`` + numpy byte arithmetic, no
+third-party codec needed) and routes every other format through Pillow
+when it is importable. What remains FAKE is the feature/resize stand-in
+arithmetic in :func:`extract_features` / :func:`resize_images` (a
+deterministic byte fold where a real build would embed/resample —
+kept because the DuckDB oracle replays it exactly) and audio/video
+codecs, which this container cannot host.
 
 Scale notes: payloads stay in executor memory one Arrow batch at a
 time; tune ``spark.sql.execution.arrow.maxRecordsPerBatch`` down for
@@ -157,13 +161,151 @@ def sample_frames(
     return df.mapInPandas(run, FRAMES_SCHEMA)
 
 
-def decode_images(df: DataFrame) -> DataFrame:
-    """Real image decode (resize/frame-sample feed-in). STUB: raises
-    unless an image codec is importable — the Spark-side contract
-    (mapInPandas over payload batches) is what this module tests."""
-    if not HAVE_IMAGE_CODEC:
-        raise NotImplementedError(
-            "image codec not available in this environment; "
-            "install Pillow and implement decode in _fake_feature_frame's place"
-        )
-    raise NotImplementedError("real decode intentionally unimplemented in this build")
+DECODED_SCHEMA = (
+    "media_id long, width int, height int, channels int,"
+    " pixels binary, codec string"
+)
+
+
+def decode_images(df: DataFrame, strict: bool = False) -> DataFrame:
+    """REAL image decode behind the proven mapInPandas plumbing.
+
+    Two codec tiers, chosen per payload:
+
+    - **Built-in decoders** (always available, no third-party imports):
+      binary PPM (``P6``) and uncompressed 24/32-bit BMP
+      (``BITMAPINFOHEADER``, bottom-up or top-down). Both formats are
+      raw pixel layouts behind a small header, so decoding them is pure
+      byte arithmetic — headers parsed with ``struct``, pixel blocks
+      re-strided with numpy (BMP rows are 4-byte aligned and BGR; the
+      decoder strips padding and swaps to RGB).
+    - **Pillow**, when importable, for every other format (PNG/JPEG/…).
+
+    Output is one row per decodable payload: dimensions, channel count,
+    the decoded interleaved RGB(A) bytes, and which codec handled it.
+    Undecodable payloads are dropped (``strict=False``, the corpus-prep
+    default — a training pipeline filters, it doesn't abort) or raise
+    ``NotImplementedError`` naming the failing media_id
+    (``strict=True``).
+
+    The worker closure is self-contained (stdlib + numpy only), shipped
+    by value via cloudpickle like :func:`extract_features`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        try:
+            from PIL import Image as _Image
+
+            have_pil = True
+        except ImportError:
+            have_pil = False
+
+        def decode_ppm(b: bytes):
+            # P6: ASCII header (magic, width, height, maxval) then raw RGB
+            if not b.startswith(b"P6"):
+                return None
+            parts: list[int] = []
+            i = 2
+            while len(parts) < 3 and i < len(b):
+                while i < len(b) and b[i : i + 1].isspace():
+                    i += 1
+                if b[i : i + 1] == b"#":  # comment line
+                    while i < len(b) and b[i] != 0x0A:
+                        i += 1
+                    continue
+                j = i
+                while j < len(b) and not b[j : j + 1].isspace():
+                    j += 1
+                parts.append(int(b[i:j]))
+                i = j
+            i += 1  # single whitespace after maxval
+            w, h, maxval = parts
+            if maxval > 255:
+                return None  # 16-bit PPM out of scope
+            raw = b[i : i + w * h * 3]
+            if len(raw) != w * h * 3:
+                return None
+            return w, h, 3, raw
+
+        def decode_bmp(b: bytes):
+            # BITMAPFILEHEADER (14) + BITMAPINFOHEADER (>=40), no compression
+            if len(b) < 54 or b[:2] != b"BM":
+                return None
+            data_off = _struct.unpack_from("<I", b, 10)[0]
+            hdr_size = _struct.unpack_from("<I", b, 14)[0]
+            w, h = _struct.unpack_from("<ii", b, 18)
+            bpp = _struct.unpack_from("<H", b, 28)[0]
+            compression = _struct.unpack_from("<I", b, 30)[0]
+            if hdr_size < 40 or compression != 0 or bpp not in (24, 32):
+                return None
+            top_down = h < 0
+            h = abs(h)
+            nch = bpp // 8
+            row_bytes = (w * nch + 3) & ~3  # rows padded to 4 bytes
+            need = row_bytes * h
+            if data_off + need > len(b):
+                return None
+            arr = _np.frombuffer(b, dtype=_np.uint8, count=need, offset=data_off)
+            arr = arr.reshape(h, row_bytes)[:, : w * nch].reshape(h, w, nch)
+            if not top_down:
+                arr = arr[::-1]  # bottom-up storage -> top-down pixels
+            # BGR(A) -> RGB(A)
+            if nch == 3:
+                arr = arr[:, :, ::-1]
+            else:
+                arr = arr[:, :, [2, 1, 0, 3]]
+            return w, h, nch, _np.ascontiguousarray(arr).tobytes()
+
+        def decode_any(mid, b: bytes):
+            if not b:
+                return None
+            got = decode_ppm(b)
+            if got is not None:
+                return (*got, "ppm")
+            got = decode_bmp(b)
+            if got is not None:
+                return (*got, "bmp")
+            if have_pil:
+                import io as _io
+
+                try:
+                    with _Image.open(_io.BytesIO(b)) as im:
+                        im = im.convert("RGB") if im.mode not in ("RGB", "RGBA") else im
+                        a = _np.asarray(im)
+                        return (
+                            im.width,
+                            im.height,
+                            a.shape[2] if a.ndim == 3 else 1,
+                            a.tobytes(),
+                            "pillow",
+                        )
+                except Exception:
+                    return None
+            return None
+
+        for pdf in batches:
+            rows = {"media_id": [], "width": [], "height": [], "channels": [],
+                    "pixels": [], "codec": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                got = decode_any(mid, payload)
+                if got is None:
+                    if strict:
+                        raise NotImplementedError(
+                            f"media_id={mid}: payload is not PPM/BMP and no "
+                            "Pillow codec is importable in this environment"
+                        )
+                    continue
+                w, h, nch, raw, codec = got
+                rows["media_id"].append(mid)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["channels"].append(nch)
+                rows["pixels"].append(raw)
+                rows["codec"].append(codec)
+            yield _pd.DataFrame(rows)
+
+    return df.mapInPandas(run, DECODED_SCHEMA)

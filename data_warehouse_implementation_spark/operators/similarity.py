@@ -175,7 +175,11 @@ def kmeans_fit(
     ``dedup.connected_components`` the iterative lineage is truncated
     with ``localCheckpoint`` so plans don't grow with the iteration
     count. Returns ``(centroids, assignment)`` — centroids as
-    (cen_id, cen_vec), assignment as (id, cell_id).
+    (cen_id, cen_vec), assignment as (id, cell_id); the assignment is
+    recomputed against the FINAL centroids after the last update, so
+    the returned pair is mutually consistent (each vector's cell is its
+    nearest returned centroid — the invariant an IVF index built from
+    both requires).
 
     This is quantizer TRAINING for the IVF/IVF+PQ search path — the
     piece that turns the seed-centroid demo into a maintained index:
@@ -213,6 +217,11 @@ def kmeans_fit(
         # plan truncation: the next round reads materialized centroids,
         # not the whole history of prior rounds
         centroids = new_cen.localCheckpoint(eager=True)
+    # one final assignment against the returned centroids: `assigned`
+    # above was computed from the PRE-update centroids, and an
+    # (assignment, centroids) pair from different iterations breaks the
+    # quantizer invariant downstream
+    assigned = assign_cells(vectors, centroids, id_col=id_col, vec_col=vec_col)
     return centroids, assigned
 
 

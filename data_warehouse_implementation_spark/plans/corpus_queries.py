@@ -52,7 +52,7 @@ WITH assigned AS (
               THEN 'val' ELSE 'test' END AS split
   FROM documents
 )
-SELECT source, split, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+SELECT source, split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM assigned GROUP BY source, split ORDER BY source, split
 """
 
@@ -184,8 +184,8 @@ WITH {_TOKS_SQL.strip()},
 base AS (SELECT doc_id, CAST(len(arr) AS BIGINT) AS n_tokens FROM toks),
 cum AS (
   SELECT doc_id, n_tokens,
-         SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         - n_tokens AS token_start
+         CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         - n_tokens AS BIGINT) AS token_start
   FROM base
 )
 SELECT doc_id, n_tokens, token_start,
@@ -438,16 +438,16 @@ wsum AS (SELECT SUM(wt) AS ws FROM w),
 tot AS (SELECT source, SUM(n_tokens) AS tt FROM base GROUP BY source),
 rated AS (
   SELECT b.doc_id, b.source, b.n_tokens,
-         least(CAST(100 AS BIGINT),
+         CAST(least(CAST(100 AS BIGINT),
                (CAST({MIX_TOKEN_BUDGET} AS BIGINT) * 100 * w.wt) // (wsum.ws * tot.tt))
-           AS rate_pct
+           AS BIGINT) AS rate_pct
   FROM base b JOIN w USING (source) JOIN tot USING (source) CROSS JOIN wsum
 ),
 kept AS (
   SELECT * FROM rated
   WHERE ((doc_id % {HASH_P}) * {SPLIT_A} + {SPLIT_B}) % {HASH_P} % 100 < rate_pct
 )
-SELECT source, rate_pct, COUNT(*) AS n_docs, SUM(n_tokens) AS sum_tokens
+SELECT source, rate_pct, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
 FROM kept GROUP BY source, rate_pct ORDER BY source
 """
 
@@ -516,9 +516,9 @@ c AS (
   FROM st
 ),
 cum AS (
-  SELECT *, SUM(n_chunk_tokens) OVER (
+  SELECT *, CAST(SUM(n_chunk_tokens) OVER (
     ORDER BY doc_id, chunk_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-  ) - n_chunk_tokens AS token_start
+  ) - n_chunk_tokens AS BIGINT) AS token_start
   FROM c
 )
 SELECT doc_id, chunk_id, n_chunk_tokens, token_start,

@@ -83,7 +83,17 @@ def near_dup_minhash(t: dict[str, DataFrame], hashed: bool = False) -> DataFrame
     Jaccard verification is unchanged, so every emitted pair still
     satisfies the threshold on true shingle sets."""
     docs = t["documents"]
-    shingles = dedup.word_shingles(docs, n=3)
+    # The exploded (doc, shingle) table is MODE-INDEPENDENT — tokenizing
+    # and shingling the corpus is the expensive part, so it is cached
+    # once and shared: rank mode joins it against the dictionary, hashed
+    # mode maps xxhash64 over it. Before this split, hashed mode re-ran
+    # the whole explode because its tids couldn't reuse the rank cache.
+    shingles = materialize.get_or_build(
+        "near_dup_shingles",
+        str(docs.semanticHash()),
+        lambda: dedup.word_shingles(docs, n=3),
+        corpus_scale=True,
+    )
     mode = "hashed" if hashed else "rank"
     doc_tids = materialize.get_or_build(
         f"near_dup_doc_tids_{mode}",
@@ -114,9 +124,18 @@ def near_dup_minhash(t: dict[str, DataFrame], hashed: bool = False) -> DataFrame
 
 def near_dup_minhash_hashed(t: dict[str, DataFrame]) -> DataFrame:
     """Production-scale near-dup: xxhash64 shingle ids, no dictionary.
-    No DuckDB oracle (xxhash64 is engine-specific); correctness is
-    covered by the rank-mode differential plus the parity test asserting
-    both modes confirm the same pair set on the test corpus."""
+
+    Oracle note: xxhash64 itself is engine-specific, so the oracle
+    replays the RANK-mode pipeline instead. That is a sound differential
+    here because (a) the exact-Jaccard verification computes over TRUE
+    shingle sets, so any pair emitted by both modes carries identical
+    values, and (b) LSH candidate recall — the only place the id scheme
+    could matter — is asserted equal between the two modes on this
+    corpus by ``tests/test_llm_ops.py::
+    test_near_dup_hashed_mode_parity_and_no_global_sort`` at the same
+    sf the driver checks. The driver row is therefore a real check that
+    the production path's recall and values match the replayable path,
+    not a vacuous rows-only count."""
     return near_dup_minhash(t, hashed=True)
 
 
@@ -250,6 +269,10 @@ NEAR_DUP_MINHASH_ORACLE = f"""
 WITH {_ND_PAIR_CTES}
 SELECT doc_a, doc_b, jaccard FROM nd ORDER BY doc_a, doc_b
 """
+
+# The hashed-mode oracle IS the rank-mode replay — see the
+# near_dup_minhash_hashed docstring for why that is a sound differential.
+NEAR_DUP_MINHASH_HASHED_ORACLE = NEAR_DUP_MINHASH_ORACLE
 
 NEAR_DUP_INCREMENTAL_ORACLE = f"""
 WITH {_nd_pair_ctes(pair_pred="a.doc_id % 4 = 0 AND b.doc_id % 4 <> 0")}
@@ -1043,6 +1066,124 @@ SELECT doc_id AS media_id,
        CAST(list_sum(list_transform(generate_series(1, n_bytes, {MEDIA_FEATURE_DIM}),
                                     i -> cp[i])) % 256 AS DOUBLE) / 255.0 AS f0
 FROM cps ORDER BY media_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Real image-codec roundtrip on the correctness gate
+
+MEDIA_DECODE_DOCS = 300
+_PIX_P = 2_147_483_647
+
+
+def media_decode_roundtrip(t: dict[str, DataFrame]) -> DataFrame:
+    """The REAL image decoder on the CORRECTNESS gate. Each doc_id below
+    :data:`MEDIA_DECODE_DOCS` is rendered as a genuine on-disk image —
+    binary PPM (P6) for most ids, uncompressed bottom-up 24-bit BMP
+    (4-byte row padding, BGR byte order) for every third — whose RGB
+    row-major pixel bytes are the deterministic sequence
+    ``(doc_id*31 + j) % 256``. The payloads then pass through
+    ``multimodal.decode_images`` (the actual header parser / row
+    un-flipper / BGR→RGB swapper), and the decoded pixels are reduced to
+    a POSITION-WEIGHTED checksum ``sum((j+1) * byte_j) % p``.
+
+    The oracle computes the same checksum straight from the generating
+    formula — no image bytes involved — so any decoder fault that
+    perturbs pixel ORDER (missed row flip, missed BGR swap, padding
+    leaked into pixels) or VALUE shifts the weighted sum and fails the
+    hash. Encoding and decoding never share code: the builder here
+    writes headers with ``struct``; the decoder in
+    ``operators/multimodal.py`` parses them independently."""
+    from collections.abc import Iterator  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    from ..operators import multimodal
+
+    docs = t["documents"].select("doc_id").filter(F.col("doc_id") < MEDIA_DECODE_DOCS)
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import pandas as _pd
+
+        def enc_ppm(w: int, h: int, px: bytes) -> bytes:
+            return b"P6\n%d %d\n255\n" % (w, h) + px
+
+        def enc_bmp(w: int, h: int, px: bytes) -> bytes:
+            row_bytes = (w * 3 + 3) & ~3
+            pad = b"\x00" * (row_bytes - w * 3)
+            rows = []
+            for y in range(h - 1, -1, -1):  # bottom-up storage
+                row = px[y * w * 3 : (y + 1) * w * 3]
+                rows.append(
+                    b"".join(row[x * 3 : x * 3 + 3][::-1] for x in range(w)) + pad
+                )
+            body = b"".join(rows)
+            off = 14 + 40
+            return (
+                _struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+                + _struct.pack(
+                    "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+                )
+                + body
+            )
+
+        for pdf in batches:
+            ids, kinds, payloads, metas = [], [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 5, 3 + did % 4
+                px = bytes((did * 31 + j) % 256 for j in range(w * h * 3))
+                ids.append(did)
+                kinds.append("image")
+                payloads.append(enc_bmp(w, h, px) if did % 3 == 0 else enc_ppm(w, h, px))
+                metas.append({"width": w, "height": h, "sample_rate": None})
+            yield _pd.DataFrame(
+                {"media_id": ids, "kind": kinds, "payload": payloads, "meta": metas}
+            )
+
+    media = docs.mapInPandas(build, multimodal.MEDIA_SCHEMA)
+    decoded = multimodal.decode_images(media, strict=True)
+
+    def weigh(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "channels": pdf["channels"],
+                    "codec": pdf["codec"],
+                    "pix_checksum": pdf["pixels"].map(
+                        lambda b: sum((j + 1) * v for j, v in enumerate(b)) % _PIX_P
+                    ),
+                }
+            )
+
+    out_schema = (
+        "media_id long, width int, height int, channels int,"
+        " codec string, pix_checksum long"
+    )
+    return decoded.mapInPandas(weigh, out_schema).orderBy("media_id")
+
+
+MEDIA_DECODE_ROUNDTRIP_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+  FROM documents WHERE doc_id < {MEDIA_DECODE_DOCS}
+)
+SELECT doc_id AS media_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       CASE WHEN doc_id % 3 = 0 THEN 'bmp' ELSE 'ppm' END AS codec,
+       CAST(list_sum(list_transform(generate_series(1, w * h * 3),
+            j -> j * ((doc_id * 31 + (j - 1)) % 256))) % {_PIX_P} AS BIGINT)
+         AS pix_checksum
+FROM d ORDER BY media_id
 """
 
 

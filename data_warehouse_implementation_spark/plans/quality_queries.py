@@ -132,7 +132,7 @@ recon AS (
          COALESCE(total_price, 0.0) AS total_price
   FROM cust FULL OUTER JOIN ords ON c_custkey = o_custkey
 )
-SELECT status, segment, COUNT(*) AS n_keys, SUM(n_orders) AS n_orders,
+SELECT status, segment, COUNT(*) AS n_keys, CAST(SUM(n_orders) AS BIGINT) AS n_orders,
        CAST(SUM(CAST(total_price AS DECIMAL(18,2))) AS DOUBLE) AS total_price
 FROM recon GROUP BY status, segment ORDER BY status, segment
 """

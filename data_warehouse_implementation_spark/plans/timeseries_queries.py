@@ -626,7 +626,13 @@ def events_funnel(t: dict[str, DataFrame]) -> DataFrame:
     One shuffle per stage on user_id — each stage is a filtered
     aggregate joined to the previous stage's (user, ts) frontier; no
     windows over the event stream, no state. Emits one row per stage
-    with the surviving user count and the share of stage-1 users."""
+    with the surviving user count and the share of stage-1 users.
+    Stage counts are left-joined against the literal stage table with a
+    COALESCE to 0, so a stage no user reaches (including an absent
+    entry stage) still emits its row — matching the oracle's global
+    COUNTs, which always produce a row even over an empty set; the
+    entry-share denominator is NULL-guarded identically on both
+    sides."""
     ev = t["events"].select(
         "user_id", "event_type", _event_ts(t["events"]).alias("ts")
     )
@@ -648,23 +654,27 @@ def events_funnel(t: dict[str, DataFrame]) -> DataFrame:
     stage_order = spark.createDataFrame(
         [(s, i + 1) for i, s in enumerate(FUNNEL_STAGES)], "stage string, stage_idx long"
     )
-    out = None
+    agg = None
     for c in counts:
-        agg = c.groupBy("stage").agg(F.countDistinct("user_id").alias("n_users"))
-        out = agg if out is None else out.unionByName(agg)
-    first = out.filter(F.col("stage") == FUNNEL_STAGES[0]).select(
-        F.col("n_users").alias("_n0")
+        a = c.groupBy("stage").agg(F.countDistinct("user_id").alias("n_users"))
+        agg = a if agg is None else agg.unionByName(a)
+    # An empty frontier aggregates to zero rows, so anchor on the literal
+    # stage table: every stage emits a row, with n_users coalesced to 0.
+    out = (
+        stage_order.join(agg.withColumnRenamed("n_users", "_n"), on="stage", how="left")
+        .select("stage", "stage_idx", F.coalesce(F.col("_n"), F.lit(0)).alias("n_users"))
     )
+    first = out.filter(F.col("stage_idx") == 1).select(F.col("n_users").alias("_n0"))
     return (
-        out.join(F.broadcast(stage_order), on="stage")
-        .crossJoin(F.broadcast(first))
+        out.crossJoin(F.broadcast(first))
         .select(
             "stage_idx",
             "stage",
             "n_users",
-            (F.col("n_users").cast("double") / F.col("_n0").cast("double")).alias(
-                "share_of_entry"
-            ),
+            F.when(
+                F.col("_n0") > 0,
+                F.col("n_users").cast("double") / F.col("_n0").cast("double"),
+            ).alias("share_of_entry"),
         )
         .orderBy("stage_idx")
     )
@@ -695,7 +705,7 @@ stages AS (
 )
 SELECT stage_idx, stage, n_users,
        CAST(n_users AS DOUBLE)
-       / CAST((SELECT n_users FROM stages WHERE stage_idx = 1) AS DOUBLE)
+       / CAST(NULLIF((SELECT n_users FROM stages WHERE stage_idx = 1), 0) AS DOUBLE)
          AS share_of_entry
 FROM stages ORDER BY stage_idx
 """

@@ -64,74 +64,72 @@ def oracle_sql() -> dict[str, str]:
 
 
 # The correctness driver differentials the FIRST 50 registry entries per
-# round. Round 2 verified the original first 50 (all green except the
-# two since-fixed NTZ queries), so this round rotates the previously
-# unchecked tail into the window: the raw-SQL dialect-parity suite, the
-# corpus-prep operators, the skew/percentile/sketch extensions, and the
-# quality surface — plus the flagship, the two fixed event queries, and
-# a band of high-value anchors kept under continuous driver watch.
-# Everything not listed follows in registration order.
+# round. Round-4 window: the flagship, the five oracles whose DuckDB
+# HUGEINT typing was fixed this round (previously hash-red for dtype
+# only — values verified identical), every registered query that has
+# never appeared in any round's driver window, the three queries whose
+# implementation changes this round (funnel empty-stage fix, real image
+# decode, hashed-shingle cache), and the oldest still-unrefreshed
+# round-2 verifications. After this round every registered query has
+# been driver-checked at least once except a 9-query round-2-green tail
+# slated for round 5. Everything not listed follows in registration
+# order.
 _DRIVER_WINDOW = [
-    # flagship + this round's regression fixes
+    # flagship
     "timely_rank_report",
-    "events_sessionize",
-    "events_asof_join",
-    # raw-SQL dialect parity (same SQL text on spark.sql and DuckDB)
-    "pricing_summary_sql",
-    "shipping_priority_sql",
-    "local_supplier_volume_sql",
-    "late_order_exists_sql",
-    "small_qty_revenue_sql",
-    "priority_status_sets_sql",
-    # corpus-preparation operators
+    # round-4 oracle typing fixes (CAST(... AS BIGINT) around DuckDB SUM)
     "doc_hash_split",
-    "doc_chunks",
-    "vocab_top_terms",
-    "doc_tfidf_top_terms",
     "doc_shard_assignment",
-    "doc_stratified_sample",
-    "doc_decontaminate",
-    "doc_repetition_ratio",
-    "doc_pii_redact",
-    # skew / order-statistics / sketch / set-op extensions
-    "salted_skew_agg",
-    "event_user_distinct",
-    "customer_running_totals",
-    "customer_set_ops",
-    "order_cube",
-    "brand_price_percentiles",
-    "user_sketch_distinct",
-    "salted_flag_join",
-    "events_daily_delta",
-    "customer_spend_quartiles",
-    "price_histogram",
-    "nation_top_customer_list",
-    # warehouse maintenance + ingest tail
-    "incremental_agg_refresh",
-    "integrity_report",
-    "events_keep_latest",
-    "jsonl_scan_agg",
-    # data-quality surface + dedup refinements
-    "orders_profile",
-    "customer_order_reconcile",
-    "nation_revenue_share",
-    "dedup_keep_best",
-    "near_dup_capped",
-    # anchors kept under continuous watch (driver-green in round 2)
-    "warehouse_fact_build",
-    "near_dup_minhash",
-    # round-3 additions not yet driver-checked: ANN (PQ / IVF+PQ /
-    # multiprobe), incremental dedup, corpus mixing/packing/filtering,
-    # funnel, and the new raw-SQL parity queries
-    "embedding_ann_pq",
-    "embedding_ann_ivfpq",
-    "embedding_ann_multiprobe",
-    "near_dup_incremental",
     "corpus_mix_sources",
     "training_sequences",
-    "corpus_quality_filter",
+    "customer_order_reconcile",
+    # never driver-checked until now
+    "near_dup_minhash_hashed",
+    "boilerplate_ngrams",
+    "user_retention_cohorts",
+    "doc_eval_sample",
+    "nation_volume_sql",
+    "forecast_revenue_sql",
+    "returned_item_sql",
+    "brand_fuzzy_match",
+    "documents_profile",
+    "near_dup_source_matrix",
+    "region_nation_revenue_share",
+    "exact_dedup_by_fingerprint",
+    "order_lifecycle_fact",
+    "orders_constraint_gate",
+    "events_cdc_apply",
+    "embedding_dense_topk",
+    "embedding_kmeans_refine",
+    "doc_split_dedup_aware",
+    "brand_price_outliers",
+    "event_transitions",
+    "session_conversion",
+    "user_sketch_rollup",
+    "events_volume_anomaly",
+    # implementation changes this round — keep under driver watch
     "events_funnel",
-    "market_share_sql",
+    "media_feature_extract",
+    "media_decode_roundtrip",
+    "near_dup_minhash",
+    # oldest verifications (round-2-green, refreshed here)
+    "scd1_upsert_batch",
+    "insert_if_absent_batch",
+    "scd2_apply_batch",
+    "scd3_apply_batch",
+    "csv_scan_agg",
+    "events_props_extract",
+    "events_window_agg",
+    "warehouse_dim_build",
+    "population_fact_build",
+    "complaints_clean",
+    "demo_reshape_pipeline",
+    "segment_mode_fill",
+    "priority_pivot_first",
+    "exact_dedup_docs",
+    "near_dup_clusters",
+    "simhash_near_dup",
+    "doc_language_id",
 ]
 
 
@@ -254,6 +252,11 @@ register(
     "media_feature_extract",
     llm_queries.media_feature_extract,
     llm_queries.MEDIA_FEATURE_EXTRACT_ORACLE,
+)
+register(
+    "media_decode_roundtrip",
+    llm_queries.media_decode_roundtrip,
+    llm_queries.MEDIA_DECODE_ROUNDTRIP_ORACLE,
 )
 register("order_rollup", analytics.order_rollup, analytics.ORDER_ROLLUP_ORACLE)
 
@@ -405,10 +408,16 @@ register(
 )
 register("dedup_keep_best", llm_queries.dedup_keep_best, llm_queries.DEDUP_KEEP_BEST_ORACLE)
 register("near_dup_capped", llm_queries.near_dup_capped, llm_queries.NEAR_DUP_CAPPED_ORACLE)
-# Production-mode near-dup (xxhash64 shingle ids): deliberately NO
-# oracle — xxhash64 is not portable SQL; rows-only driver check, with
-# rank-mode parity asserted in tests/test_llm_ops.py.
-register("near_dup_minhash_hashed", llm_queries.near_dup_minhash_hashed, None)
+# Production-mode near-dup (xxhash64 shingle ids). xxhash64 is not
+# portable SQL, so the oracle replays the RANK-mode pipeline — sound
+# because verified-pair values come from true shingle sets (mode-
+# independent) and candidate-recall parity between the modes is pytest-
+# asserted at the driver's sf (see near_dup_minhash_hashed docstring).
+register(
+    "near_dup_minhash_hashed",
+    llm_queries.near_dup_minhash_hashed,
+    llm_queries.NEAR_DUP_MINHASH_HASHED_ORACLE,
+)
 
 # Round-3 training-pipeline additions: incremental batch-vs-corpus
 # near-dup, weighted source mixing, boilerplate n-gram detection

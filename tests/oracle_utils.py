@@ -37,7 +37,9 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_float_dtype(dt):
             df[c] = df[c].astype("float64")
         elif pd.api.types.is_datetime64_any_dtype(dt):
-            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+            # unify resolution too (Spark→ns, DuckDB→us): a resolution
+            # difference is representational, not a value difference
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None).astype("datetime64[ns]")
         elif dt == object:
             # date objects / decimals / strings: stringify for stable compare
             df[c] = df[c].map(lambda v: None if v is None else str(v))
@@ -60,4 +62,12 @@ def compare_to_oracle(spark, name: str, sf_dir: str = "/root/testdata/sf0.01") -
         f"{name}: column mismatch {list(got.columns)} vs {list(want.columns)}"
     )
     assert len(got) == len(want), f"{name}: row count {len(got)} vs {len(want)}"
+    # The driver's value hash is dtype-sensitive: DuckDB SUM(BIGINT) yields
+    # HUGEINT (surfacing as float64), so an un-cast oracle hashes 515.0 vs
+    # Spark's 515 even when values agree. Compare post-normalize dtypes
+    # strictly so that bug class fails locally, not in the driver window.
+    assert list(got.dtypes) == list(want.dtypes), (
+        f"{name}: dtype mismatch {dict(got.dtypes)} vs {dict(want.dtypes)} "
+        "(likely a missing CAST(... AS BIGINT) around a DuckDB SUM)"
+    )
     pd.testing.assert_frame_equal(got, want, check_exact=True, check_dtype=False, obj=name)

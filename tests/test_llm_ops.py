@@ -333,6 +333,11 @@ def test_kmeans_fit_inertia_non_increasing(spark):
     # every vector assigned, exactly k centroids
     assert assigned.count() == emb.count()
     assert cen4.count() == 4
+    # the returned (centroids, assignment) pair is mutually consistent:
+    # each vector's cell is its nearest cell under the RETURNED centroids
+    want = {r.vec_id: r.cell_id for r in assign_cells(emb, cen4).collect()}
+    got = {r.vec_id: r.cell_id for r in assigned.collect()}
+    assert got == want
 
 
 def test_dense_blocked_topk_matches_brute_force(spark):
