@@ -50,6 +50,60 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+#: Fixed-point scale for the hyperplane sign test: vectors are quantized
+#: to integer thousandths so the projection sign is exact int64
+#: arithmetic — no float summation order to disagree on across engines.
+HYPERPLANE_SCALE = 1000
+
+
+def hyperplane_signature(
+    vectors: DataFrame,
+    n_bits: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sig_col: str = "hypersig",
+) -> DataFrame:
+    """Sign-random-projection signature (the cosine-LSH counterpart of
+    :func:`~..operators.dedup.simhash_bits`): bit ``i`` is the sign of
+    the vector's projection onto a DETERMINISTIC pseudo-random integer
+    hyperplane ``w(i, j) = ((i*131 + j*31 + 7) * 2654435761) % 97 - 48``
+    (values in [-48, 48], j = dimension index). Vectors agreeing on a
+    bit lie on the same side of that hyperplane, so Hamming-close
+    signatures <=> cosine-close vectors (Charikar 2002) — banding the
+    signature gives an ANN candidate generator with NO corpus
+    cross-product anywhere.
+
+    Everything is map-side column algebra: quantize to int64
+    thousandths, fold the integer dot product per bit, pack sign bits
+    into one long. Dimension-agnostic (weights are generated in-plan
+    from ``sequence(0, size(v)-1)``), and every step is portable
+    modular arithmetic an oracle can replay."""
+    q = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * HYPERPLANE_SCALE).cast("long"),
+    )
+    base = vectors.select(F.col(id_col), q.alias("_q"))
+
+    def proj(i: int) -> Column:
+        # weight array generated from the dimension index, same formula
+        # the oracle replays; the fold is pure int64
+        w = F.transform(
+            F.sequence(F.lit(0), F.size("_q") - 1),
+            lambda j: (F.lit(i * 131 + 7) + j * 31) * F.lit(2654435761) % 97 - 48,
+        )
+        return F.aggregate(
+            F.zip_with(F.col("_q"), w, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    bit_terms = [
+        F.when(proj(i) >= 0, F.lit(1 << i)).otherwise(F.lit(0)) for i in range(n_bits)
+    ]
+    sig = sum(bit_terms[1:], bit_terms[0]).cast("long")
+    return base.select(id_col, sig.alias(sig_col))
+
+
 def assign_cells(
     vectors: DataFrame,
     centroids: DataFrame,

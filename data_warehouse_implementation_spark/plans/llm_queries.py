@@ -981,6 +981,121 @@ def embedding_near_dup(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+HYPER_BITS = 16
+HYPER_BANDS = 4
+
+
+def embedding_lsh_near_dup(t: dict[str, DataFrame]) -> DataFrame:
+    """Embedding near-dup via sign-random-projection LSH — the
+    bucketed-candidate scale path that needs NO trained quantizer (vs
+    ``embedding_near_dup``'s IVF cells): 16 deterministic hyperplane
+    sign bits per vector (similarity.hyperplane_signature), banded 4x4;
+    vectors sharing any intact band become candidates via a pure
+    equi-join (never an all-pairs product), then exact cosine over the
+    original floats keeps only true near-duplicates. Recall follows the
+    Charikar collision bound — a pair this misses is missed identically
+    by the oracle, which replays the integer hyperplane arithmetic
+    bit-for-bit.
+
+    Scale sizing: 4-bit bands (16 buckets) are demo-sized for this
+    500-vector table. At corpus scale widen the signature and the bands
+    (e.g. 64 bits as 8x8 -> 256 buckets/band, or 16x16 -> 65k) so
+    bucket occupancy stays bounded, and apply the same hot-bucket cap
+    as ``dedup.candidate_pairs(max_bucket_size=...)`` — band width is
+    the precision/recall knob, the plan shape does not change."""
+    sig = similarity.hyperplane_signature(t["embeddings"], n_bits=HYPER_BITS)
+    width = HYPER_BITS // HYPER_BANDS
+    mask = (1 << width) - 1
+    structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.shiftright(F.col("hypersig"), b * width).bitwiseAND(F.lit(mask)).alias("band_key"),
+        )
+        for b in range(HYPER_BANDS)
+    ]
+    bands = sig.select("vec_id", F.explode(F.array(*structs)).alias("_b")).select(
+        "vec_id", F.col("_b.band_id").alias("band_id"), F.col("_b.band_key").alias("band_key")
+    )
+    cands = (
+        bands.select(F.col("vec_id").alias("vec_a"), "band_id", "band_key")
+        .join(
+            bands.select(F.col("vec_id").alias("vec_b"), "band_id", "band_key"),
+            on=["band_id", "band_key"],
+        )
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    emb = t["embeddings"].select(
+        "vec_id", "embedding", similarity.l2_norm(F.col("embedding")).alias("_norm")
+    )
+    return (
+        cands.join(
+            emb.select(
+                F.col("vec_id").alias("vec_a"),
+                F.col("embedding").alias("_va"),
+                F.col("_norm").alias("_na"),
+            ),
+            on="vec_a",
+        )
+        .join(
+            emb.select(
+                F.col("vec_id").alias("vec_b"),
+                F.col("embedding").alias("_vb"),
+                F.col("_norm").alias("_nb"),
+            ),
+            on="vec_b",
+        )
+        .withColumn(
+            "cosine",
+            similarity.dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
+        )
+        .filter(F.col("cosine") >= NEAR_DUP_COSINE)
+        .select("vec_a", "vec_b", "cosine")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+_COS_AB = (
+    "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+    " / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))"
+    " * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+)
+
+EMBEDDING_LSH_NEAR_DUP_ORACLE = f"""
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * {similarity.HYPERPLANE_SCALE}) AS BIGINT)) AS q
+  FROM embeddings
+),
+bits AS (
+  SELECT vec_id, i,
+         CASE WHEN list_sum(list_transform(generate_series(1, len(q)),
+              j -> q[j] * (((i * 131 + (j - 1) * 31 + 7) * 2654435761) % 97 - 48))) >= 0
+              THEN 1 ELSE 0 END AS bit
+  FROM qv CROSS JOIN (SELECT unnest(generate_series(0, {HYPER_BITS - 1})) AS i) gi
+),
+bands AS (
+  SELECT vec_id, i // {HYPER_BITS // HYPER_BANDS} AS band_id,
+         CAST(SUM(bit * (1 << (i % {HYPER_BITS // HYPER_BANDS}))) AS BIGINT) AS band_key
+  FROM bits GROUP BY vec_id, i // {HYPER_BITS // HYPER_BANDS}
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM bands x
+  JOIN bands y ON x.band_id = y.band_id AND x.band_key = y.band_key
+             AND x.vec_id < y.vec_id
+)
+SELECT c.vec_a, c.vec_b, {_COS_AB} AS cosine
+FROM cand c
+JOIN embeddings a ON a.vec_id = c.vec_a
+JOIN embeddings b ON b.vec_id = c.vec_b
+WHERE {_COS_AB} >= {NEAR_DUP_COSINE}
+ORDER BY vec_a, vec_b
+"""
+
+
 EMBEDDING_NEAR_DUP_ORACLE = f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])

@@ -346,6 +346,95 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 
 # ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters (from-scratch frequency sketch — the
+# companion to the cardinality sketches above: HLL answers "how many
+# distinct", CMS answers "how often does each one occur" in fixed space).
+
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+CMS_P = 2_147_483_647
+CMS_A = [1103515245 + 12345 * i for i in range(CMS_DEPTH)]
+CMS_B = [7 + 1013904223 * i for i in range(CMS_DEPTH)]
+CMS_HH_PCT = 1  # heavy hitter: estimated count >= 1% of the stream
+
+
+def events_heavy_hitters_cms(t: dict[str, DataFrame]) -> DataFrame:
+    """Heavy-hitter detection through a from-scratch count-min sketch:
+    every event increments ``CMS_DEPTH`` cells (one universal-hash
+    bucket per row; the sketch build is one groupBy over DEPTH x WIDTH
+    = 256 bounded cells — mergeable partial state, same 100 TB posture
+    as the HLL queries), and a user's estimate is the MIN over its
+    DEPTH cells — always >= the true count, never under. Users whose
+    ESTIMATE clears CMS_HH_PCT% of the stream are reported next to
+    their true count and the per-row guarantee flag. All integer
+    modular arithmetic, so the oracle replays sketch construction AND
+    query bit-for-bit."""
+    spark = t["events"].sparkSession
+    params = spark.createDataFrame(
+        [(i, CMS_A[i], CMS_B[i]) for i in range(CMS_DEPTH)], "i int, a long, b long"
+    )
+    ev = t["events"].select("user_id")
+    cell = F.pmod((F.col("user_id") % CMS_P) * F.col("a") + F.col("b"), F.lit(CMS_P)) % CMS_WIDTH
+    # sketch build: DEPTH copies of the stream -> (row, bucket) counts
+    cells = (
+        ev.crossJoin(F.broadcast(params))
+        .select("i", cell.alias("col"))
+        .groupBy("i", "col")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    users = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_count"))
+    total = ev.select(F.count(F.lit(1)).alias("_total"))
+    est = (
+        users.crossJoin(F.broadcast(params))
+        .select("user_id", "true_count", "i", cell.alias("col"))
+        .join(F.broadcast(cells), on=["i", "col"])
+        .groupBy("user_id", "true_count")
+        .agg(F.min("c").alias("est_count"))
+    )
+    return (
+        est.crossJoin(F.broadcast(total))
+        .filter(F.col("est_count") * 100 >= F.col("_total") * CMS_HH_PCT)
+        .select(
+            "user_id",
+            "est_count",
+            "true_count",
+            (F.col("est_count") >= F.col("true_count")).alias("never_undercounts"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_CMS_PARAMS_SQL = ", ".join(
+    f"({i}, {CMS_A[i]}, {CMS_B[i]})" for i in range(CMS_DEPTH)
+)
+
+EVENTS_HEAVY_HITTERS_CMS_ORACLE = f"""
+WITH params(i, a, b) AS (VALUES {_CMS_PARAMS_SQL}),
+ev AS (SELECT user_id FROM events),
+cells AS (
+  SELECT i, ((user_id % {CMS_P}) * a + b) % {CMS_P} % {CMS_WIDTH} AS col,
+         COUNT(*) AS c
+  FROM ev CROSS JOIN params GROUP BY 1, 2
+),
+users AS (SELECT user_id, COUNT(*) AS true_count FROM ev GROUP BY user_id),
+tot AS (SELECT COUNT(*) AS total FROM ev),
+est AS (
+  SELECT u.user_id, u.true_count, CAST(MIN(c.c) AS BIGINT) AS est_count
+  FROM users u
+  CROSS JOIN params p
+  JOIN cells c ON c.i = p.i
+   AND c.col = ((u.user_id % {CMS_P}) * p.a + p.b) % {CMS_P} % {CMS_WIDTH}
+  GROUP BY u.user_id, u.true_count
+)
+SELECT user_id, est_count, true_count,
+       est_count >= true_count AS never_undercounts
+FROM est CROSS JOIN tot
+WHERE est_count * 100 >= total * {CMS_HH_PCT}
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Salted skew JOIN (companion to the salted two-phase AGG above).
 
 _FLAG_LABELS = [("R", "returned"), ("A", "accepted"), ("N", "none")]

@@ -107,10 +107,12 @@ _DRIVER_WINDOW = [
     "session_conversion",
     "user_sketch_rollup",
     "events_volume_anomaly",
-    # implementation changes this round — keep under driver watch
+    # implementation changes / additions this round — under driver watch
     "events_funnel",
     "media_feature_extract",
     "media_decode_roundtrip",
+    "embedding_lsh_near_dup",
+    "events_heavy_hitters_cms",
     "near_dup_minhash",
     # oldest verifications (round-2-green, refreshed here)
     "scd1_upsert_batch",
@@ -124,12 +126,10 @@ _DRIVER_WINDOW = [
     "population_fact_build",
     "complaints_clean",
     "demo_reshape_pipeline",
-    "segment_mode_fill",
     "priority_pivot_first",
     "exact_dedup_docs",
     "near_dup_clusters",
     "simhash_near_dup",
-    "doc_language_id",
 ]
 
 
@@ -552,3 +552,16 @@ register(
     timeseries_queries.EVENTS_VOLUME_ANOMALY_ORACLE,
 )
 register("market_share_sql", sql_api.market_share_sql, sql_api.MARKET_SHARE_ORACLE)
+
+# Round-4 additions: cosine-LSH embedding near-dup (quantizer-free
+# bucketed candidates) and a from-scratch count-min frequency sketch.
+register(
+    "embedding_lsh_near_dup",
+    llm_queries.embedding_lsh_near_dup,
+    llm_queries.EMBEDDING_LSH_NEAR_DUP_ORACLE,
+)
+register(
+    "events_heavy_hitters_cms",
+    timeseries_queries.events_heavy_hitters_cms,
+    timeseries_queries.EVENTS_HEAVY_HITTERS_CMS_ORACLE,
+)

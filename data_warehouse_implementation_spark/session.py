@@ -73,6 +73,15 @@ def get_spark(
     return builder.getOrCreate()
 
 
+# (sf_dir -> (owning session, table dict)): every registry query calls
+# load_tables, and each uncached call costs ten spark.read.parquet
+# footer/schema reads — pure fixed overhead that dominated the
+# golden-batch queries in BENCH_r03 (~10-row SCD inputs timing >1s).
+_TABLES_CACHE: dict[str, tuple[SparkSession, dict[str, DataFrame]]] = {}
+# which sf_dir the session-global temp views currently point at
+_ACTIVE_VIEWS: dict[int, str] = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Read every testdata parquet under ``sf_dir`` and register each as a
     temp view. Returns {name: DataFrame}.
@@ -80,6 +89,11 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
     Parquet scans are the engine's only local source at test time; on a
     cluster the same call works against object-store URIs unchanged
     (columnar vectorized reader, predicate pushdown, column pruning).
+
+    DataFrames are cached per (session, sf_dir) — logical plans only,
+    no data pinning — and the temp views are re-pointed whenever the
+    requested ``sf_dir`` differs from the one the views currently serve
+    (the bench warms up at a smaller sf, then re-points).
     """
     # Defensive: the driver may hand us a session built without our
     # defaults; these confs are dynamic. nanosAsLong is required to read
@@ -87,12 +101,20 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
     # timestamp formatting regardless of host timezone.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    tables: dict[str, DataFrame] = {}
-    for name in TESTDATA_TABLES:
-        path = os.path.join(sf_dir, f"{name}.parquet")
-        if not os.path.exists(path):
-            continue
-        df = spark.read.parquet(path)
-        df.createOrReplaceTempView(name)
-        tables[name] = df
-    return tables
+    entry = _TABLES_CACHE.get(sf_dir)
+    if entry is not None and entry[0] is spark:
+        tables = entry[1]
+    else:
+        tables = {}
+        for name in TESTDATA_TABLES:
+            path = os.path.join(sf_dir, f"{name}.parquet")
+            if not os.path.exists(path):
+                continue
+            tables[name] = spark.read.parquet(path)
+        _TABLES_CACHE[sf_dir] = (spark, tables)
+        _ACTIVE_VIEWS.pop(id(spark), None)  # force view (re-)registration
+    if _ACTIVE_VIEWS.get(id(spark)) != sf_dir:
+        for name, df in tables.items():
+            df.createOrReplaceTempView(name)
+        _ACTIVE_VIEWS[id(spark)] = sf_dir
+    return dict(tables)  # shallow copy: callers must not pollute the cache

@@ -130,6 +130,33 @@ def test_funnel_counts_are_monotone_nonincreasing(spark):
     assert rows[0].share_of_entry == 1.0
 
 
+def test_funnel_emits_zero_rows_for_unreached_stages(spark):
+    """A stage no user reaches must still emit its row with n_users=0
+    (matching the oracle's global COUNTs), and an absent ENTRY stage
+    must not silently empty the whole funnel (ADVICE r3)."""
+    from data_warehouse_implementation_spark.plans import timeseries_queries
+
+    # users sign up and view; nobody clicks or purchases
+    ev = spark.createDataFrame(
+        [(1, "signup", "2024-01-01 00:00:00"), (1, "view", "2024-01-01 00:01:00"),
+         (2, "signup", "2024-01-02 00:00:00")],
+        "user_id long, event_type string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rows = timeseries_queries.events_funnel({"events": ev}).orderBy("stage_idx").collect()
+    assert [(r.stage, r.n_users) for r in rows] == [
+        ("signup", 2), ("view", 1), ("click", 0), ("purchase", 0)
+    ]
+    assert rows[2].share_of_entry == 0.0 and rows[3].share_of_entry == 0.0
+    # entry stage absent entirely: all-zero rows, null shares — not an empty frame
+    ev2 = spark.createDataFrame(
+        [(1, "view", "2024-01-01 00:00:00")],
+        "user_id long, event_type string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rows2 = timeseries_queries.events_funnel({"events": ev2}).orderBy("stage_idx").collect()
+    assert [r.n_users for r in rows2] == [0, 0, 0, 0]
+    assert all(r.share_of_entry is None for r in rows2)
+
+
 def test_zorder_key_matches_python_reference(spark):
     from data_warehouse_implementation_spark.functions.scalar import zorder_key
 
@@ -150,3 +177,90 @@ def test_zorder_key_matches_python_reference(spark):
     }
     for a, b, c in rows:
         assert got[(a, b, c)] == z_ref([a, b, c], 6), (a, b, c)
+
+
+# ---------------------------------------------------------------------------
+# Property-based differentials of the two-phase cumsum (VERDICT r3 #7):
+# the bucket-offset algebra must equal the single-task global running sum
+# under ADVERSARIAL id distributions and physical partitionings — sparse
+# ids, all-one-bucket clusters, zero-token docs, bucket_width=1, and
+# random repartitioning of the input.
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_shard_cases = st.tuples(
+    st.lists(  # (doc_id, n_tokens) with unique, possibly sparse/clustered ids
+        st.tuples(st.integers(min_value=0, max_value=5000), st.integers(min_value=0, max_value=40)),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda r: r[0],
+    ),
+    st.sampled_from([1, 2, 7, 256]),      # bucket_width incl. degenerate 1
+    st.sampled_from([1, 13, 100]),        # budget incl. degenerate 1
+    st.integers(min_value=1, max_value=7),  # physical partition count
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_shard_cases)
+def test_shard_two_phase_cumsum_property(spark, case):
+    rows, bucket_width, budget, nparts = case
+    df = spark.createDataFrame(
+        [(i, n) for i, n in rows], "doc_id long, n_tokens_in long"
+    ).repartition(nparts)
+    out = {
+        r.doc_id: (r.n_tokens, r.token_start, r.shard_id)
+        for r in corpus.shard_by_token_budget(
+            df, budget=budget, bucket_width=bucket_width, tokens_col="n_tokens_in"
+        ).collect()
+    }
+    running = 0
+    for did, n in sorted(rows):
+        assert out[did] == (n, running, running // budget), (did, out[did], running)
+        running += n
+    assert len(out) == len(rows)
+
+
+_pack_cases = st.tuples(
+    st.lists(  # (doc_id, n_words)
+        st.tuples(st.integers(min_value=0, max_value=300), st.integers(min_value=0, max_value=25)),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda r: r[0],
+    ),
+    st.sampled_from([(4, 4), (4, 3), (5, 2), (1, 1)]),  # (chunk_size, stride)
+    st.sampled_from([1, 9, 64]),                        # seq budget
+    st.integers(min_value=1, max_value=5),              # physical partitions
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_pack_cases)
+def test_pack_sequences_global_stream_property(spark, case):
+    """pack_sequences must lay chunks end to end in (doc, chunk) order
+    and cut exactly like a single global running sum — replayed here in
+    plain Python chunk arithmetic (chunk c covers words
+    [1+c*stride, 1+c*stride+size), final chunk short, empty docs
+    dropped)."""
+    rows, (size, stride), seq_budget, nparts = case
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(n))) for i, n in rows],
+        "doc_id long, text string",
+    ).repartition(nparts)
+    got = {
+        (r.doc_id, r.chunk_id): (r.n_chunk_tokens, r.token_start, r.seq_id)
+        for r in corpus.pack_sequences(
+            df, seq_budget=seq_budget, chunk_size=size, chunk_stride=stride
+        ).collect()
+    }
+    want = {}
+    running = 0
+    for did, n in sorted(rows):
+        if n == 0:
+            continue
+        for cid, s in enumerate(range(0, n, stride)):
+            clen = min(size, n - s)
+            want[(did, cid)] = (clen, running, running // seq_budget)
+            running += clen
+    assert got == want
