@@ -46,6 +46,22 @@ def _mh_sql(i: int) -> str:
     return f"MIN(((tid % {HASH_P}) * {MINHASH_A[i]} + {MINHASH_B[i]}) % {HASH_P}) AS mh{i}"
 
 
+def _shared_bands(docs: DataFrame, doc_tids: DataFrame, mode: str) -> DataFrame:
+    """Session-cached (doc_id, band_id, band_key) LSH band table — the
+    signature aggregation over the corpus-scale (doc, tid) set is the
+    second-most expensive stage of the near-dup family, and every family
+    member (pairs, capped, incremental, source matrix, clusters) needs
+    the same bands, so it is computed once per (mode, corpus)."""
+    return materialize.get_or_build(
+        f"near_dup_bands_{mode}",
+        str(docs.semanticHash()),
+        lambda: dedup.lsh_bands(
+            dedup.minhash_signatures(doc_tids, k=K), bands=BANDS, rows=ROWS
+        ),
+        corpus_scale=True,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup (keep-first)
 
@@ -101,13 +117,13 @@ def near_dup_minhash(t: dict[str, DataFrame], hashed: bool = False) -> DataFrame
         lambda: dedup.shingle_ids(shingles, hashed=hashed),
         corpus_scale=True,
     )
-    sig = dedup.minhash_signatures(doc_tids, k=K)
+    bands = _shared_bands(docs, doc_tids, mode)
     # the candidate set feeds three branches of the verification plan —
     # materialize it (|pairs| rows) so the band self-join runs once
     cands = materialize.get_or_build(
         f"near_dup_cands_{mode}",
         str(docs.semanticHash()),
-        lambda: dedup.candidate_pairs(dedup.lsh_bands(sig, bands=BANDS, rows=ROWS)),
+        lambda: dedup.candidate_pairs(bands),
     )
     # the verified pair set is consumed downstream too (near_dup_clusters
     # runs connected components over it) — cache the |pairs|-row result
@@ -159,16 +175,10 @@ def near_dup_incremental(t: dict[str, DataFrame]) -> DataFrame:
         lambda: dedup.shingle_ids(dedup.word_shingles(docs, n=3)),
         corpus_scale=True,
     )
-    # the band table feeds BOTH sides of the new x corpus join —
-    # materialize it so the signature pipeline runs once, not per branch
-    bands = materialize.get_or_build(
-        "near_dup_bands_rank",
-        str(docs.semanticHash()),
-        lambda: dedup.lsh_bands(
-            dedup.minhash_signatures(doc_tids, k=K), bands=BANDS, rows=ROWS
-        ),
-        corpus_scale=True,
-    )
+    # the band table feeds BOTH sides of the new x corpus join — the
+    # family-shared cache means the signature pipeline runs once per
+    # session, not per branch or per query
+    bands = _shared_bands(docs, doc_tids, "rank")
     is_new = F.col("doc_id") % 4 == 0
     new_b = bands.filter(is_new).select(
         F.col("doc_id").alias("doc_a"), "band_id", "band_key"
@@ -1400,14 +1410,11 @@ def near_dup_capped(t: dict[str, DataFrame]) -> DataFrame:
         lambda: dedup.shingle_ids(shingles),
         corpus_scale=True,
     )
-    sig = dedup.minhash_signatures(doc_tids, k=K)
+    bands = _shared_bands(docs, doc_tids, "rank")
     cands = materialize.get_or_build(
         "near_dup_cands_capped",
         str(docs.semanticHash()),
-        lambda: dedup.candidate_pairs(
-            dedup.lsh_bands(sig, bands=BANDS, rows=ROWS),
-            max_bucket_size=NEAR_DUP_MAX_BUCKET,
-        ),
+        lambda: dedup.candidate_pairs(bands, max_bucket_size=NEAR_DUP_MAX_BUCKET),
     )
     return (
         dedup.pairwise_jaccard(cands, doc_tids)
