@@ -27,6 +27,7 @@ from .plans import (
     ingest_queries,
     llm_queries,
     quality_queries,
+    scale_queries,
     scd_queries,
     sql_api,
     timeseries_queries,
@@ -113,6 +114,8 @@ _DRIVER_WINDOW = [
     "media_decode_roundtrip",
     "embedding_lsh_near_dup",
     "events_heavy_hitters_cms",
+    "bloom_prefilter_join",
+    "events_quantile_rollup",
     "near_dup_minhash",
     # oldest verifications (round-2-green, refreshed here)
     "scd1_upsert_batch",
@@ -564,4 +567,14 @@ register(
     "events_heavy_hitters_cms",
     timeseries_queries.events_heavy_hitters_cms,
     timeseries_queries.EVENTS_HEAVY_HITTERS_CMS_ORACLE,
+)
+register(
+    "bloom_prefilter_join",
+    scale_queries.bloom_prefilter_join,
+    scale_queries.BLOOM_PREFILTER_JOIN_ORACLE,
+)
+register(
+    "events_quantile_rollup",
+    scale_queries.events_quantile_rollup,
+    scale_queries.EVENTS_QUANTILE_ROLLUP_ORACLE,
 )
