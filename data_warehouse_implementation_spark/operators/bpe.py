@@ -1,0 +1,164 @@
+"""Byte-pair-encoding tokenizer training as pure DataFrame algebra
+(brief requirement — token counting / training-data pipeline surface;
+no reference analog).
+
+Classic BPE (Sennrich et al. 2016) trains on the *word-frequency
+table*, not the raw corpus: the corpus collapses to (distinct word,
+count) once — at 100 TB that is one shuffle on the word and a vocab-
+sized table thereafter (natural-language vocabularies are millions of
+rows, not billions) — and every merge round then runs over vocab-scale
+data. Each round is: adjacent-pair counts weighted by word frequency
+(one explode + one aggregate), a deterministic arg-max (count desc,
+then pair lexicographically), and a single-scan merge application.
+
+Portability contract (what the DuckDB oracle replays bit-for-bit):
+
+- a word is represented as a symbol string ``' c1 c2 ... </w> '`` —
+  single-space separated with leading AND trailing spaces, so the
+  pair (a, b) occurs exactly where ``' a b '`` occurs;
+- applying a merge is ``replace(sym, ' a b ', ' ab ')`` — both
+  engines' ``replace`` substitutes non-overlapping occurrences
+  scanning left to right and resuming AFTER the replacement, so for a
+  run ``a a a a`` one round merges positions (1,2) — the consumed
+  separator means (3,4) merges on a LATER occurrence scan, a
+  documented, deterministic deviation from exhaustive-per-round
+  application that both engines share;
+- the arg-max tie-break is binary string order (both engines'
+  default collation).
+
+The per-round state (the symbol table) is vocab-sized, so rounds are
+``localCheckpoint``-truncated like ``dedup.connected_components`` —
+plans stay O(1) in the merge count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import words
+
+END_MARK = "</w>"
+
+
+def word_symbol_table(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(sym, cnt): the word-frequency table with each distinct word
+    expanded to its initial character-symbol string."""
+    tok = df.select(F.explode(words(text_col)).alias("word"))
+    wc = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    sym = F.concat(
+        F.lit(" "),
+        F.concat_ws(" ", F.expr("regexp_extract_all(word, '.', 0)")),
+        F.lit(f" {END_MARK} "),
+    )
+    return wc.select(sym.alias("sym"), "cnt")
+
+
+def pair_counts(symbols: DataFrame) -> DataFrame:
+    """Adjacent symbol-pair counts weighted by word frequency:
+    (l, r, n). One explode over vocab-scale rows + one aggregate."""
+    base = symbols.select("cnt", F.split(F.trim(F.col("sym")), " ").alias("a")).filter(
+        F.size("a") >= 2
+    )
+    pairs = base.select(
+        "cnt",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(a) - 1),"
+                " i -> struct(element_at(a, i) AS l, element_at(a, i + 1) AS r))"
+            )
+        ).alias("p"),
+    )
+    return pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r")).agg(
+        F.sum("cnt").alias("n")
+    )
+
+
+def apply_merge(symbols: DataFrame, merge: DataFrame) -> DataFrame:
+    """Apply the 1-row (l, r) merge to every symbol string — a
+    broadcast of the scalar pair + a map-side replace; no shuffle."""
+    return (
+        symbols.crossJoin(F.broadcast(merge.select("l", "r")))
+        .withColumn(
+            "sym",
+            F.expr("replace(sym, ' ' || l || ' ' || r || ' ', ' ' || l || r || ' ')"),
+        )
+        .select("sym", "cnt")
+    )
+
+
+def bpe_train(
+    df: DataFrame, n_merges: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Train ``n_merges`` BPE merges; returns (merge_rank, left_sym,
+    right_sym, pair_count) in training order. Deterministic: arg-max by
+    (count desc, l, r) binary order."""
+    cur = word_symbol_table(df, text_col).localCheckpoint(eager=True)
+    out: list[DataFrame] = []
+    for rank in range(1, n_merges + 1):
+        top = (
+            pair_counts(cur)
+            .orderBy(F.desc("n"), "l", "r")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        out.append(
+            top.select(
+                F.lit(rank).cast("long").alias("merge_rank"),
+                F.col("l").alias("left_sym"),
+                F.col("r").alias("right_sym"),
+                F.col("n").alias("pair_count"),
+            )
+        )
+        if rank < n_merges:
+            cur = apply_merge(cur, top).localCheckpoint(eager=True)
+    merges = out[0]
+    for m in out[1:]:
+        merges = merges.unionAll(m)
+    return merges
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize documents with a trained merge table: fold the merges
+    in rank order over each word's symbol string (the standard greedy
+    application), then explode to (id, token). The merge table is
+    collapsed to ONE array row and broadcast — documents are never
+    shuffled."""
+    # array_sort on the struct (rank leads) — collect_list order is not
+    # guaranteed by an upstream orderBy
+    table = merges.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "merge_rank",
+                    F.col("left_sym").alias("l"),
+                    F.col("right_sym").alias("r"),
+                )
+            )
+        ).alias("_merges")
+    )
+    tok = df.select(F.col(id_col), F.explode(words(text_col)).alias("word"))
+    sym = F.concat(
+        F.lit(" "),
+        F.concat_ws(" ", F.expr("regexp_extract_all(word, '.', 0)")),
+        F.lit(f" {END_MARK} "),
+    )
+    folded = (
+        tok.crossJoin(F.broadcast(table))
+        .withColumn("_sym", sym)
+        .withColumn(
+            "_sym",
+            F.expr(
+                "aggregate(_merges, _sym, (acc, m) ->"
+                " replace(acc, ' ' || m.l || ' ' || m.r || ' ', ' ' || m.l || m.r || ' '))"
+            ),
+        )
+    )
+    return folded.select(
+        id_col, F.explode(F.split(F.trim(F.col("_sym")), " ")).alias("token")
+    )

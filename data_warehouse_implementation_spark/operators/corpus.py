@@ -354,3 +354,71 @@ def group_hash_sample(
         order_by=[F.asc("_h"), F.asc(id_col)],
         k=k,
     ).drop("_h")
+
+
+#: Priority-sampling hash coefficients — distinct from SPLIT_A/B so a
+#: document's sample inclusion is independent of its split bucket.
+PRIORITY_A = 1_588_635_695
+PRIORITY_B = 1_117_695_901
+
+
+def priority_sample(
+    df: DataFrame, weight_col: str, k: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement — priority
+    sampling (Duffield/Lund/Thorup): each row draws a uniform
+    ``u = (h+1)/P`` from a universal hash of its id and gets priority
+    ``w / u``; the k largest priorities are the sample. Subset-sum
+    estimates built from it are unbiased, heavy rows are near-certain
+    members, and — unlike ``rand()``-based weighted sampling — the
+    selection is a pure function of (id, weight): partition-invariant,
+    re-runnable, backfill-stable, the same discipline as
+    :func:`hash_split`.
+
+    All arithmetic is exact: ``w * P`` stays under 2^53 so the double
+    ratio is IEEE-deterministic and any SQL engine replays it
+    bit-for-bit. Top-k is ``orderBy().limit()`` — Spark plans
+    TakeOrdered (per-partition heaps + merge of k), never a global
+    sort."""
+    h = ((F.col(id_col) % HASH_P) * PRIORITY_A + PRIORITY_B) % HASH_P  # [0, P)
+    pri = (F.col(weight_col).cast("double") * float(HASH_P)) / (h + 1).cast("double")
+    return (
+        df.withColumn("priority", pri)
+        .orderBy(F.desc("priority"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def token_rarity(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unigram-LM document scoring — the engine-portable core of a
+    perplexity filter (CCNet-style): train a unigram model on the
+    corpus itself (token counts with add-one smoothing), then score
+    each document by its mean inverse token probability
+    ``avg((T + V) / (c(tok) + 1))`` — low = built from common tokens,
+    high = rare/garbled. A true perplexity exponentiates mean log
+    surprisal; the log is dropped deliberately (per-token monotone, and
+    float ``ln`` is not bit-portable across engines) so the oracle can
+    replay the score exactly.
+
+    Scale shape: one vocabulary aggregate (shuffle on token), one
+    fact-side token join (broadcast when the vocab fits, shuffle join
+    otherwise — Spark/AQE decides), one per-doc aggregate. The sum of
+    per-token terms is decimal-cast per term so it is order-independent
+    (same discipline as ``_decimal_sum_as_double``)."""
+    tok = df.select(F.col(id_col), F.explode(words(text_col)).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    totals = vocab.agg(
+        F.sum("c").alias("T"), F.count(F.lit(1)).alias("V")
+    )
+    term = (F.col("T") + F.col("V")).cast("double") / (F.col("c") + 1).cast("double")
+    scored = (
+        tok.join(vocab, on="token")
+        .crossJoin(F.broadcast(totals))
+        .select(id_col, term.cast("decimal(28,6)").alias("_term"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (F.sum("_term").cast("double") / F.count(F.lit(1))).alias("mean_rarity"),
+    )

@@ -622,3 +622,133 @@ WITH ranked AS (
 SELECT doc_id, source, n_chars FROM ranked
 WHERE rn <= {EVAL_K} ORDER BY source, doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Priority sampling (deterministic weighted sample without replacement)
+
+SAMPLE_K = 50
+
+
+def doc_priority_sample(t: dict[str, DataFrame]) -> DataFrame:
+    """Importance-weighted corpus sampling: the 50 highest-priority
+    documents under priority sampling with weight = n_chars (heavier
+    documents near-certain, light ones hash-lottery) — the
+    deterministic, backfill-stable alternative to ``rand()``-weighted
+    selection for building training subsets."""
+    return corpus.priority_sample(
+        t["documents"].select("doc_id", "source", "n_chars"),
+        weight_col="n_chars",
+        k=SAMPLE_K,
+    ).orderBy(F.desc("priority"), "doc_id")
+
+
+DOC_PRIORITY_SAMPLE_ORACLE = f"""
+WITH pri AS (
+  SELECT doc_id, source, n_chars,
+         CAST(n_chars AS DOUBLE) * {HASH_P}
+           / CAST(((doc_id % {HASH_P}) * {corpus.PRIORITY_A}
+                   + {corpus.PRIORITY_B}) % {HASH_P} + 1 AS DOUBLE) AS priority
+  FROM documents
+)
+SELECT * FROM pri ORDER BY priority DESC, doc_id LIMIT {SAMPLE_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM rarity scoring (the portable core of a perplexity filter)
+
+
+def doc_rarity_score(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-document mean inverse unigram probability over a corpus-
+    trained add-one-smoothed model — the perplexity-filter signal with
+    the log dropped for engine portability (see
+    ``corpus.token_rarity``)."""
+    return corpus.token_rarity(t["documents"]).orderBy("doc_id")
+
+
+DOC_RARITY_SCORE_ORACLE = rf"""
+WITH {_TOKS_SQL.strip().rstrip()},
+tok AS (SELECT doc_id, unnest(arr) AS token FROM toks),
+vocab AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+totals AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS T, COUNT(*) AS V FROM vocab
+),
+scored AS (
+  SELECT tok.doc_id,
+         CAST(CAST(totals.T + totals.V AS DOUBLE)
+              / CAST(vocab.c + 1 AS DOUBLE) AS DECIMAL(28,6)) AS term
+  FROM tok JOIN vocab USING (token) CROSS JOIN totals
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(term) AS DOUBLE) / COUNT(*) AS mean_rarity
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (operators/bpe.py)
+
+BPE_ROUNDS = 8
+
+
+def bpe_merges(t: dict[str, DataFrame]) -> DataFrame:
+    """First ``BPE_ROUNDS`` byte-pair-encoding merges trained on the
+    corpus word-frequency table — each round's winning pair and its
+    weighted count, in training order."""
+    from ..operators import bpe
+
+    return bpe.bpe_train(t["documents"], n_merges=BPE_ROUNDS).orderBy("merge_rank")
+
+
+def _bpe_oracle(rounds: int) -> str:
+    """Unrolled round-by-round replay: the merge loop is inherently
+    iterative-with-argmax (a recursive CTE cannot re-aggregate per
+    step), so the oracle chains one (pairs -> argmax -> apply) CTE
+    triple per round — generated, not hand-written."""
+    ctes = [
+        _TOKS_SQL.strip().strip(","),
+        """wc AS (
+  SELECT token AS word, COUNT(*) AS cnt
+  FROM (SELECT unnest(arr) AS token FROM toks) GROUP BY token
+)""",
+        """w0 AS (
+  SELECT ' ' || array_to_string(regexp_extract_all(word, '.'), ' ')
+             || ' </w> ' AS sym, cnt
+  FROM wc
+)""",
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"""p{i} AS (
+  SELECT pr.l AS l, pr.r AS r, CAST(SUM(cnt) AS BIGINT) AS n
+  FROM (
+    SELECT cnt, unnest(list_transform(generate_series(1, len(arr) - 1),
+                 j -> struct_pack(l := arr[j], r := arr[j + 1]))) AS pr
+    FROM (SELECT string_split(trim(sym), ' ') AS arr, cnt FROM w{i})
+    WHERE len(arr) >= 2
+  ) GROUP BY pr.l, pr.r
+)""".strip()
+        )
+        ctes.append(f"t{i} AS (SELECT l, r, n FROM p{i} ORDER BY n DESC, l, r LIMIT 1)")
+        if i < rounds - 1:
+            ctes.append(
+                f"""w{i + 1} AS (
+  SELECT replace(sym, ' ' || t.l || ' ' || t.r || ' ',
+                 ' ' || t.l || t.r || ' ') AS sym, cnt
+  FROM w{i}, t{i} t
+)""".strip()
+            )
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({i + 1} AS BIGINT) AS merge_rank, l AS left_sym,"
+        f" r AS right_sym, n AS pair_count FROM t{i}"
+        for i in range(rounds)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT * FROM (\n{union}\n) ORDER BY merge_rank"
+    )
+
+
+BPE_MERGES_ORACLE = _bpe_oracle(BPE_ROUNDS)

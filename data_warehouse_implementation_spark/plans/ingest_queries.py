@@ -349,3 +349,41 @@ SELECT user_id, event_id,
 FROM changes WHERE rn = 1 AND op <> 'D'
 ORDER BY user_id
 """
+
+
+def orc_scan_agg(t: dict[str, DataFrame]) -> DataFrame:
+    """S1 columnar staging via ORC (``sources/orcio.py``): stage parts
+    to ORC once, read back, and aggregate per brand. The oracle
+    aggregates the original parquet, so the differential proves the ORC
+    round-trip is lossless for int64, int32, double, and strings — the
+    Hive-ecosystem interchange path next to the CSV/JSONL ones."""
+    from ..sources import orcio
+
+    part = t["part"]
+    spark = part.sparkSession
+    staged = os.path.join(
+        _CSV_CACHE_ROOT, f"part_orc_{part.semanticHash() & 0xFFFFFFFF:x}"
+    )
+    if not os.path.exists(staged):
+        orcio.write_orc(part, staged)
+    back = orcio.read_orc(spark, staged)
+    return (
+        back.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            _decimal_sum_as_double(F.col("p_retailprice")).alias("sum_price"),
+            F.sum(F.col("p_size").cast("long")).alias("sum_size"),
+            F.min("p_type").alias("first_type"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+ORC_SCAN_AGG_ORACLE = """
+SELECT p_brand,
+       COUNT(*) AS n_parts,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       CAST(SUM(p_size) AS BIGINT) AS sum_size,
+       MIN(p_type) AS first_type
+FROM part GROUP BY p_brand ORDER BY p_brand
+"""

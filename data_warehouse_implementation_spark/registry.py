@@ -68,13 +68,15 @@ def oracle_sql() -> dict[str, str]:
 # round. Round-4 window: the flagship, the five oracles whose DuckDB
 # HUGEINT typing was fixed this round (previously hash-red for dtype
 # only — values verified identical), every registered query that has
-# never appeared in any round's driver window, the three queries whose
-# implementation changes this round (funnel empty-stage fix, real image
-# decode, hashed-shingle cache), and the oldest still-unrefreshed
-# round-2 verifications. After this round every registered query has
-# been driver-checked at least once except a 9-query round-2-green tail
-# slated for round 5. Everything not listed follows in registration
-# order.
+# never appeared in any round's driver window, the queries whose
+# implementation changed this round (funnel empty-stage fix, real image
+# decode, hashed-shingle cache, shared LSH bands), all eight round-4
+# additions (cosine-LSH near-dup, count-min heavy hitters, bloom
+# prefilter join, histogram quantile rollup, priority sampling,
+# unigram rarity, ORC round-trip, BPE training), and as many of the
+# oldest round-2 verifications as still fit in the 50. Entries past
+# position 50 stay listed so their refresh order is explicit for round
+# 5. Everything not listed follows in registration order.
 _DRIVER_WINDOW = [
     # flagship
     "timely_rank_report",
@@ -116,6 +118,10 @@ _DRIVER_WINDOW = [
     "events_heavy_hitters_cms",
     "bloom_prefilter_join",
     "events_quantile_rollup",
+    "doc_priority_sample",
+    "doc_rarity_score",
+    "orc_scan_agg",
+    "bpe_merges",
     "near_dup_minhash",
     # oldest verifications (round-2-green, refreshed here)
     "scd1_upsert_batch",
@@ -578,3 +584,15 @@ register(
     scale_queries.events_quantile_rollup,
     scale_queries.EVENTS_QUANTILE_ROLLUP_ORACLE,
 )
+register(
+    "doc_priority_sample",
+    corpus_queries.doc_priority_sample,
+    corpus_queries.DOC_PRIORITY_SAMPLE_ORACLE,
+)
+register(
+    "doc_rarity_score",
+    corpus_queries.doc_rarity_score,
+    corpus_queries.DOC_RARITY_SCORE_ORACLE,
+)
+register("orc_scan_agg", ingest_queries.orc_scan_agg, ingest_queries.ORC_SCAN_AGG_ORACLE)
+register("bpe_merges", corpus_queries.bpe_merges, corpus_queries.BPE_MERGES_ORACLE)

