@@ -1664,3 +1664,58 @@ SELECT source_a, source_b, COUNT(*) AS n_pairs,
 FROM labeled GROUP BY source_a, source_b
 ORDER BY source_a, source_b
 """
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style: cluster-restricted cosine + keep rule)
+
+
+def semantic_dedup_census(t: dict[str, DataFrame]) -> DataFrame:
+    """Semantic deduplication census (the SemDeDup recipe, Abbas et al.
+    2023, arXiv:2303.09540): within each coarse cluster, vectors whose
+    cosine similarity exceeds the threshold are duplicate groups; the
+    greedy keep rule retains the lowest vec_id of each pair and drops
+    the rest. Reports, per cluster label: total vectors, dropped, kept.
+
+    Scale shape: the pair space is cluster-restricted (the
+    ``embedding_near_dup`` equi-join — never an all-pairs product), the
+    drop set is |pairs|-bounded, and the census is one aggregate. At
+    100 TB the labels come from a trained quantizer
+    (``similarity.kmeans_fit``) instead of the shipped ``label``
+    column — same downstream algebra."""
+    emb = t["embeddings"].select("vec_id", "label")
+    pairs = embedding_near_dup(t)
+    dropped = pairs.select(F.col("vec_b").alias("vec_id")).distinct()
+    lab = emb.join(
+        F.broadcast(dropped.withColumn("_d", F.lit(True))), on="vec_id", how="left"
+    )
+    return (
+        lab.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.count(F.when(F.col("_d"), 1)).alias("n_dropped"),
+            (F.count(F.lit(1)) - F.count(F.when(F.col("_d"), 1))).alias("n_kept"),
+        )
+        .withColumn("label", F.col("label").cast("long"))
+        .orderBy("label")
+    )
+
+
+SEMANTIC_DEDUP_CENSUS_ORACLE = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM embeddings a
+  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+           * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+        >= {NEAR_DUP_COSINE}
+),
+dropped AS (SELECT DISTINCT vec_b AS vec_id FROM pairs)
+SELECT CAST(e.label AS BIGINT) AS label,
+       COUNT(*) AS n_vectors,
+       COUNT(d.vec_id) AS n_dropped,
+       COUNT(*) - COUNT(d.vec_id) AS n_kept
+FROM embeddings e LEFT JOIN dropped d ON e.vec_id = d.vec_id
+GROUP BY e.label ORDER BY label
+"""

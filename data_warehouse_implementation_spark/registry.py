@@ -122,6 +122,7 @@ _DRIVER_WINDOW = [
     "doc_rarity_score",
     "orc_scan_agg",
     "bpe_merges",
+    "semantic_dedup_census",
     "near_dup_minhash",
     # oldest verifications (round-2-green, refreshed here)
     "scd1_upsert_batch",
@@ -596,3 +597,8 @@ register(
 )
 register("orc_scan_agg", ingest_queries.orc_scan_agg, ingest_queries.ORC_SCAN_AGG_ORACLE)
 register("bpe_merges", corpus_queries.bpe_merges, corpus_queries.BPE_MERGES_ORACLE)
+register(
+    "semantic_dedup_census",
+    llm_queries.semantic_dedup_census,
+    llm_queries.SEMANTIC_DEDUP_CENSUS_ORACLE,
+)
