@@ -292,3 +292,112 @@ def returned_item_sql(t: dict[str, DataFrame]) -> DataFrame:
 
 
 RETURNED_ITEM_ORACLE = RETURNED_ITEM_SQL
+
+
+# Q14-shaped promo revenue share: join + conditional aggregation into a
+# single global ratio. The CASE-gated decimal product sums are exact on
+# both engines; the ratio is one double division at the end.
+PROMO_REVENUE_SQL = """
+SELECT COUNT(*) AS n_lines,
+       CAST(SUM(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(1 - l_discount AS DECIMAL(18,2))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) * 100
+       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+         AS promo_revenue_pct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= DATE '1995-09-01' AND l_shipdate < DATE '1995-10-01'
+"""
+
+
+def promo_revenue_sql(t: dict[str, DataFrame]) -> DataFrame:
+    return t["lineitem"].sparkSession.sql(PROMO_REVENUE_SQL)
+
+
+PROMO_REVENUE_ORACLE = PROMO_REVENUE_SQL
+
+
+# Q18-shaped large-volume orders: IN over a grouped-HAVING subquery
+# (Catalyst rewrites it to a semi-join on the aggregated key set), then
+# the customer/order detail re-aggregated. Deterministic top-20 via the
+# full tiebreak.
+LARGE_ORDERS_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 200
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 20
+"""
+
+
+def large_orders_sql(t: dict[str, DataFrame]) -> DataFrame:
+    return t["lineitem"].sparkSession.sql(LARGE_ORDERS_SQL)
+
+
+LARGE_ORDERS_ORACLE = LARGE_ORDERS_SQL
+
+
+# Q19-shaped disjunctive-predicate revenue: three OR-branches over
+# (brand, size band, quantity band) after the part join — the classic
+# predicate too disjunctive for index plans, exactly where a columnar
+# scan + hash join wins; Catalyst extracts the common l_partkey join
+# key and pushes the residual disjunction below the join output.
+BRAND_BAND_REVENUE_SQL = """
+SELECT COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def brand_band_revenue_sql(t: dict[str, DataFrame]) -> DataFrame:
+    return t["lineitem"].sparkSession.sql(BRAND_BAND_REVENUE_SQL)
+
+
+BRAND_BAND_REVENUE_ORACLE = BRAND_BAND_REVENUE_SQL
+
+
+# Q22-shaped dormant high-balance customers: scalar average subquery +
+# correlated NOT EXISTS anti-join, grouped by nation. Both engines
+# decorrelate the NOT EXISTS into a left-anti join and broadcast the
+# 1-row average.
+DORMANT_BALANCE_SQL = """
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS a
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer, avg_bal
+WHERE c_acctbal > a
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+  )
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+def dormant_balance_sql(t: dict[str, DataFrame]) -> DataFrame:
+    return t["lineitem"].sparkSession.sql(DORMANT_BALANCE_SQL)
+
+
+DORMANT_BALANCE_ORACLE = DORMANT_BALANCE_SQL

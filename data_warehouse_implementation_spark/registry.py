@@ -123,6 +123,10 @@ _DRIVER_WINDOW = [
     "orc_scan_agg",
     "bpe_merges",
     "semantic_dedup_census",
+    "promo_revenue_sql",
+    "large_orders_sql",
+    "brand_band_revenue_sql",
+    "dormant_balance_sql",
     "near_dup_minhash",
     # oldest verifications (round-2-green, refreshed here)
     "scd1_upsert_batch",
@@ -601,4 +605,14 @@ register(
     "semantic_dedup_census",
     llm_queries.semantic_dedup_census,
     llm_queries.SEMANTIC_DEDUP_CENSUS_ORACLE,
+)
+register("promo_revenue_sql", sql_api.promo_revenue_sql, sql_api.PROMO_REVENUE_ORACLE)
+register("large_orders_sql", sql_api.large_orders_sql, sql_api.LARGE_ORDERS_ORACLE)
+register(
+    "brand_band_revenue_sql",
+    sql_api.brand_band_revenue_sql,
+    sql_api.BRAND_BAND_REVENUE_ORACLE,
+)
+register(
+    "dormant_balance_sql", sql_api.dormant_balance_sql, sql_api.DORMANT_BALANCE_ORACLE
 )
