@@ -752,3 +752,61 @@ def _bpe_oracle(rounds: int) -> str:
 
 
 BPE_MERGES_ORACLE = _bpe_oracle(BPE_ROUNDS)
+
+
+BPE_TOP_TOKENS = 30
+
+
+def bpe_token_stats(t: dict[str, DataFrame]) -> DataFrame:
+    """Encode the corpus with the freshly trained merge table
+    (``bpe.bpe_encode``: broadcast merge fold per word, no shuffle of
+    the documents) and report the top tokens by count — the vocabulary
+    histogram a tokenizer-training pipeline inspects. The oracle
+    replays training AND encoding round by round."""
+    from ..operators import bpe
+
+    docs = t["documents"]
+    merges = bpe.bpe_train(docs, n_merges=BPE_ROUNDS)
+    enc = bpe.bpe_encode(docs, merges)
+    return (
+        enc.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(BPE_TOP_TOKENS)
+    )
+
+
+def _bpe_encode_oracle(rounds: int, top: int) -> str:
+    """Training CTEs from :func:`_bpe_oracle` + one encode CTE per
+    round applying that round's merge to every document word."""
+    base = _bpe_oracle(rounds)
+    ctes = base[: base.rindex("SELECT * FROM (")].rstrip()
+    out = [
+        ctes
+        + """,
+dw0 AS (
+  SELECT doc_id,
+         ' ' || array_to_string(regexp_extract_all(token, '.'), ' ')
+             || ' </w> ' AS sym
+  FROM (SELECT doc_id, unnest(arr) AS token FROM toks)
+)"""
+    ]
+    for i in range(rounds):
+        out.append(
+            f"""dw{i + 1} AS (
+  SELECT doc_id, replace(sym, ' ' || t.l || ' ' || t.r || ' ',
+                         ' ' || t.l || t.r || ' ') AS sym
+  FROM dw{i}, t{i} t
+)"""
+        )
+    return (
+        ",\n".join(out)
+        + f"""
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest(string_split(trim(sym), ' ')) AS token FROM dw{rounds})
+GROUP BY token ORDER BY n DESC, token LIMIT {top}
+"""
+    )
+
+
+BPE_TOKEN_STATS_ORACLE = _bpe_encode_oracle(BPE_ROUNDS, BPE_TOP_TOKENS)

@@ -127,6 +127,7 @@ _DRIVER_WINDOW = [
     "large_orders_sql",
     "brand_band_revenue_sql",
     "dormant_balance_sql",
+    "bpe_token_stats",
     "near_dup_minhash",
     # oldest verifications (round-2-green, refreshed here)
     "scd1_upsert_batch",
@@ -615,4 +616,7 @@ register(
 )
 register(
     "dormant_balance_sql", sql_api.dormant_balance_sql, sql_api.DORMANT_BALANCE_ORACLE
+)
+register(
+    "bpe_token_stats", corpus_queries.bpe_token_stats, corpus_queries.BPE_TOKEN_STATS_ORACLE
 )
