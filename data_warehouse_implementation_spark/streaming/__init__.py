@@ -4,6 +4,8 @@ reference parity): incremental versions of the batch operators via
 maintenance."""
 
 from .pipelines import (  # noqa: F401
+    cms_estimate,
+    cms_sketch_sink,
     dedup_stream,
     enrich_stream,
     events_stream_schema,

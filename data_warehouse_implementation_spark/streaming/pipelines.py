@@ -405,3 +405,86 @@ def interval_join_stream(
             " AND r.ts <= l.ts"
         ),
     )
+
+
+def cms_sketch_sink(
+    stream: DataFrame,
+    catalog: WarehouseCatalog,
+    prefix: str,
+    checkpoint: str,
+    key_col: str = "user_id",
+):
+    """Streaming count-min sketch maintenance — the live twin of the
+    batch ``events_heavy_hitters_cms`` query. Each micro-batch collapses
+    to its own DEPTH x WIDTH partial cell counts (a bounded, mergeable
+    table — count-min cells merge by ADDITION, the same O(delta)
+    maintenance contract as the HLL and histogram rollups), appended to
+    ``{prefix}_cells`` with the batch id; the current sketch at any
+    moment is one tiny re-aggregation of that state. Per batch the work
+    is O(batch rows) map-side hashing + a <= DEPTH*WIDTH-row aggregate:
+    no per-key state, no growth with the key cardinality — exactly why
+    a sketch (and not a keyed counter) is the 100 TB stream shape."""
+    from pyspark.sql import functions as SF
+
+    from ..plans.timeseries_queries import CMS_A, CMS_B, CMS_DEPTH, CMS_P, CMS_WIDTH
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        params = spark.createDataFrame(
+            [(i, CMS_A[i], CMS_B[i]) for i in range(CMS_DEPTH)], "i int, a long, b long"
+        )
+        cell = (
+            SF.pmod((SF.col(key_col) % CMS_P) * SF.col("a") + SF.col("b"), SF.lit(CMS_P))
+            % CMS_WIDTH
+        )
+        cells = (
+            batch.select(key_col)
+            .crossJoin(SF.broadcast(params))
+            .select("i", cell.alias("col"))
+            .groupBy("i", "col")
+            .agg(SF.count(SF.lit(1)).alias("c"))
+            .withColumn("batch_id", SF.lit(batch_id))
+        )
+        if catalog.exists(f"{prefix}_cells"):
+            catalog.insert_into(f"{prefix}_cells", cells)
+        else:
+            catalog.write(f"{prefix}_cells", cells)
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def cms_estimate(
+    catalog: WarehouseCatalog, prefix: str, keys: DataFrame, key_col: str = "user_id"
+) -> DataFrame:
+    """Point-query the maintained sketch: merge the partial cell tables
+    (sum per (row, col)) and return ``est_count`` per requested key —
+    the min over its DEPTH cells, always >= the true count. Because
+    cells merge by addition, the estimate is IDENTICAL to a batch
+    sketch built over the concatenation of every micro-batch."""
+    from pyspark.sql import functions as SF
+
+    from ..plans.timeseries_queries import CMS_A, CMS_B, CMS_DEPTH, CMS_P, CMS_WIDTH
+
+    spark = keys.sparkSession
+    params = spark.createDataFrame(
+        [(i, CMS_A[i], CMS_B[i]) for i in range(CMS_DEPTH)], "i int, a long, b long"
+    )
+    merged = (
+        catalog.table(f"{prefix}_cells").groupBy("i", "col").agg(SF.sum("c").alias("c"))
+    )
+    cell = (
+        SF.pmod((SF.col(key_col) % CMS_P) * SF.col("a") + SF.col("b"), SF.lit(CMS_P))
+        % CMS_WIDTH
+    )
+    return (
+        keys.crossJoin(SF.broadcast(params))
+        .select(key_col, "i", cell.alias("col"))
+        .join(SF.broadcast(merged), on=["i", "col"])
+        .groupBy(key_col)
+        .agg(SF.min("c").alias("est_count"))
+    )

@@ -430,3 +430,65 @@ def test_incremental_dedup_sink_admits_novel_rejects_dups(spark, tmp_dir):
     # state holds only admitted docs
     state_docs = {r.doc_id for r in cat.table("corpus_tids").select("doc_id").distinct().collect()}
     assert state_docs == {1, 2, 11}
+
+
+def test_cms_sketch_sink_parity_with_batch(spark, tmp_dir):
+    """Two micro-batches of keyed events through the streaming count-min
+    sink must yield EXACTLY the estimates of one batch sketch over the
+    concatenated stream (cells merge by addition), and every estimate
+    must respect the never-undercount guarantee."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_warehouse_implementation_spark.plans.timeseries_queries import (
+        CMS_A,
+        CMS_B,
+        CMS_DEPTH,
+        CMS_P,
+        CMS_WIDTH,
+    )
+
+    src = os.path.join(tmp_dir, "cms_src")
+    os.makedirs(src)
+    b1 = [7] * 50 + [13] * 5 + list(range(100, 130))
+    b2 = [7] * 40 + [13] * 15 + list(range(200, 220))
+    for i, keys in enumerate([b1, b2]):
+        p = os.path.join(src, f"b{i}.parquet")
+        pq.write_table(pa.table({"user_id": pa.array(keys, pa.int64())}), p)
+        os.utime(p, (1_700_000_000 + 60 * i, 1_700_000_000 + 60 * i))
+
+    cat = WarehouseCatalog(spark, os.path.join(tmp_dir, "cms_wh"))
+    stream = (
+        spark.readStream.schema("user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming.cms_sketch_sink(
+        stream, cat, "cms", checkpoint=os.path.join(tmp_dir, "ckpt_cms")
+    )
+    q.awaitTermination()
+    # two micro-batches appended two partial cell tables
+    assert cat.table("cms_cells").select("batch_id").distinct().count() == 2
+
+    all_keys = spark.createDataFrame(
+        [(k,) for k in sorted(set(b1 + b2))], "user_id long"
+    )
+    est = {
+        r.user_id: r.est_count
+        for r in streaming.cms_estimate(cat, "cms", all_keys).collect()
+    }
+    # batch truth: the same sketch built in one shot over b1 + b2
+    import collections
+
+    true = collections.Counter(b1 + b2)
+    cells = collections.Counter()
+    for k, n in true.items():
+        for i in range(CMS_DEPTH):
+            cells[(i, ((k % CMS_P) * CMS_A[i] + CMS_B[i]) % CMS_P % CMS_WIDTH)] += n
+    for k, n in true.items():
+        want = min(
+            cells[(i, ((k % CMS_P) * CMS_A[i] + CMS_B[i]) % CMS_P % CMS_WIDTH)]
+            for i in range(CMS_DEPTH)
+        )
+        assert est[k] == want, k
+        assert est[k] >= n, "sketch undercounted"
