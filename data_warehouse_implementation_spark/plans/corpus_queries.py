@@ -692,13 +692,25 @@ FROM scored GROUP BY doc_id ORDER BY doc_id
 BPE_ROUNDS = 8
 
 
+def _trained_merges(docs: DataFrame) -> DataFrame:
+    """Session-cached trained merge table (S7): ``bpe_merges`` and
+    ``bpe_token_stats`` share one training run per corpus — the 8-round
+    loop is the expensive half, the encode pass the other."""
+    from ..operators import bpe
+    from . import materialize
+
+    return materialize.get_or_build(
+        "bpe_trained_merges",
+        str(docs.semanticHash()),
+        lambda: bpe.bpe_train(docs, n_merges=BPE_ROUNDS),
+    )
+
+
 def bpe_merges(t: dict[str, DataFrame]) -> DataFrame:
     """First ``BPE_ROUNDS`` byte-pair-encoding merges trained on the
     corpus word-frequency table — each round's winning pair and its
     weighted count, in training order."""
-    from ..operators import bpe
-
-    return bpe.bpe_train(t["documents"], n_merges=BPE_ROUNDS).orderBy("merge_rank")
+    return _trained_merges(t["documents"]).orderBy("merge_rank")
 
 
 def _bpe_oracle(rounds: int) -> str:
@@ -766,8 +778,7 @@ def bpe_token_stats(t: dict[str, DataFrame]) -> DataFrame:
     from ..operators import bpe
 
     docs = t["documents"]
-    merges = bpe.bpe_train(docs, n_merges=BPE_ROUNDS)
-    enc = bpe.bpe_encode(docs, merges)
+    enc = bpe.bpe_encode(docs, _trained_merges(docs))
     return (
         enc.groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
