@@ -182,3 +182,74 @@ SELECT event_type,
        MIN(CASE WHEN cum * 100 >= 99 * total THEN bin END) * CAST({BIN_W} AS DOUBLE) AS p99_lo
 FROM cum GROUP BY event_type ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Skew diagnostics (the census that decides when to salt)
+
+SKEW_SALT_TARGET = 100_000  # rows per task a salt factor should aim for
+
+
+def events_skew_census(t: dict[str, DataFrame]) -> DataFrame:
+    """Key-skew diagnostics for the events stream's natural shuffle key:
+    per event_type, the key-frequency distribution summary a pipeline
+    operator reads before choosing a join/agg strategy — distinct keys,
+    max and p99 key frequency, the share of rows owned by the single
+    hottest key, and the salt factor ``ceil(max_freq / TARGET)`` that
+    ``salted_two_phase_agg`` / ``salted_skew_join`` would need. The
+    operator-facing answer to 'is this key safe to shuffle on?'.
+
+    Two aggregates: rows -> (type, key) counts (the only corpus-scale
+    shuffle), then #keys-rows -> summary. p99 is an exact order
+    statistic over per-type key counts via the same integer rank test
+    as ``events_quantile_rollup`` (no float thresholds)."""
+    ev = t["events"].select("event_type", "user_id")
+    per_key = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("n", "user_id")
+    ranked = per_key.withColumn("rk", F.row_number().over(w)).withColumn(
+        "nk", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max("nk").alias("n_keys"),
+            F.sum("n").alias("n_rows"),
+            F.max("n").alias("max_key_freq"),
+            F.min(F.when(F.col("rk") * 100 >= F.col("nk") * 99, F.col("n"))).alias(
+                "p99_key_freq"
+            ),
+        )
+        .withColumn(
+            "max_key_share",
+            F.col("max_key_freq").cast("double") / F.col("n_rows").cast("double"),
+        )
+        .withColumn(
+            "salt_factor",
+            F.ceil(F.col("max_key_freq").cast("double") / SKEW_SALT_TARGET).cast("long"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_SKEW_CENSUS_ORACLE = f"""
+WITH per_key AS (
+  SELECT event_type, user_id, COUNT(*) AS n
+  FROM events GROUP BY event_type, user_id
+),
+ranked AS (
+  SELECT event_type, n,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n, user_id) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS nk
+  FROM per_key
+)
+SELECT event_type,
+       CAST(MAX(nk) AS BIGINT) AS n_keys,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       MAX(n) AS max_key_freq,
+       MIN(CASE WHEN rk * 100 >= nk * 99 THEN n END) AS p99_key_freq,
+       CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS max_key_share,
+       CAST(CEIL(CAST(MAX(n) AS DOUBLE) / {SKEW_SALT_TARGET}) AS BIGINT) AS salt_factor
+FROM ranked GROUP BY event_type ORDER BY event_type
+"""

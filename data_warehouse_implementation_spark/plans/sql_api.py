@@ -401,3 +401,27 @@ def dormant_balance_sql(t: dict[str, DataFrame]) -> DataFrame:
 
 
 DORMANT_BALANCE_ORACLE = DORMANT_BALANCE_SQL
+
+
+# Window-function dialect parity: RANK / LAG / running SUM frame spec in
+# ONE raw-SQL text executed by both engines. The running total is a
+# decimal sum (exact, order-fixed by the window ORDER BY + tiebreak).
+WINDOW_FUNCS_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_rank,
+       CAST(LAG(o_orderkey) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS prev_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+FROM orders
+WHERE o_custkey % 100 = 7
+ORDER BY o_custkey, order_rank
+"""
+
+
+def window_funcs_sql(t: dict[str, DataFrame]) -> DataFrame:
+    return t["lineitem"].sparkSession.sql(WINDOW_FUNCS_SQL)
+
+
+WINDOW_FUNCS_ORACLE = WINDOW_FUNCS_SQL

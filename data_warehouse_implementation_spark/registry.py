@@ -128,6 +128,8 @@ _DRIVER_WINDOW = [
     "brand_band_revenue_sql",
     "dormant_balance_sql",
     "bpe_token_stats",
+    "window_funcs_sql",
+    "events_skew_census",
     "near_dup_minhash",
     # oldest verifications (round-2-green, refreshed here)
     "scd1_upsert_batch",
@@ -619,4 +621,10 @@ register(
 )
 register(
     "bpe_token_stats", corpus_queries.bpe_token_stats, corpus_queries.BPE_TOKEN_STATS_ORACLE
+)
+register("window_funcs_sql", sql_api.window_funcs_sql, sql_api.WINDOW_FUNCS_ORACLE)
+register(
+    "events_skew_census",
+    scale_queries.events_skew_census,
+    scale_queries.EVENTS_SKEW_CENSUS_ORACLE,
 )
