@@ -309,3 +309,97 @@ def decode_images(df: DataFrame, strict: bool = False) -> DataFrame:
             yield _pd.DataFrame(rows)
 
     return df.mapInPandas(run, DECODED_SCHEMA)
+
+
+def decode_audio(df: DataFrame, strict: bool = False) -> DataFrame:
+    """REAL audio decode: a from-scratch RIFF/WAVE parser for PCM
+    payloads (the audio twin of :func:`decode_images`). The chunk walk
+    is generic — ``RIFF``/``WAVE`` magic, then chunks scanned by
+    (id, size) until ``fmt `` and ``data`` are found, so payloads with
+    extra chunks (LIST/INFO) decode fine. Supported: format 1 (integer
+    PCM), 8/16-bit, any channel count / sample rate; everything else is
+    dropped (``strict=False``) or raises ``NotImplementedError`` naming
+    the media_id (``strict=True``).
+
+    Output per decodable payload: sample_rate, n_channels, n_samples
+    (per channel), the codec tag, and the interleaved samples as
+    int64s (8-bit unsigned is centered to signed like every PCM
+    toolchain does). Worker closure is self-contained (stdlib + numpy),
+    shipped by value via cloudpickle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        def decode_wav(b: bytes):
+            if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+                return None
+            fmt = None
+            data = None
+            i = 12
+            while i + 8 <= len(b):
+                cid = b[i : i + 4]
+                (size,) = _struct.unpack_from("<I", b, i + 4)
+                body = b[i + 8 : i + 8 + size]
+                if cid == b"fmt ":
+                    fmt = body
+                elif cid == b"data":
+                    data = body
+                i += 8 + size + (size & 1)  # chunks are word-aligned
+            if fmt is None or data is None or len(fmt) < 16:
+                return None
+            audio_format, n_ch, rate, _byte_rate, _block, bits = _struct.unpack_from(
+                "<HHIIHH", fmt, 0
+            )
+            if audio_format != 1 or n_ch == 0 or bits not in (8, 16):
+                return None
+            if bits == 16:
+                usable = len(data) - (len(data) % (2 * n_ch))
+                samples = _np.frombuffer(data[:usable], dtype="<i2").astype(_np.int64)
+            else:
+                usable = len(data) - (len(data) % n_ch)
+                # 8-bit WAV is unsigned; center to signed
+                samples = (
+                    _np.frombuffer(data[:usable], dtype=_np.uint8).astype(_np.int64)
+                    - 128
+                )
+            return rate, n_ch, len(samples) // n_ch, samples
+
+        for pdf in batches:
+            out = {
+                "media_id": [],
+                "sample_rate": [],
+                "n_channels": [],
+                "n_samples": [],
+                "codec": [],
+                "samples": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                got = decode_wav(bytes(payload))
+                if got is None:
+                    if strict:
+                        raise NotImplementedError(
+                            f"media_id={mid}: undecodable audio payload"
+                        )
+                    continue
+                rate, n_ch, n_samp, samples = got
+                out["media_id"].append(mid)
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(n_ch)
+                out["n_samples"].append(n_samp)
+                out["codec"].append("pcm_wav")
+                out["samples"].append(samples.tolist())
+            if not out["media_id"]:
+                continue  # empty pandas columns get dtypes Arrow
+                # cannot map onto array<long>
+            frame = _pd.DataFrame(out)
+            frame["samples"] = frame["samples"].astype(object)
+            yield frame
+
+    schema = (
+        "media_id long, sample_rate int, n_channels int, n_samples long,"
+        " codec string, samples array<long>"
+    )
+    return df.mapInPandas(run, schema)

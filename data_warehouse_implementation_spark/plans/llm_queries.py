@@ -1719,3 +1719,112 @@ SELECT CAST(e.label AS BIGINT) AS label,
 FROM embeddings e LEFT JOIN dropped d ON e.vec_id = d.vec_id
 GROUP BY e.label ORDER BY label
 """
+
+
+# ---------------------------------------------------------------------------
+# Real audio decode on the correctness gate (WAV/PCM twin of the image
+# round-trip)
+
+
+def media_audio_roundtrip(t: dict[str, DataFrame]) -> DataFrame:
+    """The REAL audio decoder on the CORRECTNESS gate. Each doc_id below
+    :data:`MEDIA_DECODE_DOCS` is rendered as a genuine mono 16-bit PCM
+    WAV — ``n = 64 + doc_id % 64`` samples of the deterministic
+    waveform ``s_j = ((doc_id*37 + j*7) % 4096) - 2048`` at sample rate
+    ``8000 + (doc_id % 8) * 1000``; every fourth payload carries an
+    extra LIST chunk so the decoder's generic chunk walk is exercised.
+    The payloads pass through ``multimodal.decode_audio`` (the actual
+    RIFF parser) and the decoded samples reduce — in pure DataFrame
+    array algebra, JVM-side — to integer features that are order- and
+    value-sensitive: total energy, zero crossings, and a position-
+    weighted sample checksum.
+
+    The oracle recomputes all three straight from the generating
+    formula (no WAV bytes involved), so a parser fault that drops a
+    chunk, misreads the sample width, or reorders samples fails the
+    hash. Encoder (struct-packed here) and decoder (chunk walk in
+    ``operators/multimodal.py``) share no code."""
+    from collections.abc import Iterator  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    from ..operators import multimodal
+
+    docs = t["documents"].select("doc_id").filter(F.col("doc_id") < MEDIA_DECODE_DOCS)
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import pandas as _pd
+
+        def enc_wav(rate: int, samples: list[int], junk: bool) -> bytes:
+            data = b"".join(_struct.pack("<h", s) for s in samples)
+            fmt = _struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+            chunks = b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+            if junk:
+                body = b"INFOxy"  # unknown chunk the parser must skip
+                chunks += b"LIST" + _struct.pack("<I", len(body)) + body
+            chunks += b"data" + _struct.pack("<I", len(data)) + data
+            return b"RIFF" + _struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+        for pdf in batches:
+            ids, kinds, payloads, metas = [], [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 64 + did % 64
+                rate = 8000 + (did % 8) * 1000
+                samples = [((did * 37 + j * 7) % 4096) - 2048 for j in range(n)]
+                ids.append(did)
+                kinds.append("audio")
+                payloads.append(enc_wav(rate, samples, junk=did % 4 == 0))
+                metas.append({"width": None, "height": None, "sample_rate": rate})
+            yield _pd.DataFrame(
+                {"media_id": ids, "kind": kinds, "payload": payloads, "meta": metas}
+            )
+
+    media = docs.mapInPandas(build, multimodal.MEDIA_SCHEMA)
+    decoded = multimodal.decode_audio(media, strict=True)
+    return decoded.select(
+        "media_id",
+        "sample_rate",
+        "n_channels",
+        "n_samples",
+        "codec",
+        F.expr(
+            "aggregate(samples, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"
+        ).alias("energy"),
+        F.expr(
+            "CAST(size(filter(sequence(2, size(samples)),"
+            " j -> (element_at(samples, j) >= 0) != (element_at(samples, j - 1) >= 0)))"
+            " AS BIGINT)"
+        ).alias("zero_crossings"),
+        F.expr(
+            "aggregate(sequence(1, size(samples)), CAST(0 AS BIGINT),"
+            " (acc, j) -> acc + j * (element_at(samples, j) + 2048))"
+        ).alias("sample_checksum"),
+    ).orderBy("media_id")
+
+
+_WAV_S = "((media_id * 37 + j * 7) % 4096) - 2048"
+
+MEDIA_AUDIO_ROUNDTRIP_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id AS media_id, 64 + doc_id % 64 AS n,
+         8000 + (doc_id % 8) * 1000 AS rate
+  FROM documents WHERE doc_id < {MEDIA_DECODE_DOCS}
+)
+SELECT media_id,
+       CAST(rate AS INT) AS sample_rate,
+       CAST(1 AS INT) AS n_channels,
+       CAST(n AS BIGINT) AS n_samples,
+       'pcm_wav' AS codec,
+       CAST(list_sum(list_transform(generate_series(0, n - 1),
+            j -> ({_WAV_S}) * ({_WAV_S}))) AS BIGINT) AS energy,
+       CAST(list_sum(list_transform(generate_series(1, n - 1),
+            j -> CASE WHEN (({_WAV_S}) >= 0)
+                      != ((((media_id * 37 + (j - 1) * 7) % 4096) - 2048) >= 0)
+                 THEN 1 ELSE 0 END)) AS BIGINT) AS zero_crossings,
+       CAST(list_sum(list_transform(generate_series(0, n - 1),
+            j -> (j + 1) * (({_WAV_S}) + 2048))) AS BIGINT) AS sample_checksum
+FROM d ORDER BY media_id
+"""

@@ -130,6 +130,7 @@ _DRIVER_WINDOW = [
     "bpe_token_stats",
     "window_funcs_sql",
     "events_skew_census",
+    "media_audio_roundtrip",
     "near_dup_minhash",
     # oldest verifications (round-2-green, refreshed here)
     "scd1_upsert_batch",
@@ -627,4 +628,9 @@ register(
     "events_skew_census",
     scale_queries.events_skew_census,
     scale_queries.EVENTS_SKEW_CENSUS_ORACLE,
+)
+register(
+    "media_audio_roundtrip",
+    llm_queries.media_audio_roundtrip,
+    llm_queries.MEDIA_AUDIO_ROUNDTRIP_ORACLE,
 )

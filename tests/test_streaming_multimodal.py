@@ -492,3 +492,32 @@ def test_cms_sketch_sink_parity_with_batch(spark, tmp_dir):
         )
         assert est[k] == want, k
         assert est[k] >= n, "sketch undercounted"
+
+
+def test_decode_audio_8bit_and_strictness(spark):
+    """8-bit WAV decodes with unsigned->signed centering; junk payloads
+    are dropped when lenient and raise naming the media_id when
+    strict."""
+    import struct
+
+    def wav8(rate, samples_u8):
+        data = bytes(samples_u8)
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate, 1, 8)
+        chunks = (
+            b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    rows = [
+        (1, "audio", wav8(8000, [0, 128, 255, 128]), {"width": None, "height": None, "sample_rate": 8000}),
+        (2, "audio", b"not a wav at all", {"width": None, "height": None, "sample_rate": None}),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in multimodal.decode_audio(media).collect()}
+    assert set(out) == {1}
+    assert out[1].samples == [-128, 0, 127, 0]
+    assert out[1].sample_rate == 8000 and out[1].n_channels == 1
+
+    with pytest.raises(Exception, match="media_id=2"):
+        multimodal.decode_audio(media, strict=True).collect()
