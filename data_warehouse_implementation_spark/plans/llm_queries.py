@@ -1828,3 +1828,118 @@ SELECT media_id,
             j -> (j + 1) * (({_WAV_S}) + 2048))) AS BIGINT) AS sample_checksum
 FROM d ORDER BY media_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Real video decode + frame sampling on the correctness gate
+
+
+def media_video_roundtrip(t: dict[str, DataFrame]) -> DataFrame:
+    """The REAL video decoder on the CORRECTNESS gate. Each doc_id below
+    :data:`MEDIA_DECODE_DOCS` is rendered as a genuine YUV4MPEG2
+    stream: ``n = 3 + doc_id % 4`` frames at ``w = 4 + (doc_id % 3)*2``
+    x ``h = 4 + (doc_id % 2)*2``, colorspace rotating through C420jpeg /
+    C444 / Cmono, with Y-plane bytes from the deterministic formula
+    ``(doc_id*13 + f*101 + j*3) % 256`` (chroma planes filled with a
+    different formula so leaking them into Y is detectable). The
+    payloads pass through ``multimodal.decode_video`` (the actual y4m
+    parser, sampling every 2nd frame in-pass) and each sampled frame's
+    Y plane reduces to a position-weighted checksum.
+
+    Because chroma-plane SIZE depends on the colorspace, any parser
+    fault there misaligns every later frame and shifts its checksum —
+    the oracle recomputes the sampled frames' checksums straight from
+    the generating formula. Encoder (header string + plane concat
+    here) and decoder (token/chunk walk in ``operators/multimodal.py``)
+    share no code."""
+    from collections.abc import Iterator  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    from ..operators import multimodal
+
+    docs = t["documents"].select("doc_id").filter(F.col("doc_id") < MEDIA_DECODE_DOCS)
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        def enc_y4m(did: int) -> bytes:
+            w = 4 + (did % 3) * 2
+            h = 4 + (did % 2) * 2
+            n = 3 + did % 4
+            cs = ["420jpeg", "444", "mono"][did % 3]
+            out = b"YUV4MPEG2 W%d H%d F30:1 Ip A1:1 C%s\n" % (w, h, cs.encode())
+            for f in range(n):
+                out += b"FRAME\n"
+                out += bytes((did * 13 + f * 101 + j * 3) % 256 for j in range(w * h))
+                if cs == "420jpeg":
+                    csz = (w // 2) * (h // 2)
+                elif cs == "444":
+                    csz = w * h
+                else:
+                    csz = 0
+                # chroma filled from a DIFFERENT formula: if the parser
+                # leaked chroma into Y the checksum would shift
+                out += bytes((did * 7 + f + j * 11) % 256 for j in range(2 * csz))
+            return out
+
+        for pdf in batches:
+            ids, kinds, payloads, metas = [], [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                ids.append(did)
+                kinds.append("video")
+                payloads.append(enc_y4m(did))
+                metas.append({"width": None, "height": None, "sample_rate": None})
+            yield _pd.DataFrame(
+                {"media_id": ids, "kinds": kinds, "payload": payloads, "meta": metas}
+            ).rename(columns={"kinds": "kind"})
+
+    media = docs.mapInPandas(build, multimodal.MEDIA_SCHEMA)
+    decoded = multimodal.decode_video(media, sample_every=2, strict=True)
+
+    def weigh(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = pdf[
+                ["media_id", "width", "height", "colorspace", "n_frames", "frame_idx"]
+            ].copy()
+            out["y_checksum"] = pdf["y_plane"].map(
+                lambda b: sum((j + 1) * v for j, v in enumerate(b)) % _PIX_P
+            )
+            yield out
+
+    out_schema = (
+        "media_id long, width int, height int, colorspace string,"
+        " n_frames long, frame_idx long, y_checksum long"
+    )
+    return decoded.mapInPandas(weigh, out_schema).orderBy("media_id", "frame_idx")
+
+
+MEDIA_VIDEO_ROUNDTRIP_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id AS media_id,
+         4 + (doc_id % 3) * 2 AS w,
+         4 + (doc_id % 2) * 2 AS h,
+         3 + doc_id % 4 AS n,
+         ['420jpeg', '444', 'mono'][1 + doc_id % 3] AS cs
+  FROM documents WHERE doc_id < {MEDIA_DECODE_DOCS}
+),
+frames AS (
+  SELECT media_id, w, h, n, cs, unnest(generate_series(0, n - 1, 2)) AS f
+  FROM d
+)
+SELECT media_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       cs AS colorspace,
+       CAST(n AS BIGINT) AS n_frames,
+       CAST(f AS BIGINT) AS frame_idx,
+       CAST(list_sum(list_transform(generate_series(0, w * h - 1),
+            j -> (j + 1) * ((media_id * 13 + f * 101 + j * 3) % 256)))
+            % {_PIX_P} AS BIGINT) AS y_checksum
+FROM frames ORDER BY media_id, frame_idx
+"""

@@ -131,6 +131,7 @@ _DRIVER_WINDOW = [
     "window_funcs_sql",
     "events_skew_census",
     "media_audio_roundtrip",
+    "media_video_roundtrip",
     "near_dup_minhash",
     # oldest verifications (round-2-green, refreshed here)
     "scd1_upsert_batch",
@@ -633,4 +634,9 @@ register(
     "media_audio_roundtrip",
     llm_queries.media_audio_roundtrip,
     llm_queries.MEDIA_AUDIO_ROUNDTRIP_ORACLE,
+)
+register(
+    "media_video_roundtrip",
+    llm_queries.media_video_roundtrip,
+    llm_queries.MEDIA_VIDEO_ROUNDTRIP_ORACLE,
 )

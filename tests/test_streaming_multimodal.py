@@ -521,3 +521,32 @@ def test_decode_audio_8bit_and_strictness(spark):
 
     with pytest.raises(Exception, match="media_id=2"):
         multimodal.decode_audio(media, strict=True).collect()
+
+
+def test_decode_video_markers_and_sampling(spark):
+    """y4m parsing: frame sampling keeps every 2nd frame, a corrupt
+    FRAME marker drops the payload when lenient and raises when strict,
+    and mono streams carry no chroma."""
+    def y4m(w, h, frames, cs="mono"):
+        out = b"YUV4MPEG2 W%d H%d F30:1 C%s\n" % (w, h, cs.encode())
+        for f in frames:
+            out += b"FRAME\n" + bytes(f)
+        return out
+
+    good = y4m(2, 2, [[i] * 4 for i in (1, 2, 3, 4, 5)])
+    m = good.index(b"FRAME")
+    bad = good[:m] + b"XXXXX" + good[m + 5 :]  # clobber first FRAME marker
+    rows = [
+        (1, "video", good, {"width": None, "height": None, "sample_rate": None}),
+        (2, "video", bad, {"width": None, "height": None, "sample_rate": None}),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = multimodal.decode_video(media, sample_every=2).collect()
+    assert {r.media_id for r in out} == {1}
+    got = {r.frame_idx: bytes(r.y_plane) for r in out}
+    assert sorted(got) == [0, 2, 4]
+    assert got[2] == bytes([3] * 4)
+    assert all(r.n_frames == 5 and r.colorspace == "mono" for r in out)
+
+    with pytest.raises(Exception, match="media_id=2"):
+        multimodal.decode_video(media, strict=True).collect()
