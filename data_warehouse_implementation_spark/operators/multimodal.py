@@ -11,9 +11,11 @@ ships built-in PPM (P6) and uncompressed-BMP decoders (pure ``struct``
 :func:`decode_audio` is a from-scratch RIFF/WAVE chunk walker for
 8/16-bit integer PCM; :func:`decode_video` parses YUV4MPEG2 (the
 ffmpeg uncompressed interchange container) with in-pass frame
-sampling. What remains FAKE is the feature/resize stand-in arithmetic
-in :func:`extract_features` / :func:`resize_images` (a deterministic
-byte fold where a real build would embed/resample — kept because the
+sampling, plus :func:`resize_decoded` — real nearest-neighbor
+resampling over decoded pixels. What remains FAKE is the
+feature/byte-level-resize stand-in arithmetic in
+:func:`extract_features` / :func:`resize_images` (a deterministic
+byte fold where a real build would embed — kept because the
 DuckDB oracle replays it exactly) and compressed codecs (JPEG/MP3/
 H.264), which this container cannot host beyond the Pillow tier.
 
@@ -516,3 +518,41 @@ def decode_video(
         " colorspace string, n_frames long, frame_idx long, y_plane binary"
     )
     return df.mapInPandas(run, schema)
+
+
+def resize_decoded(df: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL image resize over DECODED pixels (contrast the byte-fold
+    stand-in :func:`resize_images`, kept for its exactly-replayable
+    oracle): consumes :func:`decode_images` output and nearest-neighbor
+    resamples each interleaved pixel block to (width, height) with pure
+    numpy index arithmetic — ``src_x = (dst_x * src_w) // width``,
+    ``src_y = (dst_y * src_h) // height`` (floor mapping, the exact
+    convention any SQL engine can replay). Channel count is preserved;
+    one Arrow-batched pass, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = pdf[["media_id", "channels", "codec"]].copy()
+            resized = []
+            for w, h, ch, px in zip(
+                pdf["width"], pdf["height"], pdf["channels"], pdf["pixels"]
+            ):
+                arr = _np.frombuffer(bytes(px), dtype=_np.uint8).reshape(
+                    int(h), int(w), int(ch)
+                )
+                ys = (_np.arange(height) * int(h)) // height
+                xs = (_np.arange(width) * int(w)) // width
+                resized.append(arr[ys][:, xs].tobytes())
+            out["width"] = width
+            out["height"] = height
+            out["pixels"] = _pd.Series(resized, index=pdf.index, dtype=object)
+            yield out[
+                ["media_id", "width", "height", "channels", "pixels", "codec"]
+            ]
+
+    return df.mapInPandas(run, DECODED_SCHEMA)

@@ -1943,3 +1943,108 @@ SELECT media_id,
             % {_PIX_P} AS BIGINT) AS y_checksum
 FROM frames ORDER BY media_id, frame_idx
 """
+
+
+# ---------------------------------------------------------------------------
+# Real decode -> real resize on the correctness gate
+
+RESIZE_W, RESIZE_H = 5, 4
+
+
+def media_resize_roundtrip(t: dict[str, DataFrame]) -> DataFrame:
+    """decode -> REAL nearest-neighbor resize on the gate: the same
+    generated PPM/BMP payloads as ``media_decode_roundtrip``, decoded
+    by the real codecs, then resampled to a fixed (5 x 4) by
+    ``multimodal.resize_decoded`` (floor index mapping
+    ``src = (dst * src_dim) // dst_dim``), reduced to a position-
+    weighted checksum of the RESIZED pixels. The oracle recomputes each
+    destination byte straight from the generating formula through the
+    same index arithmetic — a resampler that flipped axes, rounded
+    instead of floored, or mixed channels fails the hash."""
+    from collections.abc import Iterator  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    from ..operators import multimodal
+
+    docs = t["documents"].select("doc_id").filter(F.col("doc_id") < MEDIA_DECODE_DOCS)
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import pandas as _pd
+
+        def enc_ppm(w: int, h: int, px: bytes) -> bytes:
+            return b"P6\n%d %d\n255\n" % (w, h) + px
+
+        def enc_bmp(w: int, h: int, px: bytes) -> bytes:
+            row_bytes = (w * 3 + 3) & ~3
+            pad = b"\x00" * (row_bytes - w * 3)
+            rows = []
+            for y in range(h - 1, -1, -1):
+                row = px[y * w * 3 : (y + 1) * w * 3]
+                rows.append(bytes(b for i in range(0, len(row), 3) for b in row[i : i + 3][::-1]) + pad)
+            body = b"".join(rows)
+            info = _struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0)
+            header = _struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
+            return header + info + body
+
+        for pdf in batches:
+            ids, kinds, payloads, metas = [], [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 4 + did % 5
+                h = 3 + did % 4
+                px = bytes((did * 31 + j) % 256 for j in range(w * h * 3))
+                ids.append(did)
+                kinds.append("image")
+                payloads.append(enc_bmp(w, h, px) if did % 3 == 0 else enc_ppm(w, h, px))
+                metas.append({"width": w, "height": h, "sample_rate": None})
+            yield _pd.DataFrame(
+                {"media_id": ids, "kind": kinds, "payload": payloads, "meta": metas}
+            )
+
+    media = docs.mapInPandas(build, multimodal.MEDIA_SCHEMA)
+    resized = multimodal.resize_decoded(
+        multimodal.decode_images(media, strict=True), RESIZE_W, RESIZE_H
+    )
+
+    def weigh(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "codec": pdf["codec"],
+                    "pix_checksum": pdf["pixels"].map(
+                        lambda b: sum((j + 1) * v for j, v in enumerate(b)) % _PIX_P
+                    ),
+                }
+            )
+
+    out_schema = "media_id long, width int, height int, codec string, pix_checksum long"
+    return resized.mapInPandas(weigh, out_schema).orderBy("media_id")
+
+
+MEDIA_RESIZE_ROUNDTRIP_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id AS media_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+  FROM documents WHERE doc_id < {MEDIA_DECODE_DOCS}
+)
+SELECT media_id,
+       CAST({RESIZE_W} AS INT) AS width,
+       CAST({RESIZE_H} AS INT) AS height,
+       CASE WHEN media_id % 3 = 0 THEN 'bmp' ELSE 'ppm' END AS codec,
+       CAST(list_sum(list_transform(generate_series(0, {RESIZE_W * RESIZE_H * 3} - 1),
+            j -> (j + 1) * ((media_id * 31 +
+                  (((((j // {RESIZE_W * 3}) * h) // {RESIZE_H}) * w
+                    + ((((j % {RESIZE_W * 3}) // 3) * w) // {RESIZE_W})) * 3
+                   + j % 3)) % 256)))
+            % {_PIX_P} AS BIGINT) AS pix_checksum
+FROM d ORDER BY media_id
+"""

@@ -1214,3 +1214,93 @@ SELECT r_name, n_name, CAST(rev AS DOUBLE) AS revenue,
          / CAST(SUM(rev) OVER () AS DOUBLE) AS region_share_of_total
 FROM rev ORDER BY r_name, n_name
 """
+
+
+# ---------------------------------------------------------------------------
+# Date-spine gap filling (sparse series -> dense calendar)
+
+GAP_FILL_MIN_VALUE = 470.0
+
+
+def events_gap_fill(t: dict[str, DataFrame]) -> DataFrame:
+    """Dense daily series from a sparse event slice: high-value events
+    (value >= 470) occur on only some days per type, so the daily
+    aggregate has holes a downstream forecasting/chart consumer cannot
+    tolerate. Build the full date spine (one global min..max day
+    sequence crossed with the type list — spine rows = |days| x
+    |types|, tiny), left-join the sparse dailies, zero-fill counts, and
+    forward-fill the last observed daily max via ``last(ignorenulls)``
+    over an unbounded-preceding frame — the canonical gap-fill +
+    LOCF composition.
+
+    100 TB shape: the fact scan reduces to day grain FIRST (map-side
+    combine on the selective predicate), the spine is generated not
+    scanned, and the LOCF window runs over |days| rows per type."""
+    ev = t["events"].select(
+        "event_type",
+        F.date_format(F.date_trunc("day", _event_ts(t["events"])), "yyyy-MM-dd").alias(
+            "day"
+        ),
+        "value",
+    ).filter(F.col("value") >= GAP_FILL_MIN_VALUE)
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n"), F.max("value").alias("day_max")
+    )
+    bounds = daily.agg(
+        F.min("day").alias("mn"), F.max("day").alias("mx")
+    )
+    spine_days = bounds.select(
+        F.explode(
+            F.sequence(
+                F.to_date("mn"), F.to_date("mx"), F.expr("interval 1 day")
+            )
+        ).alias("d")
+    ).select(F.date_format("d", "yyyy-MM-dd").alias("day"))
+    types = daily.select("event_type").distinct()
+    spine = spine_days.crossJoin(F.broadcast(types))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, on=["event_type", "day"], how="left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.col("day_max").alias("day_max"),
+            F.last("day_max", ignorenulls=True).over(w).alias("locf_max"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+EVENTS_GAP_FILL_ORACLE = f"""
+WITH ev AS (
+  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, value
+  FROM events WHERE value >= {GAP_FILL_MIN_VALUE}
+),
+daily AS (
+  SELECT event_type, day, COUNT(*) AS n, MAX(value) AS day_max
+  FROM ev GROUP BY event_type, day
+),
+bounds AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM daily),
+spine_days AS (
+  SELECT strftime(unnest(generate_series(CAST(mn AS DATE), CAST(mx AS DATE),
+                 INTERVAL 1 DAY)), '%Y-%m-%d') AS day
+  FROM bounds
+),
+spine AS (
+  SELECT d.day, ty.event_type
+  FROM spine_days d CROSS JOIN (SELECT DISTINCT event_type FROM daily) ty
+)
+SELECT s.event_type, s.day,
+       COALESCE(dl.n, 0) AS n_events,
+       dl.day_max AS day_max,
+       LAST_VALUE(dl.day_max IGNORE NULLS) OVER (
+         PARTITION BY s.event_type ORDER BY s.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_max
+FROM spine s LEFT JOIN daily dl ON s.event_type = dl.event_type AND s.day = dl.day
+ORDER BY s.event_type, s.day
+"""

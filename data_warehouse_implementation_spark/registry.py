@@ -132,6 +132,8 @@ _DRIVER_WINDOW = [
     "events_skew_census",
     "media_audio_roundtrip",
     "media_video_roundtrip",
+    "events_gap_fill",
+    "media_resize_roundtrip",
     "near_dup_minhash",
     # oldest verifications (round-2-green, refreshed here)
     "scd1_upsert_batch",
@@ -639,4 +641,14 @@ register(
     "media_video_roundtrip",
     llm_queries.media_video_roundtrip,
     llm_queries.MEDIA_VIDEO_ROUNDTRIP_ORACLE,
+)
+register(
+    "events_gap_fill",
+    timeseries_queries.events_gap_fill,
+    timeseries_queries.EVENTS_GAP_FILL_ORACLE,
+)
+register(
+    "media_resize_roundtrip",
+    llm_queries.media_resize_roundtrip,
+    llm_queries.MEDIA_RESIZE_ROUNDTRIP_ORACLE,
 )
