@@ -102,7 +102,9 @@ _DRIVER_WINDOW = [
     "order_lifecycle_fact",
     "orders_constraint_gate",
     "events_cdc_apply",
-    "embedding_dense_topk",
+    # embedding_dense_topk deferred to round 5: its oracle IS the
+    # checked embedding_cosine_topk oracle and a pytest parity test
+    # pins the two bit-identical, the strongest local guarantee here
     "embedding_kmeans_refine",
     "doc_split_dedup_aware",
     "brand_price_outliers",
@@ -111,8 +113,9 @@ _DRIVER_WINDOW = [
     "user_sketch_rollup",
     "events_volume_anomaly",
     # implementation changes / additions this round — under driver watch
+    # (media_feature_extract stays r2-green and unchanged, so its slot
+    # goes to a round-4 addition)
     "events_funnel",
-    "media_feature_extract",
     "media_decode_roundtrip",
     "embedding_lsh_near_dup",
     "events_heavy_hitters_cms",
@@ -133,8 +136,11 @@ _DRIVER_WINDOW = [
     "media_audio_roundtrip",
     "media_video_roundtrip",
     "events_gap_fill",
-    "media_resize_roundtrip",
     "near_dup_prefix_join",
+    # first in line for round 5 (position 51+): derivative of the
+    # checked decode pipeline, pytest + local differential green
+    "media_resize_roundtrip",
+    "embedding_dense_topk",
     "near_dup_minhash",
     # oldest verifications (round-2-green, refreshed here)
     "scd1_upsert_batch",
