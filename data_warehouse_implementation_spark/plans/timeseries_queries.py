@@ -1219,12 +1219,12 @@ FROM rev ORDER BY r_name, n_name
 # ---------------------------------------------------------------------------
 # Date-spine gap filling (sparse series -> dense calendar)
 
-GAP_FILL_MIN_VALUE = 470.0
+GAP_FILL_MIN_VALUE = 180.0
 
 
 def events_gap_fill(t: dict[str, DataFrame]) -> DataFrame:
     """Dense daily series from a sparse event slice: high-value events
-    (value >= 470) occur on only some days per type, so the daily
+    (value >= 180, ~p97 of the value distribution) occur on only some days per type, so the daily
     aggregate has holes a downstream forecasting/chart consumer cannot
     tolerate. Build the full date spine (one global min..max day
     sequence crossed with the type list — spine rows = |days| x
