@@ -63,3 +63,47 @@ def test_quantile_rollup_bounds(spark):
         for q in ("p50", "p90", "p99"):
             lo = getattr(o, f"{q}_lo")
             assert lo - scale_queries.BIN_W <= getattr(r, q) <= lo + scale_queries.BIN_W
+
+
+def test_priority_sample_partition_invariant(spark):
+    """The selected sample must be a pure function of (id, weight) —
+    identical under any physical partitioning (the property rand()-based
+    weighted sampling lacks)."""
+    from data_warehouse_implementation_spark.operators import corpus
+
+    docs = load_tables(spark, "/root/testdata/sf0.01")["documents"].select(
+        "doc_id", "n_chars"
+    )
+    a = {
+        r.doc_id
+        for r in corpus.priority_sample(docs.repartition(1), "n_chars", 25).collect()
+    }
+    b = {
+        r.doc_id
+        for r in corpus.priority_sample(docs.repartition(13, "doc_id"), "n_chars", 25).collect()
+    }
+    assert a == b and len(a) == 25
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=60, unique=True),
+    probes=st.lists(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=60, unique=True),
+)
+def test_bloom_never_false_negative_property(spark, keys, probes):
+    """For ANY build set and probe set: every probe that IS a member
+    passes the filter (no false negatives, the Bloom invariant that
+    makes the join-prefilter transparent)."""
+    kdf = spark.createDataFrame([(k,) for k in keys], "k long")
+    pdf = spark.createDataFrame([(p,) for p in set(probes) | set(keys)], "x long")
+    out = rf.bloom_prefilter(pdf, kdf, "x", "k")
+    passed = {r.x for r in out.filter("bloom_pass").collect()}
+    assert set(keys) <= passed
