@@ -38,21 +38,28 @@ def asof_join(
     ts_col: str,
     payload: Sequence[str],
     matched_ts_col: str = "matched_ts",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of (left) join: for every left row, attach ``payload``
-    columns from the right row with the greatest ``ts_col`` <=
-    left.``ts_col`` within the same ``on`` key group; nulls when no such
-    row exists. Matches DuckDB ``ASOF LEFT JOIN`` semantics
-    (``ON l.ts >= r.ts``, inclusive).
+    """As-of (left) join: for every left row, attach ``payload`` columns
+    from the matching right row within the same ``on`` key group —
+    ``direction="backward"`` (default) matches the greatest right
+    ``ts_col`` <= left ts (DuckDB ``ASOF LEFT JOIN ... l.ts >= r.ts``),
+    ``direction="forward"`` the smallest right ts >= left ts (the
+    next-quote-after-trade / next-event-after-signal shape, DuckDB
+    ``l.ts <= r.ts``); both inclusive, nulls when no such row exists.
 
     Requirements: ``payload`` names must not collide with left columns;
     both inputs carry ``on`` + ``ts_col``.
 
-    Plan: tag sides, union, one window per key ordered by
-    (ts, side) with right rows sorting first at equal ts (inclusive
-    match), ``last(payload, ignorenulls=True)`` over rows from the
-    start of the key group to the current row, then keep left rows.
+    Plan: tag sides, union, one window per key ordered by (ts, side)
+    with right rows sorting toward the left row at equal ts (inclusive
+    match), then ``last(payload, ignorenulls=True)`` over the preceding
+    frame (backward) or ``first`` over the following frame (forward),
+    then keep left rows. One shuffle on the key either way — never a
+    range-join explosion.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     on = list(on)
     overlap = set(payload) & set(left.columns)
     if overlap:
@@ -67,27 +74,32 @@ def asof_join(
         F.lit(None).cast(right.schema[ts_col].dataType).alias(_RTS),
         F.lit(1).alias(_SIDE),
     )
+    # side ordering puts the right rows on the matchable side of the
+    # left row at equal ts (before it for backward, after for forward)
+    right_side = 0 if direction == "backward" else 2
     tagged_right = right.select(
         *on,
         F.col(ts_col),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_extra],
         *[F.col(c) for c in payload],
         F.col(ts_col).alias(_RTS),
-        F.lit(0).alias(_SIDE),
+        F.lit(right_side).alias(_SIDE),
     )
     unioned = tagged_left.unionByName(tagged_right)
 
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(ts_col, _SIDE)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    base = Window.partitionBy(*on).orderBy(ts_col, _SIDE)
+    if direction == "backward":
+        w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pick = F.last
+    else:
+        w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        pick = F.first
     filled = unioned.select(
         *on,
         F.col(ts_col),
         *[F.col(c) for c in left_extra],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload],
-        F.last(_RTS, ignorenulls=True).over(w).alias(matched_ts_col),
+        *[pick(c, ignorenulls=True).over(w).alias(c) for c in payload],
+        pick(_RTS, ignorenulls=True).over(w).alias(matched_ts_col),
         F.col(_SIDE),
     )
     return filled.filter(F.col(_SIDE) == 1).drop(_SIDE)

@@ -1304,3 +1304,51 @@ SELECT s.event_type, s.day,
 FROM spine s LEFT JOIN daily dl ON s.event_type = dl.event_type AND s.day = dl.day
 ORDER BY s.event_type, s.day
 """
+
+
+def events_asof_forward(t: dict[str, DataFrame]) -> DataFrame:
+    """FORWARD as-of join: for every purchase, the same user's FIRST
+    view at-or-after the purchase time (post-conversion behavior — the
+    mirror of ``events_asof_join``'s trade/quote lookup). Same
+    union + keyed-window plan, ``first(ignorenulls)`` over the
+    following frame; DuckDB's native forward ASOF (``l.ts <= r.ts``)
+    is the oracle."""
+    from ..operators import asof
+
+    ev = t["events"].select(
+        "event_id", "user_id", "event_type", "value", _event_ts(t["events"]).alias("ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("view_value")
+    )
+    joined = asof.asof_join(
+        purchases, views, on=["user_id"], ts_col="ts",
+        payload=["view_value"], matched_ts_col="view_ts",
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        "value",
+        "view_value",
+        F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("view_ts"),
+        (F.unix_micros("view_ts") - F.unix_micros("ts")).alias("us_until_view"),
+    ).orderBy("event_id")
+
+
+EVENTS_ASOF_FORWARD_ORACLE = """
+WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+     v AS (SELECT user_id, ts, value AS view_value FROM events WHERE event_type = 'view')
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       p.value,
+       v.view_value,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+       epoch_us(v.ts) - epoch_us(p.ts) AS us_until_view
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts <= v.ts
+ORDER BY p.event_id
+"""

@@ -141,6 +141,7 @@ _DRIVER_WINDOW = [
     # checked decode pipeline, pytest + local differential green
     "media_resize_roundtrip",
     "embedding_dense_topk",
+    "events_asof_forward",
     "near_dup_minhash",
     # oldest verifications (round-2-green, refreshed here)
     "scd1_upsert_batch",
@@ -663,4 +664,9 @@ register(
     "near_dup_prefix_join",
     llm_queries.near_dup_prefix_join,
     llm_queries.NEAR_DUP_PREFIX_JOIN_ORACLE,
+)
+register(
+    "events_asof_forward",
+    timeseries_queries.events_asof_forward,
+    timeseries_queries.EVENTS_ASOF_FORWARD_ORACLE,
 )

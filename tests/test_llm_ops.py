@@ -390,3 +390,44 @@ def test_prefix_join_complete_vs_brute_force(spark):
     )
     want = {(r.doc_a, r.doc_b): r.jaccard for r in brute.collect()}
     assert got == want and len(got) > 0
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_WORDS = ["aa", "bb", "cc", "dd", "ee", "ff"]
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=1, max_size=8),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_prefix_join_complete_property(spark, docs):
+    """Prefix filtering must be lossless on ARBITRARY tiny corpora —
+    including threshold-boundary pairs where jaccard == 3/5 exactly
+    (the integer ceil arithmetic's edge). 1-word shingles maximize
+    token collisions."""
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.jaccard_prefix_join(df, n=1).collect()
+    }
+    sets = {i: set(ws) for i, ws in enumerate(docs)}
+    want = set()
+    for a in sets:
+        for b in sets:
+            if a < b:
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a] | sets[b])
+                if inter * 5 >= union * 3:
+                    want.add((a, b))
+    assert got == want
