@@ -387,3 +387,58 @@ SELECT p_brand,
        MIN(p_type) AS first_type
 FROM part GROUP BY p_brand ORDER BY p_brand
 """
+
+
+def events_session_window_native(t: dict[str, DataFrame]) -> DataFrame:
+    """Sessionization through Spark's BUILT-IN ``session_window``
+    operator (the native merging-session-state aggregate, usable in
+    batch and streaming alike) — cross-checking the hand-rolled
+    lag+cumsum formulation in :func:`events_sessionize`. One boundary
+    nuance the oracle replicates exactly: the native operator merges
+    two events only when their gap is STRICTLY below the duration
+    (next < prev + gap), while the lag formulation above splits on
+    ``> gap`` — at a gap of exactly 30 minutes the two disagree by
+    design, so the oracle uses the native ``>=``-split semantics."""
+    ev = t["events"].select(
+        "user_id", _event_ts(t["events"]).alias("ts"), "value"
+    )
+    return (
+        ev.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_SECONDS} seconds"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _decimal_sum_as_double(F.col("value")).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            "n_events",
+            "session_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+EVENTS_SESSION_WINDOW_NATIVE_ORACLE = f"""
+WITH gapped AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= {SESSION_GAP_SECONDS * 1_000_000}
+              OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, value, ts,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+  FROM gapped
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+FROM sess GROUP BY user_id, session_seq ORDER BY user_id, session_start
+"""

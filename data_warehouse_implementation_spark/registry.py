@@ -142,6 +142,7 @@ _DRIVER_WINDOW = [
     "media_resize_roundtrip",
     "embedding_dense_topk",
     "events_asof_forward",
+    "events_session_window_native",
     "near_dup_minhash",
     # oldest verifications (round-2-green, refreshed here)
     "scd1_upsert_batch",
@@ -669,4 +670,9 @@ register(
     "events_asof_forward",
     timeseries_queries.events_asof_forward,
     timeseries_queries.EVENTS_ASOF_FORWARD_ORACLE,
+)
+register(
+    "events_session_window_native",
+    ingest_queries.events_session_window_native,
+    ingest_queries.EVENTS_SESSION_WINDOW_NATIVE_ORACLE,
 )
