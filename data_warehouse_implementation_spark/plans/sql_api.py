@@ -425,3 +425,58 @@ def window_funcs_sql(t: dict[str, DataFrame]) -> DataFrame:
 
 
 WINDOW_FUNCS_ORACLE = WINDOW_FUNCS_SQL
+
+
+# Q13-shaped customer order-count distribution: LEFT JOIN preserving
+# order-less customers, two stacked aggregations (per-customer count,
+# then histogram of counts). The left join is what distinguishes this
+# from every inner-join query here — zero-order customers must appear
+# in the c_count = 0 bucket.
+CUST_ORDER_DIST_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+) per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def cust_order_dist_sql(t: dict[str, DataFrame]) -> DataFrame:
+    return t["lineitem"].sparkSession.sql(CUST_ORDER_DIST_SQL)
+
+
+CUST_ORDER_DIST_ORACLE = CUST_ORDER_DIST_SQL
+
+
+# Q15-shaped top supplier(s): quarterly supplier revenue, then the
+# suppliers achieving the MAXIMUM revenue via an uncorrelated scalar
+# subquery over the same derived table (the view-reuse pattern of the
+# original; exact decimal revenue makes the equality comparison safe
+# across engines).
+TOP_SUPPLIER_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(1 - l_discount AS DECIMAL(18,2))) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(r.total_revenue AS DOUBLE) AS total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s.s_suppkey
+"""
+
+
+def top_supplier_sql(t: dict[str, DataFrame]) -> DataFrame:
+    return t["lineitem"].sparkSession.sql(TOP_SUPPLIER_SQL)
+
+
+TOP_SUPPLIER_ORACLE = TOP_SUPPLIER_SQL

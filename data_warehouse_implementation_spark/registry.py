@@ -143,6 +143,8 @@ _DRIVER_WINDOW = [
     "embedding_dense_topk",
     "events_asof_forward",
     "events_session_window_native",
+    "cust_order_dist_sql",
+    "top_supplier_sql",
     "near_dup_minhash",
     # oldest verifications (round-2-green, refreshed here)
     "scd1_upsert_batch",
@@ -676,3 +678,5 @@ register(
     ingest_queries.events_session_window_native,
     ingest_queries.EVENTS_SESSION_WINDOW_NATIVE_ORACLE,
 )
+register("cust_order_dist_sql", sql_api.cust_order_dist_sql, sql_api.CUST_ORDER_DIST_ORACLE)
+register("top_supplier_sql", sql_api.top_supplier_sql, sql_api.TOP_SUPPLIER_ORACLE)
