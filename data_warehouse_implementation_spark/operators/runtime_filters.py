@@ -83,14 +83,24 @@ def bloom_prefilter(
     (word fetch + shift) — the fact is never shuffled. Callers follow
     with the real join, which keeps correctness independent of the
     false-positive rate. False negatives are impossible."""
-    filt = bloom_build(keys.select(build_key), build_key)
+    # collision-safe scratch names: the fact may legitimately own a
+    # 'bloom' (or '_bp0'...) column; reserve a prefix and lengthen it
+    # until it collides with nothing, so the probe neither shadows nor
+    # drops user data
+    rf = "__rf"
+    while any(c.startswith(rf) for c in fact.columns):
+        rf += "_"
+    bloom_col = f"{rf}bloom"
+    filt = bloom_build(keys.select(build_key), build_key).withColumnRenamed(
+        "bloom", bloom_col
+    )
     out = fact.crossJoin(F.broadcast(filt))
     temp: list[str] = []
     tests = []
     for i, p in enumerate(bloom_positions(fact_key)):
-        bp, bw = f"_bp{i}", f"_bw{i}"
+        bp, bw = f"{rf}p{i}", f"{rf}w{i}"
         out = out.withColumn(bp, p).withColumn(
-            bw, F.get(F.col("bloom"), (F.col(bp) / 64).cast("int"))
+            bw, F.get(F.col(bloom_col), (F.col(bp) / 64).cast("int"))
         )
         # & 1, never % 2: an arithmetic right shift of a word with the
         # sign bit set yields a negative long, and Spark's % follows
@@ -105,4 +115,4 @@ def bloom_prefilter(
     cond = tests[0]
     for t in tests[1:]:
         cond = cond & t
-    return out.withColumn("bloom_pass", cond).drop("bloom", *temp)
+    return out.withColumn("bloom_pass", cond).drop(bloom_col, *temp)

@@ -1671,11 +1671,17 @@ ORDER BY source_a, source_b
 
 
 def semantic_dedup_census(t: dict[str, DataFrame]) -> DataFrame:
-    """Semantic deduplication census (the SemDeDup recipe, Abbas et al.
-    2023, arXiv:2303.09540): within each coarse cluster, vectors whose
-    cosine similarity exceeds the threshold are duplicate groups; the
-    greedy keep rule retains the lowest vec_id of each pair and drops
-    the rest. Reports, per cluster label: total vectors, dropped, kept.
+    """Semantic deduplication census, STRICT variant: within each
+    coarse cluster (the SemDeDup pair space, Abbas et al. 2023,
+    arXiv:2303.09540), a vector is dropped if it is the higher-id side
+    of ANY over-threshold pair — a deliberately more aggressive keep
+    rule than the paper's greedy scan. In a chain a<b<c with pairs
+    (a,b) and (b,c) only, greedy keeps c (it is only similar to the
+    already-dropped b) while this rule drops it; strict therefore
+    removes a superset of greedy's drops, trading recall of borderline
+    uniques for a one-shot, fully set-oriented plan (no iteration at
+    all). The paper-faithful rule is :func:`semantic_dedup_greedy`.
+    Reports, per cluster label: total vectors, dropped, kept.
 
     Scale shape: the pair space is cluster-restricted (the
     ``embedding_near_dup`` equi-join — never an all-pairs product), the
@@ -1718,6 +1724,133 @@ SELECT CAST(e.label AS BIGINT) AS label,
        COUNT(*) - COUNT(d.vec_id) AS n_kept
 FROM embeddings e LEFT JOIN dropped d ON e.vec_id = d.vec_id
 GROUP BY e.label ORDER BY label
+"""
+
+
+def semantic_dedup_greedy(t: dict[str, DataFrame]) -> DataFrame:
+    """Semantic deduplication census with the PAPER-FAITHFUL greedy
+    keep rule (SemDeDup, Abbas et al. 2023, arXiv:2303.09540 §2): scan
+    each cluster's vectors in ascending vec_id; a vector is dropped iff
+    it is over-threshold-similar to a vector already KEPT — similarity
+    to an already-dropped vector does not condemn it. That is the
+    lexicographically-first maximal independent set of the per-cluster
+    similarity graph, computed here by distributed peeling instead of a
+    sequential scan:
+
+      round k: every undecided vertex with NO remaining edge from a
+      smaller undecided id is KEPT (the minimum of each surviving
+      component always qualifies, so progress is guaranteed); the
+      kept vertices' larger neighbors are DROPPED; edges touching any
+      decided vertex fall away; repeat until no edges remain, then
+      every still-undecided vertex is kept.
+
+    Equivalent to the sequential greedy scan (each round decides
+    exactly the prefix of the order whose fate no longer depends on
+    undecided vertices); rounds = longest dependency chain, not
+    cluster size. Scale shape: the pair space is the cluster-
+    restricted ``embedding_near_dup`` equi-join (never all-pairs),
+    each round is one anti-join + one semi-join over the shrinking
+    edge set, and per-round state is ``localCheckpoint``-ed so plans
+    stay constant-size (same discipline as
+    ``dedup.connected_components``). Output schema matches
+    :func:`semantic_dedup_census` so the two keep rules diff directly.
+    """
+    emb = t["embeddings"].select("vec_id", "label")
+    # vec_a < vec_b by construction of embedding_near_dup
+    edges = embedding_near_dup(t).select("vec_a", "vec_b").localCheckpoint()
+    undecided = emb.select("vec_id").localCheckpoint()
+    dropped_parts: list[DataFrame] = []
+    for _ in range(25):
+        if edges.isEmpty():
+            break
+        blocked = edges.select(F.col("vec_b").alias("vec_id")).distinct()
+        kept_now = undecided.join(blocked, on="vec_id", how="left_anti")
+        dropped_now = (
+            edges.join(
+                kept_now.select(F.col("vec_id").alias("vec_a")), on="vec_a"
+            )
+            .select(F.col("vec_b").alias("vec_id"))
+            .distinct()
+            .localCheckpoint()
+        )
+        dropped_parts.append(dropped_now)
+        # survivors: not kept this round (kept is final) and not dropped
+        undecided = (
+            undecided.join(kept_now, on="vec_id", how="left_anti")
+            .join(dropped_now, on="vec_id", how="left_anti")
+            .localCheckpoint()
+        )
+        und_a = undecided.select(F.col("vec_id").alias("vec_a"))
+        und_b = undecided.select(F.col("vec_id").alias("vec_b"))
+        edges = (
+            edges.join(und_a, on="vec_a", how="left_semi")
+            .join(und_b, on="vec_b", how="left_semi")
+            .localCheckpoint()
+        )
+    dropped = (
+        dropped_parts[0]
+        if dropped_parts
+        else emb.select("vec_id").limit(0)
+    )
+    for part in dropped_parts[1:]:
+        dropped = dropped.unionByName(part)
+    lab = emb.join(
+        F.broadcast(dropped.distinct().withColumn("_d", F.lit(True))),
+        on="vec_id",
+        how="left",
+    )
+    return (
+        lab.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.count(F.when(F.col("_d"), 1)).alias("n_dropped"),
+            (F.count(F.lit(1)) - F.count(F.when(F.col("_d"), 1))).alias("n_kept"),
+        )
+        .withColumn("label", F.col("label").cast("long"))
+        .orderBy("label")
+    )
+
+
+#: The oracle replays the sequential greedy scan literally: a recursive
+#: CTE walks each cluster's vectors in vec_id order carrying the kept
+#: list; a vector joins it unless any of its smaller-id over-threshold
+#: neighbors is already in it. Sequential-scan-vs-distributed-peeling is
+#: exactly the equivalence the differential should be pinning.
+SEMANTIC_DEDUP_GREEDY_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM embeddings a
+  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+           * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+        >= {NEAR_DUP_COSINE}
+),
+adj AS (SELECT vec_b, list(vec_a) AS ins FROM pairs GROUP BY vec_b),
+ranked AS (
+  SELECT e.label, e.vec_id,
+         ROW_NUMBER() OVER (PARTITION BY e.label ORDER BY e.vec_id) AS rk,
+         COALESCE(a.ins, []) AS ins
+  FROM embeddings e LEFT JOIN adj a ON e.vec_id = a.vec_b
+),
+scan AS (
+  SELECT label, CAST(0 AS BIGINT) AS rk, []::BIGINT[] AS kept
+  FROM (SELECT DISTINCT label FROM embeddings)
+  UNION ALL
+  SELECT s.label, s.rk + 1,
+         CASE WHEN len(list_intersect(r.ins, s.kept)) > 0
+              THEN s.kept
+              ELSE list_append(s.kept, r.vec_id) END
+  FROM scan s JOIN ranked r ON r.label = s.label AND r.rk = s.rk + 1
+)
+SELECT CAST(s.label AS BIGINT) AS label,
+       CAST(s.rk AS BIGINT) AS n_vectors,
+       CAST(s.rk - len(s.kept) AS BIGINT) AS n_dropped,
+       CAST(len(s.kept) AS BIGINT) AS n_kept
+FROM scan s
+JOIN (SELECT label, MAX(rk) AS mx FROM ranked GROUP BY label) m
+  ON s.label = m.label AND s.rk = m.mx
+ORDER BY label
 """
 
 

@@ -65,88 +65,34 @@ def oracle_sql() -> dict[str, str]:
 
 
 # The correctness driver differentials the FIRST 50 registry entries per
-# round. Round-4 window: the flagship, the five oracles whose DuckDB
-# HUGEINT typing was fixed this round (previously hash-red for dtype
-# only — values verified identical), every registered query that has
-# never appeared in any round's driver window, the queries whose
-# implementation changed this round (funnel empty-stage fix, real image
-# decode, hashed-shingle cache, shared LSH bands), all eight round-4
-# additions (cosine-LSH near-dup, count-min heavy hitters, bloom
-# prefilter join, histogram quantile rollup, priority sampling,
-# unigram rarity, ORC round-trip, BPE training), and as many of the
-# oldest round-2 verifications as still fit in the 50. Entries past
-# position 50 stay listed so their refresh order is explicit for round
-# 5. Everything not listed follows in registration order.
+# round. Round-5 window: the flagship, the six queries never inside any
+# prior window (all locally oracle-green; VERDICT r4 "Next round" #1),
+# every query whose implementation or shared plumbing changed this
+# round (SemDeDup census keep-rule, bloom prefilter collision-safe
+# naming, warehouse dim sharing via materialize, near-dup family cache
+# pre-warm), and the oldest (round-2) verifications filling the rest of
+# the 50. After this round every one of the 144 registered queries has
+# at least one driver-green row, and no green check is older than two
+# rounds except the short position-51+ tail listed for round 6.
 _DRIVER_WINDOW = [
-    # flagship
+    # flagship — always re-verified
     "timely_rank_report",
-    # round-4 oracle typing fixes (CAST(... AS BIGINT) around DuckDB SUM)
-    "doc_hash_split",
-    "doc_shard_assignment",
-    "corpus_mix_sources",
-    "training_sequences",
-    "customer_order_reconcile",
-    # never driver-checked until now
-    "near_dup_minhash_hashed",
-    "boilerplate_ngrams",
-    "user_retention_cohorts",
-    "doc_eval_sample",
-    "nation_volume_sql",
-    "forecast_revenue_sql",
-    "returned_item_sql",
-    "brand_fuzzy_match",
-    "documents_profile",
-    "near_dup_source_matrix",
-    "region_nation_revenue_share",
-    "exact_dedup_by_fingerprint",
-    "order_lifecycle_fact",
-    "orders_constraint_gate",
-    "events_cdc_apply",
-    # embedding_dense_topk deferred to round 5: its oracle IS the
-    # checked embedding_cosine_topk oracle and a pytest parity test
-    # pins the two bit-identical, the strongest local guarantee here
-    "embedding_kmeans_refine",
-    "doc_split_dedup_aware",
-    "brand_price_outliers",
-    "event_transitions",
-    "session_conversion",
-    "user_sketch_rollup",
-    "events_volume_anomaly",
-    # implementation changes / additions this round — under driver watch
-    # (media_feature_extract stays r2-green and unchanged, so its slot
-    # goes to a round-4 addition)
-    "events_funnel",
-    "media_decode_roundtrip",
-    "embedding_lsh_near_dup",
-    "events_heavy_hitters_cms",
-    "bloom_prefilter_join",
-    "events_quantile_rollup",
-    "doc_priority_sample",
-    "doc_rarity_score",
-    "orc_scan_agg",
-    "bpe_merges",
-    "semantic_dedup_census",
-    "promo_revenue_sql",
-    "large_orders_sql",
-    "brand_band_revenue_sql",
-    "dormant_balance_sql",
-    "bpe_token_stats",
-    "window_funcs_sql",
-    "events_skew_census",
-    "media_audio_roundtrip",
-    "media_video_roundtrip",
-    "events_gap_fill",
-    "near_dup_prefix_join",
-    # first in line for round 5 (position 51+): derivative of the
-    # checked decode pipeline, pytest + local differential green
-    "media_resize_roundtrip",
+    # never driver-checked before this round (VERDICT r4 item #1)
     "embedding_dense_topk",
+    "media_resize_roundtrip",
     "events_asof_forward",
     "events_session_window_native",
     "cust_order_dist_sql",
     "top_supplier_sql",
-    "near_dup_minhash",
-    # oldest verifications (round-2-green, refreshed here)
+    # implementation / shared-plumbing changes this round
+    "semantic_dedup_census",
+    "semantic_dedup_greedy",
+    "bloom_prefilter_join",
+    "warehouse_fact_build",
+    "near_dup_minhash_hashed",
+    "near_dup_source_matrix",
+    # oldest verifications (round-2-green, refreshed here; SCD family
+    # first per VERDICT r4 item #5)
     "scd1_upsert_batch",
     "insert_if_absent_batch",
     "scd2_apply_batch",
@@ -162,6 +108,38 @@ _DRIVER_WINDOW = [
     "exact_dedup_docs",
     "near_dup_clusters",
     "simhash_near_dup",
+    "disputed_rank_report",
+    "companies_of_interest",
+    "segment_ratio_report",
+    "preaggregate",
+    "drilldown_report",
+    "top5_orders",
+    "top_orders_per_nation",
+    "calendar_dim",
+    "shipments_by_quarter",
+    "null_canonical_dedup",
+    "null_canonical_join",
+    "multikey_category_join",
+    "priority_pivot",
+    "part_melt",
+    "brand_median_price",
+    "brand_mode_type",
+    "recent_order_preview",
+    "segment_mode_fill",
+    "doc_simhash",
+    "doc_language_id",
+    "doc_language_ngram",
+    "doc_quality_score",
+    # position 51+ — round-6 refresh order (remaining r2-green tail)
+    "doc_fingerprint",
+    "embedding_cosine_topk",
+    "embedding_ann_ivf",
+    "embedding_ann_kmeans",
+    "embedding_near_dup",
+    "media_feature_extract",
+    "order_rollup",
+    "event_value_band_join",
+    "near_dup_minhash",
 ]
 
 
@@ -623,6 +601,11 @@ register(
     "semantic_dedup_census",
     llm_queries.semantic_dedup_census,
     llm_queries.SEMANTIC_DEDUP_CENSUS_ORACLE,
+)
+register(
+    "semantic_dedup_greedy",
+    llm_queries.semantic_dedup_greedy,
+    llm_queries.SEMANTIC_DEDUP_GREEDY_ORACLE,
 )
 register("promo_revenue_sql", sql_api.promo_revenue_sql, sql_api.PROMO_REVENUE_ORACLE)
 register("large_orders_sql", sql_api.large_orders_sql, sql_api.LARGE_ORDERS_ORACLE)

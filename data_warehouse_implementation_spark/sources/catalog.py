@@ -172,9 +172,23 @@ class WarehouseCatalog:
         (``saveAsTable``), so bucketed tables live in the metastore
         warehouse dir, not under ``self.root``; read them back with
         :meth:`managed_table`. Guarded like any overwrite.
+
+        Idempotent on overwrite: ``saveAsTable`` alone is not rerun-safe
+        when the metastore is fresh (in-memory catalog per session) but a
+        previous session's managed-table directory survives on disk —
+        Spark then fails with ``LOCATION_ALREADY_EXISTS`` rather than
+        replacing it. Pre-clean both the catalog entry and any orphaned
+        location so a crashed/interrupted run never wedges the next one.
         """
         if mode == "overwrite":
             self._check_mutable(name)
+            self.spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+            wdir = self.spark.conf.get(
+                "spark.sql.warehouse.dir", "spark-warehouse"
+            ).removeprefix("file:")
+            orphan = os.path.join(wdir, name.lower())
+            if os.path.isdir(orphan):
+                shutil.rmtree(orphan)
         writer = df.write.mode(mode).bucketBy(buckets, *bucket_by)
         if sort_by:
             writer = writer.sortBy(*sort_by)

@@ -423,7 +423,18 @@ def cms_sketch_sink(
     moment is one tiny re-aggregation of that state. Per batch the work
     is O(batch rows) map-side hashing + a <= DEPTH*WIDTH-row aggregate:
     no per-key state, no growth with the key cardinality — exactly why
-    a sketch (and not a keyed counter) is the 100 TB stream shape."""
+    a sketch (and not a keyed counter) is the 100 TB stream shape.
+
+    EXACTLY-ONCE on replay: foreachBatch is at-least-once — after a
+    crash between the append and the checkpoint commit, the batch is
+    replayed. A blind append would then double its cells and every
+    estimate would overcount. The sink is idempotent per ``batch_id``:
+    any rows already present for the replayed id (complete or partial)
+    are deleted before the re-insert, so the cell table always holds
+    exactly one complete set of rows per committed batch — the merged
+    sketch stays IDENTICAL to a batch sketch over the concatenated
+    stream. The delete rewrites only the bounded cell table (<=
+    batches x DEPTH x WIDTH rows), never the stream data."""
     from pyspark.sql import functions as SF
 
     from ..plans.timeseries_queries import CMS_A, CMS_B, CMS_DEPTH, CMS_P, CMS_WIDTH
@@ -445,10 +456,14 @@ def cms_sketch_sink(
             .agg(SF.count(SF.lit(1)).alias("c"))
             .withColumn("batch_id", SF.lit(batch_id))
         )
-        if catalog.exists(f"{prefix}_cells"):
-            catalog.insert_into(f"{prefix}_cells", cells)
+        tbl = f"{prefix}_cells"
+        if catalog.exists(tbl):
+            # replay-safe: drop any rows a previously-failed attempt of
+            # THIS batch already appended, then insert fresh
+            catalog.delete_where(tbl, f"batch_id = {int(batch_id)}")
+            catalog.insert_into(tbl, cells)
         else:
-            catalog.write(f"{prefix}_cells", cells)
+            catalog.write(tbl, cells)
 
     return (
         stream.writeStream.foreachBatch(apply_batch)
@@ -465,7 +480,20 @@ def cms_estimate(
     (sum per (row, col)) and return ``est_count`` per requested key —
     the min over its DEPTH cells, always >= the true count. Because
     cells merge by addition, the estimate is IDENTICAL to a batch
-    sketch built over the concatenation of every micro-batch."""
+    sketch built over the concatenation of every micro-batch.
+
+    A never-incremented cell is an implicit ZERO, not a missing
+    observation: the probe LEFT-joins the merged cells and coalesces
+    absent ones to 0 before taking the min, so a key that hashes into
+    any empty cell estimates 0 (count-min's only sound answer for a
+    never-seen key) instead of over-estimating from the subset of
+    occupied cells — and every requested key always gets a row.
+
+    Defense in depth vs sink replays: cells are first collapsed to one
+    row per (batch_id, i, col) with max(c) — batch content is
+    deterministic, so duplicate appends of the same batch carry
+    identical per-cell counts and max() restores the single-append
+    state even if a failure window left both copies on disk."""
     from pyspark.sql import functions as SF
 
     from ..plans.timeseries_queries import CMS_A, CMS_B, CMS_DEPTH, CMS_P, CMS_WIDTH
@@ -475,7 +503,11 @@ def cms_estimate(
         [(i, CMS_A[i], CMS_B[i]) for i in range(CMS_DEPTH)], "i int, a long, b long"
     )
     merged = (
-        catalog.table(f"{prefix}_cells").groupBy("i", "col").agg(SF.sum("c").alias("c"))
+        catalog.table(f"{prefix}_cells")
+        .groupBy("batch_id", "i", "col")
+        .agg(SF.max("c").alias("c"))
+        .groupBy("i", "col")
+        .agg(SF.sum("c").alias("c"))
     )
     cell = (
         SF.pmod((SF.col(key_col) % CMS_P) * SF.col("a") + SF.col("b"), SF.lit(CMS_P))
@@ -484,7 +516,8 @@ def cms_estimate(
     return (
         keys.crossJoin(SF.broadcast(params))
         .select(key_col, "i", cell.alias("col"))
-        .join(SF.broadcast(merged), on=["i", "col"])
+        .join(SF.broadcast(merged), on=["i", "col"], how="left")
+        .select(key_col, SF.coalesce("c", SF.lit(0)).alias("c"))
         .groupBy(key_col)
         .agg(SF.min("c").alias("est_count"))
     )

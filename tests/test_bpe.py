@@ -56,12 +56,15 @@ def test_bpe_encode_roundtrip_and_compression(spark):
     )
     # collect_list order within a doc is the explode order of a single
     # row's tokens (no shuffle between explode and agg at this size is
-    # NOT guaranteed, so compare as multisets of characters instead)
+    # NOT guaranteed, so compare as multisets of characters instead):
+    # sorted char arrays equal <=> same characters with same counts,
+    # which catches substitution/permutation that a length check misses
     joined = rebuilt.join(orig, on="doc_id")
+    charbag = lambda c: F.sort_array(F.split(F.col(c), ""))
     bad = joined.filter(
-        F.length("glued") != F.length("want")
+        ~(charbag("glued") == charbag("want"))
     ).count()
-    assert bad == 0, "token pieces lost or duplicated characters"
+    assert bad == 0, "token pieces lost, duplicated, or substituted characters"
 
     n_tokens = enc.count()
     n_chars = docs.select(F.sum(F.length(F.regexp_replace(F.lower("text"), r"\s+", "")))).first()[0]

@@ -431,3 +431,47 @@ def test_prefix_join_complete_property(spark, docs):
                 if inter * 5 >= union * 3:
                     want.add((a, b))
     assert got == want
+
+
+def test_semantic_dedup_greedy_keeps_chain_survivors(spark):
+    """The keep-rule divergence the oracle differential cannot see when
+    both sides encode the same rule: in a similarity chain a-b-c (pairs
+    (a,b) and (b,c) only), the paper's greedy scan keeps c — it is only
+    similar to b, which was already dropped — while the strict census
+    drops every higher-id side of any pair. Embeddings are crafted so
+    cos(a,b) and cos(b,c) clear NEAR_DUP_COSINE but cos(a,c) does not."""
+    import math
+
+    from data_warehouse_implementation_spark.plans import llm_queries
+
+    # unit vectors in the plane at 0°, 55°, 110°: cos(55°) ≈ 0.574 >=
+    # 0.30 threshold for adjacent pairs, cos(110°) ≈ -0.342 < threshold
+    # for the ends
+    def vec(deg: float) -> list[float]:
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r), 0.0, 0.0]
+
+    emb = spark.createDataFrame(
+        [
+            (1, vec(0.0), 0),
+            (2, vec(55.0), 0),
+            (3, vec(110.0), 0),
+            # second cluster: an isolated vector — kept by both rules
+            (10, vec(0.0), 1),
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    t = {"embeddings": emb}
+    pairs = {
+        (r.vec_a, r.vec_b)
+        for r in llm_queries.embedding_near_dup(t).collect()
+    }
+    assert pairs == {(1, 2), (2, 3)}, pairs
+    greedy = {r.label: r for r in llm_queries.semantic_dedup_greedy(t).collect()}
+    strict = {r.label: r for r in llm_queries.semantic_dedup_census(t).collect()}
+    # greedy: keep 1, drop 2 (similar to kept 1), KEEP 3 (only similar
+    # to dropped 2); strict drops both 2 and 3
+    assert (greedy[0].n_kept, greedy[0].n_dropped) == (2, 1)
+    assert (strict[0].n_kept, strict[0].n_dropped) == (1, 2)
+    assert (greedy[1].n_kept, greedy[1].n_dropped) == (1, 0)
+    assert (strict[1].n_kept, strict[1].n_dropped) == (1, 0)

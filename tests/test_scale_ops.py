@@ -26,6 +26,27 @@ def test_bloom_no_false_negatives_and_some_pruning(spark):
     assert len(passed - members) < 200, "bloom is not pruning"
 
 
+def test_bloom_prefilter_survives_column_name_collisions(spark):
+    """A fact that already owns 'bloom' / '__rf...'-shaped columns must
+    pass through untouched: scratch names are reserved dynamically, so
+    the probe neither clobbers user data nor raises ambiguity errors."""
+    keys = spark.range(1, 51).select(F.col("id").alias("k"))
+    probe = spark.range(1, 1_001).select(
+        F.col("id").alias("x"),
+        F.lit("user-bloom").alias("bloom"),
+        F.lit(7).alias("__rfp0"),
+        F.lit(8).alias("__rfw0"),
+    )
+    out = rf.bloom_prefilter(probe, keys, "x", "k")
+    assert set(out.columns) == {"x", "bloom", "__rfp0", "__rfw0", "bloom_pass"}
+    rows = out.filter("bloom_pass").collect()
+    assert {r.x for r in rows} >= set(range(1, 51))
+    assert all(
+        r["bloom"] == "user-bloom" and r["__rfp0"] == 7 and r["__rfw0"] == 8
+        for r in rows
+    )
+
+
 def test_bloom_probe_plan_is_map_side(spark):
     """The probe side must not shuffle the fact: the only exchange in
     the plan feeds the broadcast of the 1-row filter."""

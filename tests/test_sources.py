@@ -152,7 +152,17 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_root):
         (F.col("id") % 500).alias("k"), F.col("id").alias("m")
     )
     dim = spark.range(500).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    # simulate an interrupted previous session: the managed-table dir is
+    # on disk but the (in-memory) metastore has no entry — write_bucketed
+    # must pre-clean the orphan instead of failing LOCATION_ALREADY_EXISTS
+    wdir = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").removeprefix(
+        "file:"
+    )
+    orphan = os.path.join(wdir, "bkt_fact")
+    os.makedirs(orphan, exist_ok=True)
     cat.write_bucketed("bkt_fact", fact, buckets=8, bucket_by=["k"], sort_by=["k"])
+    cat.write_bucketed("bkt_dim", dim, buckets=8, bucket_by=["k"], sort_by=["k"])
+    # rerun-safe: overwriting an existing registered table also works
     cat.write_bucketed("bkt_dim", dim, buckets=8, bucket_by=["k"], sort_by=["k"])
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:

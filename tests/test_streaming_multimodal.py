@@ -493,6 +493,57 @@ def test_cms_sketch_sink_parity_with_batch(spark, tmp_dir):
         assert est[k] == want, k
         assert est[k] >= n, "sketch undercounted"
 
+    # --- never-seen keys: empty cells are implicit zeros -------------
+    # a key absent from the stream must still get a row, with min taken
+    # over ALL its DEPTH cells (absent cell = 0), so a key hitting any
+    # empty cell estimates 0 instead of overestimating from the subset
+    probe_ids = [999_983, 999_979, 424_243]
+    probe = spark.createDataFrame([(k,) for k in probe_ids], "user_id long")
+    probe_est = {
+        r.user_id: r.est_count
+        for r in streaming.cms_estimate(cat, "cms", probe).collect()
+    }
+    for k in probe_ids:
+        want = min(
+            cells.get((i, ((k % CMS_P) * CMS_A[i] + CMS_B[i]) % CMS_P % CMS_WIDTH), 0)
+            for i in range(CMS_DEPTH)
+        )
+        assert probe_est[k] == want, k
+
+    # --- replay idempotency ------------------------------------------
+    # simulate a crashed-and-recovered stream: a FRESH checkpoint over
+    # the same source re-runs every micro-batch with the same batch_ids
+    # through the real foreachBatch; the per-batch delete-then-insert
+    # must leave the cell table (and so every estimate) unchanged
+    before = sorted(
+        (r.batch_id, r.i, r.col, r.c) for r in cat.table("cms_cells").collect()
+    )
+    q2 = streaming.cms_sketch_sink(
+        stream, cat, "cms", checkpoint=os.path.join(tmp_dir, "ckpt_cms_replay")
+    )
+    q2.awaitTermination()
+    after = sorted(
+        (r.batch_id, r.i, r.col, r.c) for r in cat.table("cms_cells").collect()
+    )
+    assert after == before, "replayed batches must not change the sketch"
+    est2 = {
+        r.user_id: r.est_count
+        for r in streaming.cms_estimate(cat, "cms", all_keys).collect()
+    }
+    assert est2 == est
+
+    # --- duplicate-append artifact: estimate-side dedupe -------------
+    # even if a failure window leaves BOTH copies of a batch's cells on
+    # disk, the per-(batch_id, i, col) max() collapse restores the
+    # single-append state (batch content is deterministic)
+    dup = cat.table("cms_cells").filter("batch_id = 0")
+    cat.insert_into("cms_cells", dup)
+    est3 = {
+        r.user_id: r.est_count
+        for r in streaming.cms_estimate(cat, "cms", all_keys).collect()
+    }
+    assert est3 == est
+
 
 def test_decode_audio_8bit_and_strictness(spark):
     """8-bit WAV decodes with unsigned->signed centering; junk payloads
