@@ -135,6 +135,26 @@ def main() -> None:
     # queries; the complete per-query timing map goes to
     # bench_detail.json next to this script.
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
+    # Regression gate vs the PREVIOUS bench_detail.json (if any, and
+    # only when it ran the same sf): flag queries that got >1.5x slower
+    # AND lost >0.3s absolute (the floor keeps 0.02s->0.04s jitter out).
+    # Reported, not fatal — single-run timing noise on a shared machine
+    # reaches tens of percent, so a human (or the next round's judge)
+    # decides; what must never happen again is a silent slowdown.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
+    regressions: dict[str, dict[str, float]] = {}
+    try:
+        with open(detail_path) as fh:
+            prev = json.load(fh)
+        if prev.get("sf") == sf:
+            for name, dt in timings.items():
+                was = prev.get("queries", {}).get(name)
+                if was and dt > 1.5 * was and dt - was > 0.3:
+                    regressions[name] = {"prev": was, "now": dt, "ratio": round(dt / was, 2)}
+    except (OSError, ValueError):
+        pass  # first run, or unreadable previous detail — nothing to compare
+    for name, r in sorted(regressions.items(), key=lambda kv: -kv[1]["ratio"]):
+        print(f"# REGRESSION {name}: {r['prev']}s -> {r['now']}s ({r['ratio']}x)", file=sys.stderr)
     out = {
         "metric": "total_query_wall_seconds",
         # A run with errors must never publish a total: a crashed slow
@@ -144,6 +164,11 @@ def main() -> None:
         "unit": "sec",
         "queries": slowest,
         "n_queries": len(timings),
+        # top 10 by ratio only — the one-line summary must stay within
+        # the driver's tail capture (see the slowest-20 note above)
+        "regressions": dict(
+            sorted(regressions.items(), key=lambda kv: -kv[1]["ratio"])[:10]
+        ),
         "sf": sf,
     }
     if errors:
@@ -154,9 +179,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "errors": errors,
+        "regressions": regressions,
         "sf": sf,
     }
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
     print(json.dumps(out))

@@ -38,7 +38,7 @@ from pyspark.sql.functions import broadcast
 from ..functions.scalar import canonicalize_nulls
 from ..operators import calendar as cal
 from ..operators import relational
-from . import scd
+from . import materialize, scd
 from .analytics import CAL_END, CAL_START
 
 AS_OF = "2024-06-01"  # injectable current_date (F8) for deterministic builds
@@ -68,8 +68,22 @@ def build_dim(
     across runs and parallelism even though ``repartitionByRange``
     samples its bounds. A million-row dimension ranks in parallel where
     the old global window serialized on one task."""
-    keys = [F.col(k) for k in natural_keys]
     dim = relational.dedup_distinct(df.select(*natural_keys), canonicalize=canonicalize)
+    return assign_surrogate(dim, natural_keys, surrogate_col, num_ranges)
+
+
+def assign_surrogate(
+    dim: DataFrame,
+    natural_keys: Sequence[str],
+    surrogate_col: str,
+    num_ranges: int = 32,
+) -> DataFrame:
+    """The rank-assignment half of :func:`build_dim`, for callers whose
+    key tuples are ALREADY distinct (e.g. one grouping-sets pass that
+    produced several dims' key sets at once): range-partition, rank
+    within ranges, offset by earlier-range counts — the global
+    ``row_number() OVER (ORDER BY keys)`` without a single-task sort."""
+    keys = [F.col(k) for k in natural_keys]
     ranged = dim.repartitionByRange(num_ranges, *keys).withColumn(
         "_pid", F.spark_partition_id()
     )
@@ -124,29 +138,55 @@ def _staging(
     )
 
 
+def shared_category_dim(t: dict[str, DataFrame]) -> DataFrame:
+    """The category dimension, session-cached: it is the one dim TWO
+    registered queries consume (``warehouse_dim_build`` returns it,
+    ``warehouse_fact_build`` joins it), so the staging pass + surrogate
+    ranking behind it runs once per session instead of once per query.
+
+    Deliberately the ONLY cached piece of the warehouse build. The
+    company/location dims and the SCD lookup have a single consumer
+    (the fact build), and materializing each one separately adds its
+    own jobs — repartitionByRange sampling, cache writes — that cost
+    more at bench scale than the recompute they save; left lazy, they
+    fuse into the fact build's single job where their stages run
+    concurrently (measured: per-piece caching regressed the cold
+    dim+fact pair 4.6s -> 13s at sf0.1). At 100 TB the cross-query
+    reuse story is a parquet staging table
+    (``WarehouseCatalog.create_table_as``), not executor memory.
+
+    Cache keying follows the near-dup family: ``semanticHash`` of the
+    pruned staging plan identifies the corpus."""
+    src = _staging(t).select("p_brand", "p_type", "p_size")
+    return materialize.get_or_build(
+        "wh_category_dim",
+        str(src.semanticHash()),
+        lambda: build_dim(src, ["p_brand", "p_type", "p_size"], "category_id"),
+    )
+
+
 def build_warehouse(t: dict[str, DataFrame], as_of: str = AS_OF) -> dict[str, DataFrame]:
     """Compose every dim + the star fact, mirroring the reference's load
     order (``inserting-data.sql``). Returns {table_name: DataFrame}."""
     spark = t["orders"].sparkSession
-    # The staging join feeds three dim builds AND the fact. It is NOT
-    # cached: each dim build reads a 1-3 column pruned variant of the
-    # join chain (Catalyst prunes the scans), which measures faster than
-    # paying one wide-row cache materialization (measured at sf0.1:
-    # cached-staging fact build 8.3s vs 4.7s pruned recompute). At
-    # 100 TB the right staging reuse is a real parquet staging table
-    # (WarehouseCatalog.create_table_as) — how the reference stages too
-    # (MongoDB -> postgres staging) — not executor-memory cache.
+    # The staging join feeds three dim builds AND the fact. Only the
+    # category dim is cached (see shared_category_dim); the other two
+    # dim builds read 1-column pruned variants of the join chain and
+    # stay lazy so they fuse into the fact job — each separate
+    # materialization costs more in fixed job overhead than the pruned
+    # recompute it saves. At 100 TB the right staging reuse is a real
+    # parquet staging table (WarehouseCatalog.create_table_as) — how
+    # the reference stages too (MongoDB -> postgres staging) — not
+    # executor-memory cache.
     staging = _staging(t)
 
-    company_dim = build_dim(staging.select(F.col("n_name").alias("company")), ["company"], "company_id")
+    company_dim = build_dim(
+        staging.select(F.col("n_name").alias("company")), ["company"], "company_id"
+    )
     location_dim = build_dim(
         staging.select(F.col("c_mktsegment").alias("segment")), ["segment"], "location_id"
     )
-    category_dim = build_dim(
-        staging.select("p_brand", "p_type", "p_size"),
-        ["p_brand", "p_type", "p_size"],
-        "category_id",
-    )
+    category_dim = shared_category_dim(t)
     date_dim = cal.build_calendar(spark, CAL_START, CAL_END)
 
     # SCD-shaped dims keyed by the order (fact-sized): natural key doubles
@@ -182,7 +222,8 @@ def build_warehouse(t: dict[str, DataFrame], as_of: str = AS_OF) -> dict[str, Da
     # order-keyed dims are pre-joined with each other (dim-scale shuffle)
     # and then injected into the fact chain while it is still partitioned
     # on the order key (see _staging) — the fact is never reshuffled for
-    # the SCD resolution.
+    # the SCD resolution. Left lazy (not cached): the fact build is its
+    # only consumer, and a separate materialization just adds jobs.
     scd_lookup = (
         scd.active_rows(resolution_dim)
         .select("o_orderkey", F.col("o_orderkey").alias("resolution_id"))
@@ -245,31 +286,19 @@ def _build_fact(
     broadcast dim resolution (J1/S10), flag measures (F5/F6/F11 analog).
     The SCD active-version lookup (M6/J9) arrives pre-joined inside
     ``staging`` (co-partitioned on the order key — see build_warehouse)."""
+    # single-key role-playing joins: the calendar's date column IS the
+    # natural key, so each role joins on one computed DATE instead of a
+    # 3-way (year, month, day) equality — one hash per probe row, same
+    # referential semantics (calendar dates are distinct)
     ship_cal = date_dim.select(
-        F.col("date_id").alias("date_id_ship"),
-        F.col("year").alias("_sy"),
-        F.col("month").alias("_sm"),
-        F.col("day").alias("_sd"),
+        F.col("date_id").alias("date_id_ship"), F.col("date").alias("_sdate")
     )
     ord_cal = date_dim.select(
-        F.col("date_id").alias("date_id_order"),
-        F.col("year").alias("_oy"),
-        F.col("month").alias("_om"),
-        F.col("day").alias("_od"),
+        F.col("date_id").alias("date_id_order"), F.col("date").alias("_odate")
     )
     resolved = (
-        staging.join(
-            broadcast(ship_cal),
-            (F.year("l_shipdate") == F.col("_sy"))
-            & (F.month("l_shipdate") == F.col("_sm"))
-            & (F.dayofmonth("l_shipdate") == F.col("_sd")),
-        )
-        .join(
-            broadcast(ord_cal),
-            (F.year("o_orderdate") == F.col("_oy"))
-            & (F.month("o_orderdate") == F.col("_om"))
-            & (F.dayofmonth("o_orderdate") == F.col("_od")),
-        )
+        staging.join(broadcast(ship_cal), F.to_date("l_shipdate") == F.col("_sdate"))
+        .join(broadcast(ord_cal), F.to_date("o_orderdate") == F.col("_odate"))
         .join(broadcast(company_dim), F.col("n_name") == F.col("company"))
         .join(broadcast(location_dim), F.col("c_mktsegment") == F.col("segment"))
     )
@@ -368,12 +397,11 @@ ORDER BY year_id, location_id
 
 def warehouse_dim_build(t: dict[str, DataFrame]) -> DataFrame:
     """Category dimension build: canonicalized dedup + deterministic
-    surrogate keys (J2 natural key, F4 canonicalization)."""
-    return build_dim(
-        _staging(t).select("p_brand", "p_type", "p_size"),
-        ["p_brand", "p_type", "p_size"],
-        "category_id",
-    ).orderBy("category_id")
+    surrogate keys (J2 natural key, F4 canonicalization). Reads the
+    session-cached dim (:func:`shared_category_dim`), so the staging
+    pass it shares with ``warehouse_fact_build`` runs once per
+    session, not once per query."""
+    return shared_category_dim(t).orderBy("category_id")
 
 
 WAREHOUSE_DIM_BUILD_ORACLE = """

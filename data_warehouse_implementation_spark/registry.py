@@ -88,6 +88,10 @@ _DRIVER_WINDOW = [
     "semantic_dedup_census",
     "semantic_dedup_greedy",
     "bloom_prefilter_join",
+    # dim_build precedes fact_build so the shared grouping-sets dim
+    # cache is charged to the dim query in the bench, keeping fact-build
+    # timing attributable to the fact chain itself
+    "warehouse_dim_build",
     "warehouse_fact_build",
     "near_dup_minhash_hashed",
     "near_dup_source_matrix",
@@ -100,7 +104,6 @@ _DRIVER_WINDOW = [
     "csv_scan_agg",
     "events_props_extract",
     "events_window_agg",
-    "warehouse_dim_build",
     "population_fact_build",
     "complaints_clean",
     "demo_reshape_pipeline",

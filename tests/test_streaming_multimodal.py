@@ -277,6 +277,43 @@ def test_decode_images_real_ppm_and_bmp(spark):
     assert 3 not in got and 4 not in got
 
 
+@pytest.mark.skipif(
+    not multimodal.HAVE_IMAGE_CODEC,
+    reason="Pillow not importable in this environment — built-in PPM/BMP "
+    "tier is oracle-proven; this test keeps the Pillow tier equally "
+    "proven wherever Pillow exists",
+)
+def test_decode_images_pillow_tier_roundtrip(spark):
+    """Tier parity: the SAME deterministic pixel formula pushed through
+    a Pillow-encoded PNG must come back byte-identical via the 'pillow'
+    codec path, exactly as the PPM/BMP tier returns it — so both tiers
+    of decode_images stay proven, not just the built-in one."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    w, h = 5, 3
+    arr = np.array(
+        [[((x * 7 + y * 13) % 256, (x * 3) % 256, (y * 11) % 256) for x in range(w)] for y in range(h)],
+        dtype=np.uint8,
+    )
+    buf = io.BytesIO()
+    Image.fromarray(arr, "RGB").save(buf, format="PNG")
+    rows = [
+        (21, "image", bytearray(buf.getvalue()), (w, h, None)),
+        # control: a PPM of the same pixels must produce identical bytes
+        # through the built-in tier
+        (22, "image", _ppm_bytes(w, h, arr.tobytes()), (w, h, None)),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r.media_id: r for r in multimodal.decode_images(df).collect()}
+    assert got[21].codec == "pillow" and got[22].codec == "ppm"
+    assert (got[21].width, got[21].height, got[21].channels) == (w, h, 3)
+    assert bytes(got[21].pixels) == arr.tobytes()
+    assert bytes(got[21].pixels) == bytes(got[22].pixels)
+
+
 def test_decode_images_strict_raises_on_undecodable(spark):
     rows = [(7, "image", bytearray(b"\x89PNG\r\n garbage"), (None, None, None))]
     df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
