@@ -306,7 +306,11 @@ def connected_components(
                     F.coalesce(F.col("_plabel"), F.col("label")),
                 ).alias("label"),
             )
-            .localCheckpoint()
+            # deferred: the convergence count below is the round's single
+            # action and materializes this checkpoint as part of its own
+            # job — an eager checkpoint would add a second job per round
+            # of pure fixed overhead
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")

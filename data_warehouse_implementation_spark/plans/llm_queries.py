@@ -1758,10 +1758,18 @@ def semantic_dedup_greedy(t: dict[str, DataFrame]) -> DataFrame:
     emb = t["embeddings"].select("vec_id", "label")
     # vec_a < vec_b by construction of embedding_near_dup
     edges = embedding_near_dup(t).select("vec_a", "vec_b").localCheckpoint()
-    undecided = emb.select("vec_id").localCheckpoint()
+    undecided = emb.select("vec_id")
     dropped_parts: list[DataFrame] = []
+    # ONE action per round: the surviving-edge count doubles as the
+    # loop condition and the materializer — per-round state is marked
+    # localCheckpoint(eager=False), so dropped/undecided/edges all
+    # checkpoint as lineage of that single count instead of paying one
+    # eager-checkpoint job each (3-4 driver-side jobs per round is pure
+    # fixed overhead at bench scale; the truncation still bounds plan
+    # growth at 100x)
+    n_edges = edges.count()
     for _ in range(25):
-        if edges.isEmpty():
+        if n_edges == 0:
             break
         blocked = edges.select(F.col("vec_b").alias("vec_id")).distinct()
         kept_now = undecided.join(blocked, on="vec_id", how="left_anti")
@@ -1771,22 +1779,24 @@ def semantic_dedup_greedy(t: dict[str, DataFrame]) -> DataFrame:
             )
             .select(F.col("vec_b").alias("vec_id"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         dropped_parts.append(dropped_now)
-        # survivors: not kept this round (kept is final) and not dropped
+        # survivors: similar to a smaller undecided id (not kept — kept
+        # is final) and not dropped this round
         undecided = (
-            undecided.join(kept_now, on="vec_id", how="left_anti")
+            undecided.join(blocked, on="vec_id", how="left_semi")
             .join(dropped_now, on="vec_id", how="left_anti")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         und_a = undecided.select(F.col("vec_id").alias("vec_a"))
         und_b = undecided.select(F.col("vec_id").alias("vec_b"))
         edges = (
             edges.join(und_a, on="vec_a", how="left_semi")
             .join(und_b, on="vec_b", how="left_semi")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
+        n_edges = edges.count()
     dropped = (
         dropped_parts[0]
         if dropped_parts
