@@ -422,3 +422,52 @@ def token_rarity(
         F.count(F.lit(1)).alias("n_tokens"),
         (F.sum("_term").cast("double") / F.count(F.lit(1))).alias("mean_rarity"),
     )
+
+
+def bigram_rarity(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Bigram-LM document scoring — the context-sensitive upgrade of
+    :func:`token_rarity`: each in-document bigram ``(w1, w2)`` scores
+    its inverse add-one-smoothed conditional probability
+    ``(ctx(w1) + V) / (c2(w1, w2) + 1)`` where ``ctx(w1)`` is the
+    corpus count of bigrams with context ``w1`` and ``V`` the unigram
+    vocabulary size; the document score is the mean over its bigrams.
+    A fluency filter unigram rarity cannot be: "the the the" is built
+    from the commonest token yet has an improbable CONTEXT chain. Logs
+    dropped for the same cross-engine-replay reason as token_rarity.
+
+    Only documents with >= 2 tokens appear (no bigrams, no score).
+
+    Scale shape: the bigram explode is map-side (``transform`` over the
+    token array — no positional self-join); one bigram-count aggregate
+    (shuffle on the pair), the context table re-aggregated from it
+    (model-scale, not corpus-scale); one fact-side join per model
+    table (broadcast when the model fits — AQE decides); one per-doc
+    aggregate with decimal-cast terms for order independence."""
+    big_expr = (
+        "transform(sequence(1, size(_arr) - 1), "
+        "i -> named_struct('w1', element_at(_arr, i), 'w2', element_at(_arr, i + 1)))"
+    )
+    big = (
+        df.select(F.col(id_col), words(text_col).alias("_arr"))
+        .filter(F.size("_arr") >= 2)
+        .select(id_col, F.explode(F.expr(big_expr)).alias("_bg"))
+        .select(id_col, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = c2.groupBy("w1").agg(F.sum("c2").alias("ctx"))
+    vocab_v = df.select(F.explode(words(text_col)).alias("token")).agg(
+        F.count_distinct("token").alias("V")
+    )
+    term = (F.col("ctx") + F.col("V")).cast("double") / (F.col("c2") + 1).cast("double")
+    scored = (
+        big.join(c2, on=["w1", "w2"])
+        .join(ctx, on="w1")
+        .crossJoin(F.broadcast(vocab_v))
+        .select(id_col, term.cast("decimal(28,6)").alias("_term"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (F.sum("_term").cast("double") / F.count(F.lit(1))).alias("mean_bigram_rarity"),
+    )

@@ -1,0 +1,108 @@
+"""Graph algorithms as pure DataFrame algebra (brief extension; no
+reference analog — the reference has no graph operators, but a corpus
+engine needs walk-based importance for link/citation-weighted data
+curation, and the purchase bipartite graph is the natural testdata
+host).
+
+Companion to ``dedup.connected_components`` (the undirected clustering
+side): this module holds the DIRECTED walk algorithms, starting with
+weighted PageRank by power iteration.
+
+Determinism discipline (same as the repo's aggregate queries): every
+floating contribution is decimal-cast BEFORE the shuffle sum, so the
+per-node totals are exact and independent of partitioning/order — the
+whole iteration replays bit-for-bit on any engine that parses the same
+double literals (the DuckDB oracle unrolls the same iterations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: decimal type for rank*frac terms in [0, 1]: scale 30 places the
+#: cast's rounding digit ~13 orders of magnitude BELOW the double ulp
+#: of any term, so Spark's HALF_UP vs DuckDB's HALF_EVEN can disagree
+#: only by 1e-30 per term — the accumulated difference can never reach
+#: the final double's last bit (scale 18 measurably did: last-ulp rank
+#: mismatches at sf0.01). Shared verbatim with the oracle SQL.
+PR_TERM_DECIMAL = "decimal(38,30)"
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+) -> DataFrame:
+    """Weighted PageRank over a directed edge list ``(src, dst,
+    weight)`` — ``iterations`` synchronous power-iteration rounds with
+    teleport ``(1 - damping) / N``.
+
+    Scale shape: the edge table is normalized once (per-source weight
+    fractions — one aggregate + one join), and each round is exactly
+    one join (ranks ⋈ edges on src) + one aggregate (sum contributions
+    by dst). With a FIXED iteration count there is **no driver-side
+    action at all**: the full computation is one lazy plan the caller's
+    action executes end-to-end, shuffling only rank-table-sized rows
+    (N per round, never the fact table — edges are built by the caller
+    from whatever fact aggregation defines the graph). For high
+    iteration counts insert ``localCheckpoint(eager=False)`` between
+    rounds like ``dedup.connected_components`` — at 5 rounds the plan
+    is shallow enough that truncation would cost more than it saves.
+
+    Nodes with no in-edges get the pure teleport mass (left join +
+    coalesce); dangling mass (nodes with no OUT-edges) is deliberately
+    not redistributed — the bipartite both-direction graphs this engine
+    builds have none, and the oracle replays the same convention.
+
+    Determinism: contributions ``rank * frac`` are cast to
+    :data:`PR_TERM_DECIMAL` before the sum (exact, order-independent);
+    ``frac`` is a double division of exact integer weights; the rank
+    update is double arithmetic in a fixed expression order — all
+    bit-replayable cross-engine.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    # scalar N kept INSIDE the plan (1-row frame, broadcast) — no
+    # .count() action, the whole pagerank stays lazy
+    ncnt = nodes.agg(F.count(F.lit(1)).alias("_n"))
+    out_tot = edges.groupBy(src).agg(F.sum(weight).alias("_out"))
+    e = edges.join(out_tot, on=src).select(
+        F.col(src).alias("_esrc"),
+        F.col(dst).alias("_edst"),
+        (F.col(weight).cast("double") / F.col("_out").cast("double")).alias("_frac"),
+    )
+    rank = nodes.crossJoin(F.broadcast(ncnt)).select(
+        "node", (F.lit(1.0) / F.col("_n").cast("double")).alias("rank")
+    )
+    for _ in range(iterations):
+        contrib = (
+            e.join(rank, e._esrc == rank.node)
+            .select(
+                F.col("_edst").alias("node"),
+                (F.col("rank") * F.col("_frac")).cast(PR_TERM_DECIMAL).alias("_term"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_term").alias("_mass"))
+        )
+        rank = (
+            nodes.join(contrib, on="node", how="left")
+            .crossJoin(F.broadcast(ncnt))
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) / F.col("_n").cast("double")
+                    + F.lit(damping)
+                    * F.coalesce(F.col("_mass"), F.lit(0).cast(PR_TERM_DECIMAL)).cast(
+                        "double"
+                    )
+                ).alias("rank"),
+            )
+        )
+    return rank

@@ -686,6 +686,39 @@ FROM scored GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def doc_bigram_rarity(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-document mean inverse smoothed bigram conditional
+    probability — the context-sensitive fluency signal (see
+    ``corpus.bigram_rarity``); docs with < 2 tokens carry no bigram
+    and are excluded on both sides."""
+    return corpus.bigram_rarity(t["documents"]).orderBy("doc_id")
+
+
+DOC_BIGRAM_RARITY_ORACLE = rf"""
+WITH {_TOKS_SQL.strip().rstrip()},
+big AS (
+  SELECT doc_id, arr[i] AS w1, arr[i+1] AS w2
+  FROM toks, UNNEST(range(1, len(arr))) AS t(i)
+  WHERE len(arr) >= 2
+),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2),
+ctx AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS ctx FROM c2 GROUP BY w1),
+vv AS (
+  SELECT COUNT(DISTINCT token) AS V
+  FROM (SELECT unnest(arr) AS token FROM toks)
+),
+scored AS (
+  SELECT big.doc_id,
+         CAST(CAST(ctx.ctx + vv.V AS DOUBLE)
+              / CAST(c2.c2 + 1 AS DOUBLE) AS DECIMAL(28,6)) AS term
+  FROM big JOIN c2 USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN vv
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       CAST(SUM(term) AS DOUBLE) / COUNT(*) AS mean_bigram_rarity
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # BPE tokenizer training (operators/bpe.py)
 

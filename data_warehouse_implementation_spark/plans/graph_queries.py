@@ -1,0 +1,133 @@
+"""Graph-walk queries over the purchase graph (brief extension; no
+reference analog — see ``operators/graph.py``).
+
+The testdata's natural graph is bipartite: customers and suppliers
+connected by lineitems (lineitem ⋈ orders resolves both endpoints).
+Edges run in BOTH directions weighted by the lineitem count, so the
+random walk has no dangling nodes and PageRank measures centrality in
+the purchasing network — the pattern a corpus engine reuses for
+link-weighted document importance (citation graphs, crawl graphs).
+
+Oracle: the power iteration is unrolled into one chained CTE per round
+(the same generated-not-hand-written pattern as the BPE oracle) — a
+recursive CTE cannot re-aggregate per step in standard SQL. Every
+floating term follows the repo's determinism discipline: decimal-cast
+contributions before SUM, double arithmetic in a fixed expression
+order, so DuckDB replays the ranks bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import graph
+
+PR_ITERATIONS = 5
+PR_DAMPING = 0.85
+PR_TOPK = 20
+
+
+def _purchase_edges(t: dict[str, DataFrame]) -> DataFrame:
+    """Directed both-way edge list c:<custkey> <-> s:<suppkey>, weight =
+    lineitem count. One fact-scale join chain + one aggregate; node ids
+    are prefixed strings so the two key spaces cannot collide."""
+    li = t["lineitem"].select("l_orderkey", "l_suppkey")
+    orders = t["orders"].select("o_orderkey", "o_custkey")
+    pair = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("cnode"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("snode"),
+            "weight",
+        )
+    )
+    fwd = pair.select(F.col("cnode").alias("src"), F.col("snode").alias("dst"), "weight")
+    rev = pair.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"), "weight")
+    return fwd.unionByName(rev)
+
+
+def purchase_graph_pagerank(t: dict[str, DataFrame]) -> DataFrame:
+    """Top-:data:`PR_TOPK` nodes of the purchase graph by weighted
+    PageRank after :data:`PR_ITERATIONS` power-iteration rounds.
+
+    The emitted rank is rounded to 12 decimals BEFORE the top-k sort:
+    the decimal-cast contributions make every per-iteration SUM exact,
+    but converting that decimal back to DOUBLE is where engines differ
+    by 1-2 ulp (DuckDB divides a hugeint by the not-exactly-
+    representable 1e30; Java BigDecimal rounds correctly) — measured
+    max |Δ| 1.7e-18 at sf0.01 after 5 iterations, bounded because the
+    damped iteration is a contraction. Rounding at 1e-12, nine orders
+    of magnitude above the drift, collapses both engines to identical
+    values and — because the ORDER BY uses the rounded rank with a node
+    tie-break — identical top-k membership."""
+    ranks = graph.pagerank(
+        _purchase_edges(t), iterations=PR_ITERATIONS, damping=PR_DAMPING
+    )
+    return (
+        ranks.select("node", F.round("rank", 12).alias("rank"))
+        .orderBy(F.desc("rank"), "node")
+        .limit(PR_TOPK)
+    )
+
+
+def _pagerank_oracle(iterations: int, damping: float, topk: int) -> str:
+    """Generate the unrolled power-iteration oracle. The rank-update
+    expression mirrors the Spark side token for token:
+    ``(1.0 - d) / N + d * CAST(SUM(CAST(rank * frac AS DECIMAL)) AS
+    DOUBLE)`` — including computing ``1.0 - d`` as a DOUBLE
+    subtraction (NOT a pre-folded 0.15 literal: 1.0 - 0.85 and the
+    parsed literal 0.15 differ by one ulp in binary64, and the driver
+    hash-compares exact doubles)."""
+    rounds = []
+    for i in range(1, iterations + 1):
+        rounds.append(
+            f"""r{i} AS (
+  SELECT n.node,
+         (CAST(1 AS DOUBLE) - CAST({damping} AS DOUBLE)) / CAST(nn.n AS DOUBLE)
+         + CAST({damping} AS DOUBLE)
+           * CAST(COALESCE(SUM(CAST(r{i - 1}.rank * e.frac AS DECIMAL(38,30))),
+                           CAST(0 AS DECIMAL(38,30))) AS DOUBLE) AS rank
+  FROM nodes n
+  CROSS JOIN nn
+  LEFT JOIN e ON e.dst = n.node
+  LEFT JOIN r{i - 1} ON r{i - 1}.node = e.src
+  GROUP BY n.node, nn.n
+)"""
+        )
+    chained = ",\n".join(rounds)
+    return f"""
+WITH pair AS (
+  SELECT 'c:' || o_custkey AS cnode, 's:' || l_suppkey AS snode,
+         COUNT(*) AS weight
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey, l_suppkey
+),
+edges AS (
+  SELECT cnode AS src, snode AS dst, weight FROM pair
+  UNION ALL
+  SELECT snode AS src, cnode AS dst, weight FROM pair
+),
+nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges
+),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+out_tot AS (SELECT src, SUM(weight) AS ot FROM edges GROUP BY src),
+e AS (
+  SELECT edges.src, edges.dst,
+         CAST(edges.weight AS DOUBLE) / CAST(out_tot.ot AS DOUBLE) AS frac
+  FROM edges JOIN out_tot ON edges.src = out_tot.src
+),
+r0 AS (
+  SELECT node, CAST(1 AS DOUBLE) / CAST(nn.n AS DOUBLE) AS rank
+  FROM nodes CROSS JOIN nn
+),
+{chained}
+SELECT node, round(rank, 12) AS rank FROM r{iterations}
+ORDER BY rank DESC, node LIMIT {topk}
+"""
+
+
+PURCHASE_GRAPH_PAGERANK_ORACLE = _pagerank_oracle(PR_ITERATIONS, PR_DAMPING, PR_TOPK)

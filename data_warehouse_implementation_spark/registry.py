@@ -24,6 +24,7 @@ from .plans import (
     analytics,
     corpus_queries,
     etl,
+    graph_queries,
     ingest_queries,
     llm_queries,
     quality_queries,
@@ -131,9 +132,14 @@ _DRIVER_WINDOW = [
     "segment_mode_fill",
     "doc_simhash",
     "doc_language_id",
+    # round-5 additions — checked the round they land (never-deferred
+    # rule): bigram-LM fluency scoring and purchase-graph PageRank
+    "doc_bigram_rarity",
+    "purchase_graph_pagerank",
+    # position 51+ — round-6 refresh order (remaining r2-green tail,
+    # then the two displaced r2-green doc scores)
     "doc_language_ngram",
     "doc_quality_score",
-    # position 51+ — round-6 refresh order (remaining r2-green tail)
     "doc_fingerprint",
     "embedding_cosine_topk",
     "embedding_ann_ivf",
@@ -666,3 +672,13 @@ register(
 )
 register("cust_order_dist_sql", sql_api.cust_order_dist_sql, sql_api.CUST_ORDER_DIST_ORACLE)
 register("top_supplier_sql", sql_api.top_supplier_sql, sql_api.TOP_SUPPLIER_ORACLE)
+register(
+    "doc_bigram_rarity",
+    corpus_queries.doc_bigram_rarity,
+    corpus_queries.DOC_BIGRAM_RARITY_ORACLE,
+)
+register(
+    "purchase_graph_pagerank",
+    graph_queries.purchase_graph_pagerank,
+    graph_queries.PURCHASE_GRAPH_PAGERANK_ORACLE,
+)

@@ -264,3 +264,40 @@ def test_pack_sequences_global_stream_property(spark, case):
             want[(did, cid)] = (clen, running, running // seq_budget)
             running += clen
     assert got == want
+
+
+def test_bigram_rarity_hand_computed(spark):
+    """Exact hand-computed check of the smoothed bigram conditional
+    model: corpus {"a b a b", "b b b", "x"} -> c2={ab:2, ba:1, bb:2},
+    ctx={a:2, b:3}, V=3; doc 1 mean = (4/4 + 5/2 + 4/4)/3, doc 2 mean
+    = 6/3; the 1-token doc has no bigram and must not appear."""
+    from data_warehouse_implementation_spark.operators import corpus
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b b b"), (3, "x")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in corpus.bigram_rarity(df).collect()}
+    assert set(got) == {1, 2}
+    # V = |{a, b, x}| = 3
+    # doc 1 bigrams: ab, ba, ab -> terms (2+3)/(2+1), (3+3)/(1+1), (2+3)/(2+1)
+    want1 = (5 / 3 + 3.0 + 5 / 3) / 3
+    assert got[1].n_bigrams == 3
+    assert abs(got[1].mean_bigram_rarity - want1) < 1e-6
+    # doc 2 bigrams: bb, bb -> terms (3+3)/(2+1) = 2.0 each
+    assert got[2].n_bigrams == 2
+    assert abs(got[2].mean_bigram_rarity - 2.0) < 1e-6
+
+
+def test_bigram_rarity_flags_improbable_context(spark):
+    """The fluency property unigram rarity cannot express: a doc built
+    from the corpus's commonest TOKENS in an unseen ORDER must score
+    higher (rarer) than the fluent ordering."""
+    from data_warehouse_implementation_spark.operators import corpus
+
+    fluent = "the cat sat on the mat"
+    corpus_docs = [(i, fluent) for i in range(1, 9)]
+    # same unigrams as the fluent docs, permuted into unseen bigrams
+    corpus_docs.append((9, "mat the on sat cat the"))
+    df = spark.createDataFrame(corpus_docs, "doc_id long, text string")
+    got = {r.doc_id: r.mean_bigram_rarity for r in corpus.bigram_rarity(df).collect()}
+    assert got[9] > got[1] * 2

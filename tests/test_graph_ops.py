@@ -1,0 +1,87 @@
+"""Unit invariants for the graph-walk operators (operators/graph.py)
+beyond the oracle differential: analytic correctness on a hand-solved
+graph, mass conservation, and the lazy/no-cartesian plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_warehouse_implementation_spark.operators import graph
+from data_warehouse_implementation_spark.plans import graph_queries
+from data_warehouse_implementation_spark.session import load_tables
+
+SF = "/root/testdata/sf0.001"
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src string, dst string, weight long")
+
+
+def test_pagerank_uniform_cycle_is_fixed_point(spark):
+    """On a directed cycle every node has one out-edge and one in-edge,
+    so the uniform distribution 1/N is PageRank's exact fixed point —
+    after any number of iterations each rank must be exactly 1/N."""
+    n = 5
+    rows = [(f"v{i}", f"v{(i + 1) % n}", 1) for i in range(n)]
+    got = {r.node: r["rank"] for r in graph.pagerank(_edges(spark, rows), iterations=4).collect()}
+    assert len(got) == n
+    for v in got.values():
+        assert abs(v - 1 / n) < 1e-15
+
+
+def test_pagerank_hand_solved_star(spark):
+    """Two spokes pointing at a hub, hub pointing back at one spoke
+    (every node keeps an out-edge): one synchronous iteration from the
+    uniform start has a closed form — replay it by hand and compare
+    exactly. Ranks must also conserve probability mass."""
+    rows = [("a", "h", 1), ("b", "h", 1), ("h", "a", 1)]
+    ranks = graph.pagerank(_edges(spark, rows), iterations=1, damping=0.85)
+    got = {r.node: r["rank"] for r in ranks.collect()}
+    base = 0.15 / 3
+    # h receives all of a's and b's mass; a receives all of h's
+    assert abs(got["h"] - (base + 0.85 * (1 / 3 + 1 / 3))) < 1e-15
+    assert abs(got["a"] - (base + 0.85 * (1 / 3))) < 1e-15
+    assert abs(got["b"] - base) < 1e-15
+    assert abs(sum(got.values()) - 1.0) < 1e-12
+
+
+def test_pagerank_weight_sensitivity(spark):
+    """Weights must matter: with c sending 9x more weight to a than to
+    b, a must out-rank b (identical otherwise)."""
+    rows = [("c", "a", 9), ("c", "b", 1), ("a", "c", 1), ("b", "c", 1)]
+    got = {r.node: r["rank"] for r in graph.pagerank(_edges(spark, rows), iterations=5).collect()}
+    assert got["a"] > got["b"]
+    assert abs(sum(got.values()) - 1.0) < 1e-12
+
+
+def test_pagerank_plan_is_lazy_and_join_based(spark):
+    """Fixed-iteration pagerank must compile to ONE lazy plan — no
+    driver-side actions while composing — and the plan must contain no
+    cartesian product (the scalar N travels as a broadcast row)."""
+    t = load_tables(spark, SF)
+    edges = graph_queries._purchase_edges(t)
+    ranks = graph.pagerank(edges, iterations=3)
+    plan = ranks._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # full pipeline executes and conserves mass on real data
+    total = ranks.agg(F.sum("rank")).first()[0]
+    assert abs(total - 1.0) < 1e-9
+
+
+def test_purchase_pagerank_suppliers_outrank_customers(spark):
+    """At TPC-H-ish fan-in (many customers per supplier, few suppliers)
+    suppliers concentrate walk mass — every supplier node in the top-k
+    must out-rank every customer node, and ranks must be positive and
+    sorted (sf0.001 has 10 suppliers, so the top-20 holds all of them
+    followed by the strongest customers)."""
+    t = load_tables(spark, SF)
+    rows = graph_queries.purchase_graph_pagerank(t).collect()
+    assert 0 < len(rows) <= graph_queries.PR_TOPK
+    ranks = [r["rank"] for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
+    assert all(r["rank"] > 0 for r in rows)
+    min_supplier = min(r["rank"] for r in rows if r.node.startswith("s:"))
+    max_customer = max(
+        (r["rank"] for r in rows if r.node.startswith("c:")), default=0.0
+    )
+    assert min_supplier > max_customer
