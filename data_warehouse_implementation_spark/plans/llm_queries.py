@@ -98,44 +98,60 @@ def near_dup_minhash(t: dict[str, DataFrame], hashed: bool = False) -> DataFrame
     path with NO global structure anywhere in the plan; the exact
     Jaccard verification is unchanged, so every emitted pair still
     satisfies the threshold on true shingle sets."""
+    return _shared_stack(t, hashed)["verified"].orderBy("doc_a", "doc_b")
+
+
+def _shared_stack(t: dict[str, DataFrame], hashed: bool = False) -> dict[str, DataFrame]:
+    """The session-cached minhash pipeline stages every family member
+    draws from — computed at most once per (mode, corpus):
+
+    - ``shingles``: the exploded (doc, shingle) table is
+      MODE-INDEPENDENT — tokenizing and shingling the corpus is the
+      expensive part, so it is cached once and shared: rank mode joins
+      it against the dictionary, hashed mode maps xxhash64 over it.
+    - ``doc_tids`` / ``bands``: per-mode id assignment + LSH bands.
+    - ``cands``: the candidate set feeds three branches of the
+      verification plan — materialized (|pairs| rows) so the band
+      self-join runs once.
+    - ``verified``: consumed downstream too (clusters, source matrix,
+      the capped variant's subset join) — cached so the Jaccard
+      verification joins run once per session.
+    """
     docs = t["documents"]
-    # The exploded (doc, shingle) table is MODE-INDEPENDENT — tokenizing
-    # and shingling the corpus is the expensive part, so it is cached
-    # once and shared: rank mode joins it against the dictionary, hashed
-    # mode maps xxhash64 over it. Before this split, hashed mode re-ran
-    # the whole explode because its tids couldn't reuse the rank cache.
+    key = str(docs.semanticHash())
     shingles = materialize.get_or_build(
         "near_dup_shingles",
-        str(docs.semanticHash()),
+        key,
         lambda: dedup.word_shingles(docs, n=3),
         corpus_scale=True,
     )
     mode = "hashed" if hashed else "rank"
     doc_tids = materialize.get_or_build(
         f"near_dup_doc_tids_{mode}",
-        str(docs.semanticHash()),
+        key,
         lambda: dedup.shingle_ids(shingles, hashed=hashed),
         corpus_scale=True,
     )
     bands = _shared_bands(docs, doc_tids, mode)
-    # the candidate set feeds three branches of the verification plan —
-    # materialize it (|pairs| rows) so the band self-join runs once
     cands = materialize.get_or_build(
         f"near_dup_cands_{mode}",
-        str(docs.semanticHash()),
+        key,
         lambda: dedup.candidate_pairs(bands),
     )
-    # the verified pair set is consumed downstream too (near_dup_clusters
-    # runs connected components over it) — cache the |pairs|-row result
-    # so the Jaccard verification joins run once per session
     verified = materialize.get_or_build(
         f"near_dup_verified_pairs_{mode}",
-        str(docs.semanticHash()),
+        key,
         lambda: dedup.pairwise_jaccard(cands, doc_tids).filter(
             F.col("jaccard") >= NEAR_DUP_THRESHOLD
         ),
     )
-    return verified.orderBy("doc_a", "doc_b")
+    return {
+        "shingles": shingles,
+        "doc_tids": doc_tids,
+        "bands": bands,
+        "cands": cands,
+        "verified": verified,
+    }
 
 
 def near_dup_minhash_hashed(t: dict[str, DataFrame]) -> DataFrame:
@@ -167,36 +183,43 @@ def near_dup_incremental(t: dict[str, DataFrame]) -> DataFrame:
     cache keeps shingle ids consistent across both sides (in hashed
     mode consistency is free — xxhash64 needs no dictionary at all).
     Emits (new_id, corpus_id, jaccard) for every verified duplicate of
-    the incoming batch."""
-    docs = t["documents"]
-    doc_tids = materialize.get_or_build(
-        "near_dup_doc_tids_rank",
-        str(docs.semanticHash()),
-        lambda: dedup.shingle_ids(dedup.word_shingles(docs, n=3)),
-        corpus_scale=True,
-    )
+    the incoming batch.
+
+    Verification by SUBSET JOIN (same trick as ``near_dup_capped``):
+    any new x corpus band collision is, unordered, also a collision of
+    the full self-join, so joining the new x corpus candidate pairs
+    against the session-cached verified set on (least, greatest)
+    returns exactly the verified incremental pairs with identical
+    jaccard values — no second three-branch verification pass."""
+    stack = _shared_stack(t, hashed=False)
     # the band table feeds BOTH sides of the new x corpus join — the
     # family-shared cache means the signature pipeline runs once per
     # session, not per branch or per query
-    bands = _shared_bands(docs, doc_tids, "rank")
+    bands = stack["bands"]
     is_new = F.col("doc_id") % 4 == 0
     new_b = bands.filter(is_new).select(
-        F.col("doc_id").alias("doc_a"), "band_id", "band_key"
+        F.col("doc_id").alias("new_id"), "band_id", "band_key"
     )
     old_b = bands.filter(~is_new).select(
-        F.col("doc_id").alias("doc_b"), "band_id", "band_key"
+        F.col("doc_id").alias("corpus_id"), "band_id", "band_key"
     )
     cands = (
-        new_b.join(old_b, on=["band_id", "band_key"]).select("doc_a", "doc_b").distinct()
+        new_b.join(old_b, on=["band_id", "band_key"])
+        .select("new_id", "corpus_id")
+        .distinct()
     )
-    verified = dedup.pairwise_jaccard(cands, doc_tids).filter(
-        F.col("jaccard") >= NEAR_DUP_THRESHOLD
+    v = stack["verified"].select(
+        F.col("doc_a").alias("_lo"), F.col("doc_b").alias("_hi"), "jaccard"
     )
-    return verified.select(
-        F.col("doc_a").alias("new_id"),
-        F.col("doc_b").alias("corpus_id"),
-        "jaccard",
-    ).orderBy("new_id", "corpus_id")
+    return (
+        cands.join(
+            v,
+            (F.least("new_id", "corpus_id") == F.col("_lo"))
+            & (F.greatest("new_id", "corpus_id") == F.col("_hi")),
+        )
+        .select("new_id", "corpus_id", "jaccard")
+        .orderBy("new_id", "corpus_id")
+    )
 
 
 _BANDS_SQL = "\nUNION ALL\n".join(
@@ -1401,25 +1424,25 @@ def near_dup_capped(t: dict[str, DataFrame]) -> DataFrame:
     a single bucket. The cap is deliberately tight here (2) so the
     differential PROVES buckets were dropped: the output is a strict
     subset of ``near_dup_minhash`` at sf0.01 (the corpus has size-3
-    buckets), and the oracle replays the same census + cap."""
+    buckets), and the oracle replays the same census + cap.
+
+    Verification by SUBSET JOIN, not recompute: the capped candidate
+    set is by construction a subset of the uncapped one, so
+    ``capped_cands ⋈ verified`` (inner, on the pair) returns exactly
+    ``pairwise_jaccard(capped_cands) >= θ`` with identical jaccard
+    values — reusing the session-cached verified set instead of paying
+    the three-branch verification joins a second time."""
+    stack = _shared_stack(t, hashed=False)
     docs = t["documents"]
-    shingles = dedup.word_shingles(docs, n=3)
-    doc_tids = materialize.get_or_build(
-        "near_dup_doc_tids_rank",
-        str(docs.semanticHash()),
-        lambda: dedup.shingle_ids(shingles),
-        corpus_scale=True,
-    )
-    bands = _shared_bands(docs, doc_tids, "rank")
     cands = materialize.get_or_build(
         "near_dup_cands_capped",
         str(docs.semanticHash()),
-        lambda: dedup.candidate_pairs(bands, max_bucket_size=NEAR_DUP_MAX_BUCKET),
+        lambda: dedup.candidate_pairs(
+            stack["bands"], max_bucket_size=NEAR_DUP_MAX_BUCKET
+        ),
     )
-    return (
-        dedup.pairwise_jaccard(cands, doc_tids)
-        .filter(F.col("jaccard") >= NEAR_DUP_THRESHOLD)
-        .orderBy("doc_a", "doc_b")
+    return cands.join(stack["verified"], on=["doc_a", "doc_b"]).orderBy(
+        "doc_a", "doc_b"
     )
 
 
