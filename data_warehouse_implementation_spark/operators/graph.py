@@ -68,15 +68,26 @@ def pagerank(
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
         .distinct()
+        # every round references nodes and the normalized edges; left
+        # lazy, round i's plan embeds i copies of the (possibly
+        # fact-scale) edge derivation and Spark re-executes it per
+        # round — measured 9s instead of ~2.5s at sf0.1. The DEFERRED
+        # checkpoint materializes each exactly once inside the caller's
+        # single action, adding no driver-side jobs.
+        .localCheckpoint(eager=False)
     )
     # scalar N kept INSIDE the plan (1-row frame, broadcast) — no
     # .count() action, the whole pagerank stays lazy
     ncnt = nodes.agg(F.count(F.lit(1)).alias("_n"))
     out_tot = edges.groupBy(src).agg(F.sum(weight).alias("_out"))
-    e = edges.join(out_tot, on=src).select(
-        F.col(src).alias("_esrc"),
-        F.col(dst).alias("_edst"),
-        (F.col(weight).cast("double") / F.col("_out").cast("double")).alias("_frac"),
+    e = (
+        edges.join(out_tot, on=src)
+        .select(
+            F.col(src).alias("_esrc"),
+            F.col(dst).alias("_edst"),
+            (F.col(weight).cast("double") / F.col("_out").cast("double")).alias("_frac"),
+        )
+        .localCheckpoint(eager=False)
     )
     rank = nodes.crossJoin(F.broadcast(ncnt)).select(
         "node", (F.lit(1.0) / F.col("_n").cast("double")).alias("rank")

@@ -1001,17 +1001,24 @@ def embedding_near_dup(t: dict[str, DataFrame]) -> DataFrame:
         F.col("_norm").alias("_nb"),
         "label",
     )
-    return (
-        a.join(b, on="label")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn(
-            "cosine",
-            similarity.dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
-        )
-        .filter(F.col("cosine") >= NEAR_DUP_COSINE)
-        .select("vec_a", "vec_b", "cosine")
-        .orderBy("vec_a", "vec_b")
-    )
+    # three registered queries consume this pair set (the pairs query
+    # itself, both SemDeDup keep rules), so it is session-cached —
+    # |pairs| rows, built once per corpus
+    return materialize.get_or_build(
+        "embedding_near_dup_pairs",
+        str(emb.semanticHash()),
+        lambda: (
+            a.join(b, on="label")
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .withColumn(
+                "cosine",
+                similarity.dot(F.col("_va"), F.col("_vb"))
+                / (F.col("_na") * F.col("_nb")),
+            )
+            .filter(F.col("cosine") >= NEAR_DUP_COSINE)
+            .select("vec_a", "vec_b", "cosine")
+        ),
+    ).orderBy("vec_a", "vec_b")
 
 
 HYPER_BITS = 16

@@ -475,3 +475,54 @@ def test_semantic_dedup_greedy_keeps_chain_survivors(spark):
     assert (strict[0].n_kept, strict[0].n_dropped) == (1, 2)
     assert (greedy[1].n_kept, greedy[1].n_dropped) == (1, 0)
     assert (strict[1].n_kept, strict[1].n_dropped) == (1, 0)
+
+
+def test_capped_subset_join_equals_direct_verification(spark):
+    """Pin the subset-join equivalence near_dup_capped relies on: the
+    capped candidates joined against the cached verified set must equal
+    pairwise_jaccard re-run directly on the capped candidate set."""
+    from data_warehouse_implementation_spark.plans import llm_queries as lq
+
+    t = {"documents": load_tables(spark, SF)["documents"]}
+    stack = lq._shared_stack(t, hashed=False)
+    capped_cands = dedup.candidate_pairs(
+        stack["bands"], max_bucket_size=lq.NEAR_DUP_MAX_BUCKET
+    ).cache()
+    direct = (
+        dedup.pairwise_jaccard(capped_cands, stack["doc_tids"])
+        .filter(F.col("jaccard") >= lq.NEAR_DUP_THRESHOLD)
+        .collect()
+    )
+    via_join = lq.near_dup_capped(t).collect()
+    key = lambda rows: sorted((r.doc_a, r.doc_b, round(r.jaccard, 12)) for r in rows)
+    assert key(direct) == key(via_join)
+
+
+def test_incremental_subset_join_equals_direct_verification(spark):
+    """Same pin for near_dup_incremental: the new x corpus candidates
+    verified directly must equal the (least, greatest) join against the
+    cached verified set — including pairs where new_id > corpus_id."""
+    from data_warehouse_implementation_spark.plans import llm_queries as lq
+
+    t = {"documents": load_tables(spark, SF)["documents"]}
+    stack = lq._shared_stack(t, hashed=False)
+    bands = stack["bands"]
+    is_new = F.col("doc_id") % 4 == 0
+    new_b = bands.filter(is_new).select(
+        F.col("doc_id").alias("doc_a"), "band_id", "band_key"
+    )
+    old_b = bands.filter(~is_new).select(
+        F.col("doc_id").alias("doc_b"), "band_id", "band_key"
+    )
+    cands = (
+        new_b.join(old_b, on=["band_id", "band_key"]).select("doc_a", "doc_b").distinct()
+    )
+    direct = (
+        dedup.pairwise_jaccard(cands, stack["doc_tids"])
+        .filter(F.col("jaccard") >= lq.NEAR_DUP_THRESHOLD)
+        .collect()
+    )
+    via_join = lq.near_dup_incremental(t).collect()
+    want = sorted((r.doc_a, r.doc_b, round(r.jaccard, 12)) for r in direct)
+    got = sorted((r.new_id, r.corpus_id, round(r.jaccard, 12)) for r in via_join)
+    assert want == got
