@@ -17,7 +17,7 @@ double literals (the DuckDB oracle unrolls the same iterations).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: decimal type for rank*frac terms in [0, 1]: scale 30 places the
@@ -117,3 +117,55 @@ def pagerank(
             )
         )
     return rank
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+) -> DataFrame:
+    """Synchronous weighted label propagation (community detection):
+    every node starts labeled with its own id; each round, a node
+    adopts the label with the LARGEST incoming weight mass among its
+    neighbors' current labels (ties broken by the smallest label), and
+    nodes with no in-edges keep their label. Fully deterministic — the
+    per-round argmax is a per-node window with a total tie-break, and
+    all arithmetic is integer/string, so any engine replays the rounds
+    exactly (the oracle unrolls them as CTEs).
+
+    Scale shape: each round is one join (labels ⋈ edges on src — the
+    label table is node-scale), one (dst, label) aggregate, and one
+    per-node window (partitioned — never global). Per-round state is
+    deferred-checkpointed, so a fixed iteration count still executes
+    as one caller-triggered action with no driver-side jobs (same
+    discipline as :func:`pagerank`, which also documents why the
+    edge/node tables must be checkpointed rather than re-derived per
+    round)."""
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    e = edges.select(
+        F.col(src).alias("_esrc"), F.col(dst).alias("_edst"), F.col(weight).alias("_w")
+    ).localCheckpoint(eager=False)
+    labels = nodes.withColumn("label", F.col("node"))
+    w_pick = Window.partitionBy("_edst").orderBy(F.desc("_mass"), F.asc("label"))
+    for _ in range(iterations):
+        adopted = (
+            e.join(labels, e._esrc == labels.node)
+            .groupBy("_edst", "label")
+            .agg(F.sum("_w").alias("_mass"))
+            .withColumn("_rn", F.row_number().over(w_pick))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("_edst").alias("node"), F.col("label").alias("_new"))
+        )
+        labels = (
+            labels.join(adopted, on="node", how="left")
+            .select("node", F.coalesce("_new", "label").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+    return labels

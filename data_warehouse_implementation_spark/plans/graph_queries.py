@@ -131,3 +131,75 @@ ORDER BY rank DESC, node LIMIT {topk}
 
 
 PURCHASE_GRAPH_PAGERANK_ORACLE = _pagerank_oracle(PR_ITERATIONS, PR_DAMPING, PR_TOPK)
+
+
+LPA_ITERATIONS = 3
+LPA_TOPK = 20
+
+
+def purchase_graph_communities(t: dict[str, DataFrame]) -> DataFrame:
+    """Top-:data:`LPA_TOPK` communities of the purchase graph after
+    :data:`LPA_ITERATIONS` rounds of synchronous weighted label
+    propagation — community label and member count. Integer/string
+    arithmetic only, so unlike pagerank there is no floating-point
+    consideration at all: the oracle replays the rounds exactly."""
+    labels = graph.label_propagation(_purchase_edges(t), iterations=LPA_ITERATIONS)
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy(F.desc("n_members"), "community")
+        .limit(LPA_TOPK)
+    )
+
+
+def _lpa_oracle(iterations: int, topk: int) -> str:
+    """Generate the unrolled label-propagation oracle (chained CTEs,
+    one adopt+merge pair per round — same pattern as the pagerank and
+    BPE oracles)."""
+    rounds = []
+    for i in range(1, iterations + 1):
+        rounds.append(
+            f"""a{i} AS (
+  SELECT e.dst AS node, l.label, SUM(e.weight) AS mass
+  FROM edges e JOIN l{i - 1} l ON l.node = e.src
+  GROUP BY e.dst, l.label
+),
+p{i} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY mass DESC, label) AS rn
+    FROM a{i}) s
+  WHERE rn = 1
+),
+l{i} AS (
+  SELECT n.node, COALESCE(p.label, l.label) AS label
+  FROM nodes n
+  JOIN l{i - 1} l ON l.node = n.node
+  LEFT JOIN p{i} p ON p.node = n.node
+)"""
+        )
+    chained = ",\n".join(rounds)
+    return f"""
+WITH pair AS (
+  SELECT 'c:' || o_custkey AS cnode, 's:' || l_suppkey AS snode,
+         COUNT(*) AS weight
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey, l_suppkey
+),
+edges AS (
+  SELECT cnode AS src, snode AS dst, weight FROM pair
+  UNION ALL
+  SELECT snode AS src, cnode AS dst, weight FROM pair
+),
+nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges
+),
+l0 AS (SELECT node, node AS label FROM nodes),
+{chained}
+SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+FROM l{iterations}
+GROUP BY label ORDER BY n_members DESC, community LIMIT {topk}
+"""
+
+
+PURCHASE_GRAPH_COMMUNITIES_ORACLE = _lpa_oracle(LPA_ITERATIONS, LPA_TOPK)

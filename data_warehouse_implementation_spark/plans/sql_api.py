@@ -480,3 +480,87 @@ def top_supplier_sql(t: dict[str, DataFrame]) -> DataFrame:
 
 
 TOP_SUPPLIER_ORACLE = TOP_SUPPLIER_SQL
+
+
+# Q17-shaped small-quantity revenue against a CORRELATED aggregate
+# subquery: the per-part quantity threshold is an average computed by a
+# subquery correlated on the outer part key — the SQL feature this
+# battery had not yet exercised (Catalyst rewrites it to an aggregate +
+# join; DuckDB runs it natively — identical results either way). The
+# average is spelled as exact-decimal-sum / count so both engines
+# derive the identical double threshold.
+AVG_QTY_GATED_REVENUE_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+       / CAST(7 AS DOUBLE) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#2'
+  AND l_quantity < (
+    SELECT CAST(0.5 AS DOUBLE)
+           * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+              / COUNT(*))
+    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+def avg_qty_gated_revenue_sql(t: dict[str, DataFrame]) -> DataFrame:
+    return t["lineitem"].sparkSession.sql(AVG_QTY_GATED_REVENUE_SQL)
+
+
+AVG_QTY_GATED_REVENUE_ORACLE = AVG_QTY_GATED_REVENUE_SQL
+
+
+# Q11-shaped concentration report: grouped value filtered by a scalar
+# subquery INSIDE the HAVING clause (share-of-global-total threshold) —
+# the remaining untested subquery position. The threshold and the group
+# sums are exact decimals surfaced as doubles on both engines.
+NATION_VALUE_CONCENTRATION_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS value
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+       > (SELECT CAST(0.04 AS DOUBLE)
+                 * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+          FROM lineitem)
+ORDER BY value DESC, n_name
+"""
+
+
+def nation_value_concentration_sql(t: dict[str, DataFrame]) -> DataFrame:
+    return t["lineitem"].sparkSession.sql(NATION_VALUE_CONCENTRATION_SQL)
+
+
+NATION_VALUE_CONCENTRATION_ORACLE = NATION_VALUE_CONCENTRATION_SQL
+
+
+# Q16-shaped supplier census: null-aware NOT IN anti-join against a
+# predicate-filtered key list, plus COUNT(DISTINCT) per group and a
+# fully tie-broken LIMIT — the anti-join-by-subquery form (the DSL
+# battery covers left_anti; this is the SQL spelling Catalyst plans as
+# a null-aware anti join).
+SUPPLIER_PART_CENSUS_SQL = """
+SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#2'
+  AND p_type NOT LIKE 'MEDIUM%'
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < CAST(0 AS DOUBLE))
+GROUP BY p_brand, p_type
+ORDER BY supplier_cnt DESC, p_brand, p_type
+LIMIT 20
+"""
+
+
+def supplier_part_census_sql(t: dict[str, DataFrame]) -> DataFrame:
+    return t["lineitem"].sparkSession.sql(SUPPLIER_PART_CENSUS_SQL)
+
+
+SUPPLIER_PART_CENSUS_ORACLE = SUPPLIER_PART_CENSUS_SQL

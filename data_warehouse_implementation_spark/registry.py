@@ -128,16 +128,21 @@ _DRIVER_WINDOW = [
     "part_melt",
     "brand_median_price",
     "brand_mode_type",
+    # round-5 additions — checked the round they land (never-deferred
+    # rule): bigram-LM fluency scoring, both purchase-graph walks, and
+    # the three new subquery-position SQL parity queries
+    "doc_bigram_rarity",
+    "purchase_graph_pagerank",
+    "purchase_graph_communities",
+    "avg_qty_gated_revenue_sql",
+    "nation_value_concentration_sql",
+    "supplier_part_census_sql",
+    # position 51+ — round-6 refresh order (remaining r2-green tail,
+    # then the displaced r2-green rows)
     "recent_order_preview",
     "segment_mode_fill",
     "doc_simhash",
     "doc_language_id",
-    # round-5 additions — checked the round they land (never-deferred
-    # rule): bigram-LM fluency scoring and purchase-graph PageRank
-    "doc_bigram_rarity",
-    "purchase_graph_pagerank",
-    # position 51+ — round-6 refresh order (remaining r2-green tail,
-    # then the two displaced r2-green doc scores)
     "doc_language_ngram",
     "doc_quality_score",
     "doc_fingerprint",
@@ -681,4 +686,24 @@ register(
     "purchase_graph_pagerank",
     graph_queries.purchase_graph_pagerank,
     graph_queries.PURCHASE_GRAPH_PAGERANK_ORACLE,
+)
+register(
+    "avg_qty_gated_revenue_sql",
+    sql_api.avg_qty_gated_revenue_sql,
+    sql_api.AVG_QTY_GATED_REVENUE_ORACLE,
+)
+register(
+    "nation_value_concentration_sql",
+    sql_api.nation_value_concentration_sql,
+    sql_api.NATION_VALUE_CONCENTRATION_ORACLE,
+)
+register(
+    "supplier_part_census_sql",
+    sql_api.supplier_part_census_sql,
+    sql_api.SUPPLIER_PART_CENSUS_ORACLE,
+)
+register(
+    "purchase_graph_communities",
+    graph_queries.purchase_graph_communities,
+    graph_queries.PURCHASE_GRAPH_COMMUNITIES_ORACLE,
 )

@@ -85,3 +85,28 @@ def test_purchase_pagerank_suppliers_outrank_customers(spark):
         (r["rank"] for r in rows if r.node.startswith("c:")), default=0.0
     )
     assert min_supplier > max_customer
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two weighted triangles joined by one weak bridge must resolve to
+    two communities, each labeled by its minimum member (synchronous
+    rounds, min tie-break)."""
+    tri1 = [("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"), ("b", "c"), ("c", "b")]
+    tri2 = [("x", "y"), ("y", "x"), ("x", "z"), ("z", "x"), ("y", "z"), ("z", "y")]
+    bridge = [("c", "x"), ("x", "c")]
+    rows = [(s, d, 10) for s, d in tri1 + tri2] + [(s, d, 1) for s, d in bridge]
+    edges = spark.createDataFrame(rows, "src string, dst string, weight long")
+    got = {r.node: r.label for r in graph.label_propagation(edges, iterations=4).collect()}
+    assert {got["a"], got["b"], got["c"]} == {"a"}
+    assert {got["x"], got["y"], got["z"]} == {"x"}
+
+
+def test_label_propagation_no_in_edges_keeps_label(spark):
+    """A source-only node (no in-edges) must keep its own label through
+    every round."""
+    edges = spark.createDataFrame(
+        [("lonely", "hub", 1), ("hub", "other", 1), ("other", "hub", 1)],
+        "src string, dst string, weight long",
+    )
+    got = {r.node: r.label for r in graph.label_propagation(edges, iterations=3).collect()}
+    assert got["lonely"] == "lonely"
