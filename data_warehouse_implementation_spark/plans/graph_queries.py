@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators import graph
+from . import materialize
 
 PR_ITERATIONS = 5
 PR_DAMPING = 0.85
@@ -31,22 +32,35 @@ PR_TOPK = 20
 def _purchase_edges(t: dict[str, DataFrame]) -> DataFrame:
     """Directed both-way edge list c:<custkey> <-> s:<suppkey>, weight =
     lineitem count. One fact-scale join chain + one aggregate; node ids
-    are prefixed strings so the two key spaces cannot collide."""
+    are prefixed strings so the two key spaces cannot collide.
+    Session-cached: both graph walks (pagerank, label propagation)
+    consume the same edge table — the two-consumer rule from
+    RUNBOOK §5 (edge rows grow with the fact, hence corpus_scale)."""
     li = t["lineitem"].select("l_orderkey", "l_suppkey")
     orders = t["orders"].select("o_orderkey", "o_custkey")
-    pair = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy("o_custkey", "l_suppkey")
-        .agg(F.count(F.lit(1)).alias("weight"))
-        .select(
-            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("cnode"),
-            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("snode"),
-            "weight",
+
+    def build() -> DataFrame:
+        pair = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_custkey", "l_suppkey")
+            .agg(F.count(F.lit(1)).alias("weight"))
+            .select(
+                F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("cnode"),
+                F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("snode"),
+                "weight",
+            )
         )
+        fwd = pair.select(
+            F.col("cnode").alias("src"), F.col("snode").alias("dst"), "weight"
+        )
+        rev = pair.select(
+            F.col("snode").alias("src"), F.col("cnode").alias("dst"), "weight"
+        )
+        return fwd.unionByName(rev)
+
+    return materialize.get_or_build(
+        "purchase_graph_edges", str(li.semanticHash()), build, corpus_scale=True
     )
-    fwd = pair.select(F.col("cnode").alias("src"), F.col("snode").alias("dst"), "weight")
-    rev = pair.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"), "weight")
-    return fwd.unionByName(rev)
 
 
 def purchase_graph_pagerank(t: dict[str, DataFrame]) -> DataFrame:
