@@ -409,6 +409,7 @@ def jaccard_prefix_join(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT-threshold set-similarity self-join via prefix filtering
     (the AllPairs/PPJoin family, Bayardo et al. 2007 / Xiao et al.
@@ -431,10 +432,19 @@ def jaccard_prefix_join(
     ranking shown here is a vocabulary-sized window — at 100 TB swap it
     for the bucketed two-phase rank of :func:`build_dictionary` (same
     output, no single-task sort). Candidate volume is bounded by
-    prefix-bucket sizes, never |docs|^2."""
-    tok = word_shingles(df, n=n, text_col=text_col, id_col=id_col).withColumnRenamed(
-        "shingle", "token"
-    )
+    prefix-bucket sizes, never |docs|^2.
+
+    ``tokens`` (optional): a pre-exploded ``(id_col, shingle)`` frame —
+    pass the session-cached shingle table when one exists: this plan
+    consults the token set in FIVE branches (doc frequency, ordering,
+    both intersection sides, sizes), and without a materialized input
+    each branch re-runs the corpus explode."""
+    if tokens is not None:
+        tok = tokens.withColumnRenamed("shingle", "token")
+    else:
+        tok = word_shingles(df, n=n, text_col=text_col, id_col=id_col).withColumnRenamed(
+            "shingle", "token"
+        )
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
     ranked = freq.withColumn(
         "trank",

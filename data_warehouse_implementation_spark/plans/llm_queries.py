@@ -101,6 +101,19 @@ def near_dup_minhash(t: dict[str, DataFrame], hashed: bool = False) -> DataFrame
     return _shared_stack(t, hashed)["verified"].orderBy("doc_a", "doc_b")
 
 
+def _shared_shingles(t: dict[str, DataFrame]) -> DataFrame:
+    """The session-cached exploded (doc, shingle) table — the mode- and
+    algorithm-independent base every shingle consumer shares (minhash
+    stack, simhash, the prefix join)."""
+    docs = t["documents"]
+    return materialize.get_or_build(
+        "near_dup_shingles",
+        str(docs.semanticHash()),
+        lambda: dedup.word_shingles(docs, n=3),
+        corpus_scale=True,
+    )
+
+
 def _shared_stack(t: dict[str, DataFrame], hashed: bool = False) -> dict[str, DataFrame]:
     """The session-cached minhash pipeline stages every family member
     draws from — computed at most once per (mode, corpus):
@@ -119,12 +132,7 @@ def _shared_stack(t: dict[str, DataFrame], hashed: bool = False) -> dict[str, Da
     """
     docs = t["documents"]
     key = str(docs.semanticHash())
-    shingles = materialize.get_or_build(
-        "near_dup_shingles",
-        key,
-        lambda: dedup.word_shingles(docs, n=3),
-        corpus_scale=True,
-    )
+    shingles = _shared_shingles(t)
     mode = "hashed" if hashed else "rank"
     doc_tids = materialize.get_or_build(
         f"near_dup_doc_tids_{mode}",
@@ -402,9 +410,10 @@ def simhash_near_dup(t: dict[str, DataFrame]) -> DataFrame:
     MinHash-Jaccard, SimHash-Hamming) as a first-class query."""
     docs = t["documents"]
     # identical (doc, shingle-id) substructure to near_dup_minhash —
-    # shared under the same S7 cache entry, so whichever query runs
-    # first pays the tokenize+dictionary cost once per session
-    shingles = dedup.word_shingles(docs, n=3)
+    # shared under the same S7 cache entries (shingle explode AND rank
+    # tids), so whichever query runs first pays the tokenize+dictionary
+    # cost once per session
+    shingles = _shared_shingles(t)
     doc_tids = materialize.get_or_build(
         "near_dup_doc_tids_rank",
         str(docs.semanticHash()),
@@ -2236,9 +2245,17 @@ def near_dup_prefix_join(t: dict[str, DataFrame]) -> DataFrame:
     this corpus the prefix filter admits ~120 candidates out of ~125k
     possible pairs before exact verification. The pytest suite also
     proves completeness against a brute-force all-pairs Jaccard at
-    small sf (``tests/test_llm_ops.py``)."""
+    small sf (``tests/test_llm_ops.py``). Feeds on the family-shared
+    cached shingle table — the prefix plan consults the token set in
+    five branches, each of which would otherwise re-explode the
+    corpus."""
     return (
-        dedup.jaccard_prefix_join(t["documents"], threshold_num=3, threshold_den=5)
+        dedup.jaccard_prefix_join(
+            t["documents"],
+            threshold_num=3,
+            threshold_den=5,
+            tokens=_shared_shingles(t),
+        )
         .orderBy("doc_a", "doc_b")
     )
 

@@ -69,12 +69,15 @@ def oracle_sql() -> dict[str, str]:
 # round. Round-5 window: the flagship, the six queries never inside any
 # prior window (all locally oracle-green; VERDICT r4 "Next round" #1),
 # every query whose implementation or shared plumbing changed this
-# round (SemDeDup census keep-rule, bloom prefilter collision-safe
-# naming, warehouse dim sharing via materialize, near-dup family cache
-# pre-warm), and the oldest (round-2) verifications filling the rest of
-# the 50. After this round every one of the 144 registered queries has
-# at least one driver-green row, and no green check is older than two
-# rounds except the short position-51+ tail listed for round 6.
+# round (SemDeDup keep rules, bloom prefilter collision-safe naming,
+# warehouse category-dim sharing, near-dup subset-join verification),
+# all seven round-5 additions (greedy SemDeDup, bigram rarity, both
+# purchase-graph walks, three subquery-position SQL parity queries —
+# additions are checked the round they land, never deferred), and the
+# oldest (round-2) verifications filling the rest of the 50. After
+# this round every one of the 151 registered queries has at least one
+# driver-green row; the position-51+ tail lists round 6's refresh
+# order (the remaining r2-green rows).
 _DRIVER_WINDOW = [
     # flagship — always re-verified
     "timely_rank_report",
