@@ -555,7 +555,7 @@ def integrity_report(t: dict[str, DataFrame]) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_orphans"))
         )
         total = child.agg(F.count(F.lit(1)).alias("n_child_rows"))
-        return orphans.crossJoin(total).select(
+        return orphans.crossJoin(broadcast(total)).select(
             F.lit(name).alias("fk_edge"), "n_orphans", "n_child_rows"
         )
 
