@@ -191,6 +191,7 @@ def pairwise_jaccard(
     id_col: str = "doc_id",
     item_col: str = "tid",
     assume_small_pairs: bool = True,
+    include_containment: bool = False,
 ) -> DataFrame:
     """Exact Jaccard for given pairs via set-intersection counts:
     pairs ⋈ items(a) ⋈ items(b) on the item id (intersection), sizes
@@ -224,7 +225,7 @@ def pairwise_jaccard(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("_inter"))
     )
-    return (
+    out = (
         inter.join(maybe_small(sizes.withColumnsRenamed({id_col: "doc_a", "_sz": "_sza"})), on="doc_a")
         .join(maybe_small(sizes.withColumnsRenamed({id_col: "doc_b", "_sz": "_szb"})), on="doc_b")
         .withColumn(
@@ -232,8 +233,17 @@ def pairwise_jaccard(
             F.col("_inter").cast("double")
             / (F.col("_sza") + F.col("_szb") - F.col("_inter")).cast("double"),
         )
-        .select("doc_a", "doc_b", "jaccard")
     )
+    if include_containment:
+        # overlap coefficient |A ∩ B| / min(|A|, |B|): the doc-in-doc
+        # signal — a small document embedded in a much larger one has
+        # containment ~1 while its jaccard stays low
+        return out.withColumn(
+            "containment",
+            F.col("_inter").cast("double")
+            / F.least("_sza", "_szb").cast("double"),
+        ).select("doc_a", "doc_b", "containment", "jaccard")
+    return out.select("doc_a", "doc_b", "jaccard")
 
 
 def near_dup_pairs(

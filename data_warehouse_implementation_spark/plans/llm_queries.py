@@ -1468,6 +1468,52 @@ SELECT doc_a, doc_b, jaccard FROM nd ORDER BY doc_a, doc_b
 """
 
 
+CONTAINMENT_THRESHOLD = 0.7
+
+
+def near_dup_containment(t: dict[str, DataFrame]) -> DataFrame:
+    """Doc-in-doc duplication: candidate pairs scored by the OVERLAP
+    COEFFICIENT ``|A ∩ B| / min(|A|, |B|)`` alongside jaccard — the
+    signal that catches a small document embedded verbatim in a much
+    larger one, whose jaccard stays low (union-dominated) and which a
+    jaccard-thresholded dedup therefore misses. Training corpora are
+    full of exactly this shape (quoted articles, concatenated shards,
+    boilerplate-wrapped reposts), and dropping the contained copy is
+    usually the right hygiene call.
+
+    Candidates come from the family's shared banded-LSH stack. Honest
+    recall note: minhash banding approximates JACCARD collision
+    probability, so an extreme small-in-huge pair (tiny jaccard) may
+    not band-collide; within the candidate set the containment values
+    are exact. A guaranteed-recall containment join would prefix-filter
+    on the SMALL side's size only (the asymmetric variant of
+    ``jaccard_prefix_join``) — the banding here is the cheap screen a
+    production pipeline runs first, reusing work the jaccard pass
+    already paid for. Oracle: same CTE chain, containment formula."""
+    stack = _shared_stack(t, hashed=False)
+    scored = dedup.pairwise_jaccard(
+        stack["cands"], stack["doc_tids"], include_containment=True
+    )
+    return (
+        scored.filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+NEAR_DUP_CONTAINMENT_ORACLE = f"""
+WITH {_ND_PAIR_CTES}
+SELECT n.doc_a, n.doc_b,
+       CAST(n.i AS DOUBLE) / CAST(LEAST(sa.sz, sb.sz) AS DOUBLE) AS containment,
+       CAST(n.i AS DOUBLE) / CAST(sa.sz + sb.sz - n.i AS DOUBLE) AS jaccard
+FROM inter n
+JOIN sizes sa ON sa.doc_id = n.doc_a
+JOIN sizes sb ON sb.doc_id = n.doc_b
+WHERE CAST(n.i AS DOUBLE) / CAST(LEAST(sa.sz, sb.sz) AS DOUBLE)
+      >= {CONTAINMENT_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # Dedup-aware train/val/test split (leakage-safe)
 

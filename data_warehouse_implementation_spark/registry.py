@@ -130,18 +130,20 @@ _DRIVER_WINDOW = [
     "priority_pivot",
     "part_melt",
     "brand_median_price",
-    "brand_mode_type",
     # round-5 additions — checked the round they land (never-deferred
-    # rule): bigram-LM fluency scoring, both purchase-graph walks, and
-    # the three new subquery-position SQL parity queries
+    # rule, asserted by tests/test_entry.py): bigram-LM fluency
+    # scoring, both purchase-graph walks, containment dedup, and the
+    # three new subquery-position SQL parity queries
     "doc_bigram_rarity",
     "purchase_graph_pagerank",
     "purchase_graph_communities",
+    "near_dup_containment",
     "avg_qty_gated_revenue_sql",
     "nation_value_concentration_sql",
     "supplier_part_census_sql",
     # position 51+ — round-6 refresh order (remaining r2-green tail,
     # then the displaced r2-green rows)
+    "brand_mode_type",
     "recent_order_preview",
     "segment_mode_fill",
     "doc_simhash",
@@ -709,4 +711,9 @@ register(
     "purchase_graph_communities",
     graph_queries.purchase_graph_communities,
     graph_queries.PURCHASE_GRAPH_COMMUNITIES_ORACLE,
+)
+register(
+    "near_dup_containment",
+    llm_queries.near_dup_containment,
+    llm_queries.NEAR_DUP_CONTAINMENT_ORACLE,
 )

@@ -13,3 +13,33 @@ def test_entry_smoke(spark):
     assert "timely_rank" in df.columns
     # oracle keys must be a subset of query keys
     assert set(mod.oracle_sql()) <= set(mod.queries())
+
+
+def test_driver_window_integrity():
+    """The driver checks the FIRST 50 registry entries: every window
+    name must exist in the registry, carry an oracle, and appear only
+    once — and every query registered this round (not present in any
+    prior CORRECTNESS file) must sit INSIDE the first 50, the
+    never-deferred rule for additions."""
+    import json
+    import os
+
+    from data_warehouse_implementation_spark import registry
+
+    w = registry._DRIVER_WINDOW
+    assert len(w) == len(set(w)), "duplicate window entries"
+    missing = [n for n in w if n not in registry._QUERIES]
+    assert not missing, f"window names not registered: {missing}"
+    first50 = [n for n in w if n in registry._QUERIES][:50]
+    no_oracle = [n for n in first50 if n not in registry._ORACLES]
+    assert not no_oracle, f"windowed queries without oracles: {no_oracle}"
+
+    checked_before = set()
+    for i in range(1, 10):
+        p = f"/root/repo/CORRECTNESS_r{i:02d}.json"
+        if os.path.exists(p):
+            with open(p) as fh:
+                checked_before.update(json.load(fh))
+    new_queries = [n for n in registry._QUERIES if n not in checked_before]
+    deferred = [n for n in new_queries if n not in first50]
+    assert not deferred, f"new queries deferred past the window: {deferred}"

@@ -526,3 +526,20 @@ def test_incremental_subset_join_equals_direct_verification(spark):
     want = sorted((r.doc_a, r.doc_b, round(r.jaccard, 12)) for r in direct)
     got = sorted((r.new_id, r.corpus_id, round(r.jaccard, 12)) for r in via_join)
     assert want == got
+
+
+def test_containment_catches_doc_in_doc_that_jaccard_misses(spark):
+    """Overlap-coefficient semantics: a 5-item set fully contained in a
+    20-item set has containment 1.0 but jaccard 0.25 — above any
+    containment threshold, far below the jaccard one. Exact values
+    asserted through pairwise_jaccard's include_containment path."""
+    tids = spark.createDataFrame(
+        [(1, t) for t in range(5)] + [(2, t) for t in range(20)],
+        "doc_id long, tid long",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    row = dedup.pairwise_jaccard(pairs, tids, include_containment=True).collect()[0]
+    assert row.containment == 1.0
+    assert abs(row.jaccard - 0.25) < 1e-12
+    # default path is unchanged: no containment column
+    assert "containment" not in dedup.pairwise_jaccard(pairs, tids).columns
