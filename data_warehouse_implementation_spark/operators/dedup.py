@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from . import relational
+
 HASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime modulus)
 
 # Fixed universal-hash coefficients (k=16 permutations). Literal values
@@ -438,10 +440,11 @@ def jaccard_prefix_join(
     ``(num*s + den - 1) div den``) — bit-portable to any SQL engine.
 
     Scale notes: the rare-first order is what keeps prefix buckets
-    small (the most selective tokens come first); the global token
-    ranking shown here is a vocabulary-sized window — at 100 TB swap it
-    for the bucketed two-phase rank of :func:`build_dictionary` (same
-    output, no single-task sort). Candidate volume is bounded by
+    small (the most selective tokens come first); the vocabulary-scale
+    token ranking uses :func:`relational.global_rank` — the
+    range-partitioned two-phase rank, NOT a single-task
+    ``Window.orderBy`` (RUNBOOK §3; same rank algebra as
+    ``warehouse.assign_surrogate``). Candidate volume is bounded by
     prefix-bucket sizes, never |docs|^2.
 
     ``tokens`` (optional): a pre-exploded ``(id_col, shingle)`` frame —
@@ -456,10 +459,7 @@ def jaccard_prefix_join(
             "shingle", "token"
         )
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
-    ranked = freq.withColumn(
-        "trank",
-        F.row_number().over(Window.orderBy("dfreq", "token")).cast("long"),
-    )
+    ranked = relational.global_rank(freq, ["dfreq", "token"], "trank")
     ordered = (
         tok.join(ranked, on="token")
         .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy(id_col)))

@@ -49,6 +49,51 @@ def top_k_per_group(
     return out if keep_rank else out.drop(rank_col)
 
 
+def global_rank(
+    df: DataFrame,
+    keys: Sequence[str],
+    out_col: str,
+    num_ranges: int = 32,
+) -> DataFrame:
+    """``row_number() OVER (ORDER BY keys)`` WITHOUT a single-task
+    global sort — the engine-wide replacement for fact-scale
+    ``Window.orderBy`` (banned by RUNBOOK §3):
+
+    1. ``repartitionByRange(num_ranges, *keys)`` — ascending key ranges
+       land on ascending partition ids, so partition id order == key
+       order;
+    2. rank within each range in parallel;
+    3. offset each range by the cumulative counts of earlier ranges (a
+       window over <= ``num_ranges`` rows — the only sequential piece).
+
+    The assigned ranks are independent of where the sampled range
+    bounds fall (rank-within-range + earlier-range counts IS the global
+    rank for any ascending split), so the result is deterministic
+    across runs and parallelism. Keys must be a total order (include a
+    unique tiebreaker). All input columns are preserved; ``out_col``
+    is appended as BIGINT."""
+    reserved = {"_pid", "_rn", "_off", out_col}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(f"global_rank scratch/output columns already present: {sorted(clash)}")
+    cols = [F.col(k) for k in keys]
+    ranged = df.repartitionByRange(num_ranges, *cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    offsets = counts.withColumn("_off", F.sum("_n").over(w_off) - F.col("_n")).select(
+        "_pid", "_off"
+    )
+    w_in = Window.partitionBy("_pid").orderBy(*cols)
+    return (
+        ranged.withColumn("_rn", F.row_number().over(w_in))
+        .join(F.broadcast(offsets), on="_pid")
+        .withColumn(out_col, (F.col("_off") + F.col("_rn")).cast("long"))
+        .drop("_pid", "_rn", "_off")
+    )
+
+
 def semi_filter(df: DataFrame, keys: DataFrame, on: Sequence[str]) -> DataFrame:
     """Left-semi join: keep df rows whose key tuple appears in ``keys``
     (reference J6/P7 — INNER JOIN to a distinct list / tuple-IN subquery,

@@ -1777,8 +1777,10 @@ def semantic_dedup_census(t: dict[str, DataFrame]) -> DataFrame:
     emb = t["embeddings"].select("vec_id", "label")
     pairs = embedding_near_dup(t)
     dropped = pairs.select(F.col("vec_b").alias("vec_id")).distinct()
+    # no broadcast hint: dropped is corpus-scale in a duplicate-heavy
+    # corpus — plain join, AQE picks the strategy from measured size
     lab = emb.join(
-        F.broadcast(dropped.withColumn("_d", F.lit(True))), on="vec_id", how="left"
+        dropped.withColumn("_d", F.lit(True)), on="vec_id", how="left"
     )
     return (
         lab.groupBy("label")
@@ -1832,7 +1834,13 @@ def semantic_dedup_greedy(t: dict[str, DataFrame]) -> DataFrame:
     Equivalent to the sequential greedy scan (each round decides
     exactly the prefix of the order whose fate no longer depends on
     undecided vertices); rounds = longest dependency chain, not
-    cluster size. Scale shape: the pair space is the cluster-
+    cluster size. The loop runs TO FIXPOINT (``n_edges == 0``) — the
+    peeling provably terminates (every surviving component's minimum
+    undecided id is kept each round, so each component shrinks every
+    round, bounding rounds by the longest dependency chain <= |V|);
+    a generous safety cap exists only to turn a logic bug into a loud
+    ``RuntimeError`` instead of an infinite loop — it can NOT silently
+    truncate a legal input. Scale shape: the pair space is the cluster-
     restricted ``embedding_near_dup`` equi-join (never all-pairs),
     each round is one anti-join + one semi-join over the shrinking
     edge set, and per-round state is ``localCheckpoint``-ed so plans
@@ -1853,9 +1861,20 @@ def semantic_dedup_greedy(t: dict[str, DataFrame]) -> DataFrame:
     # fixed overhead at bench scale; the truncation still bounds plan
     # growth at 100x)
     n_edges = edges.count()
-    for _ in range(25):
-        if n_edges == 0:
-            break
+    rounds = 0
+    while n_edges > 0:
+        # Safety cap against a logic bug only: peeling provably decides
+        # >= 1 vertex per surviving component per round, so a legal
+        # input can never need more rounds than vertices. LOUD if hit —
+        # silent truncation would keep undecided vertices and diverge
+        # from the greedy rule with no error (VERDICT r5 #2).
+        rounds += 1
+        if rounds > 100_000:
+            raise RuntimeError(
+                f"semantic_dedup_greedy: {n_edges} edges still undecided "
+                f"after {rounds - 1} peeling rounds — peeling must shrink "
+                "every component each round; this indicates a logic bug"
+            )
         blocked = edges.select(F.col("vec_b").alias("vec_id")).distinct()
         kept_now = undecided.join(blocked, on="vec_id", how="left_anti")
         dropped_now = (
@@ -1889,8 +1908,12 @@ def semantic_dedup_greedy(t: dict[str, DataFrame]) -> DataFrame:
     )
     for part in dropped_parts[1:]:
         dropped = dropped.unionByName(part)
+    # NO broadcast hint here: the dropped set is corpus-scale in a
+    # duplicate-heavy corpus (it can approach |V|), so this must stay a
+    # plain shuffle join and let AQE downgrade/upgrade the strategy
+    # from the measured size (VERDICT r5 #2, secondary).
     lab = emb.join(
-        F.broadcast(dropped.distinct().withColumn("_d", F.lit(True))),
+        dropped.distinct().withColumn("_d", F.lit(True)),
         on="vec_id",
         how="left",
     )

@@ -80,24 +80,12 @@ def assign_surrogate(
 ) -> DataFrame:
     """The rank-assignment half of :func:`build_dim`, for callers whose
     key tuples are ALREADY distinct (e.g. one grouping-sets pass that
-    produced several dims' key sets at once): range-partition, rank
-    within ranges, offset by earlier-range counts — the global
-    ``row_number() OVER (ORDER BY keys)`` without a single-task sort."""
-    keys = [F.col(k) for k in natural_keys]
-    ranged = dim.repartitionByRange(num_ranges, *keys).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    offsets = counts.withColumn("_off", F.sum("_n").over(w_off) - F.col("_n")).select(
-        "_pid", "_off"
-    )
-    w_in = Window.partitionBy("_pid").orderBy(*keys)
-    return (
-        ranged.withColumn("_rn", F.row_number().over(w_in))
-        .join(F.broadcast(offsets), on="_pid")
-        .withColumn(surrogate_col, (F.col("_off") + F.col("_rn")).cast("long"))
-        .select(*natural_keys, surrogate_col)
+    produced several dims' key sets at once). Delegates to
+    :func:`relational.global_rank` — the engine's one shared
+    range-partitioned two-phase rank (also the token ranker inside
+    ``dedup.jaccard_prefix_join``)."""
+    return relational.global_rank(dim, natural_keys, surrogate_col, num_ranges).select(
+        *natural_keys, surrogate_col
     )
 
 
