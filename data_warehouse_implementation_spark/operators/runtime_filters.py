@@ -86,7 +86,14 @@ def bloom_prefilter(
     # collision-safe scratch names: the fact may legitimately own a
     # 'bloom' (or '_bp0'...) column; reserve a prefix and lengthen it
     # until it collides with nothing, so the probe neither shadows nor
-    # drops user data
+    # drops user data. The OUTPUT column gets the same protection: a
+    # pre-existing 'bloom_pass' would be silently overwritten by
+    # withColumn — refuse instead of clobbering user data.
+    if "bloom_pass" in fact.columns:
+        raise ValueError(
+            "bloom_prefilter output column 'bloom_pass' already exists on the "
+            "fact — rename it before probing"
+        )
     rf = "__rf"
     while any(c.startswith(rf) for c in fact.columns):
         rf += "_"

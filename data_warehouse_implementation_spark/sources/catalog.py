@@ -177,18 +177,33 @@ class WarehouseCatalog:
         when the metastore is fresh (in-memory catalog per session) but a
         previous session's managed-table directory survives on disk —
         Spark then fails with ``LOCATION_ALREADY_EXISTS`` rather than
-        replacing it. Pre-clean both the catalog entry and any orphaned
-        location so a crashed/interrupted run never wedges the next one.
+        replacing it. Pre-clean the catalog entry (DROP TABLE removes a
+        managed table's real location, wherever the catalog put it) and,
+        for catalog-unknown orphans only, the warehouse-dir path — with
+        the table name validated against path separators first, since
+        that branch is a recursive delete on a string-built path.
         """
         if mode == "overwrite":
             self._check_mutable(name)
-            self.spark.sql(f"DROP TABLE IF EXISTS `{name}`")
-            wdir = self.spark.conf.get(
-                "spark.sql.warehouse.dir", "spark-warehouse"
-            ).removeprefix("file:")
-            orphan = os.path.join(wdir, name.lower())
-            if os.path.isdir(orphan):
-                shutil.rmtree(orphan)
+            if os.sep in name or "/" in name or ".." in name:
+                raise ValueError(f"unsafe table name for bucketed sink: {name!r}")
+            if self.spark.catalog.tableExists(name):
+                # known table: DROP TABLE deletes the managed location
+                # the catalog actually recorded — no path guessing
+                self.spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+            elif "." not in name:
+                # orphan: a previous session's managed dir with no
+                # catalog entry (in-memory metastore died). Only the
+                # unqualified layout (<warehouse>/<name>) is
+                # reconstructible from the name; qualified names live
+                # under <db>.db/ and are left alone.
+                wdir = self.spark.conf.get(
+                    "spark.sql.warehouse.dir",
+                    os.path.join(os.getcwd(), "spark-warehouse"),
+                ).removeprefix("file:")
+                orphan = os.path.join(wdir, name.lower())
+                if os.path.isdir(orphan):
+                    shutil.rmtree(orphan)
         writer = df.write.mode(mode).bucketBy(buckets, *bucket_by)
         if sort_by:
             writer = writer.sortBy(*sort_by)

@@ -22,7 +22,7 @@ def test_driver_window_integrity():
     prior CORRECTNESS file) must sit INSIDE the first 50, the
     never-deferred rule for additions."""
     import json
-    import os
+    from pathlib import Path
 
     from data_warehouse_implementation_spark import registry
 
@@ -34,12 +34,13 @@ def test_driver_window_integrity():
     no_oracle = [n for n in first50 if n not in registry._ORACLES]
     assert not no_oracle, f"windowed queries without oracles: {no_oracle}"
 
+    repo_root = Path(__file__).resolve().parents[1]
     checked_before = set()
-    for i in range(1, 10):
-        p = f"/root/repo/CORRECTNESS_r{i:02d}.json"
-        if os.path.exists(p):
-            with open(p) as fh:
-                checked_before.update(json.load(fh))
+    for i in range(1, 20):
+        p = repo_root / f"CORRECTNESS_r{i:02d}.json"
+        if p.exists():
+            checked_before.update(json.loads(p.read_text()))
+    assert checked_before, "no prior CORRECTNESS files found — repo-root derivation broken?"
     new_queries = [n for n in registry._QUERIES if n not in checked_before]
     deferred = [n for n in new_queries if n not in first50]
     assert not deferred, f"new queries deferred past the window: {deferred}"

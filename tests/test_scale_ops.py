@@ -47,6 +47,20 @@ def test_bloom_prefilter_survives_column_name_collisions(spark):
     )
 
 
+def test_bloom_prefilter_refuses_to_clobber_output_column(spark):
+    """The OUTPUT column gets the same no-clobber protection as the
+    scratch columns: withColumn would silently overwrite a pre-existing
+    'bloom_pass' on the fact, so the probe must refuse instead."""
+    import pytest
+
+    keys = spark.range(1, 51).select(F.col("id").alias("k"))
+    probe = spark.range(1, 101).select(
+        F.col("id").alias("x"), F.lit(True).alias("bloom_pass")
+    )
+    with pytest.raises(ValueError, match="bloom_pass"):
+        rf.bloom_prefilter(probe, keys, "x", "k")
+
+
 def test_bloom_probe_plan_is_map_side(spark):
     """The probe side must not shuffle the fact: the only exchange in
     the plan feeds the broadcast of the 1-row filter."""

@@ -184,6 +184,19 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_root):
         cat.drop_managed_table("bkt_dim")
 
 
+def test_write_bucketed_rejects_path_shaped_names(spark, tmp_root):
+    """The orphan-cleanup branch recursively deletes a path built from
+    the table name — names carrying separators or parent refs must be
+    refused before any filesystem action."""
+    import pytest
+
+    cat = WarehouseCatalog(spark, tmp_root)
+    df = spark.range(10).select(F.col("id").alias("k"))
+    for bad in ("../evil", "a/b", "x/../y"):
+        with pytest.raises(ValueError, match="unsafe table name"):
+            cat.write_bucketed(bad, df, buckets=2, bucket_by=["k"])
+
+
 def test_partition_pruning_shows_in_plan(spark, tmp_root):
     """A year-partitioned fact scanned with a year predicate must carry
     it as a PartitionFilter (metadata pruning), not a data filter."""
