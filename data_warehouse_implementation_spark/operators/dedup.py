@@ -515,3 +515,111 @@ def jaccard_prefix_join(
         )
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def containment_prefix_join(
+    df: DataFrame,
+    threshold_num: int = 7,
+    threshold_den: int = 10,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokens: DataFrame | None = None,
+) -> DataFrame:
+    """EXACT-threshold CONTAINMENT (overlap-coefficient) self-join via
+    ASYMMETRIC prefix filtering — guaranteed recall for the doc-in-doc
+    shape that jaccard-driven LSH banding structurally under-recalls
+    (a tiny document embedded in a huge one has near-1 containment but
+    near-0 jaccard, so its minhash signatures rarely band-collide).
+
+    Containment ``|A ∩ B| / min(|A|,|B|) >= t`` requires overlap
+    ``o >= ceil(t * |small|)`` — a bound that depends ONLY on the small
+    side. Hence the asymmetry (the standard overlap-join prefix bound,
+    cf. Chaudhuri et al. 2006 SSJoin primitive): each
+    document acting as the SMALL side exposes its rare-first prefix of
+    ``s - ceil(t*s) + 1`` tokens (pigeonhole: if none of the >= o
+    shared tokens sat in that prefix, the remaining ``ceil(t*s) - 1``
+    slots could not hold them all); the LARGE side is indexed on ALL
+    its tokens — no size-based pruning exists for it, because a probe
+    of size 1 already demands overlap 1 with any superset. Candidates
+    are the equi-join of small-side prefixes against the full token
+    index restricted to ``|small| <= |large|`` (id tiebreak on equal
+    sizes, so each unordered pair surfaces exactly once), then exact
+    intersection counting verifies ``i * den >= num * min(sz)`` in
+    integers — bit-portable to any SQL engine, no double rounding at
+    the threshold boundary.
+
+    Scale shape: the token rank is :func:`relational.global_rank`
+    (range-partitioned two-phase — never a single-task vocabulary
+    sort); small-side prefixes keep probe buckets rare-token-small,
+    while index-bucket sizes are bounded by token document frequency —
+    cap hot tokens the way ``candidate_pairs`` caps hot LSH buckets if
+    a corpus has pathological stop-shingles. Candidate volume is
+    sum-over-prefix-tokens of (probe bucket x index bucket), never
+    |docs|^2.
+
+    ``tokens``: optional pre-exploded ``(id_col, shingle)`` frame —
+    pass the session-cached shingle table (the plan consults the token
+    set in four branches)."""
+    if tokens is not None:
+        tok = tokens.withColumnRenamed("shingle", "token")
+    else:
+        tok = word_shingles(df, n=n, text_col=text_col, id_col=id_col).withColumnRenamed(
+            "shingle", "token"
+        )
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
+    ranked = relational.global_rank(freq, ["dfreq", "token"], "trank")
+    ordered = (
+        tok.join(ranked, on="token")
+        .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+        .withColumn(
+            "pos",
+            F.row_number().over(Window.partitionBy(id_col).orderBy("trank")),
+        )
+    )
+    ceil_ts = (
+        (F.col("sz") * threshold_num + threshold_den - 1) / threshold_den
+    ).cast("long")
+    probe = ordered.filter(F.col("pos") <= F.col("sz") - ceil_ts + 1).select(
+        F.col(id_col).alias("doc_s"), "token", F.col("sz").alias("szs")
+    )
+    sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    index = tok.join(sizes, on=id_col).select(
+        F.col(id_col).alias("doc_l"), "token", F.col("sz").alias("szl")
+    )
+    cands = (
+        probe.join(index, on="token")
+        .filter(
+            (F.col("szs") < F.col("szl"))
+            | ((F.col("szs") == F.col("szl")) & (F.col("doc_s") < F.col("doc_l")))
+        )
+        .select("doc_s", "doc_l")
+        .distinct()
+    )
+    ts = tok.select(F.col(id_col).alias("doc_s"), "token")
+    tl = tok.select(F.col(id_col).alias("doc_l"), "token")
+    inter = (
+        cands.join(ts, on="doc_s")
+        .join(tl, on=["doc_l", "token"])
+        .groupBy("doc_s", "doc_l")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col(id_col).alias("doc_s"), F.col("sz").alias("szs")), on="doc_s"
+        )
+        .join(sizes.select(F.col(id_col).alias("doc_l"), F.col("sz").alias("szl")), on="doc_l")
+        .filter(F.col("inter") * threshold_den >= F.least("szs", "szl") * threshold_num)
+        .select(
+            F.least("doc_s", "doc_l").alias("doc_a"),
+            F.greatest("doc_s", "doc_l").alias("doc_b"),
+            (
+                F.col("inter").cast("double")
+                / F.least("szs", "szl").cast("double")
+            ).alias("containment"),
+            (
+                F.col("inter").cast("double")
+                / (F.col("szs") + F.col("szl") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )

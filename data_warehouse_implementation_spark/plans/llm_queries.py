@@ -2369,3 +2369,78 @@ JOIN sizes sb ON sb.doc_id = i.doc_b
 WHERE i.inter * 5 >= (sa.sz + sb.sz - i.inter) * 3
 ORDER BY doc_a, doc_b
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact-recall containment join (the asymmetric prefix filter promised
+# by near_dup_containment's docstring, promoted from prose to code)
+
+
+def containment_prefix_join(t: dict[str, DataFrame]) -> DataFrame:
+    """3-word-shingle CONTAINMENT >= 7/10 self-join with GUARANTEED
+    recall (``dedup.containment_prefix_join``) — the deterministic
+    complement to ``near_dup_containment``, whose banded-LSH candidate
+    screen approximates JACCARD collision probability and therefore
+    structurally under-recalls the extreme small-in-huge pairs that
+    containment exists to catch. Here the prefix filter is asymmetric
+    (only the small side of a pair can be pruned — overlap demand
+    ``ceil(t*|small|)`` depends on nothing else), so recall is total by
+    the pigeonhole argument in the operator docstring; the pytest suite
+    additionally proves completeness against brute force on a crafted
+    small-in-huge corpus. Feeds on the family-shared cached shingle
+    table. Oracle: full-pipeline replay (rank, prefix, asymmetric
+    candidate join, integer-arithmetic threshold)."""
+    return (
+        dedup.containment_prefix_join(
+            t["documents"],
+            threshold_num=7,
+            threshold_den=10,
+            tokens=_shared_shingles(t),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+CONTAINMENT_PREFIX_JOIN_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS arr
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(arr) - 2),
+         i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]))) AS token
+  FROM toks WHERE len(arr) >= 3
+),
+freq AS (SELECT token, COUNT(*) AS dfreq FROM tok GROUP BY token),
+ranked AS (SELECT token, CAST(ROW_NUMBER() OVER (ORDER BY dfreq, token) AS BIGINT) AS trank FROM freq),
+ordered AS (
+  SELECT t.doc_id, t.token, r.trank,
+         COUNT(*) OVER (PARTITION BY t.doc_id) AS sz,
+         ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY r.trank) AS pos
+  FROM tok t JOIN ranked r USING (token)
+),
+probe AS (SELECT doc_id, token, sz FROM ordered WHERE pos <= sz - ((sz*7 + 9) // 10) + 1),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+idx AS (SELECT t.doc_id, t.token, s.sz FROM tok t JOIN sizes s USING (doc_id)),
+cands AS (
+  SELECT DISTINCT p.doc_id AS doc_s, i.doc_id AS doc_l
+  FROM probe p JOIN idx i ON p.token = i.token
+  WHERE p.sz < i.sz OR (p.sz = i.sz AND p.doc_id < i.doc_id)
+),
+inter AS (
+  SELECT c.doc_s, c.doc_l, COUNT(*) AS i
+  FROM cands c
+  JOIN tok ta ON ta.doc_id = c.doc_s
+  JOIN tok tb ON tb.doc_id = c.doc_l AND tb.token = ta.token
+  GROUP BY c.doc_s, c.doc_l
+)
+SELECT LEAST(n.doc_s, n.doc_l) AS doc_a,
+       GREATEST(n.doc_s, n.doc_l) AS doc_b,
+       CAST(n.i AS DOUBLE) / CAST(LEAST(ss.sz, sl.sz) AS DOUBLE) AS containment,
+       CAST(n.i AS DOUBLE) / CAST(ss.sz + sl.sz - n.i AS DOUBLE) AS jaccard
+FROM inter n
+JOIN sizes ss ON ss.doc_id = n.doc_s
+JOIN sizes sl ON sl.doc_id = n.doc_l
+WHERE n.i * 10 >= LEAST(ss.sz, sl.sz) * 7
+ORDER BY doc_a, doc_b
+"""

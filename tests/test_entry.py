@@ -44,3 +44,17 @@ def test_driver_window_integrity():
     new_queries = [n for n in registry._QUERIES if n not in checked_before]
     deferred = [n for n in new_queries if n not in first50]
     assert not deferred, f"new queries deferred past the window: {deferred}"
+
+def test_survey_count_matches_registry():
+    """SURVEY.md's footer count must track the registry (VERDICT r5 #3:
+    the doc drifted to 144 while the registry held 152)."""
+    import re
+    from pathlib import Path
+
+    from data_warehouse_implementation_spark import registry
+
+    text = (Path(__file__).resolve().parents[1] / "SURVEY.md").read_text()
+    m = re.search(r"(\d+) registered queries, (\d+) with SQL oracles", text)
+    assert m, "SURVEY.md footer count sentence not found"
+    assert int(m.group(1)) == len(registry._QUERIES), (m.group(1), len(registry._QUERIES))
+    assert int(m.group(2)) == len(registry._ORACLES), (m.group(2), len(registry._ORACLES))

@@ -494,6 +494,59 @@ def test_semantic_dedup_greedy_keeps_chain_survivors(spark):
     assert (strict[1].n_kept, strict[1].n_dropped) == (1, 0)
 
 
+def test_containment_prefix_join_complete_vs_brute_force(spark):
+    """The asymmetric prefix filter must be lossless, including on the
+    exact shape banded LSH under-recalls: a tiny document embedded
+    verbatim in a much larger one (containment 1.0, jaccard ~0.02 —
+    far below any jaccard screen). Brute force = all co-token pairs
+    with overlap-coefficient >= 7/10."""
+    small = "alpha beta gamma delta epsilon"
+    huge = small + " " + " ".join(f"w{i} w{i}x w{i}y" for i in range(60))
+    rows = [
+        (1, small),                      # contained in 2 — must surface
+        (2, huge),
+        (3, "alpha beta gamma zeta"),    # 2 of 2 shingles shared with 1? no: n=3
+        (4, " ".join(f"n{i}" for i in range(30))),  # noise
+        (5, small + " omega"),           # heavy overlap with 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): (r.containment, r.jaccard)
+        for r in dedup.containment_prefix_join(df).collect()
+    }
+
+    # brute force over full shingle sets
+    import itertools
+
+    def shingles(text):
+        ws = text.lower().split()
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    sets = {i: shingles(t) for i, t in rows}
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        mn = min(len(sets[a]), len(sets[b]))
+        if mn and inter * 10 >= mn * 7:
+            want[(a, b)] = (
+                inter / mn,
+                inter / (len(sets[a]) + len(sets[b]) - inter),
+            )
+    assert got == want
+    assert (1, 2) in got and got[(1, 2)][0] == 1.0 and got[(1, 2)][1] < 0.05
+
+
+def test_containment_prefix_join_no_global_vocab_window(spark):
+    """Same RUNBOOK §3 invariant as the jaccard prefix join: the token
+    ranking must be the range-partitioned two-phase rank."""
+    docs = load_tables(spark, SF)["documents"]
+    out = dedup.containment_prefix_join(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "row_number()" in line:
+            assert "_pid" in line or "doc_id" in line, f"global row_number window:\n{line}"
+
+
 def test_semantic_dedup_greedy_long_chain_past_old_round_cap(spark):
     """Regression for the silent 25-round truncation (VERDICT r5 #2):
     the peeling loop must run TO FIXPOINT. A 60-vector AR(1)-style
