@@ -111,11 +111,15 @@ def main() -> None:
             print(f"# warmup failed: {type(e).__name__}: {e}", file=sys.stderr)
         load_tables(spark, sf_dir)  # re-point the temp views at the timed sf
 
+    from data_warehouse_implementation_spark.plans import materialize
+
     total = 0.0
     errors: dict[str, str] = {}
+    cache_builds: dict[str, list[str]] = {}
     for name, q in qs.items():
         # Failure isolation: one broken query must never zero the whole
         # round's bench — record the error and keep timing the rest.
+        builds_before = len(materialize.BUILD_LOG)
         t0 = time.perf_counter()
         try:
             df = q(spark, sf_dir)
@@ -127,7 +131,15 @@ def main() -> None:
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
         total += dt
-        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        # Shared-cache attribution: which session caches did THIS query
+        # build (vs merely consume)? Build cost lands on whichever family
+        # member runs first, so round-over-round per-query comparisons
+        # need this to tell a plan regression from a cache reordering.
+        built = materialize.BUILD_LOG[builds_before:]
+        if built:
+            cache_builds[name] = built
+        suffix = f" [built: {', '.join(built)}]" if built else ""
+        print(f"# {name}: {dt:.3f}s ({n} rows){suffix}", file=sys.stderr)
 
     # The one-line summary must stay small enough for the driver's tail
     # capture (118 per-query timings on one line overran it in round 3
@@ -136,25 +148,66 @@ def main() -> None:
     # bench_detail.json next to this script.
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
     # Regression gate vs the PREVIOUS bench_detail.json (if any, and
-    # only when it ran the same sf): flag queries that got >1.5x slower
-    # AND lost >0.3s absolute (the floor keeps 0.02s->0.04s jitter out).
-    # Reported, not fatal — single-run timing noise on a shared machine
-    # reaches tens of percent, so a human (or the next round's judge)
-    # decides; what must never happen again is a silent slowdown.
+    # only when it ran the same sf), ENVIRONMENT-NORMALIZED (VERDICT r5
+    # #4): the driver machine runs ~15% slower than the builder's local
+    # runs on identical code, which used to flag a dozen spurious
+    # per-query "regressions" per round. Scale the previous run's
+    # per-query times by the MEDIAN now/prev ratio over common queries
+    # (median, not total: a single real regression must not drag the
+    # scale with it), then flag >1.5x AND >0.3s absolute vs the scaled
+    # baseline. Queries that BUILT a shared cache this run but not in
+    # the previous run (or vice versa) are annotated, not flagged —
+    # family-cache build cost lands on whichever member runs first.
+    # Reported, not fatal — a human (or the next round's judge) decides;
+    # what must never happen is a silent slowdown.
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
-    regressions: dict[str, dict[str, float]] = {}
+    regressions: dict[str, dict] = {}
+    env_scale = 1.0
     try:
         with open(detail_path) as fh:
             prev = json.load(fh)
         if prev.get("sf") == sf:
+            prev_q = prev.get("queries", {})
+            prev_builds = prev.get("cache_builds", {})
+            ratios = sorted(
+                timings[n] / prev_q[n]
+                for n in timings
+                if prev_q.get(n)
+            )
+            if len(ratios) >= 5:
+                env_scale = ratios[len(ratios) // 2]
             for name, dt in timings.items():
-                was = prev.get("queries", {}).get(name)
-                if was and dt > 1.5 * was and dt - was > 0.3:
-                    regressions[name] = {"prev": was, "now": dt, "ratio": round(dt / was, 2)}
+                was = prev_q.get(name)
+                if not was:
+                    continue
+                scaled = was * env_scale
+                if dt > 1.5 * scaled and dt - scaled > 0.3:
+                    built_now = cache_builds.get(name, [])
+                    built_prev = prev_builds.get(name, [])
+                    regressions[name] = {
+                        "prev": was,
+                        "prev_scaled": round(scaled, 3),
+                        "now": dt,
+                        "ratio": round(dt / scaled, 2),
+                    }
+                    if built_now != built_prev:
+                        # attribution shift, not a plan change: the
+                        # shared-cache build moved onto/off this query
+                        regressions[name]["cache_shift"] = {
+                            "now_built": built_now,
+                            "prev_built": built_prev,
+                        }
     except (OSError, ValueError):
         pass  # first run, or unreadable previous detail — nothing to compare
+    if env_scale != 1.0:
+        print(f"# env_scale (median now/prev): {env_scale:.3f}", file=sys.stderr)
     for name, r in sorted(regressions.items(), key=lambda kv: -kv[1]["ratio"]):
-        print(f"# REGRESSION {name}: {r['prev']}s -> {r['now']}s ({r['ratio']}x)", file=sys.stderr)
+        shift = " [cache-attribution shift]" if "cache_shift" in r else ""
+        print(
+            f"# REGRESSION {name}: {r['prev']}s (scaled {r['prev_scaled']}s) -> "
+            f"{r['now']}s ({r['ratio']}x){shift}",
+            file=sys.stderr,
+        )
     out = {
         "metric": "total_query_wall_seconds",
         # A run with errors must never publish a total: a crashed slow
@@ -169,6 +222,7 @@ def main() -> None:
         "regressions": dict(
             sorted(regressions.items(), key=lambda kv: -kv[1]["ratio"])[:10]
         ),
+        "env_scale": round(env_scale, 3),
         "sf": sf,
     }
     if errors:
@@ -180,6 +234,8 @@ def main() -> None:
         "queries": timings,
         "errors": errors,
         "regressions": regressions,
+        "cache_builds": cache_builds,
+        "env_scale": round(env_scale, 3),
         "sf": sf,
     }
     with open(detail_path, "w") as fh:

@@ -25,6 +25,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 _CACHE: dict[tuple[str, str], tuple[SparkSession, DataFrame]] = {}
 
+#: Append-only log of cache names BUILT (not served) this process, in
+#: build order. The bench snapshots it around each timed query so
+#: bench_detail.json can attribute shared-cache build cost to the query
+#: that actually paid it — round-over-round comparisons otherwise read
+#: a family-cache reordering as a per-query regression (VERDICT r5 #6).
+BUILD_LOG: list[str] = []
+
 
 def get_or_build(
     name: str,
@@ -48,6 +55,7 @@ def get_or_build(
             return df
         # stale entry from a stopped/replaced session — rebuild
         _CACHE.pop((name, sf_dir), None)
+    BUILD_LOG.append(name)
     stage_dir = os.environ.get("SPARK_GRAFT_STAGE_DIR")
     if corpus_scale and stage_dir:
         # Corpus-scale intermediates don't belong in executor memory at
