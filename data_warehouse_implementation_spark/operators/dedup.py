@@ -414,6 +414,37 @@ def simhash16(doc_ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return simhash_bits(doc_ids, 16, id_col=id_col)
 
 
+def rank_ordered_tokens(
+    tokens: DataFrame, id_col: str = "doc_id", token_col: str = "shingle"
+) -> DataFrame:
+    """The THRESHOLD-INDEPENDENT front half of every prefix-filtered
+    similarity join: global rare-first token ranks (document frequency
+    asc, token — via :func:`relational.global_rank`, never a
+    single-task vocabulary sort) joined back onto the exploded
+    (doc, token) table with per-doc set size and rank position.
+    Returns ``(id_col, token, trank, sz, pos)``.
+
+    Both :func:`jaccard_prefix_join` and
+    :func:`containment_prefix_join` consume this unchanged — only
+    their prefix-length arithmetic differs — so callers running more
+    than one threshold/metric over the same corpus should compute it
+    once, cache it, and pass it via their ``ordered`` parameter: the
+    corpus-scale work (frequency aggregate, two-phase rank, the two
+    per-doc windows) is identical across all of them."""
+    tok = tokens.withColumnRenamed(token_col, "token")
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
+    ranked = relational.global_rank(freq, ["dfreq", "token"], "trank")
+    return (
+        tok.join(ranked, on="token")
+        .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+        .withColumn(
+            "pos",
+            F.row_number().over(Window.partitionBy(id_col).orderBy("trank")),
+        )
+        .select(id_col, "token", "trank", "sz", "pos")
+    )
+
+
 def jaccard_prefix_join(
     df: DataFrame,
     threshold_num: int = 3,
@@ -422,6 +453,7 @@ def jaccard_prefix_join(
     text_col: str = "text",
     id_col: str = "doc_id",
     tokens: DataFrame | None = None,
+    ordered: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT-threshold set-similarity self-join via prefix filtering
     (the AllPairs/PPJoin family, Bayardo et al. 2007 / Xiao et al.
@@ -451,23 +483,15 @@ def jaccard_prefix_join(
     pass the session-cached shingle table when one exists: this plan
     consults the token set in FIVE branches (doc frequency, ordering,
     both intersection sides, sizes), and without a materialized input
-    each branch re-runs the corpus explode."""
-    if tokens is not None:
-        tok = tokens.withColumnRenamed("shingle", "token")
-    else:
-        tok = word_shingles(df, n=n, text_col=text_col, id_col=id_col).withColumnRenamed(
-            "shingle", "token"
-        )
-    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
-    ranked = relational.global_rank(freq, ["dfreq", "token"], "trank")
-    ordered = (
-        tok.join(ranked, on="token")
-        .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
-        .withColumn(
-            "pos",
-            F.row_number().over(Window.partitionBy(id_col).orderBy("trank")),
-        )
-    )
+    each branch re-runs the corpus explode. ``ordered`` (optional):
+    a pre-computed (ideally cached) :func:`rank_ordered_tokens` frame —
+    threshold-independent, so one build serves every prefix-filtered
+    join over the corpus; supersedes ``tokens``."""
+    if ordered is None:
+        if tokens is None:
+            tokens = word_shingles(df, n=n, text_col=text_col, id_col=id_col)
+        ordered = rank_ordered_tokens(tokens, id_col=id_col)
+    tok = ordered.select(id_col, "token")
     # prefix length s - ceil(t*s) + 1 with integer ceil (Column has no
     # // operator; double-div + long cast truncates == floor for
     # non-negative ints of this magnitude)
@@ -475,22 +499,58 @@ def jaccard_prefix_join(
         (F.col("sz") * threshold_num + threshold_den - 1) / threshold_den
     ).cast("long")
     prefix = ordered.filter(F.col("pos") <= F.col("sz") - ceil_ts + 1).select(
-        id_col, "token", "sz"
+        id_col, "token", "trank", "sz", "pos"
     )
     a = prefix.select(
-        F.col(id_col).alias("doc_a"), "token", F.col("sz").alias("sza")
+        F.col(id_col).alias("doc_a"),
+        "token",
+        "trank",
+        F.col("sz").alias("sza"),
+        F.col("pos").alias("_pa"),
     )
     b = prefix.select(
-        F.col(id_col).alias("doc_b"), "token", F.col("sz").alias("szb")
+        F.col(id_col).alias("doc_b"),
+        "token",
+        F.col("sz").alias("szb"),
+        F.col("pos").alias("_pb"),
     )
+    # required overlap: J >= num/den  <=>  i >= ceil(num*(sza+szb)/(num+den))
+    o_req = (
+        (
+            (F.col("sza") + F.col("szb")) * threshold_num
+            + threshold_num
+            + threshold_den
+            - 1
+        )
+        / (threshold_num + threshold_den)
+    ).cast("long")
     cands = (
         a.join(b, on="token")
         .filter(F.col("doc_a") < F.col("doc_b"))
         # length filter: t*|x| <= |y| (and symmetrically) in integers
         .filter(F.col("szb") * threshold_den >= F.col("sza") * threshold_num)
         .filter(F.col("sza") * threshold_den >= F.col("szb") * threshold_num)
+        # PPJoin POSITIONAL filter (Xiao et al. 2008 §3.2): take the
+        # pair's FIRST shared token (min trank — for any truly-similar
+        # pair that token provably sits inside both prefixes, so this
+        # restricted min equals the global min); every shared token
+        # occupies positions >= (_pa, _pb) in the two trank-sorted
+        # lists, bounding overlap by 1 + min(remaining slots). Pairs
+        # whose bound can't reach the required overlap are pruned
+        # BEFORE the expensive exact-intersection join; the final
+        # threshold filter is unchanged, so only provably-failing
+        # candidates are removed — recall stays total.
+        .groupBy("doc_a", "doc_b", "sza", "szb")
+        .agg(F.min(F.struct("trank", "_pa", "_pb")).alias("_first"))
+        .filter(
+            1
+            + F.least(
+                F.col("sza") - F.col("_first._pa"),
+                F.col("szb") - F.col("_first._pb"),
+            )
+            >= o_req
+        )
         .select("doc_a", "doc_b")
-        .distinct()
     )
     ta = tok.select(F.col(id_col).alias("doc_a"), "token")
     tb = tok.select(F.col(id_col).alias("doc_b"), "token")
@@ -525,6 +585,7 @@ def containment_prefix_join(
     text_col: str = "text",
     id_col: str = "doc_id",
     tokens: DataFrame | None = None,
+    ordered: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT-threshold CONTAINMENT (overlap-coefficient) self-join via
     ASYMMETRIC prefix filtering — guaranteed recall for the doc-in-doc
@@ -560,41 +621,63 @@ def containment_prefix_join(
 
     ``tokens``: optional pre-exploded ``(id_col, shingle)`` frame —
     pass the session-cached shingle table (the plan consults the token
-    set in four branches)."""
-    if tokens is not None:
-        tok = tokens.withColumnRenamed("shingle", "token")
-    else:
-        tok = word_shingles(df, n=n, text_col=text_col, id_col=id_col).withColumnRenamed(
-            "shingle", "token"
-        )
-    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
-    ranked = relational.global_rank(freq, ["dfreq", "token"], "trank")
-    ordered = (
-        tok.join(ranked, on="token")
-        .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
-        .withColumn(
-            "pos",
-            F.row_number().over(Window.partitionBy(id_col).orderBy("trank")),
-        )
-    )
+    set in four branches). ``ordered``: optional pre-computed
+    :func:`rank_ordered_tokens` frame — threshold-independent and
+    shared verbatim with :func:`jaccard_prefix_join`, so one cached
+    build serves both metrics; supersedes ``tokens``."""
+    if ordered is None:
+        if tokens is None:
+            tokens = word_shingles(df, n=n, text_col=text_col, id_col=id_col)
+        ordered = rank_ordered_tokens(tokens, id_col=id_col)
+    tok = ordered.select(id_col, "token")
     ceil_ts = (
         (F.col("sz") * threshold_num + threshold_den - 1) / threshold_den
     ).cast("long")
     probe = ordered.filter(F.col("pos") <= F.col("sz") - ceil_ts + 1).select(
-        F.col(id_col).alias("doc_s"), "token", F.col("sz").alias("szs")
+        F.col(id_col).alias("doc_s"),
+        "token",
+        "trank",
+        F.col("sz").alias("szs"),
+        F.col("pos").alias("_ps"),
     )
     sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    index = tok.join(sizes, on=id_col).select(
-        F.col(id_col).alias("doc_l"), "token", F.col("sz").alias("szl")
+    # the index side carries its rank position too, feeding the
+    # positional filter below (``ordered`` already has per-doc size, so
+    # no extra sizes join here)
+    index = ordered.select(
+        F.col(id_col).alias("doc_l"),
+        "token",
+        F.col("sz").alias("szl"),
+        F.col("pos").alias("_pl"),
     )
+    # required overlap depends ONLY on the small side: o = ceil(t*szs)
+    o_req = (
+        (F.col("szs") * threshold_num + threshold_den - 1) / threshold_den
+    ).cast("long")
     cands = (
         probe.join(index, on="token")
         .filter(
             (F.col("szs") < F.col("szl"))
             | ((F.col("szs") == F.col("szl")) & (F.col("doc_s") < F.col("doc_l")))
         )
+        # positional filter on the FIRST shared token (min trank; for a
+        # truly-contained pair it provably sits inside the small side's
+        # prefix, so the restricted min equals the global min): shared
+        # tokens occupy positions >= (_ps, _pl), bounding overlap by
+        # 1 + min(remaining slots) — prune pairs that provably can't
+        # reach ceil(t*szs) before the exact-intersection join. The
+        # final threshold filter is unchanged; recall stays total.
+        .groupBy("doc_s", "doc_l", "szs", "szl")
+        .agg(F.min(F.struct("trank", "_ps", "_pl")).alias("_first"))
+        .filter(
+            1
+            + F.least(
+                F.col("szs") - F.col("_first._ps"),
+                F.col("szl") - F.col("_first._pl"),
+            )
+            >= o_req
+        )
         .select("doc_s", "doc_l")
-        .distinct()
     )
     ts = tok.select(F.col(id_col).alias("doc_s"), "token")
     tl = tok.select(F.col(id_col).alias("doc_l"), "token")

@@ -114,6 +114,23 @@ def _shared_shingles(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def _shared_prefix_ordered(t: dict[str, DataFrame]) -> DataFrame:
+    """The session-cached rank-ordered token table
+    (``dedup.rank_ordered_tokens``): rare-first trank + per-doc size
+    and position over the shared shingle explode. THRESHOLD- and
+    METRIC-independent, so the jaccard prefix join and the containment
+    prefix join consume the identical build — the corpus-scale work
+    (frequency aggregate, two-phase rank, two per-doc windows) runs
+    once per corpus instead of once per metric."""
+    docs = t["documents"]
+    return materialize.get_or_build(
+        "prefix_ordered_rank",
+        str(docs.semanticHash()),
+        lambda: dedup.rank_ordered_tokens(_shared_shingles(t)),
+        corpus_scale=True,
+    )
+
+
 def _shared_stack(t: dict[str, DataFrame], hashed: bool = False) -> dict[str, DataFrame]:
     """The session-cached minhash pipeline stages every family member
     draws from — computed at most once per (mode, corpus):
@@ -2314,16 +2331,17 @@ def near_dup_prefix_join(t: dict[str, DataFrame]) -> DataFrame:
     this corpus the prefix filter admits ~120 candidates out of ~125k
     possible pairs before exact verification. The pytest suite also
     proves completeness against a brute-force all-pairs Jaccard at
-    small sf (``tests/test_llm_ops.py``). Feeds on the family-shared
-    cached shingle table — the prefix plan consults the token set in
-    five branches, each of which would otherwise re-explode the
-    corpus."""
+    small sf (``tests/test_llm_ops.py``). Feeds on the session-cached
+    rank-ordered token table (threshold-independent, shared verbatim
+    with ``containment_prefix_join``) — the prefix plan consults the
+    token set in five branches, each of which would otherwise
+    re-explode and re-rank the corpus."""
     return (
         dedup.jaccard_prefix_join(
             t["documents"],
             threshold_num=3,
             threshold_den=5,
-            tokens=_shared_shingles(t),
+            ordered=_shared_prefix_ordered(t),
         )
         .orderBy("doc_a", "doc_b")
     )
@@ -2387,15 +2405,17 @@ def containment_prefix_join(t: dict[str, DataFrame]) -> DataFrame:
     ``ceil(t*|small|)`` depends on nothing else), so recall is total by
     the pigeonhole argument in the operator docstring; the pytest suite
     additionally proves completeness against brute force on a crafted
-    small-in-huge corpus. Feeds on the family-shared cached shingle
-    table. Oracle: full-pipeline replay (rank, prefix, asymmetric
-    candidate join, integer-arithmetic threshold)."""
+    small-in-huge corpus. Feeds on the session-cached rank-ordered
+    token table (threshold-independent, shared verbatim with
+    ``near_dup_prefix_join``). Oracle: full-pipeline replay (rank,
+    prefix, asymmetric candidate join, integer-arithmetic
+    threshold)."""
     return (
         dedup.containment_prefix_join(
             t["documents"],
             threshold_num=7,
             threshold_den=10,
-            tokens=_shared_shingles(t),
+            ordered=_shared_prefix_ordered(t),
         )
         .orderBy("doc_a", "doc_b")
     )
