@@ -450,6 +450,42 @@ def test_prefix_join_complete_property(spark, docs):
     assert got == want
 
 
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=1, max_size=8),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_containment_prefix_join_complete_property(spark, docs):
+    """The asymmetric prefix + positional filters must be lossless on
+    ARBITRARY tiny corpora — including threshold-boundary pairs where
+    containment == 7/10 exactly, equal-size role ties, and size-1 sets
+    (whose prefix is the whole set). 1-word shingles maximize token
+    collisions."""
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.containment_prefix_join(df, n=1).collect()
+    }
+    sets = {i: set(ws) for i, ws in enumerate(docs)}
+    want = set()
+    for a in sets:
+        for b in sets:
+            if a < b:
+                inter = len(sets[a] & sets[b])
+                mn = min(len(sets[a]), len(sets[b]))
+                if inter * 10 >= mn * 7:
+                    want.add((a, b))
+    assert got == want
+
+
 def test_semantic_dedup_greedy_keeps_chain_survivors(spark):
     """The keep-rule divergence the oracle differential cannot see when
     both sides encode the same rule: in a similarity chain a-b-c (pairs
