@@ -471,3 +471,136 @@ def bigram_rarity(
         F.count(F.lit(1)).alias("n_bigrams"),
         (F.sum("_term").cast("double") / F.count(F.lit(1))).alias("mean_bigram_rarity"),
     )
+
+
+#: Negative-pair hash coefficients — distinct from SPLIT/PRIORITY so a
+#: document's negative partners are independent of its split bucket and
+#: sample priority.
+NEGATIVE_A = 1_327_217_885
+NEGATIVE_B = 941_083_987
+NEGATIVE_C = 507_435_114
+
+
+def negative_pairs(
+    df: DataFrame,
+    groups: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    group_col: str = "group_id",
+) -> DataFrame:
+    """Deterministic contrastive NEGATIVE mining with false-negative
+    exclusion — the pair-construction step of contrastive/embedding
+    training: each document draws ``k`` pseudo-random partner documents
+    ("negatives"), and any drawn partner that shares the document's
+    near-duplicate group is DROPPED (a near-copy presented as a
+    negative is a false negative that actively corrupts the contrastive
+    objective — dedup-aware mining is the production hygiene rule).
+
+    Mechanics, all engine-portable integer arithmetic:
+
+    1. dense index ``idx in 1..N`` by :func:`relational.global_rank`
+       over the id (range-partitioned two-phase — never a global
+       window);
+    2. slot ``j`` draws offset ``1 + ((idx*A + B + j*C) mod P) mod
+       (N-1)`` in ``[1, N-1]`` and partner ``1 + (idx - 1 + off) mod
+       N`` — a cyclic shift by a nonzero amount, so self-pairs are
+       impossible BY CONSTRUCTION, not by rejection;
+    3. partners resolve back to ids via an equi-join on ``idx``;
+    4. same-group pairs are filtered via the group labels (docs absent
+       from ``groups`` are singletons: their own id is their group).
+
+    The draw is a pure function of (id, slot, N): partition-invariant,
+    re-runnable, backfill-stable — the same discipline as
+    ``hash_split``. Dropped same-group draws are NOT redrawn (documented
+    under-delivery: a doc may yield < k negatives; redraw-until-k is a
+    driver-side loop a production pipeline runs over the survivors'
+    census). Scale shape: one two-phase rank, one broadcast scalar N,
+    one idx equi-join, two group-label joins — no corpus cross product
+    anywhere.
+
+    Returns ``(id_col, slot, neg_id)``."""
+    from . import relational
+
+    ids = df.select(id_col)
+    ranked = relational.global_rank(ids, [id_col], "idx")
+    n1 = ranked.agg(F.count(F.lit(1)).alias("_n"))
+    slots = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("slot")
+    h = (
+        (F.col("idx") % HASH_P) * NEGATIVE_A
+        + NEGATIVE_B
+        + F.col("slot") * NEGATIVE_C
+    ) % HASH_P
+    off = F.lit(1) + h % (F.col("_n") - 1)
+    pidx = F.lit(1) + (F.col("idx") - 1 + off) % F.col("_n")
+    cand = (
+        ranked.crossJoin(F.broadcast(n1))
+        .select(id_col, "idx", slots, "_n")
+        .withColumn("pidx", pidx.cast("long"))
+    )
+    partners = ranked.select(
+        F.col("idx").alias("pidx"), F.col(id_col).alias("neg_id")
+    )
+    pairs = cand.join(partners, on="pidx").select(id_col, "slot", "neg_id")
+    ga = groups.select(F.col(id_col), F.col(group_col).alias("_ga"))
+    gb = groups.select(
+        F.col(id_col).alias("neg_id"), F.col(group_col).alias("_gb")
+    )
+    return (
+        pairs.join(ga, on=id_col, how="left")
+        .join(gb, on="neg_id", how="left")
+        .withColumn("_ga", F.coalesce(F.col("_ga"), F.col(id_col)))
+        .withColumn("_gb", F.coalesce(F.col("_gb"), F.col("neg_id")))
+        .filter(F.col("_ga") != F.col("_gb"))
+        .select(id_col, F.col("slot").cast("long").alias("slot"), "neg_id")
+    )
+
+
+def balanced_oversample(
+    df: DataFrame, class_col: str = "lang", id_col: str = "doc_id"
+) -> DataFrame:
+    """EXACT class-balanced oversampling — replicate every class to
+    precisely the majority class's row count (the classic imbalanced-
+    training fix, done deterministically instead of with random
+    resampling): each document of a class with ``n_c`` rows gets
+    ``n_max div n_c`` copies, and the first ``n_max mod n_c`` documents
+    of the class (by id order) get one more — so every class sums to
+    EXACTLY ``n_max``, not approximately.
+
+    The within-class ordinal comes from ONE corpus-wide two-phase rank
+    over ``(class, id)`` (:func:`relational.global_rank`) minus each
+    class's cumulative offset (a broadcast #classes-row table) — NOT a
+    ``Window.partitionBy(class)``, whose per-class sort serializes onto
+    #classes tasks when classes are few and huge (the skewed-window
+    trap; RUNBOOK §3 applies to low-cardinality partitions too).
+    Replication is a per-row ``sequence`` explode — map-side.
+
+    Returns one row per (document, copy): ``(id_col, class_col,
+    copy_id)`` with ``copy_id in 1..n_copies``."""
+    from . import relational
+
+    base = df.select(class_col, id_col)
+    ranked = relational.global_rank(base, [class_col, id_col], "_grank")
+    counts = base.groupBy(class_col).agg(F.count(F.lit(1)).alias("_nc"))
+    w_off = Window.orderBy(class_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = counts.withColumn(
+        "_off", F.sum("_nc").over(w_off) - F.col("_nc")
+    )
+    n_max = counts.agg(F.max("_nc").alias("_nmax"))
+    class_rank = F.col("_grank") - F.col("_off")
+    copies = (F.col("_nmax") / F.col("_nc")).cast("long") + F.when(
+        class_rank <= F.col("_nmax") % F.col("_nc"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        ranked.join(F.broadcast(offsets), on=class_col)
+        .crossJoin(F.broadcast(n_max))
+        .withColumn("_copies", copies)
+        .select(
+            id_col,
+            class_col,
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("_copies"))).alias(
+                "copy_id"
+            ),
+        )
+    )

@@ -854,3 +854,43 @@ GROUP BY token ORDER BY n DESC, token LIMIT {top}
 
 
 BPE_TOKEN_STATS_ORACLE = _bpe_encode_oracle(BPE_ROUNDS, BPE_TOP_TOKENS)
+
+
+# ---------------------------------------------------------------------------
+# Exact class-balanced oversampling
+
+
+def doc_balanced_oversample(t: dict[str, DataFrame]) -> DataFrame:
+    """EXACT class-balanced oversampling over the language column
+    (``corpus.balanced_oversample``): every language is replicated to
+    precisely the majority language's document count — base copies
+    ``n_max div n_c`` for all docs plus one extra for the first
+    ``n_max mod n_c`` docs of the class in id order, so each class sums
+    to exactly ``n_max`` (deterministic, not a random resample). The
+    within-class ordinal is the corpus-wide two-phase rank minus a
+    broadcast per-class offset — never a skewed
+    ``Window.partitionBy(lang)`` sort. Oracle: full replay
+    (ROW_NUMBER per class, integer div/mod, generate_series)."""
+    return corpus.balanced_oversample(t["documents"], class_col="lang").orderBy(
+        "doc_id", "copy_id"
+    )
+
+
+DOC_BALANCED_OVERSAMPLE_ORACLE = """
+WITH counts AS (SELECT lang, COUNT(*) AS n_c FROM documents GROUP BY lang),
+mx AS (SELECT MAX(n_c) AS n_max FROM counts),
+ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS cr
+  FROM documents
+),
+sized AS (
+  SELECT r.doc_id, r.lang,
+         (m.n_max // c.n_c)
+           + CASE WHEN r.cr <= m.n_max % c.n_c THEN 1 ELSE 0 END AS n_copies
+  FROM ranked r JOIN counts c USING (lang) CROSS JOIN mx m
+)
+SELECT s.doc_id, s.lang, CAST(u.copy_id AS BIGINT) AS copy_id
+FROM sized s, unnest(generate_series(1, CAST(s.n_copies AS BIGINT))) AS u(copy_id)
+ORDER BY doc_id, copy_id
+"""

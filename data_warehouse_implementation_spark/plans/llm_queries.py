@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup, similarity, text
 from ..operators.dedup import HASH_P, MINHASH_A, MINHASH_B
+from ..operators import corpus as corpus_mod
 from ..operators.corpus import HASH_P as SPLIT_P, SPLIT_A, SPLIT_B
 from . import materialize
 
@@ -2463,4 +2464,81 @@ JOIN sizes ss ON ss.doc_id = n.doc_s
 JOIN sizes sl ON sl.doc_id = n.doc_l
 WHERE n.i * 10 >= LEAST(ss.sz, sl.sz) * 7
 ORDER BY doc_a, doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup-aware contrastive negative mining
+
+
+def doc_negative_pairs(t: dict[str, DataFrame]) -> DataFrame:
+    """Contrastive NEGATIVE pair mining with near-dup false-negative
+    exclusion (``corpus.negative_pairs``): 3 deterministic pseudo-random
+    partners per document, minus any draw whose partner shares the
+    document's near-duplicate cluster — presenting a near-copy as a
+    "negative" actively corrupts a contrastive objective, so the dedup
+    stack's cluster labels gate the pairs (the same composition as
+    ``doc_split_dedup_aware``, which gates the SPLIT instead). The draw
+    is a pure function of (dense rank, slot, N) in engine-portable
+    integer arithmetic; the cyclic-shift construction makes self-pairs
+    impossible rather than rejected. Oracle: full replay — recursive-CTE
+    connected components for the groups, ROW_NUMBER dense index, the
+    identical modular arithmetic."""
+    from ..operators import corpus
+
+    docs = t["documents"]
+    clusters = near_dup_clusters(t)
+    groups = (
+        docs.select("doc_id")
+        .join(clusters, on="doc_id", how="left")
+        .withColumn("group_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")))
+        .select("doc_id", "group_id")
+    )
+    return corpus.negative_pairs(docs, groups, k=3).orderBy("doc_id", "slot")
+
+
+DOC_NEGATIVE_PAIRS_ORACLE = rf"""
+WITH RECURSIVE {_ND_PAIR_CTES},
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM nd
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM nd
+),
+walk(id, label) AS (
+  SELECT DISTINCT src, src FROM sym
+  UNION
+  SELECT s.src, w.label FROM sym s JOIN walk w ON s.dst = w.id
+),
+clusters AS (SELECT id AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY id),
+grp AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS group_id
+  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+),
+ranked AS (
+  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) AS idx
+  FROM documents
+),
+nn AS (SELECT COUNT(*) AS n FROM documents),
+ncand AS (
+  SELECT r.doc_id, s.slot,
+         1 + ((r.idx - 1
+               + 1 + (((r.idx % {SPLIT_P}) * {corpus_mod.NEGATIVE_A}
+                       + {corpus_mod.NEGATIVE_B}
+                       + s.slot * {corpus_mod.NEGATIVE_C}) % {SPLIT_P})
+                     % (nn.n - 1)
+              ) % nn.n) AS pidx
+  FROM ranked r
+  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS slot) s
+  CROSS JOIN nn
+),
+paired AS (
+  SELECT c.doc_id, CAST(c.slot AS BIGINT) AS slot, p.doc_id AS neg_id
+  FROM ncand c JOIN ranked p ON p.idx = c.pidx
+)
+SELECT pr.doc_id, pr.slot, pr.neg_id
+FROM paired pr
+JOIN grp ga ON ga.doc_id = pr.doc_id
+JOIN grp gb ON gb.doc_id = pr.neg_id
+WHERE ga.group_id <> gb.group_id
+ORDER BY pr.doc_id, pr.slot
 """

@@ -87,6 +87,8 @@ _DRIVER_WINDOW = [
     # warehouse builds (assign_surrogate now delegates to
     # relational.global_rank); bloom (output-name guard).
     "containment_prefix_join",
+    "doc_negative_pairs",
+    "doc_balanced_oversample",
     "semantic_dedup_greedy",
     "semantic_dedup_census",
     "near_dup_prefix_join",
@@ -143,10 +145,10 @@ _DRIVER_WINDOW = [
     "events_sessionize",
     "incremental_agg_refresh",
     "integrity_report",
-    "jsonl_scan_agg",
-    "late_order_exists_sql",
     # position 51+ — round-7 refresh order: the remaining r3-green
     # rows, then r4-green
+    "jsonl_scan_agg",
+    "late_order_exists_sql",
     "local_supplier_volume_sql",
     "market_share_sql",
     "nation_revenue_share",
@@ -724,4 +726,14 @@ register(
     "containment_prefix_join",
     llm_queries.containment_prefix_join,
     llm_queries.CONTAINMENT_PREFIX_JOIN_ORACLE,
+)
+register(
+    "doc_negative_pairs",
+    llm_queries.doc_negative_pairs,
+    llm_queries.DOC_NEGATIVE_PAIRS_ORACLE,
+)
+register(
+    "doc_balanced_oversample",
+    corpus_queries.doc_balanced_oversample,
+    corpus_queries.DOC_BALANCED_OVERSAMPLE_ORACLE,
 )

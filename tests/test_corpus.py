@@ -301,3 +301,69 @@ def test_bigram_rarity_flags_improbable_context(spark):
     df = spark.createDataFrame(corpus_docs, "doc_id long, text string")
     got = {r.doc_id: r.mean_bigram_rarity for r in corpus.bigram_rarity(df).collect()}
     assert got[9] > got[1] * 2
+
+
+def test_negative_pairs_invariants(spark):
+    """No self-pairs (cyclic-shift construction), no same-group pairs
+    (dedup-aware exclusion), at most k per doc, and full partition
+    invariance of the draw."""
+    docs = spark.range(40).withColumnRenamed("id", "doc_id")
+    # groups: docs 0-4 share group 0 (a near-dup cluster); rest singleton
+    groups = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") < 5, F.lit(0)).otherwise(F.col("doc_id")).alias("group_id"),
+    )
+    out = corpus.negative_pairs(docs, groups, k=3).collect()
+    assert all(r.doc_id != r.neg_id for r in out)
+    gid = {r.doc_id: r.group_id for r in groups.collect()}
+    assert all(gid[r.doc_id] != gid[r.neg_id] for r in out)
+    from collections import Counter
+
+    per_doc = Counter(r.doc_id for r in out)
+    assert max(per_doc.values()) <= 3
+    # most docs keep all 3 draws (only cluster collisions drop)
+    assert sum(per_doc.values()) >= 40 * 3 - 5 * 3
+    # deterministic across partitionings
+    again = corpus.negative_pairs(docs.repartition(7), groups, k=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_negative_pairs_drops_cluster_mates_specifically(spark):
+    """Crafted collision: with N=2 and k=1 every doc's only possible
+    partner is the other doc; making them cluster mates must yield an
+    EMPTY pair set rather than a self- or in-cluster pair."""
+    docs = spark.createDataFrame([(10,), (11,)], "doc_id long")
+    mates = spark.createDataFrame([(10, 1), (11, 1)], "doc_id long, group_id long")
+    assert corpus.negative_pairs(docs, mates, k=1).count() == 0
+    # and with distinct groups the same draw is admitted
+    split = spark.createDataFrame([(10, 1), (11, 2)], "doc_id long, group_id long")
+    got = {(r.doc_id, r.neg_id) for r in corpus.negative_pairs(docs, split, k=1).collect()}
+    assert got == {(10, 11), (11, 10)}
+
+
+def test_balanced_oversample_exact_class_totals(spark):
+    """Every class's replicated row count equals EXACTLY the majority
+    class count; per-doc copy counts differ by at most one within a
+    class; deterministic across partitionings."""
+    rows = (
+        [(i, "big") for i in range(17)]
+        + [(100 + i, "mid") for i in range(5)]
+        + [(200 + i, "tiny") for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = corpus.balanced_oversample(df).collect()
+    from collections import Counter
+
+    per_class = Counter(r.lang for r in out)
+    assert per_class == {"big": 17, "mid": 17, "tiny": 17}
+    per_doc = Counter((r.lang, r.doc_id) for r in out)
+    for lang in ("big", "mid", "tiny"):
+        counts = [c for (lg, _), c in per_doc.items() if lg == lang]
+        assert max(counts) - min(counts) <= 1
+    # copy_id is 1..n_copies per doc
+    seen = {}
+    for r in out:
+        seen.setdefault((r.lang, r.doc_id), []).append(r.copy_id)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in seen.values())
+    again = corpus.balanced_oversample(df.repartition(5)).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
