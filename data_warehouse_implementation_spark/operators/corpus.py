@@ -604,3 +604,74 @@ def balanced_oversample(
             ),
         )
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SPARSE retrieval: query-by-example BM25 top-k — the lexical
+    complement to the dense ANN stack (``operators/similarity.py``);
+    fuse the two with :func:`plans.llm_queries.hybrid_rrf_fusion`.
+    Each query is an existing document (its distinct words are the
+    query terms, query-side tf deliberately unweighted); every other
+    document sharing a term is scored
+
+        sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*len/avgdl))
+
+    with k1 = 1.2, b = 0.75 — EXCEPT that idf is the RAW odds ratio
+    ``(N - df + 0.5) / (df + 0.5)`` without the classic ``ln``:
+    natural-log results differ across engines in the last ulp, so the
+    repo-wide bit-portability discipline (no ``ln``/``exp`` on the
+    oracle path) trades the log's term-dampening for an exactly
+    replayable score. Every factor is a double ratio of exact int64s
+    ((2(N-df)+1)/(2df+1); k1-denominator as (3T + 9*len*N)/(10T));
+    per-term scores are decimal-cast before summing so the aggregate is
+    order-independent; ranking compares the exact decimals.
+
+    Scale shape: one token explode, three aggregates (tf, df, len), a
+    term equi-join restricted to the query terms (|queries| is small —
+    the joined volume is query-bounded, never corpus x corpus), one
+    per-query top-k window. Returns
+    ``(query_doc, rank, doc_id, bm25)``."""
+    tok = df.select(F.col(id_col), F.explode(words(text_col)).alias("token"))
+    tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
+    lens = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("len"))
+    tot = lens.agg(F.sum("len").alias("T"), F.count(F.lit(1)).alias("N"))
+    qterms = (
+        tf.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("query_doc"), "token")
+    )
+    idf = (2 * (F.col("N") - F.col("dfreq")) + 1).cast("double") / (
+        2 * F.col("dfreq") + 1
+    ).cast("double")
+    denom = F.col("tf").cast("double") + (
+        3 * F.col("T") + 9 * F.col("len") * F.col("N")
+    ).cast("double") / (10 * F.col("T")).cast("double")
+    term = idf * (F.col("tf").cast("double") * F.lit(2.2)) / denom
+    scored = (
+        qterms.join(tf, on="token")
+        .filter(F.col(id_col) != F.col("query_doc"))
+        .join(dfreq, on="token")
+        .join(lens, on=id_col)
+        .crossJoin(F.broadcast(tot))
+        .groupBy("query_doc", id_col)
+        .agg(F.sum(term.cast("decimal(28,6)")).alias("_s"))
+    )
+    from .relational import top_k_per_group
+
+    return (
+        top_k_per_group(
+            scored,
+            partition_by=["query_doc"],
+            order_by=[F.desc("_s"), F.asc(id_col)],
+            k=k,
+            rank_col="rank",
+            keep_rank=True,
+        )
+        .select("query_doc", "rank", id_col, F.col("_s").cast("double").alias("bm25"))
+    )

@@ -894,3 +894,62 @@ SELECT s.doc_id, s.lang, CAST(u.copy_id AS BIGINT) AS copy_id
 FROM sized s, unnest(generate_series(1, CAST(s.n_copies AS BIGINT))) AS u(copy_id)
 ORDER BY doc_id, copy_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Sparse retrieval: query-by-example BM25
+
+
+#: Query-by-example documents for the retrieval queries (fixed ids so
+#: the oracle interpolates the same literals).
+BM25_QUERY_DOCS = [7, 42, 99]
+BM25_TOP_K = 10
+
+
+def doc_bm25_topk(t: dict[str, DataFrame]) -> DataFrame:
+    """Sparse lexical retrieval (``corpus.bm25_topk``): BM25 top-10
+    query-by-example over three fixed query documents — the inverted-
+    index complement to the dense ANN stack, and the sparse half of
+    ``hybrid_rrf_fusion``. Rational-odds idf (no ``ln`` — see the
+    operator docstring for the bit-portability trade), decimal-summed
+    per-term scores, ranking on the exact decimal. Oracle: full replay
+    (tf/df/len aggregates, identical integer-ratio arithmetic)."""
+    return corpus.bm25_topk(
+        t["documents"], BM25_QUERY_DOCS, k=BM25_TOP_K
+    ).orderBy("query_doc", "rank")
+
+
+DOC_BM25_TOPK_ORACLE = f"""
+WITH {_TOKS_SQL.strip()},
+tok AS (SELECT doc_id, unnest(arr) AS token FROM toks),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+dfq AS (SELECT token, COUNT(*) AS dfreq FROM tf GROUP BY token),
+lens AS (SELECT doc_id, COUNT(*) AS len FROM tok GROUP BY doc_id),
+tot AS (SELECT SUM(len) AS T, COUNT(*) AS N FROM lens),
+q AS (
+  SELECT doc_id AS query_doc, token FROM tf
+  WHERE doc_id IN ({", ".join(str(i) for i in BM25_QUERY_DOCS)})
+),
+scored AS (
+  SELECT q.query_doc, d.doc_id,
+         SUM(CAST(
+           (CAST(2*(t.N - f.dfreq) + 1 AS DOUBLE) / CAST(2*f.dfreq + 1 AS DOUBLE))
+           * (CAST(d.tf AS DOUBLE) * 2.2)
+           / (CAST(d.tf AS DOUBLE)
+              + CAST(3*t.T + 9*l.len*t.N AS DOUBLE) / CAST(10*t.T AS DOUBLE))
+         AS DECIMAL(28,6))) AS s
+  FROM q
+  JOIN tf d ON d.token = q.token AND d.doc_id <> q.query_doc
+  JOIN dfq f ON f.token = q.token
+  JOIN lens l ON l.doc_id = d.doc_id
+  CROSS JOIN tot t
+  GROUP BY q.query_doc, d.doc_id
+),
+ranked AS (
+  SELECT query_doc, doc_id, s,
+         ROW_NUMBER() OVER (PARTITION BY query_doc ORDER BY s DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query_doc, CAST(rank AS BIGINT) AS rank, doc_id, CAST(s AS DOUBLE) AS bm25
+FROM ranked WHERE rank <= {BM25_TOP_K} ORDER BY query_doc, rank
+"""

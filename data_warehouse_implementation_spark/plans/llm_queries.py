@@ -2542,3 +2542,146 @@ JOIN grp gb ON gb.doc_id = pr.neg_id
 WHERE ga.group_id <> gb.group_id
 ORDER BY pr.doc_id, pr.slot
 """
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of BM25 and dense cosine
+
+
+RRF_C = 60  # the standard RRF dampening constant (Cormack et al. 2009)
+RRF_CAND_K = 20
+RRF_TOP_K = 10
+
+
+def hybrid_rrf_fusion(t: dict[str, DataFrame]) -> DataFrame:
+    """HYBRID retrieval — reciprocal-rank fusion (RRF, Cormack et al.
+    2009) of the sparse BM25 ranking and the dense cosine ranking for
+    the same query-by-example documents: ``score = 1/(60+r_sparse) +
+    1/(60+r_dense)``, summing only the lists a document appears in
+    (top-20 candidates from each side). This is the modern RAG
+    retrieval shape: lexical recall catches what the embedding misses
+    and vice versa, and rank-space fusion needs no score calibration
+    between the two systems. The corpus is PARTIALLY embedded at bench
+    sf (2000 vectors / 5000 docs) — exactly the production case where
+    vector coverage lags ingestion and sparse-only docs must stay
+    retrievable: such docs carry only the sparse term.
+
+    Scale shape: both candidate lists are query-bounded (|queries| x k
+    rows); the fusion is a tiny full-outer join + one per-query top-k
+    window. Doubles: each reciprocal is the identical literal
+    expression in Spark and SQL, and the two-term sum has a fixed
+    written order — bit-portable without rounding."""
+    from ..operators.relational import top_k_per_group
+    from .corpus_queries import BM25_QUERY_DOCS
+
+    sparse = corpus_mod.bm25_topk(
+        t["documents"], BM25_QUERY_DOCS, k=RRF_CAND_K
+    ).select("query_doc", "doc_id", F.col("rank").alias("_rs"))
+    qemb = t["embeddings"].filter(F.col("vec_id").isin(BM25_QUERY_DOCS))
+    dense = similarity.cosine_topk(qemb, t["embeddings"], k=RRF_CAND_K).select(
+        F.col("query_id").alias("query_doc"),
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("_rd"),
+    )
+    fused = (
+        sparse.join(dense, on=["query_doc", "doc_id"], how="full_outer")
+        .withColumn(
+            "rrf",
+            F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_C) + F.col("_rs")).cast("double"), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_C) + F.col("_rd")).cast("double"), F.lit(0.0)
+            ),
+        )
+    )
+    return (
+        top_k_per_group(
+            fused,
+            partition_by=["query_doc"],
+            order_by=[F.desc("rrf"), F.asc("doc_id")],
+            k=RRF_TOP_K,
+            rank_col="rank",
+            keep_rank=True,
+        )
+        .select("query_doc", "rank", "doc_id", "rrf")
+        .orderBy("query_doc", "rank")
+    )
+
+
+def _bm25_cand_ctes() -> str:
+    """The sparse candidate CTE chain (top-RRF_CAND_K BM25), shared
+    with the standalone BM25 oracle's formula — see
+    corpus_queries.DOC_BM25_TOPK_ORACLE for the arithmetic notes."""
+    from .corpus_queries import BM25_QUERY_DOCS
+
+    ids = ", ".join(str(i) for i in BM25_QUERY_DOCS)
+    return f"""toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS arr
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(arr) AS token FROM toks),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+dfq AS (SELECT token, COUNT(*) AS dfreq FROM tf GROUP BY token),
+lens AS (SELECT doc_id, COUNT(*) AS len FROM tok GROUP BY doc_id),
+tot AS (SELECT SUM(len) AS T, COUNT(*) AS N FROM lens),
+qt AS (SELECT doc_id AS query_doc, token FROM tf WHERE doc_id IN ({ids})),
+bscored AS (
+  SELECT qt.query_doc, d.doc_id,
+         SUM(CAST(
+           (CAST(2*(t.N - f.dfreq) + 1 AS DOUBLE) / CAST(2*f.dfreq + 1 AS DOUBLE))
+           * (CAST(d.tf AS DOUBLE) * 2.2)
+           / (CAST(d.tf AS DOUBLE)
+              + CAST(3*t.T + 9*l.len*t.N AS DOUBLE) / CAST(10*t.T AS DOUBLE))
+         AS DECIMAL(28,6))) AS s
+  FROM qt
+  JOIN tf d ON d.token = qt.token AND d.doc_id <> qt.query_doc
+  JOIN dfq f ON f.token = qt.token
+  JOIN lens l ON l.doc_id = d.doc_id
+  CROSS JOIN tot t
+  GROUP BY qt.query_doc, d.doc_id
+),
+sparse AS (
+  SELECT query_doc, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_doc ORDER BY s DESC, doc_id) AS rs
+  FROM bscored
+  QUALIFY rs <= {RRF_CAND_K}
+)"""
+
+
+HYBRID_RRF_FUSION_ORACLE = f"""
+WITH {_bm25_cand_ctes()},
+qv AS (
+  SELECT vec_id AS query_doc, embedding::DOUBLE[] AS qv
+  FROM embeddings
+  WHERE vec_id IN (7, 42, 99)
+),
+cv AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS cv FROM embeddings),
+dscored AS (
+  SELECT query_doc, doc_id,
+         list_dot_product(qv, cv)
+         / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+  FROM qv JOIN cv ON query_doc <> doc_id
+),
+dense AS (
+  SELECT query_doc, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_doc ORDER BY cosine DESC, doc_id) AS rd
+  FROM dscored
+  QUALIFY rd <= {RRF_CAND_K}
+),
+fused AS (
+  SELECT COALESCE(s.query_doc, d.query_doc) AS query_doc,
+         COALESCE(s.doc_id, d.doc_id) AS doc_id,
+         COALESCE(1.0 / CAST({RRF_C} + s.rs AS DOUBLE), 0.0)
+           + COALESCE(1.0 / CAST({RRF_C} + d.rd AS DOUBLE), 0.0) AS rrf
+  FROM sparse s
+  FULL OUTER JOIN dense d ON s.query_doc = d.query_doc AND s.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT query_doc, doc_id, rrf,
+         ROW_NUMBER() OVER (PARTITION BY query_doc ORDER BY rrf DESC, doc_id) AS rank
+  FROM fused
+)
+SELECT query_doc, CAST(rank AS BIGINT) AS rank, doc_id, rrf
+FROM ranked WHERE rank <= {RRF_TOP_K} ORDER BY query_doc, rank
+"""

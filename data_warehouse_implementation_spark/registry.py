@@ -89,6 +89,8 @@ _DRIVER_WINDOW = [
     "containment_prefix_join",
     "doc_negative_pairs",
     "doc_balanced_oversample",
+    "doc_bm25_topk",
+    "hybrid_rrf_fusion",
     "semantic_dedup_greedy",
     "semantic_dedup_census",
     "near_dup_prefix_join",
@@ -144,9 +146,9 @@ _DRIVER_WINDOW = [
     "events_keep_latest",
     "events_sessionize",
     "incremental_agg_refresh",
-    "integrity_report",
     # position 51+ — round-7 refresh order: the remaining r3-green
     # rows, then r4-green
+    "integrity_report",
     "jsonl_scan_agg",
     "late_order_exists_sql",
     "local_supplier_volume_sql",
@@ -736,4 +738,14 @@ register(
     "doc_balanced_oversample",
     corpus_queries.doc_balanced_oversample,
     corpus_queries.DOC_BALANCED_OVERSAMPLE_ORACLE,
+)
+register(
+    "doc_bm25_topk",
+    corpus_queries.doc_bm25_topk,
+    corpus_queries.DOC_BM25_TOPK_ORACLE,
+)
+register(
+    "hybrid_rrf_fusion",
+    llm_queries.hybrid_rrf_fusion,
+    llm_queries.HYBRID_RRF_FUSION_ORACLE,
 )
