@@ -675,3 +675,63 @@ def bm25_topk(
         )
         .select("query_doc", "rank", id_col, F.col("_s").cast("double").alias("bm25"))
     )
+
+
+#: Span-corruption hash coefficients — independent of split/priority/
+#: negative draws.
+SPAN_A = 1_686_629_713
+SPAN_B = 226_908_347
+SPAN_C = 1_200_109_819
+
+
+def span_corruption_plan(
+    df: DataFrame,
+    window: int = 20,
+    span: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic SPAN-CORRUPTION planning (the T5/UL2 denoising
+    objective's data side): partition each document's token stream into
+    fixed ``window``-token windows and mask one ``span``-token span per
+    window, its offset drawn by a universal hash of (doc, window) — so
+    the corruption rate is exactly ``span/window`` (15% at the 3/20
+    default), spans are NON-OVERLAPPING BY CONSTRUCTION (one per
+    disjoint window — no rejection sampling, no sequential scan), and
+    the plan is a pure function of (id, window index): partition-
+    invariant, re-runnable, identical across backfills — the
+    ``hash_split`` discipline applied to augmentation.
+
+    Emits one row per span: ``(id_col, span_id, start_pos, span_len,
+    masked_text)`` with 1-based token positions; a trailing partial
+    window shorter than ``span`` yields no span. Entirely map-side
+    array algebra — NO shuffle anywhere in the plan (the explode is
+    per-row), so it composes with any downstream partitioning for
+    free."""
+    arr = words(text_col)
+    base = df.select(F.col(id_col), arr.alias("_arr")).filter(
+        F.size("_arr") >= span
+    )
+    n_win = F.ceil(F.size("_arr") / F.lit(window)).cast("long")
+    wins = F.explode(F.sequence(F.lit(0).cast("long"), n_win - 1)).alias("span_id")
+    win_len = F.least(
+        F.size("_arr").cast("long") - F.col("span_id") * window, F.lit(window).cast("long")
+    )
+    h = (
+        (F.col(id_col) % HASH_P) * SPAN_A + SPAN_B + F.col("span_id") * SPAN_C
+    ) % HASH_P
+    off = h % (win_len - span + 1)
+    start = F.col("span_id") * window + off + 1
+    return (
+        base.select(id_col, "_arr", wins)
+        .filter(win_len >= span)
+        .select(
+            id_col,
+            "span_id",
+            start.cast("long").alias("start_pos"),
+            F.lit(span).cast("long").alias("span_len"),
+            F.concat_ws(
+                " ", F.slice(F.col("_arr"), start.cast("int"), span)
+            ).alias("masked_text"),
+        )
+    )

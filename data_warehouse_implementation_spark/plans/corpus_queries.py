@@ -953,3 +953,45 @@ ranked AS (
 SELECT query_doc, CAST(rank AS BIGINT) AS rank, doc_id, CAST(s AS DOUBLE) AS bm25
 FROM ranked WHERE rank <= {BM25_TOP_K} ORDER BY query_doc, rank
 """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic span-corruption planning (T5-style denoising data prep)
+
+
+def doc_span_corruption(t: dict[str, DataFrame]) -> DataFrame:
+    """Span-corruption plan (``corpus.span_corruption_plan``): one
+    3-token masked span per disjoint 20-token window — exactly 15%
+    corruption, spans non-overlapping by construction, the whole plan a
+    pure map-side function of (doc_id, window) with NO shuffle
+    anywhere. Oracle: full replay (generate_series windows, identical
+    modular arithmetic, list slicing)."""
+    return corpus.span_corruption_plan(t["documents"]).orderBy(
+        "doc_id", "span_id"
+    )
+
+
+DOC_SPAN_CORRUPTION_ORACLE = f"""
+WITH {_TOKS_SQL.strip()},
+base AS (
+  SELECT doc_id, arr, len(arr) AS n FROM toks WHERE len(arr) >= 3
+),
+wins AS (
+  SELECT doc_id, arr, CAST(t.w AS BIGINT) AS span_id,
+         LEAST(n - t.w * 20, 20) AS win_len
+  FROM base, unnest(generate_series(0, CAST(CEIL(n / 20.0) AS BIGINT) - 1)) AS t(w)
+),
+spans AS (
+  SELECT doc_id, arr, span_id,
+         span_id * 20
+           + (((doc_id % {HASH_P}) * {corpus.SPAN_A} + {corpus.SPAN_B}
+               + span_id * {corpus.SPAN_C}) % {HASH_P}) % (win_len - 2)
+           + 1 AS start_pos
+  FROM wins WHERE win_len >= 3
+)
+SELECT doc_id, span_id, CAST(start_pos AS BIGINT) AS start_pos,
+       CAST(3 AS BIGINT) AS span_len,
+       array_to_string(arr[start_pos : start_pos + 2], ' ') AS masked_text
+FROM spans
+ORDER BY doc_id, span_id
+"""

@@ -91,6 +91,7 @@ _DRIVER_WINDOW = [
     "doc_balanced_oversample",
     "doc_bm25_topk",
     "hybrid_rrf_fusion",
+    "doc_span_corruption",
     "semantic_dedup_greedy",
     "semantic_dedup_census",
     "near_dup_prefix_join",
@@ -145,9 +146,9 @@ _DRIVER_WINDOW = [
     "events_daily_delta",
     "events_keep_latest",
     "events_sessionize",
-    "incremental_agg_refresh",
     # position 51+ — round-7 refresh order: the remaining r3-green
     # rows, then r4-green
+    "incremental_agg_refresh",
     "integrity_report",
     "jsonl_scan_agg",
     "late_order_exists_sql",
@@ -748,4 +749,9 @@ register(
     "hybrid_rrf_fusion",
     llm_queries.hybrid_rrf_fusion,
     llm_queries.HYBRID_RRF_FUSION_ORACLE,
+)
+register(
+    "doc_span_corruption",
+    corpus_queries.doc_span_corruption,
+    corpus_queries.DOC_SPAN_CORRUPTION_ORACLE,
 )

@@ -367,3 +367,100 @@ def test_balanced_oversample_exact_class_totals(spark):
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in seen.values())
     again = corpus.balanced_oversample(df.repartition(5)).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_bm25_hand_computed(spark):
+    """Pin the BM25 semantics on a corpus small enough to compute by
+    hand in exact Python floats: rational-odds idf, k1=1.2, b=0.75,
+    query-by-example with the query doc excluded from its own
+    results."""
+    rows = [
+        (0, "spark sql engine"),
+        (1, "spark spark runtime"),
+        (2, "sql planner"),
+        (3, "vector index"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = corpus.bm25_topk(df, [0], k=10).collect()
+    docs = {i: t.split() for i, t in rows}
+    N, T = 4, sum(len(w) for w in docs.values())
+    dfreq = {}
+    for ws in docs.values():
+        for t in set(ws):
+            dfreq[t] = dfreq.get(t, 0) + 1
+
+    import decimal
+
+    def score(q, d):
+        s = decimal.Decimal(0)
+        for t in set(docs[q]):
+            tf = docs[d].count(t)
+            if tf == 0:
+                continue
+            idf = float(2 * (N - dfreq[t]) + 1) / float(2 * dfreq[t] + 1)
+            term = idf * (float(tf) * 2.2) / (
+                float(tf) + float(3 * T + 9 * len(docs[d]) * N) / float(10 * T)
+            )
+            # mirror the engine's decimal(28,6) per-term cast (half-up)
+            s += decimal.Decimal(repr(term)).quantize(
+                decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+            )
+        return float(s)
+
+    got = {(r.query_doc, r.doc_id): (r.rank, r.bm25) for r in out}
+    # docs 1 (shares 'spark') and 2 (shares 'sql') score; doc 3 shares
+    # nothing and must be absent
+    assert set(got) == {(0, 1), (0, 2)}
+    expect = sorted(
+        ((score(0, d), d) for d in (1, 2)), key=lambda x: (-x[0], x[1])
+    )
+    for rank, (sc, d) in enumerate(expect, start=1):
+        assert got[(0, d)][0] == rank
+        assert abs(got[(0, d)][1] - sc) < 1e-9, (d, got[(0, d)][1], sc)
+
+
+def test_span_corruption_invariants(spark):
+    """Spans never overlap (one per disjoint window), sit fully inside
+    the document, mask exactly span tokens of every full window (15%
+    at 3/20), match the actual token slice, and are partition-
+    invariant."""
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(50))),   # 2 full + 1 partial(10) windows
+        (2, " ".join(f"x{i}" for i in range(2))),    # too short: no spans
+        (3, " ".join(f"y{i}" for i in range(21))),   # full + partial(1): 1 span
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = corpus.span_corruption_plan(df).collect()
+    toks = {i: t.split() for i, t in rows}
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 2 not in by_doc
+    assert len(by_doc[1]) == 3 and len(by_doc[3]) == 1
+    for d, spans in by_doc.items():
+        seen = set()
+        for r in spans:
+            span_range = range(r.start_pos, r.start_pos + r.span_len)
+            # inside the doc and inside its own window
+            assert r.start_pos >= r.span_id * 20 + 1
+            assert r.start_pos + r.span_len - 1 <= min((r.span_id + 1) * 20, len(toks[d]))
+            assert not (set(span_range) & seen)
+            seen.update(span_range)
+            assert r.masked_text == " ".join(
+                toks[d][r.start_pos - 1 : r.start_pos - 1 + r.span_len]
+            )
+    again = corpus.span_corruption_plan(df.repartition(5)).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_span_corruption_plan_is_shuffle_free(spark):
+    """The whole plan must be map-side: no Exchange anywhere."""
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.array([F.lit(f"t{i}") for i in range(25)])).alias("text"),
+    )
+    plan = (
+        corpus.span_corruption_plan(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
