@@ -17,12 +17,13 @@ Design constraints:
    identically by both engines — the differential never depends on LSH
    recall.
 
-Scale note on the dictionary: shingle ids come from ``row_number`` over
-distinct shingles — a global window kept ONLY for cross-engine oracle
-determinism. At production scale replace ``build_dictionary`` +
-``tokens_to_ids`` with ``tid = pmod(xxhash64(shingle), P)`` (same
-downstream algebra, no global sort, collisions statistically
-irrelevant for 64-bit ids).
+Scale note on the dictionary: rank-mode shingle ids equal
+``row_number() OVER (ORDER BY shingle)`` but are computed by the
+range-partitioned two-phase rank (``relational.global_rank``) — no
+single-task sort anywhere; the mode exists for cross-engine oracle
+determinism. At production scale prefer ``hashed=True``
+(``tid = pmod(xxhash64(shingle), P)``): same downstream algebra, zero
+shuffle, collisions statistically irrelevant for LSH banding.
 """
 
 from __future__ import annotations
@@ -68,12 +69,13 @@ def build_dictionary(
 
     ``hashed=False`` (oracle-replay mode, default): dense ids identical
     to ``row_number() OVER (ORDER BY value)`` (what the oracle SQL
-    runs), but computed WITHOUT a global single-task sort: values are
-    bucketed by their first character (binary collation on both engines,
-    so the first char dominates the total order), ranked in parallel
-    within each bucket, and offset by the cumulative bucket counts (a
-    window over #buckets rows). The only sequential structure is the
-    bucket count table.
+    runs), but computed WITHOUT a global single-task sort — delegates
+    to :func:`relational.global_rank` (range-partition, rank within
+    ranges in parallel, cumulative-offset merge). Range partitioning
+    samples the actual value distribution, so it stays balanced on
+    corpora whose values share prefixes (a fixed first-character
+    bucketing — the previous scheme — collapses a billion-shingle
+    vocabulary onto a few dozen skewed tasks).
 
     ``hashed=True`` (production-scale mode): ``tid = pmod(xxhash64
     (value), P)`` — pure map-side, no distinct, no ranking, no shuffle
@@ -87,20 +89,7 @@ def build_dictionary(
             id_name, F.pmod(F.xxhash64(F.col(col)), F.lit(HASH_P)).cast("long")
         )
     distinct = items.select(col).distinct()
-    bucket = F.coalesce(F.substring(F.col(col), 1, 1), F.lit(""))
-    with_bucket = distinct.withColumn("_b", bucket)
-    counts = with_bucket.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
-    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    offsets = counts.withColumn("_off", F.sum("_n").over(w_off) - F.col("_n")).select(
-        "_b", "_off"
-    )
-    w_in = Window.partitionBy("_b").orderBy(col)
-    return (
-        with_bucket.withColumn("_rn", F.row_number().over(w_in))
-        .join(F.broadcast(offsets), on="_b")
-        .withColumn(id_name, (F.col("_off") + F.col("_rn")).cast("long"))
-        .select(col, id_name)
-    )
+    return relational.global_rank(distinct, [col], id_name).select(col, id_name)
 
 
 def shingle_ids(

@@ -464,3 +464,66 @@ def test_span_corruption_plan_is_shuffle_free(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan, plan
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_BM_WORDS = ["aa", "bb", "cc", "dd", "ee"]
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_BM_WORDS), min_size=1, max_size=6),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_bm25_matches_python_reference_property(spark, docs):
+    """BM25 on arbitrary tiny corpora must match an independent Python
+    reference bit-for-bit (same decimal per-term rounding) — including
+    total-vocabulary overlap, repeated tokens, and docs sharing nothing
+    with the query."""
+    import decimal
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = corpus.bm25_topk(df, [0], k=100).collect()
+    toks = {i: ws for i, ws in enumerate(docs)}
+    N, T = len(docs), sum(len(w) for w in toks.values())
+    dfreq = {}
+    for ws in toks.values():
+        for t in set(ws):
+            dfreq[t] = dfreq.get(t, 0) + 1
+
+    def score(q, d):
+        s = decimal.Decimal(0)
+        for t in set(toks[q]):
+            tf = toks[d].count(t)
+            if tf == 0:
+                continue
+            idf = float(2 * (N - dfreq[t]) + 1) / float(2 * dfreq[t] + 1)
+            term = idf * (float(tf) * 2.2) / (
+                float(tf) + float(3 * T + 9 * len(toks[d]) * N) / float(10 * T)
+            )
+            s += decimal.Decimal(repr(term)).quantize(
+                decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+            )
+        return s
+
+    want = {
+        d: score(0, d)
+        for d in toks
+        if d != 0 and set(toks[0]) & set(toks[d])
+    }
+    got = {r.doc_id: (r.rank, r.bm25) for r in out}
+    assert set(got) == set(want)
+    order = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
+    for rank, (d, sc) in enumerate(order, start=1):
+        assert got[d][0] == rank, (d, got[d], rank)
+        assert abs(got[d][1] - float(sc)) < 1e-9
