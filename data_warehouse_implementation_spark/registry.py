@@ -103,6 +103,7 @@ _DRIVER_WINDOW = [
     # first so the shared shingle/band/verified caches are charged to
     # the family head, keeping downstream timings attributable
     "near_dup_minhash",
+    "simhash_near_dup",
     "near_dup_incremental",
     "near_dup_capped",
     "embedding_near_dup",
@@ -144,10 +145,10 @@ _DRIVER_WINDOW = [
     "event_user_distinct",
     "events_asof_join",
     "events_daily_delta",
-    "events_keep_latest",
-    "events_sessionize",
     # position 51+ — round-7 refresh order: the remaining r3-green
     # rows, then r4-green
+    "events_keep_latest",
+    "events_sessionize",
     "incremental_agg_refresh",
     "integrity_report",
     "jsonl_scan_agg",
