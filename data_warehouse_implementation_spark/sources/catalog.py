@@ -114,6 +114,37 @@ class WarehouseCatalog:
         protection is append-ONLY, not read-only."""
         df.write.mode("append").parquet(self.path(name))
 
+    def write_observed(
+        self,
+        name: str,
+        df: DataFrame,
+        metrics: dict[str, "Column"],
+        mode: str = "append",
+    ) -> dict[str, object]:
+        """Sink with IN-FLIGHT data-quality metrics: attach a
+        ``DataFrame.observe`` node so the named aggregate expressions
+        (row counts, null counts, min/max, violation counts …) are
+        collected DURING the write's single pass over the data — the
+        production QC pattern that replaces a separate validation scan
+        (at 100 TB, "write, then re-read to count nulls" doubles the
+        I/O; observe makes the metrics free). Returns the collected
+        metric values keyed by name.
+
+        Metrics must be aggregate expressions containing no distinct
+        (Spark ``observe`` contract). The observation is bound to THIS
+        write's execution — re-running the returned dict requires
+        another write, which is exactly the semantics a QC gate wants
+        (metrics describe the rows actually written, not a re-scan
+        that may race concurrent appends)."""
+        from pyspark.sql import Observation
+
+        if mode == "overwrite":
+            self._check_mutable(name)
+        obs = Observation(f"qc_{name}")
+        observed = df.observe(obs, *[c.alias(k) for k, c in metrics.items()])
+        observed.write.mode(mode).parquet(self.path(name))
+        return dict(obs.get)
+
     # -- maintenance ----------------------------------------------------
     def compact(self, name: str, target_files: int, sort_by: list[str] | None = None) -> None:
         """Rewrite a table into ``target_files`` files (small-files

@@ -353,3 +353,29 @@ def test_create_table_as_stages_and_reads_back(spark, tmp_root):
     assert sorted(r.g for r in cat.table("agg").collect()) == list(range(7))
     with pytest.raises(ValueError):
         cat.create_table_as("agg", src)
+
+
+def test_write_observed_collects_metrics_in_single_pass(spark, tmp_root):
+    """write_observed must return metric values describing exactly the
+    rows written, matching independently recomputed aggregates — and
+    the write itself must have landed."""
+    cat = WarehouseCatalog(spark, tmp_root)
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id") * 2).alias("v"),
+    )
+    got = cat.write_observed(
+        "observed_tbl",
+        df,
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_null_v": F.count(F.when(F.col("v").isNull(), 1)),
+            "max_k": F.max("k"),
+            "neg_k": F.count(F.when(F.col("k") < 0, 1)),
+        },
+        mode="overwrite",
+    )
+    assert got == {"n_rows": 1000, "n_null_v": 100, "max_k": 999, "neg_k": 0}
+    back = cat.table("observed_tbl")
+    assert back.count() == 1000
+    assert back.filter(F.col("v").isNull()).count() == 100
