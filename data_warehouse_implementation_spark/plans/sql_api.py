@@ -564,3 +564,43 @@ def supplier_part_census_sql(t: dict[str, DataFrame]) -> DataFrame:
 
 
 SUPPLIER_PART_CENSUS_ORACLE = SUPPLIER_PART_CENSUS_SQL
+
+
+# Window FRAME + distribution-function battery: the window surface the
+# RANK/LAG/ROWS query leaves untouched — NTILE bucketing, the two
+# int-ratio distribution functions (PERCENT_RANK = (rank-1)/(n-1),
+# CUME_DIST = n_peers_le/n — doubles of exact integers, deterministic
+# across engines), FIRST/LAST_VALUE under an explicit full frame
+# (LAST_VALUE with the default frame is the classic current-row trap —
+# the explicit UNBOUNDED FOLLOWING frame is the semantics people
+# actually want), LEAD with an explicit default, and a VALUE-RANGE
+# frame (RANGE BETWEEN n PRECEDING over a numeric key — peers by value
+# distance, not row count). Unique order key per partition makes every
+# output deterministic.
+WINDOW_FRAMES_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS BIGINT)
+         AS key_quartile,
+       CAST(PERCENT_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS DOUBLE)
+         AS pr,
+       CAST(CUME_DIST() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS DOUBLE)
+         AS cd,
+       FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_key,
+       LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key,
+       CAST(LEAD(o_orderkey, 1, -1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey)
+         AS BIGINT) AS next_key,
+       CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+         RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS BIGINT) AS keys_within_1000
+FROM orders
+WHERE o_custkey % 100 = 7
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+def window_frames_sql(t: dict[str, DataFrame]) -> DataFrame:
+    return t["lineitem"].sparkSession.sql(WINDOW_FRAMES_SQL)
+
+
+WINDOW_FRAMES_ORACLE = WINDOW_FRAMES_SQL

@@ -92,6 +92,7 @@ _DRIVER_WINDOW = [
     "doc_bm25_topk",
     "hybrid_rrf_fusion",
     "doc_span_corruption",
+    "window_frames_sql",
     "semantic_dedup_greedy",
     "semantic_dedup_census",
     "near_dup_prefix_join",
@@ -755,4 +756,9 @@ register(
     "doc_span_corruption",
     corpus_queries.doc_span_corruption,
     corpus_queries.DOC_SPAN_CORRUPTION_ORACLE,
+)
+register(
+    "window_frames_sql",
+    sql_api.window_frames_sql,
+    sql_api.WINDOW_FRAMES_ORACLE,
 )
