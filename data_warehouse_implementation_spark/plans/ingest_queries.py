@@ -442,3 +442,45 @@ SELECT user_id,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
 FROM sess GROUP BY user_id, session_seq ORDER BY user_id, session_start
 """
+
+
+def events_props_variant(t: dict[str, DataFrame]) -> DataFrame:
+    """Semi-structured ingest, VARIANT path (Spark 4): ``parse_json``
+    binary-encodes the payload ONCE into the open VARIANT type and
+    typed reads use ``try_variant_get`` JSON-path extraction — the
+    modern alternative to ``from_json`` when the payload schema is not
+    declared up front (schema-on-read without a StructType contract,
+    and without re-parsing text per accessed field; un-extractable
+    paths read NULL instead of failing, which is the semi-structured
+    ingestion contract you want at 100 TB). Aggregates per event_type
+    over the extracted key: the oracle extracts the same path with
+    DuckDB's JSON reader, proving the two engines' JSON-path semantics
+    agree on this payload shape."""
+    ev = t["events"].select(
+        "event_type", F.parse_json("props").alias("_v")
+    )
+    got = ev.select(
+        "event_type",
+        F.try_variant_get("_v", "$.k", "long").alias("k"),
+    )
+    return (
+        got.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.countDistinct("k").alias("n_distinct_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_PROPS_VARIANT_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(CAST(props->>'$.k' AS BIGINT)) AS n_with_k,
+       CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+       COUNT(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS n_distinct_k
+FROM events
+GROUP BY event_type ORDER BY event_type
+"""

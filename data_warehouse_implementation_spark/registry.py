@@ -93,6 +93,7 @@ _DRIVER_WINDOW = [
     "hybrid_rrf_fusion",
     "doc_span_corruption",
     "window_frames_sql",
+    "events_props_variant",
     "semantic_dedup_greedy",
     "semantic_dedup_census",
     "near_dup_prefix_join",
@@ -145,9 +146,9 @@ _DRIVER_WINDOW = [
     "customer_spend_quartiles",
     "event_user_distinct",
     "events_asof_join",
-    "events_daily_delta",
     # position 51+ — round-7 refresh order: the remaining r3-green
     # rows, then r4-green
+    "events_daily_delta",
     "events_keep_latest",
     "events_sessionize",
     "incremental_agg_refresh",
@@ -761,4 +762,9 @@ register(
     "window_frames_sql",
     sql_api.window_frames_sql,
     sql_api.WINDOW_FRAMES_ORACLE,
+)
+register(
+    "events_props_variant",
+    ingest_queries.events_props_variant,
+    ingest_queries.EVENTS_PROPS_VARIANT_ORACLE,
 )
