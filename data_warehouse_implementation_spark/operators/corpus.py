@@ -499,7 +499,7 @@ def negative_pairs(
     Mechanics, all engine-portable integer arithmetic:
 
     1. dense index ``idx in 1..N`` by :func:`relational.global_rank`
-       over the id (range-partitioned two-phase — never a global
+       over the id (deterministic two-phase — never a global
        window);
     2. slot ``j`` draws offset ``1 + ((idx*A + B + j*C) mod P) mod
        (N-1)`` in ``[1, N-1]`` and partner ``1 + (idx - 1 + off) mod

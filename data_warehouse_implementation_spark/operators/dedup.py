@@ -19,7 +19,7 @@ Design constraints:
 
 Scale note on the dictionary: rank-mode shingle ids equal
 ``row_number() OVER (ORDER BY shingle)`` but are computed by the
-range-partitioned two-phase rank (``relational.global_rank``) — no
+deterministic two-phase rank (``relational.global_rank``) — no
 single-task sort anywhere; the mode exists for cross-engine oracle
 determinism. At production scale prefer ``hashed=True``
 (``tid = pmod(xxhash64(shingle), P)``): same downstream algebra, zero
@@ -70,12 +70,10 @@ def build_dictionary(
     ``hashed=False`` (oracle-replay mode, default): dense ids identical
     to ``row_number() OVER (ORDER BY value)`` (what the oracle SQL
     runs), but computed WITHOUT a global single-task sort — delegates
-    to :func:`relational.global_rank` (range-partition, rank within
-    ranges in parallel, cumulative-offset merge). Range partitioning
-    samples the actual value distribution, so it stays balanced on
-    corpora whose values share prefixes (a fixed first-character
-    bucketing — the previous scheme — collapses a billion-shingle
-    vocabulary onto a few dozen skewed tasks).
+    to :func:`relational.global_rank` (pure value-derived buckets,
+    parallel within-bucket rank, cumulative-offset merge; see its
+    docstring for why the buckets must be a deterministic function of
+    the value and never a sampled range partitioner).
 
     ``hashed=True`` (production-scale mode): ``tid = pmod(xxhash64
     (value), P)`` — pure map-side, no distinct, no ranking, no shuffle
@@ -422,7 +420,18 @@ def rank_ordered_tokens(
     per-doc windows) is identical across all of them."""
     tok = tokens.withColumnRenamed(token_col, "token")
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
-    ranked = relational.global_rank(freq, ["dfreq", "token"], "trank")
+    # bucket = (dfreq, first char): pure + monotone in (dfreq, token) —
+    # the second component only refines WITHIN equal dfreq values, and
+    # it splits the huge hapax (dfreq=1) bucket across the alphabet so
+    # the within-bucket rank parallelizes
+    ranked = relational.global_rank(
+        freq,
+        ["dfreq", "token"],
+        "trank",
+        bucket=F.struct(
+            F.col("dfreq"), F.coalesce(F.substring("token", 1, 1), F.lit(""))
+        ),
+    )
     return (
         tok.join(ranked, on="token")
         .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
@@ -463,7 +472,7 @@ def jaccard_prefix_join(
     Scale notes: the rare-first order is what keeps prefix buckets
     small (the most selective tokens come first); the vocabulary-scale
     token ranking uses :func:`relational.global_rank` — the
-    range-partitioned two-phase rank, NOT a single-task
+    deterministic value-bucketed two-phase rank, NOT a single-task
     ``Window.orderBy`` (RUNBOOK §3; same rank algebra as
     ``warehouse.assign_surrogate``). Candidate volume is bounded by
     prefix-bucket sizes, never |docs|^2.
@@ -600,7 +609,7 @@ def containment_prefix_join(
     the threshold boundary.
 
     Scale shape: the token rank is :func:`relational.global_rank`
-    (range-partitioned two-phase — never a single-task vocabulary
+    (deterministic two-phase — never a single-task vocabulary
     sort); small-side prefixes keep probe buckets rare-token-small,
     while index-bucket sizes are bounded by token document frequency —
     cap hot tokens the way ``candidate_pairs`` caps hot LSH buckets if

@@ -53,44 +53,81 @@ def global_rank(
     df: DataFrame,
     keys: Sequence[str],
     out_col: str,
-    num_ranges: int = 32,
+    bucket: Column | None = None,
+    numeric_bucket_width: int = 4096,
 ) -> DataFrame:
     """``row_number() OVER (ORDER BY keys)`` WITHOUT a single-task
     global sort — the engine-wide replacement for fact-scale
     ``Window.orderBy`` (banned by RUNBOOK §3):
 
-    1. ``repartitionByRange(num_ranges, *keys)`` — ascending key ranges
-       land on ascending partition ids, so partition id order == key
-       order;
-    2. rank within each range in parallel;
-    3. offset each range by the cumulative counts of earlier ranges (a
-       window over <= ``num_ranges`` rows — the only sequential piece).
+    1. bucket every row by a PURE, DETERMINISTIC function of the
+       leading key that is monotone non-decreasing in the keys' total
+       order (so bucket order == key order);
+    2. rank within each bucket in parallel;
+    3. offset each bucket by the cumulative counts of earlier buckets
+       (a window over #buckets rows — the only sequential piece).
 
-    The assigned ranks are independent of where the sampled range
-    bounds fall (rank-within-range + earlier-range counts IS the global
-    rank for any ascending split), so the result is deterministic
-    across runs and parallelism. Keys must be a total order (include a
-    unique tiebreaker). All input columns are preserved; ``out_col``
+    WHY a pure bucketing function and NOT ``repartitionByRange``: the
+    counts branch and the rank branch both consume the bucketed frame,
+    and Spark may evaluate a shared subtree once per branch. A sampled
+    range partitioner can draw DIFFERENT boundaries per evaluation
+    (sampling depends on the upstream partition layout; exchange reuse
+    is not guaranteed, e.g. through InMemoryRelation scans), and
+    joining ranks from one boundary map against offsets from another
+    silently corrupts the ranks — a bug class a pure value-derived
+    bucket makes impossible: both branches agree on every row's bucket
+    BY CONSTRUCTION, on any evaluation, under any plan rewrite.
+
+    ``bucket``: optional explicit bucket expression; MUST be monotone
+    in the leading key (e.g. ``F.struct(F.col("dfreq"),
+    F.substring("token", 1, 1))`` for rare-first token ranks — legal
+    because the second component only refines WITHIN equal leading
+    values). Defaults: string leading key -> its first character
+    (binary collation: the first char dominates the total order);
+    integral/date leading key -> ``floor(key / numeric_bucket_width)``
+    (monotone; assumes value density — dense surrogate/doc ids — so
+    bucket count stays ~n/width). Keys must be a total order (include
+    a unique tiebreaker). All input columns are preserved; ``out_col``
     is appended as BIGINT."""
-    reserved = {"_pid", "_rn", "_off", out_col}
+    from pyspark.sql.types import (
+        ByteType,
+        DateType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+    )
+
+    reserved = {"_b", "_rn", "_off", out_col}
     clash = reserved & set(df.columns)
     if clash:
         raise ValueError(f"global_rank scratch/output columns already present: {sorted(clash)}")
     cols = [F.col(k) for k in keys]
-    ranged = df.repartitionByRange(num_ranges, *cols).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    if bucket is None:
+        lead = df.schema[keys[0]].dataType
+        if isinstance(lead, StringType):
+            bucket = F.coalesce(F.substring(F.col(keys[0]), 1, 1), F.lit(""))
+        elif isinstance(lead, (ByteType, ShortType, IntegerType, LongType, DateType)):
+            bucket = F.floor(
+                F.col(keys[0]).cast("long") / F.lit(numeric_bucket_width)
+            )
+        else:
+            raise ValueError(
+                f"global_rank: no default bucketing for leading key type {lead}; "
+                "pass an explicit monotone `bucket` expression"
+            )
+    b = df.withColumn("_b", bucket)
+    counts = b.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     offsets = counts.withColumn("_off", F.sum("_n").over(w_off) - F.col("_n")).select(
-        "_pid", "_off"
+        "_b", "_off"
     )
-    w_in = Window.partitionBy("_pid").orderBy(*cols)
+    w_in = Window.partitionBy("_b").orderBy(*cols)
     return (
-        ranged.withColumn("_rn", F.row_number().over(w_in))
-        .join(F.broadcast(offsets), on="_pid")
+        b.withColumn("_rn", F.row_number().over(w_in))
+        .join(F.broadcast(offsets), on="_b")
         .withColumn(out_col, (F.col("_off") + F.col("_rn")).cast("long"))
-        .drop("_pid", "_rn", "_off")
+        .drop("_b", "_rn", "_off")
     )
 
 

@@ -49,42 +49,33 @@ def build_dim(
     natural_keys: Sequence[str],
     surrogate_col: str,
     canonicalize: bool = True,
-    num_ranges: int = 32,
 ) -> DataFrame:
     """Generic dimension build (``inserting-data.sql:22-86``): dedup the
     natural key tuple (optionally NULL->'' canonicalized, F4) and assign
     a deterministic surrogate equal to ``row_number() OVER (ORDER BY
-    natural keys)`` — but computed WITHOUT a global single-task sort:
-
-    1. range-partition the distinct keys (non-overlapping, ascending
-       ranges, so partition id order == key order);
-    2. rank within each range in parallel;
-    3. offset each range by the cumulative counts of earlier ranges
-       (a window over <= ``num_ranges`` rows, the only sequential piece).
-
-    The assigned ids are independent of where the sampled range bounds
-    fall — rank-within-range plus earlier-range counts is the global
-    rank for ANY ascending range split — so the result is deterministic
-    across runs and parallelism even though ``repartitionByRange``
-    samples its bounds. A million-row dimension ranks in parallel where
-    the old global window serialized on one task."""
+    natural keys)`` — but computed WITHOUT a global single-task sort,
+    via :func:`relational.global_rank`'s deterministic two-phase rank
+    (pure value-derived buckets, parallel within-bucket rank,
+    cumulative-offset merge; see its docstring for why the buckets must
+    be a pure function of the key, never a sampled range). A
+    million-row dimension ranks in parallel where the old global window
+    serialized on one task."""
     dim = relational.dedup_distinct(df.select(*natural_keys), canonicalize=canonicalize)
-    return assign_surrogate(dim, natural_keys, surrogate_col, num_ranges)
+    return assign_surrogate(dim, natural_keys, surrogate_col)
 
 
 def assign_surrogate(
     dim: DataFrame,
     natural_keys: Sequence[str],
     surrogate_col: str,
-    num_ranges: int = 32,
 ) -> DataFrame:
     """The rank-assignment half of :func:`build_dim`, for callers whose
     key tuples are ALREADY distinct (e.g. one grouping-sets pass that
     produced several dims' key sets at once). Delegates to
     :func:`relational.global_rank` — the engine's one shared
-    range-partitioned two-phase rank (also the token ranker inside
+    deterministic two-phase rank (also the token ranker inside
     ``dedup.jaccard_prefix_join``)."""
-    return relational.global_rank(dim, natural_keys, surrogate_col, num_ranges).select(
+    return relational.global_rank(dim, natural_keys, surrogate_col).select(
         *natural_keys, surrogate_col
     )
 

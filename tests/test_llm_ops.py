@@ -398,15 +398,14 @@ def test_prefix_join_no_global_vocab_window(spark):
     two-phase rank (``relational.global_rank``), never a single-task
     ``row_number() OVER (ORDER BY ...)`` across the whole vocabulary.
     Every row_number window in the physical plan must be partitioned —
-    by the range-partition id (``_pid``, the rank phase) or by the
+    by the deterministic rank bucket (``_b``, the rank phase) or by the
     document (``doc_id``, the per-doc prefix position)."""
     docs = load_tables(spark, SF)["documents"]
     out = dedup.jaccard_prefix_join(docs)
     plan = out._jdf.queryExecution().executedPlan().toString()
     for line in plan.splitlines():
         if "row_number()" in line:
-            assert "_pid" in line or "doc_id" in line, f"global row_number window:\n{line}"
-    assert "RangePartitioning" in plan or "REPARTITION_BY_NUM" in plan, plan
+            assert "_b" in line or "doc_id" in line, f"global row_number window:\n{line}"
 
 
 from hypothesis import HealthCheck, given, settings
@@ -574,13 +573,13 @@ def test_containment_prefix_join_complete_vs_brute_force(spark):
 
 def test_containment_prefix_join_no_global_vocab_window(spark):
     """Same RUNBOOK §3 invariant as the jaccard prefix join: the token
-    ranking must be the range-partitioned two-phase rank."""
+    ranking must be the deterministic two-phase rank."""
     docs = load_tables(spark, SF)["documents"]
     out = dedup.containment_prefix_join(docs)
     plan = out._jdf.queryExecution().executedPlan().toString()
     for line in plan.splitlines():
         if "row_number()" in line:
-            assert "_pid" in line or "doc_id" in line, f"global row_number window:\n{line}"
+            assert "_b" in line or "doc_id" in line, f"global row_number window:\n{line}"
 
 
 def test_semantic_dedup_greedy_long_chain_past_old_round_cap(spark):
@@ -681,3 +680,34 @@ def test_containment_catches_doc_in_doc_that_jaccard_misses(spark):
     assert abs(row.jaccard - 0.25) < 1e-12
     # default path is unchanged: no containment column
     assert "containment" not in dedup.pairwise_jaccard(pairs, tids).columns
+
+
+def test_global_rank_consistent_over_cached_multibranch_input(spark):
+    """Regression for the round-6 sampled-range bug: global_rank's
+    counts branch and rank branch both consume the bucketed frame, and
+    with a sampled RangePartitioner each branch could draw DIFFERENT
+    boundaries when the shared subtree is evaluated once per branch
+    (observed through InMemoryRelation scans: ranks silently corrupted
+    AND rows dropped by the offset join). With pure value-derived
+    buckets this cannot happen: ids off a CACHED input must equal ids
+    off the fresh input, equal the row_number reference, and the
+    dictionary join must lose zero rows."""
+    docs = load_tables(spark, SF)["documents"]
+    cached = dedup.word_shingles(docs, n=3).cache()
+    n_rows = cached.count()  # materialize the cache
+    fresh = dedup.word_shingles(docs, n=3)
+    tids_c = dedup.shingle_ids(cached)
+    tids_f = dedup.shingle_ids(fresh)
+    got_c = {(r.doc_id, r.tid) for r in tids_c.collect()}
+    got_f = {(r.doc_id, r.tid) for r in tids_f.collect()}
+    assert len(got_c) == n_rows, "dictionary join dropped rows"
+    assert got_c == got_f
+    ref = {
+        s: i + 1
+        for i, s in enumerate(
+            sorted(r.shingle for r in cached.select("shingle").distinct().collect())
+        )
+    }
+    d = {r.shingle: r.tid for r in dedup.build_dictionary(cached, "shingle").collect()}
+    assert d == ref
+    cached.unpersist()

@@ -79,8 +79,9 @@ def test_publish_warehouse_fact_partition_pruning(spark, tables, tmp_path):
 def test_build_dim_no_global_sort_window(spark, tables):
     """The surrogate rank must never serialize the full distinct-key set
     on one task: the ranking row_number window is partitioned by the
-    range-partition id, and the only unpartitioned window in the plan is
-    the range-count cumsum (bounded by num_ranges rows)."""
+    deterministic value-derived bucket (``_b``), and the only
+    unpartitioned window in the plan is the bucket-count cumsum
+    (bounded by #buckets rows)."""
     dim = warehouse.build_dim(
         tables["part"].select("p_brand", "p_type", "p_size"),
         ["p_brand", "p_type", "p_size"],
@@ -89,29 +90,32 @@ def test_build_dim_no_global_sort_window(spark, tables):
     plan = dim._jdf.queryExecution().executedPlan().toString()
     for line in plan.splitlines():
         if "row_number()" in line:
-            assert "_pid" in line, f"global row_number window:\n{line}"
-    assert "RangePartitioning" in plan or "REPARTITION_BY_NUM" in plan
+            assert "_b" in line, f"global row_number window:\n{line}"
 
 
 def test_build_dim_ids_invariant_to_input_partitioning(spark, tables):
-    """Same ids under 1 vs many input partitions AND under different
-    range counts — rank-within-range + earlier-range offsets is the
-    global rank for any ascending range split."""
+    """Same ids under 1 vs many input partitions AND off a cached
+    input — the bucketing is a pure function of the key, so the rank
+    cannot depend on physical layout or on how many times a branch
+    evaluates the shared subtree."""
     src = tables["part"].select("p_brand", "p_type", "p_size")
     base = {
         tuple(r)[:3]: r.category_id
         for r in warehouse.build_dim(src, ["p_brand", "p_type", "p_size"], "category_id").collect()
     }
-    for variant in (
-        warehouse.build_dim(
-            src.repartition(1), ["p_brand", "p_type", "p_size"], "category_id"
-        ),
-        warehouse.build_dim(
-            src.repartition(64), ["p_brand", "p_type", "p_size"], "category_id"
-        ),
-        warehouse.build_dim(
-            src, ["p_brand", "p_type", "p_size"], "category_id", num_ranges=7
-        ),
-    ):
-        got = {tuple(r)[:3]: r.category_id for r in variant.collect()}
-        assert got == base
+    cached = src.cache()
+    cached.count()
+    try:
+        for variant in (
+            warehouse.build_dim(
+                src.repartition(1), ["p_brand", "p_type", "p_size"], "category_id"
+            ),
+            warehouse.build_dim(
+                src.repartition(64), ["p_brand", "p_type", "p_size"], "category_id"
+            ),
+            warehouse.build_dim(cached, ["p_brand", "p_type", "p_size"], "category_id"),
+        ):
+            got = {tuple(r)[:3]: r.category_id for r in variant.collect()}
+            assert got == base
+    finally:
+        cached.unpersist()
