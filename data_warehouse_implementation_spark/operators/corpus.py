@@ -518,6 +518,11 @@ def negative_pairs(
     one idx equi-join, two group-label joins — no corpus cross product
     anywhere.
 
+    Degenerate corpora (N < 2) have no drawable partner, so the result
+    is DEFINED EMPTY on both engines via an explicit ``N >= 2`` filter
+    — without it Spark's ``mod (N-1)`` yields NULL (rows silently
+    dropped) while strict SQL engines error on ``% 0`` (ADVICE r6).
+
     Returns ``(id_col, slot, neg_id)``."""
     from . import relational
 
@@ -534,6 +539,7 @@ def negative_pairs(
     pidx = F.lit(1) + (F.col("idx") - 1 + off) % F.col("_n")
     cand = (
         ranked.crossJoin(F.broadcast(n1))
+        .filter(F.col("_n") >= 2)
         .select(id_col, "idx", slots, "_n")
         .withColumn("pidx", pidx.cast("long"))
     )

@@ -2530,6 +2530,7 @@ ncand AS (
   FROM ranked r
   CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS slot) s
   CROSS JOIN nn
+  WHERE nn.n >= 2
 ),
 paired AS (
   SELECT c.doc_id, CAST(c.slot AS BIGINT) AS slot, p.doc_id AS neg_id
@@ -2649,12 +2650,21 @@ sparse AS (
 )"""
 
 
+def _rrf_query_ids() -> str:
+    """The SAME query-doc id list as the sparse leg — interpolated (not
+    hardcoded) so editing ``BM25_QUERY_DOCS`` can never desynchronize
+    the oracle's two retrieval legs (ADVICE r6)."""
+    from .corpus_queries import BM25_QUERY_DOCS
+
+    return ", ".join(str(i) for i in BM25_QUERY_DOCS)
+
+
 HYBRID_RRF_FUSION_ORACLE = f"""
 WITH {_bm25_cand_ctes()},
 qv AS (
   SELECT vec_id AS query_doc, embedding::DOUBLE[] AS qv
   FROM embeddings
-  WHERE vec_id IN (7, 42, 99)
+  WHERE vec_id IN ({_rrf_query_ids()})
 ),
 cv AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS cv FROM embeddings),
 dscored AS (

@@ -341,6 +341,18 @@ def test_negative_pairs_drops_cluster_mates_specifically(spark):
     assert got == {(10, 11), (11, 10)}
 
 
+def test_negative_pairs_degenerate_corpus_is_defined_empty(spark):
+    """A corpus of < 2 docs has no drawable partner: the explicit
+    N >= 2 guard makes the result DEFINED EMPTY instead of relying on
+    Spark's silent NULL-on-mod-zero (which strict engines error on —
+    ADVICE r6)."""
+    one = spark.createDataFrame([(5,)], "doc_id long")
+    grp = spark.createDataFrame([(5, 5)], "doc_id long, group_id long")
+    assert corpus.negative_pairs(one, grp, k=3).count() == 0
+    empty = one.filter(F.lit(False))
+    assert corpus.negative_pairs(empty, grp, k=3).count() == 0
+
+
 def test_balanced_oversample_exact_class_totals(spark):
     """Every class's replicated row count equals EXACTLY the majority
     class count; per-doc copy counts differ by at most one within a
