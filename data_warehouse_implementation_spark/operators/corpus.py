@@ -741,3 +741,182 @@ def span_corruption_plan(
             ).alias("masked_text"),
         )
     )
+
+
+def lm_backoff_score(
+    df: DataFrame,
+    min_count: int = 3,
+    alpha_num: int = 2,
+    alpha_den: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    reference: DataFrame | None = None,
+) -> DataFrame:
+    """Stupid-Backoff bigram-LM document scoring (Brants et al. 2007,
+    "Large Language Models in Machine Translation") — the standard
+    CCNet/C4-style LM quality gate, completing the rarity family
+    (:func:`token_rarity` unigram, :func:`bigram_rarity` smoothed
+    conditional): each transition ``w1 -> w2`` scores
+
+        S(w2|w1) = c2(w1,w2) / c1(w1)        if c2 >= min_count
+                 = alpha * c1(w2) / T        otherwise (BACKOFF)
+
+    with alpha = ``alpha_num/alpha_den`` (default the paper's 0.4) and
+    the LM trained on ``reference`` (default: the corpus itself, with
+    ``min_count`` pruning standing in for held-out sparsity — the
+    production pipeline passes a held-out count corpus). The document
+    score is the MEAN transition score; a true perplexity exponentiates
+    mean log surprisal, and the ``ln`` is dropped deliberately — float
+    ``ln`` is not bit-identical across engines, so the repo-wide
+    oracle-portability discipline keeps every factor a single double
+    division of exact int64s (``c2/c1`` and
+    ``(alpha_num*c1)/(alpha_den*T)``), decimal-cast per term for
+    order-independent summation. ``n_backoff`` (transitions that fell
+    through to the unigram) is the out-of-distribution signal a filter
+    thresholds alongside the score.
+
+    Scale shape: transitions are map-side array algebra (no positional
+    self-join); two model aggregates (bigram counts pruned at
+    ``min_count``, unigram counts) shuffled on their n-gram key; the
+    fact-side joins are model-table equi-joins (broadcast when the
+    pruned model fits — AQE decides); one broadcast scalar T; one
+    per-doc aggregate. Returns
+    ``(id_col, n_transitions, n_backoff, lm_score)``; docs with < 2
+    tokens have no transition and are absent."""
+    ref = reference if reference is not None else df
+    big_expr = (
+        "transform(sequence(1, size(_arr) - 1), "
+        "i -> named_struct('w1', element_at(_arr, i), 'w2', element_at(_arr, i + 1)))"
+    )
+
+    def transitions(frame: DataFrame) -> DataFrame:
+        return (
+            frame.select(F.col(id_col), words(text_col).alias("_arr"))
+            .filter(F.size("_arr") >= 2)
+            .select(id_col, F.explode(F.expr(big_expr)).alias("_bg"))
+            .select(id_col, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+        )
+
+    ref_tok = ref.select(F.explode(words(text_col)).alias("token"))
+    c1 = ref_tok.groupBy("token").agg(F.count(F.lit(1)).alias("c1"))
+    tot = c1.agg(F.sum("c1").alias("T"))
+    c2 = (
+        transitions(ref)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .filter(F.col("c2") >= min_count)
+    )
+    doc_tr = transitions(df)
+    known = (F.col("c2").isNotNull()).cast("long")
+    score = F.when(
+        F.col("c2").isNotNull(),
+        F.col("c2").cast("double") / F.col("_c1w1").cast("double"),
+    ).otherwise(
+        (alpha_num * F.col("_c1w2")).cast("double") / (alpha_den * F.col("T")).cast("double")
+    )
+    scored = (
+        doc_tr.join(c2, on=["w1", "w2"], how="left")
+        .join(c1.select(F.col("token").alias("w1"), F.col("c1").alias("_c1w1")), on="w1")
+        .join(c1.select(F.col("token").alias("w2"), F.col("c1").alias("_c1w2")), on="w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            id_col,
+            known.alias("_known"),
+            score.cast("decimal(28,12)").alias("_term"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        (F.count(F.lit(1)) - F.sum("_known")).cast("long").alias("n_backoff"),
+        (F.sum("_term").cast("double") / F.count(F.lit(1))).alias("lm_score"),
+    )
+
+
+def substring_dup_census(
+    df: DataFrame,
+    k: int = 5,
+    min_occurrences: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hashed: bool = False,
+) -> DataFrame:
+    """EXACT-substring duplication census (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better") — the
+    exact-substring complement to the MinHash near-dup family: what
+    FRACTION of each document's token positions sits inside a length-k
+    token window that occurs ``min_occurrences``-or-more times in the
+    whole corpus (including repeats within the same document). Lee et
+    al. build a suffix array to find maximal duplicated substrings; the
+    fixed-k positional-n-gram census is the DataFrame-native
+    formulation — every duplicated substring of length >= k is exactly
+    a run of duplicated k-grams, so coverage at any k lower-bounds
+    coverage at the suffix-array answer and upper-bounds it at k
+    tokens' granularity.
+
+    Mechanics: (1) positional (non-distinct) k-grams per doc, map-side
+    array algebra — gram at position s covers token span [s, s+k);
+    (2) one corpus-wide gram-count aggregate; (3) duplicated-gram
+    spans merged per doc by the classic interval-union window (sorted
+    by start; contribution = span-end minus the running max of prior
+    ends, floored at 0) — per-doc windows, never global. The dup
+    fraction is an integer ratio (covered positions / token count), so
+    the oracle replays bit-for-bit.
+
+    Scale shape: the gram table is corpus-scale; the count aggregate
+    shuffles on the gram and the count join re-shuffles the same key
+    (AQE handles the skewed boilerplate grams — or pre-cap them like
+    the LSH hot buckets). ``hashed=True`` swaps the join/count key for
+    ``xxhash64(gram)`` — 8 bytes shuffled instead of the gram text,
+    the same production trade as ``shingle_ids(hashed=True)``; not
+    oracle-replayable, collisions statistically irrelevant to a
+    census. Returns ``(id_col, n_tokens, dup_tokens, dup_fraction)``
+    for every doc with >= k tokens."""
+    gram_expr = (
+        f"transform(sequence(1, size(_arr) - {k - 1}), "
+        f"s -> named_struct('s', s, 'gram', "
+        f"concat_ws(' ', {', '.join(f'element_at(_arr, s + {j})' for j in range(k))})))"
+    )
+    base = df.select(F.col(id_col), words(text_col).alias("_arr")).filter(
+        F.size("_arr") >= k
+    )
+    grams = (
+        base.select(id_col, F.size("_arr").alias("n_tokens"), F.explode(F.expr(gram_expr)).alias("_g"))
+        .select(id_col, "n_tokens", F.col("_g.s").alias("s"), F.col("_g.gram").alias("gram"))
+    )
+    if hashed:
+        grams = grams.withColumn("gram", F.xxhash64("gram"))
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("_occ"))
+    dup = (
+        grams.join(
+            counts.filter(F.col("_occ") >= min_occurrences).select("gram"),
+            on="gram",
+            how="left_semi",
+        )
+        .withColumn("_e", F.col("s") + k)
+    )
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    covered = dup.withColumn(
+        "_cov",
+        F.greatest(
+            F.lit(0),
+            F.col("_e")
+            - F.greatest(F.coalesce(F.max("_e").over(w_prev), F.lit(0)), F.col("s")),
+        ),
+    ).groupBy(id_col, "n_tokens").agg(F.sum("_cov").cast("long").alias("dup_tokens"))
+    return (
+        base.select(id_col, F.size("_arr").alias("n_tokens"))
+        .join(covered.drop("n_tokens"), on=id_col, how="left")
+        .select(
+            id_col,
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).alias("dup_tokens"),
+            (
+                F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("dup_fraction"),
+        )
+    )

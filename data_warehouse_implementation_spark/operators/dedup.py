@@ -409,7 +409,9 @@ def rank_ordered_tokens(
     asc, token — via :func:`relational.global_rank`, never a
     single-task vocabulary sort) joined back onto the exploded
     (doc, token) table with per-doc set size and rank position.
-    Returns ``(id_col, token, trank, sz, pos)``.
+    Returns ``(id_col, token, trank, dfreq, sz, pos)`` — ``dfreq``
+    (the token's document frequency) rides along so consumers can
+    hot-token-cap or skew-account without re-aggregating the corpus.
 
     Both :func:`jaccard_prefix_join` and
     :func:`containment_prefix_join` consume this unchanged — only
@@ -420,16 +422,18 @@ def rank_ordered_tokens(
     per-doc windows) is identical across all of them."""
     tok = tokens.withColumnRenamed(token_col, "token")
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
-    # bucket = (dfreq, first char): pure + monotone in (dfreq, token) —
-    # the second component only refines WITHIN equal dfreq values, and
-    # it splits the huge hapax (dfreq=1) bucket across the alphabet so
-    # the within-bucket rank parallelizes
+    # bucket = (dfreq, 3-char prefix): pure + monotone in (dfreq,
+    # token) — the second component only refines WITHIN equal dfreq
+    # values, and it splits the huge hapax (dfreq=1) bucket by token
+    # prefix so the within-bucket rank parallelizes (3 chars keeps the
+    # per-bucket window task bounded even at billion-token vocabularies
+    # where a single first letter still holds ~10^7 hapaxes)
     ranked = relational.global_rank(
         freq,
         ["dfreq", "token"],
         "trank",
         bucket=F.struct(
-            F.col("dfreq"), F.coalesce(F.substring("token", 1, 1), F.lit(""))
+            F.col("dfreq"), F.coalesce(F.substring("token", 1, 3), F.lit(""))
         ),
     )
     return (
@@ -439,7 +443,7 @@ def rank_ordered_tokens(
             "pos",
             F.row_number().over(Window.partitionBy(id_col).orderBy("trank")),
         )
-        .select(id_col, "token", "trank", "sz", "pos")
+        .select(id_col, "token", "trank", "dfreq", "sz", "pos")
     )
 
 
@@ -584,6 +588,7 @@ def containment_prefix_join(
     id_col: str = "doc_id",
     tokens: DataFrame | None = None,
     ordered: DataFrame | None = None,
+    max_token_df: int | None = None,
 ) -> DataFrame:
     """EXACT-threshold CONTAINMENT (overlap-coefficient) self-join via
     ASYMMETRIC prefix filtering — guaranteed recall for the doc-in-doc
@@ -611,11 +616,29 @@ def containment_prefix_join(
     Scale shape: the token rank is :func:`relational.global_rank`
     (deterministic two-phase — never a single-task vocabulary
     sort); small-side prefixes keep probe buckets rare-token-small,
-    while index-bucket sizes are bounded by token document frequency —
-    cap hot tokens the way ``candidate_pairs`` caps hot LSH buckets if
-    a corpus has pathological stop-shingles. Candidate volume is
-    sum-over-prefix-tokens of (probe bucket x index bucket), never
-    |docs|^2.
+    while index-bucket sizes are bounded by token document frequency.
+    Candidate volume is sum-over-prefix-tokens of (probe bucket x
+    index bucket), never |docs|^2.
+
+    ``max_token_df``: the hot-token cap — the 100 TB survival valve
+    for corpora with pathological stop-shingles (a tiny doc's prefix
+    can span its ENTIRE token set, so a stop-shingle in it fans out
+    across that token's full document frequency). When set, probe
+    prefix tokens with ``dfreq > max_token_df`` are EXCLUDED from the
+    candidate join, bounding every probe bucket's fan-out by the cap.
+    The truncation is DETERMINISTIC (a pure df threshold, replayable
+    by any SQL engine) and its recall cost is precisely bounded: since
+    rare-first ordering puts hot tokens at globally-maximal rank, a
+    doc's prefix contains a hot token only when it has fewer than
+    prefix-length non-hot tokens — recall is lost ONLY for pairs whose
+    every shared probe-prefix token is hot, and exactly the probe docs
+    at risk are countable up front via
+    :func:`prefix_hot_token_stats` (run it alongside; a capped join
+    without its accounting row is a silent truncation — RUNBOOK
+    discipline). The positional filter stays valid under the cap: for
+    any pair that still joins, the min-trank shared token is a kept
+    probe token (hot tokens rank after every non-hot token), so the
+    overlap bound is unchanged. Default ``None`` = exact recall.
 
     ``tokens``: optional pre-exploded ``(id_col, shingle)`` frame —
     pass the session-cached shingle table (the plan consults the token
@@ -631,7 +654,10 @@ def containment_prefix_join(
     ceil_ts = (
         (F.col("sz") * threshold_num + threshold_den - 1) / threshold_den
     ).cast("long")
-    probe = ordered.filter(F.col("pos") <= F.col("sz") - ceil_ts + 1).select(
+    probe = ordered.filter(F.col("pos") <= F.col("sz") - ceil_ts + 1)
+    if max_token_df is not None:
+        probe = probe.filter(F.col("dfreq") <= max_token_df)
+    probe = probe.select(
         F.col(id_col).alias("doc_s"),
         "token",
         "trank",
@@ -685,6 +711,8 @@ def containment_prefix_join(
         .groupBy("doc_s", "doc_l")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    # (verification below is shared by the capped and exact paths — the
+    # cap only thins the candidate set, never the threshold arithmetic)
     return (
         inter.join(
             sizes.select(F.col(id_col).alias("doc_s"), F.col("sz").alias("szs")), on="doc_s"
@@ -703,4 +731,50 @@ def containment_prefix_join(
                 / (F.col("szs") + F.col("szl") - F.col("inter")).cast("double")
             ).alias("jaccard"),
         )
+    )
+
+
+def prefix_hot_token_stats(
+    ordered: DataFrame,
+    threshold_num: int,
+    threshold_den: int,
+    max_token_df: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The LOUD-TRUNCATION accounting row for a hot-token-capped
+    :func:`containment_prefix_join` (and the probe-side skew census for
+    the uncapped one) — VERDICT r6 #2: a cap without accounting is a
+    silent recall loss, so every capped run should emit this single-row
+    frame next to its pairs. One aggregate over the probe prefix (the
+    same integer prefix-length arithmetic as the join; no extra corpus
+    pass — ``ordered`` already carries ``dfreq``):
+
+    - ``probe_rows``        total (doc, token) prefix rows;
+    - ``probe_rows_dropped``prefix rows the cap excludes
+      (``dfreq > max_token_df``);
+    - ``docs_at_risk``      distinct probe docs with >= 1 dropped
+      prefix token — the ONLY docs whose pairs can be under-recalled
+      (rare-first order puts hot tokens last, so a prefix holds a hot
+      token only when the doc lacks enough non-hot tokens to fill it);
+    - ``cand_bound_uncapped`` / ``cand_bound_capped``  sum of ``dfreq``
+      over (all / kept) probe rows — an upper bound on candidate-join
+      row volume before and after the cap: the skew metric that says
+      whether the cap is load-bearing on this corpus;
+    - ``max_probe_df``      the hottest document frequency appearing in
+      any probe prefix.
+
+    All BIGINT; engine-portable (the oracle replays the identical
+    filter + aggregate)."""
+    ceil_ts = (
+        (F.col("sz") * threshold_num + threshold_den - 1) / threshold_den
+    ).cast("long")
+    probe = ordered.filter(F.col("pos") <= F.col("sz") - ceil_ts + 1)
+    hot = F.col("dfreq") > max_token_df
+    return probe.agg(
+        F.count(F.lit(1)).alias("probe_rows"),
+        F.sum(F.when(hot, 1).otherwise(0)).cast("long").alias("probe_rows_dropped"),
+        F.count_distinct(F.when(hot, F.col(id_col))).cast("long").alias("docs_at_risk"),
+        F.sum("dfreq").cast("long").alias("cand_bound_uncapped"),
+        F.sum(F.when(hot, 0).otherwise(F.col("dfreq"))).cast("long").alias("cand_bound_capped"),
+        F.max("dfreq").cast("long").alias("max_probe_df"),
     )

@@ -82,13 +82,27 @@ def global_rank(
     in the leading key (e.g. ``F.struct(F.col("dfreq"),
     F.substring("token", 1, 1))`` for rare-first token ranks — legal
     because the second component only refines WITHIN equal leading
-    values). Defaults: string leading key -> its first character
-    (binary collation: the first char dominates the total order);
-    integral/date leading key -> ``floor(key / numeric_bucket_width)``
-    (monotone; assumes value density — dense surrogate/doc ids — so
-    bucket count stays ~n/width). Keys must be a total order (include
-    a unique tiebreaker). All input columns are preserved; ``out_col``
-    is appended as BIGINT."""
+    values). Defaults: string leading key -> its first THREE
+    characters (a character prefix is monotone non-decreasing under
+    Spark's binary/UTF8 order because UTF-8 byte order preserves
+    code-point order; 3 chars splits a billion-row hapax vocabulary's
+    per-letter buckets ~three orders of magnitude finer than 1 char
+    would, keeping the within-bucket window task bounded);
+    integral/date leading key -> ``floor((key - min) / width)`` with
+    ``width = max(numeric_bucket_width, range/65536)`` derived from a
+    broadcast min/max aggregate — dense surrogate ids keep the old
+    fixed-width behavior, while SPARSE/HASHED ids (e.g. xxhash64 keys
+    spanning the full signed-64 range) get ~65k uniform buckets
+    instead of degenerating to one row per bucket and pushing the
+    whole rank into the offsets window. The min/max aggregate is
+    deterministic (unlike a sampled range partitioner), so the
+    multi-branch consistency guarantee above is preserved; the bucket
+    arithmetic runs in DOUBLE so a full-range span cannot overflow
+    long subtraction (long->double is monotone non-decreasing, which
+    is all bucketing needs). DateType keys go through ``unix_date``
+    (a raw long cast of DATE fails analysis). Keys must be a total
+    order (include a unique tiebreaker). All input columns are
+    preserved; ``out_col`` is appended as BIGINT."""
     from pyspark.sql.types import (
         ByteType,
         DateType,
@@ -98,25 +112,39 @@ def global_rank(
         StringType,
     )
 
-    reserved = {"_b", "_rn", "_off", out_col}
+    reserved = {"_b", "_rn", "_off", "_kmin", "_kmax", out_col}
     clash = reserved & set(df.columns)
     if clash:
         raise ValueError(f"global_rank scratch/output columns already present: {sorted(clash)}")
     cols = [F.col(k) for k in keys]
+    b = None
     if bucket is None:
         lead = df.schema[keys[0]].dataType
         if isinstance(lead, StringType):
-            bucket = F.coalesce(F.substring(F.col(keys[0]), 1, 1), F.lit(""))
+            bucket = F.coalesce(F.substring(F.col(keys[0]), 1, 3), F.lit(""))
         elif isinstance(lead, (ByteType, ShortType, IntegerType, LongType, DateType)):
-            bucket = F.floor(
-                F.col(keys[0]).cast("long") / F.lit(numeric_bucket_width)
+            key = (
+                F.unix_date(F.col(keys[0]))
+                if isinstance(lead, DateType)
+                else F.col(keys[0])
+            ).cast("double")
+            stats = df.agg(F.min(key).alias("_kmin"), F.max(key).alias("_kmax"))
+            width = F.greatest(
+                F.lit(float(numeric_bucket_width)),
+                (F.col("_kmax") - F.col("_kmin") + 1) / F.lit(65536.0),
+            )
+            b = (
+                df.crossJoin(F.broadcast(stats))
+                .withColumn("_b", F.floor((key - F.col("_kmin")) / width))
+                .drop("_kmin", "_kmax")
             )
         else:
             raise ValueError(
                 f"global_rank: no default bucketing for leading key type {lead}; "
                 "pass an explicit monotone `bucket` expression"
             )
-    b = df.withColumn("_b", bucket)
+    if b is None:
+        b = df.withColumn("_b", bucket)
     counts = b.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
     w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     offsets = counts.withColumn("_off", F.sum("_n").over(w_off) - F.col("_n")).select(

@@ -720,6 +720,107 @@ FROM scored GROUP BY doc_id ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Stupid-Backoff bigram LM scoring (VERDICT r6 #6b — the backoff
+# completion of the rarity family above)
+
+LM_MIN_COUNT = 3
+
+
+def doc_lm_backoff(t: dict[str, DataFrame]) -> DataFrame:
+    """Stupid-Backoff bigram-LM document scores
+    (``corpus.lm_backoff_score``): transitions whose bigram count
+    clears ``min_count=3`` score the raw conditional ``c2/c1(w1)``;
+    the rest BACK OFF to ``0.4 * c1(w2)/T`` — the Brants et al. 2007
+    web-scale LM recipe, ln-free so the oracle replays it exactly.
+    ``n_backoff`` counts the out-of-distribution transitions (the
+    filter signal CCNet thresholds perplexity for)."""
+    return corpus.lm_backoff_score(t["documents"], min_count=LM_MIN_COUNT).orderBy(
+        "doc_id"
+    )
+
+
+DOC_LM_BACKOFF_ORACLE = rf"""
+WITH {_TOKS_SQL.strip().rstrip()},
+tok AS (SELECT doc_id, unnest(arr) AS token FROM toks),
+c1 AS (SELECT token, COUNT(*) AS c1 FROM tok GROUP BY token),
+tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS T FROM c1),
+big AS (
+  SELECT doc_id, arr[i] AS w1, arr[i+1] AS w2
+  FROM toks, UNNEST(range(1, len(arr))) AS t(i)
+  WHERE len(arr) >= 2
+),
+c2 AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2
+  HAVING COUNT(*) >= {LM_MIN_COUNT}
+),
+scored AS (
+  SELECT big.doc_id,
+         CASE WHEN c2.c2 IS NOT NULL THEN 1 ELSE 0 END AS known,
+         CAST(CASE WHEN c2.c2 IS NOT NULL
+              THEN CAST(c2.c2 AS DOUBLE) / CAST(u1.c1 AS DOUBLE)
+              ELSE CAST(2 * u2.c1 AS DOUBLE) / CAST(5 * tot.T AS DOUBLE)
+              END AS DECIMAL(28,12)) AS term
+  FROM big
+  LEFT JOIN c2 ON c2.w1 = big.w1 AND c2.w2 = big.w2
+  JOIN c1 u1 ON u1.token = big.w1
+  JOIN c1 u2 ON u2.token = big.w2
+  CROSS JOIN tot
+)
+SELECT doc_id,
+       COUNT(*) AS n_transitions,
+       CAST(COUNT(*) - SUM(known) AS BIGINT) AS n_backoff,
+       CAST(SUM(term) AS DOUBLE) / COUNT(*) AS lm_score
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplication census (VERDICT r6 #6c — Lee et al. 2022)
+
+DUP_GRAM_K = 5
+
+
+def doc_substring_dup(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-document exact-substring duplication coverage
+    (``corpus.substring_dup_census``): the fraction of each doc's token
+    positions inside a 5-token window occurring >= 2 times corpus-wide
+    — Lee et al. 2022's dedup target in its DataFrame-native fixed-k
+    formulation (positional k-grams + per-doc interval-union window).
+    The integer position arithmetic replays exactly in SQL."""
+    return corpus.substring_dup_census(t["documents"], k=DUP_GRAM_K).orderBy("doc_id")
+
+
+DOC_SUBSTRING_DUP_ORACLE = rf"""
+WITH {_TOKS_SQL.strip().rstrip()},
+base AS (SELECT doc_id, arr, len(arr) AS n_tokens FROM toks WHERE len(arr) >= {DUP_GRAM_K}),
+g AS (
+  SELECT doc_id, n_tokens, i AS s,
+         arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] || ' ' || arr[i+3] || ' ' || arr[i+4] AS gram
+  FROM base, UNNEST(range(1, n_tokens - {DUP_GRAM_K} + 2)) AS t(i)
+),
+cnt AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+dup AS (
+  SELECT g.doc_id, g.s, g.s + {DUP_GRAM_K} AS e
+  FROM g JOIN cnt USING (gram)
+),
+merged AS (
+  SELECT doc_id,
+         GREATEST(0, e - GREATEST(COALESCE(
+           MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), s)) AS cov
+  FROM dup
+),
+covered AS (SELECT doc_id, CAST(SUM(cov) AS BIGINT) AS dup_tokens FROM merged GROUP BY doc_id)
+SELECT b.doc_id,
+       CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       COALESCE(c.dup_tokens, 0) AS dup_tokens,
+       CAST(COALESCE(c.dup_tokens, 0) AS DOUBLE) / CAST(b.n_tokens AS DOUBLE) AS dup_fraction
+FROM base b LEFT JOIN covered c USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # BPE tokenizer training (operators/bpe.py)
 
 BPE_ROUNDS = 8

@@ -66,88 +66,46 @@ def oracle_sql() -> dict[str, str]:
 
 
 # The correctness driver differentials the FIRST 50 registry entries per
-# round. Round-6 window: the flagship; everything added or changed this
-# round (containment_prefix_join, the SemDeDup fixpoint/broadcast fixes,
-# the prefix join's two-phase token rank, the warehouse builds whose
-# assign_surrogate now delegates to relational.global_rank, bloom's
-# output guard); the five r5-refactored dedup queries whose last driver
-# check predates their current bodies (VERDICT r5 item #1); the 15
-# round-2-stale verifications (item #2); and the oldest (round-3)
-# verifications filling the rest of the 50. After this round every
-# query's latest driver check is <= 3 rounds old; the position-51+ tail
-# lists round 7's refresh order (remaining r3-green rows, then r4).
+# round. Round-7 window (derived from tools/staleness.py — enforced by
+# tests/test_entry.py::test_driver_window_covers_stalest): the flagship;
+# the four new queries (hot-token-capped containment + its skew census,
+# Stupid-Backoff LM scoring, exact-substring dup census); everything
+# transitively changed this round (rank_ordered_tokens grew dfreq and
+# refined its hapax bucket; global_rank's string/numeric default buckets
+# hardened; negative_pairs degenerate guard; RRF oracle id
+# interpolation); the 23 round-3-stale verifications (vocab_top_terms
+# first — stale AND transitively changed, VERDICT r6 #1); and 13 of the
+# 45 round-4-stale rows, dedup/vocab-plumbing first. After this round
+# every query's latest driver check is <= 2 rounds old except the
+# remaining r4 tail listed at position 51+ (round 8's refresh order).
 _DRIVER_WINDOW = [
     # flagship — always re-verified
     "timely_rank_report",
-    # round-6 additions and implementation changes — checked the round
-    # they land (never-deferred rule, asserted by tests/test_entry.py):
-    # the exact-recall containment join; the SemDeDup queries (peeling
-    # now runs to fixpoint, dropped-set broadcast removed); the prefix
-    # join (token rank swapped to the two-phase global_rank); both
-    # warehouse builds (assign_surrogate now delegates to
-    # relational.global_rank); bloom (output-name guard).
+    # round-7 additions; the skew census leads so the shared shingle +
+    # rank-ordered-token cache build cost lands on the family head and
+    # the three prefix joins time warm (cache_builds records it)
+    "containment_probe_skew",
+    "containment_capped_join",
     "containment_prefix_join",
-    "doc_negative_pairs",
-    "doc_balanced_oversample",
-    "doc_bm25_topk",
-    "hybrid_rrf_fusion",
-    "doc_span_corruption",
-    "window_frames_sql",
-    "events_props_variant",
-    "semantic_dedup_greedy",
-    "semantic_dedup_census",
     "near_dup_prefix_join",
-    "warehouse_dim_build",
-    "warehouse_fact_build",
-    "bloom_prefilter_join",
-    # the r5-refactored dedup family whose bodies changed AFTER their
-    # last driver check (VERDICT r5 "What's missing" #1) — minhash
-    # first so the shared shingle/band/verified caches are charged to
-    # the family head, keeping downstream timings attributable
+    "doc_lm_backoff",
+    "doc_substring_dup",
+    # round-7 implementation/oracle changes — checked the round they
+    # land (never-deferred rule): minhash family head first for cache
+    # attribution; simhash + vocab consumers follow the
+    # build_dictionary bucket refinement; negative_pairs (N>=2 guard),
+    # hybrid_rrf_fusion (oracle id interpolation), balanced_oversample
+    # + both warehouse builds (global_rank default-bucket hardening)
     "near_dup_minhash",
     "simhash_near_dup",
-    "near_dup_incremental",
-    "near_dup_capped",
-    "embedding_near_dup",
-    # round-2-stale verifications (three rounds old — VERDICT r5
-    # "What's missing" #2; media_feature_extract first, its
-    # implementation was rewritten with real codecs in r4)
-    "media_feature_extract",
-    "brand_mode_type",
-    "doc_fingerprint",
-    "doc_language_id",
-    "doc_language_ngram",
-    "doc_quality_score",
-    "doc_simhash",
-    "embedding_ann_ivf",
-    "embedding_ann_kmeans",
-    "embedding_cosine_topk",
-    "event_value_band_join",
-    "order_rollup",
-    "recent_order_preview",
-    "segment_mode_fill",
-    # oldest remaining verifications (round-3-green, refreshed here;
-    # dedup_keep_best + the ANN family first — they share plumbing
-    # with code touched in r5/r6)
-    "dedup_keep_best",
-    "embedding_ann_ivfpq",
-    "embedding_ann_multiprobe",
-    "embedding_ann_pq",
-    "doc_decontaminate",
-    "doc_chunks",
-    "doc_pii_redact",
-    "doc_repetition_ratio",
-    "doc_stratified_sample",
-    "doc_tfidf_top_terms",
-    "corpus_quality_filter",
-    "brand_price_percentiles",
-    "customer_running_totals",
-    "customer_set_ops",
-    "customer_spend_quartiles",
-    "event_user_distinct",
+    "doc_negative_pairs",
+    "hybrid_rrf_fusion",
+    "doc_balanced_oversample",
+    "warehouse_dim_build",
+    "warehouse_fact_build",
+    # round-3-stale refresh (VERDICT r6 #1; vocab_top_terms first)
+    "vocab_top_terms",
     "events_asof_join",
-    # position 51+ — round-7 refresh order: the remaining r3-green
-    # rows, then r4-green
     "events_daily_delta",
     "events_keep_latest",
     "events_sessionize",
@@ -169,7 +127,54 @@ _DRIVER_WINDOW = [
     "shipping_priority_sql",
     "small_qty_revenue_sql",
     "user_sketch_distinct",
-    "vocab_top_terms",
+    # round-4-stale refresh, part 1 of 2 — dedup/vocab/sampling
+    # plumbing nearest this round's changes, plus the r6
+    # bench-variance-flagged rows for a clean re-time
+    "exact_dedup_by_fingerprint",
+    "doc_split_dedup_aware",
+    "embedding_lsh_near_dup",
+    "bpe_merges",
+    "bpe_token_stats",
+    "boilerplate_ngrams",
+    "doc_hash_split",
+    "doc_rarity_score",
+    "training_sequences",
+    "events_funnel",
+    "doc_eval_sample",
+    "doc_priority_sample",
+    "corpus_mix_sources",
+    # position 51+ — round-8 refresh order: the remaining r4-stale rows
+    "brand_band_revenue_sql",
+    "brand_fuzzy_match",
+    "brand_price_outliers",
+    "customer_order_reconcile",
+    "doc_shard_assignment",
+    "documents_profile",
+    "dormant_balance_sql",
+    "embedding_kmeans_refine",
+    "event_transitions",
+    "events_cdc_apply",
+    "events_gap_fill",
+    "events_heavy_hitters_cms",
+    "events_quantile_rollup",
+    "events_skew_census",
+    "events_volume_anomaly",
+    "forecast_revenue_sql",
+    "large_orders_sql",
+    "media_audio_roundtrip",
+    "media_decode_roundtrip",
+    "media_video_roundtrip",
+    "nation_volume_sql",
+    "orc_scan_agg",
+    "order_lifecycle_fact",
+    "orders_constraint_gate",
+    "promo_revenue_sql",
+    "region_nation_revenue_share",
+    "returned_item_sql",
+    "session_conversion",
+    "user_retention_cohorts",
+    "user_sketch_rollup",
+    "window_funcs_sql",
 ]
 
 
@@ -699,6 +704,16 @@ register(
     corpus_queries.DOC_BIGRAM_RARITY_ORACLE,
 )
 register(
+    "doc_lm_backoff",
+    corpus_queries.doc_lm_backoff,
+    corpus_queries.DOC_LM_BACKOFF_ORACLE,
+)
+register(
+    "doc_substring_dup",
+    corpus_queries.doc_substring_dup,
+    corpus_queries.DOC_SUBSTRING_DUP_ORACLE,
+)
+register(
     "purchase_graph_pagerank",
     graph_queries.purchase_graph_pagerank,
     graph_queries.PURCHASE_GRAPH_PAGERANK_ORACLE,
@@ -732,6 +747,16 @@ register(
     "containment_prefix_join",
     llm_queries.containment_prefix_join,
     llm_queries.CONTAINMENT_PREFIX_JOIN_ORACLE,
+)
+register(
+    "containment_capped_join",
+    llm_queries.containment_capped_join,
+    llm_queries.CONTAINMENT_CAPPED_JOIN_ORACLE,
+)
+register(
+    "containment_probe_skew",
+    llm_queries.containment_probe_skew,
+    llm_queries.CONTAINMENT_PROBE_SKEW_ORACLE,
 )
 register(
     "doc_negative_pairs",

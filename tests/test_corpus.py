@@ -5,6 +5,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+import pytest
+
 from data_warehouse_implementation_spark.operators import corpus
 
 
@@ -539,3 +541,49 @@ def test_bm25_matches_python_reference_property(spark, docs):
     for rank, (d, sc) in enumerate(order, start=1):
         assert got[d][0] == rank, (d, got[d], rank)
         assert abs(got[d][1] - float(sc)) < 1e-9
+
+
+def test_lm_backoff_score_known_vs_backoff_paths(spark):
+    """Hand-computed Stupid Backoff on a 3-doc corpus: bigrams clearing
+    min_count score c2/c1(w1); the rare (a,z) transition falls through
+    to 0.4 * c1(z)/T. Exact arithmetic, both paths exercised."""
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "a b a b"), (3, "a z")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in corpus.lm_backoff_score(df, min_count=3).collect()}
+    # c2(a,b)=5 known, c2(b,a)=3 known, c2(a,z)=1 backoff
+    # c1: a=6, b=5, z=1; T=12
+    assert (got[1].n_transitions, got[1].n_backoff) == (5, 0)
+    assert got[1].lm_score == pytest.approx((3 * (5 / 6) + 2 * (3 / 5)) / 5, abs=1e-9)
+    assert (got[3].n_transitions, got[3].n_backoff) == (1, 1)
+    assert got[3].lm_score == pytest.approx(2 * 1 / (5 * 12), abs=1e-12)
+
+
+def test_substring_dup_census_interval_union(spark):
+    """Coverage is the UNION of duplicated 5-gram spans (overlaps not
+    double-counted), within-doc repeats count as duplication, and
+    dup-free docs still appear with fraction 0."""
+    df = spark.createDataFrame(
+        [
+            (1, "p q r s t u v w"),   # identical to doc 2
+            (2, "p q r s t u v w"),
+            (3, "n1 n2 n3 n4 n5 n6 n7 n8"),  # unique
+            (4, "m1 m2 m3 m4 m5 z m1 m2 m3 m4 m5"),  # self-repeat
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in corpus.substring_dup_census(df, k=5).collect()}
+    # docs 1/2: all 4 grams dup; overlapping spans union to all 8 tokens
+    assert (got[1].dup_tokens, got[1].dup_fraction) == (8, 1.0)
+    assert (got[2].dup_tokens, got[2].dup_fraction) == (8, 1.0)
+    assert (got[3].dup_tokens, got[3].dup_fraction) == (0, 0.0)
+    # doc 4: gram m1..m5 occurs at s=1 and s=7 -> spans [1,6) u [7,12)
+    assert got[4].n_tokens == 11 and got[4].dup_tokens == 10
+    assert got[4].dup_fraction == pytest.approx(10 / 11)
+    # hashed production mode: identical census, 8-byte shuffle key
+    hashed = {
+        r.doc_id: r.dup_tokens
+        for r in corpus.substring_dup_census(df, k=5, hashed=True).collect()
+    }
+    assert hashed == {d: r.dup_tokens for d, r in got.items()}

@@ -45,6 +45,42 @@ def test_driver_window_integrity():
     deferred = [n for n in new_queries if n not in first50]
     assert not deferred, f"new queries deferred past the window: {deferred}"
 
+def test_driver_window_covers_stalest():
+    """VERDICT r6 #7: window rotation is derived from the committed
+    staleness census (tools/staleness.py) instead of re-derived by
+    hand — the first 50 must contain EVERY query whose latest driver
+    check is maximally stale (never-checked queries are covered by the
+    never-deferred rule above), and no first-50 slot may be wasted on
+    a query checked in the most recent round other than the flagship
+    and queries changed this round (approximated: the window must
+    include all queries >= 2 rounds stale, up to capacity)."""
+    import sys
+    from pathlib import Path
+
+    repo_root = Path(__file__).resolve().parents[1]
+    sys.path.insert(0, str(repo_root / "tools"))
+    import staleness
+
+    from data_warehouse_implementation_spark import registry
+
+    rows = staleness.staleness_table(repo_root)
+    checked = [r for r in rows if r[1] > 0]  # never-checked handled elsewhere
+    assert checked, "no staleness data"
+    worst = max(s for _, _, s, _ in checked)
+    stalest = {n for n, _, s, _ in checked if s == worst}
+    first50 = [n for n in registry._DRIVER_WINDOW if n in registry._QUERIES][:50]
+    missing = stalest - set(first50)
+    assert not missing, (
+        f"max-staleness ({worst} rounds) queries missing from the "
+        f"50-query driver window: {sorted(missing)}"
+    )
+    # every query must appear somewhere in the window ordering so the
+    # round-over-round rotation never silently orphans one
+    orphans = set(registry._QUERIES) - set(registry._DRIVER_WINDOW)
+    stale_orphans = {n for n, _, s, _ in checked if s >= 2} & orphans
+    assert not stale_orphans, f"stale queries absent from window ordering: {sorted(stale_orphans)}"
+
+
 def test_survey_count_matches_registry():
     """SURVEY.md's footer count must track the registry (VERDICT r5 #3:
     the doc drifted to 144 while the registry held 152)."""
@@ -58,3 +94,30 @@ def test_survey_count_matches_registry():
     assert m, "SURVEY.md footer count sentence not found"
     assert int(m.group(1)) == len(registry._QUERIES), (m.group(1), len(registry._QUERIES))
     assert int(m.group(2)) == len(registry._ORACLES), (m.group(2), len(registry._ORACLES))
+
+
+def test_survey_test_count_matches_collection():
+    """SURVEY.md's pytest-test count must track the collected suite
+    (VERDICT r6 #4: the footer said 249 while the suite held 300).
+    Counted by a collect-only subprocess so a filtered (-k) run of this
+    test still sees the full suite size."""
+    import re
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo_root = Path(__file__).resolve().parents[1]
+    text = (repo_root / "SURVEY.md").read_text()
+    m = re.search(r"(\d+) pytest tests", text)
+    assert m, "SURVEY.md test-count sentence not found"
+    out = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/", "--collect-only", "-q",
+         "-p", "no:cacheprovider"],
+        cwd=repo_root, capture_output=True, text=True, timeout=300,
+    )
+    mc = re.search(r"(\d+) tests collected", out.stdout)
+    assert mc, f"could not parse collect-only output:\n{out.stdout[-2000:]}"
+    assert int(m.group(1)) == int(mc.group(1)), (
+        f"SURVEY.md says {m.group(1)} tests; collection finds {mc.group(1)} — "
+        "update the SURVEY footer"
+    )

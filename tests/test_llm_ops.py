@@ -571,6 +571,57 @@ def test_containment_prefix_join_complete_vs_brute_force(spark):
     assert (1, 2) in got and got[(1, 2)][0] == 1.0 and got[(1, 2)][1] < 0.05
 
 
+def test_containment_capped_join_adversarial_stop_shingles(spark):
+    """The hot-token cap on an adversarial corpus: a stop-shingle
+    ("the same words") shared by EVERY doc. Pairs whose only shared
+    probe token is that stop-shingle vanish under the cap (the loud,
+    accounted truncation); pairs that also share a RARE probe token
+    survive identically to the exact join; the accounting row counts
+    exactly the at-risk probes and the capped candidate-volume bound."""
+    stop = "the same words again and again"  # 4 shingles, in every doc
+    small_text = "alpha beta gamma delta " + stop
+    rows = [
+        # pair (1,2): tiny doc textually contained in big one, with
+        # RARE leading shingles (alpha/beta/gamma windows, df 2)
+        (1, small_text),
+        (2, small_text + " " + " ".join(f"w{i}" for i in range(40))),
+        # pair (3,4): ONLY the stop shingles are shared (3's prefix is
+        # all-hot once the cap bites) — capped join must drop it
+        (3, stop),
+        (4, stop + " " + " ".join(f"q{i}" for i in range(40))),
+        # more carriers so the stop shingles exceed the df cap
+        (5, stop + " " + " ".join(f"r{i}" for i in range(20))),
+        (6, stop + " " + " ".join(f"s{i}" for i in range(20))),
+        (7, stop + " " + " ".join(f"t{i}" for i in range(20))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cap = 4  # stop shingles have df 7 > 4; everything else df <= 2
+    exact = {
+        (r.doc_a, r.doc_b) for r in dedup.containment_prefix_join(df).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.containment_prefix_join(df, max_token_df=cap).collect()
+    }
+    assert (1, 2) in exact and (3, 4) in exact
+    assert (1, 2) in capped, "rare-token pair must survive the cap"
+    assert (3, 4) not in capped, "stop-shingle-only pair must be truncated"
+    assert capped <= exact, "the cap may only REMOVE pairs, never add"
+    # the accounting row makes the truncation loud
+    ordered = dedup.rank_ordered_tokens(dedup.word_shingles(df, n=3))
+    stats = dedup.prefix_hot_token_stats(ordered, 7, 10, cap).collect()[0]
+    # doc 3 is all-hot (its whole prefix is stop shingles) -> at risk;
+    # docs with rare-token prefixes are not
+    assert stats.docs_at_risk >= 1
+    assert stats.probe_rows_dropped >= 1
+    assert stats.cand_bound_capped < stats.cand_bound_uncapped
+    assert stats.max_probe_df == 7
+    # and an uncapped census of the same corpus reports zero risk
+    clean = dedup.prefix_hot_token_stats(ordered, 7, 10, 10_000).collect()[0]
+    assert clean.docs_at_risk == 0 and clean.probe_rows_dropped == 0
+    assert clean.cand_bound_capped == clean.cand_bound_uncapped
+
+
 def test_containment_prefix_join_no_global_vocab_window(spark):
     """Same RUNBOOK §3 invariant as the jaccard prefix join: the token
     ranking must be the deterministic two-phase rank."""
@@ -711,3 +762,55 @@ def test_global_rank_consistent_over_cached_multibranch_input(spark):
     d = {r.shingle: r.tid for r in dedup.build_dictionary(cached, "shingle").collect()}
     assert d == ref
     cached.unpersist()
+
+
+def test_global_rank_sparse_hashed_numeric_keys(spark):
+    """The numeric default bucket derives its width from a broadcast
+    min/max aggregate, so SPARSE ids spanning the full signed-64 range
+    (xxhash64-style keys) rank correctly and do NOT degenerate to one
+    row per bucket (the old fixed-width default would make every key
+    its own bucket, pushing the whole rank into the offsets window)."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_implementation_spark.operators import relational
+
+    df = (
+        spark.range(2000)
+        .select(F.xxhash64(F.col("id").cast("string")).alias("k"))
+        .repartition(7)
+    )
+    got = relational.global_rank(df, ["k"], "r")
+    rows = got.collect()
+    expect = {k: i + 1 for i, k in enumerate(sorted(r.k for r in rows))}
+    assert {r.k: r.r for r in rows} == expect
+    # bucket count is bounded: re-derive the default bucket expression's
+    # cardinality (the scratch column is dropped from the output, so
+    # count it on a clone of the arithmetic)
+    stats = df.agg(
+        F.min(F.col("k").cast("double")).alias("lo"),
+        F.max(F.col("k").cast("double")).alias("hi"),
+    )
+    width = F.greatest(F.lit(4096.0), (F.col("hi") - F.col("lo") + 1) / F.lit(65536.0))
+    n_buckets = (
+        df.crossJoin(F.broadcast(stats))
+        .select(F.floor((F.col("k").cast("double") - F.col("lo")) / width).alias("b"))
+        .distinct()
+        .count()
+    )
+    assert n_buckets <= 65537
+    assert n_buckets < 2000  # NOT one bucket per row
+
+
+def test_global_rank_date_leading_key(spark):
+    """DateType leading keys go through unix_date — a raw long cast of
+    DATE fails analysis (ADVICE r6), so the accepted-type list must
+    actually work, not just be advertised."""
+    from datetime import date
+
+    from data_warehouse_implementation_spark.operators import relational
+
+    rows = [(date(2020, 1, 1 + (i * 7) % 28), i) for i in range(60)]
+    df = spark.createDataFrame(rows, "d date, tie long").repartition(5)
+    got = {(r.d, r.tie): r.r for r in relational.global_rank(df, ["d", "tie"], "r").collect()}
+    expect = {k: i + 1 for i, k in enumerate(sorted(got))}
+    assert got == expect
