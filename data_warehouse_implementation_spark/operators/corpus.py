@@ -920,3 +920,88 @@ def substring_dup_census(
             ).alias("dup_fraction"),
         )
     )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hashed_buckets: int | None = None,
+) -> DataFrame:
+    """DSIR importance weighting (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw-corpus
+    document by how target-domain-like its bigram feature distribution
+    is — the principled replacement for hand-tuned quality filters when
+    a trusted target corpus exists (Wikipedia/books in the paper; any
+    curated slice in production). Two bigram LMs with add-one
+    smoothing, target ``p`` and raw ``q`` (the raw model is trained on
+    ``df`` itself); each transition contributes the likelihood ratio
+
+        p(bg)/q(bg) = [(ct+1)/(Tt+V)] / [(cr+1)/(Tr+V)]
+
+    and the document weight is the MEAN ratio over its transitions.
+    DSIR proper resamples by the product of ratios (sum of logs); the
+    mean-ratio form is the repo's ln-free, oracle-replayable variant —
+    same per-feature evidence, arithmetic instead of geometric pooling
+    (pair with :func:`priority_sample` over the weight for the actual
+    resampling step). Each factor is computed as TWO double divisions
+    multiplied — ``(ct+1)/(cr+1) * (Tr+V)/(Tt+V)`` — so the int64
+    products that would overflow at web scale (T ~ 10^13) never
+    materialize; terms are decimal-cast for order-independent summing.
+
+    ``hashed_buckets`` (production mode): DSIR's hashed n-gram trick —
+    features are ``pmod(xxhash64(bigram), buckets)`` so both LMs are
+    fixed-size count arrays regardless of vocabulary (the paper uses
+    10k buckets); not oracle-replayable (engine-specific hash), same
+    trade as ``shingle_ids(hashed=True)``. V becomes the bucket count
+    actually observed in the raw model either way.
+
+    Scale shape: two model aggregates (target + raw bigram counts), a
+    broadcast scalar totals frame, one fact-side left join against
+    each model table (broadcast when the models fit — AQE decides),
+    one per-doc aggregate. Returns
+    ``(id_col, n_transitions, dsir_weight)``; docs with < 2 tokens
+    carry no feature and are absent."""
+    big_expr = (
+        "transform(sequence(1, size(_arr) - 1), "
+        "i -> concat(element_at(_arr, i), ' ', element_at(_arr, i + 1)))"
+    )
+
+    def feats(frame: DataFrame, with_id: bool) -> DataFrame:
+        cols = [F.col(id_col)] if with_id else []
+        out = (
+            frame.select(*cols, words(text_col).alias("_arr"))
+            .filter(F.size("_arr") >= 2)
+            .select(*cols, F.explode(F.expr(big_expr)).alias("f"))
+        )
+        if hashed_buckets is not None:
+            out = out.withColumn("f", F.pmod(F.xxhash64("f"), F.lit(hashed_buckets)))
+        return out
+
+    raw_counts = feats(df, False).groupBy("f").agg(F.count(F.lit(1)).alias("cr"))
+    tgt_counts = feats(target, False).groupBy("f").agg(F.count(F.lit(1)).alias("ct"))
+    totals = (
+        raw_counts.agg(
+            F.sum("cr").alias("Tr"), F.count(F.lit(1)).alias("V")
+        )
+        .crossJoin(tgt_counts.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("Tt")))
+    )
+    ratio = (
+        (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+        / (F.coalesce(F.col("cr"), F.lit(0)) + 1).cast("double")
+    ) * (
+        (F.col("Tr") + F.col("V")).cast("double")
+        / (F.col("Tt") + F.col("V")).cast("double")
+    )
+    scored = (
+        feats(df, True)
+        .join(tgt_counts, on="f", how="left")
+        .join(raw_counts, on="f", how="left")
+        .crossJoin(F.broadcast(totals))
+        .select(id_col, ratio.cast("decimal(28,12)").alias("_term"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        (F.sum("_term").cast("double") / F.count(F.lit(1))).alias("dsir_weight"),
+    )

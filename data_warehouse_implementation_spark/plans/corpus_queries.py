@@ -775,6 +775,61 @@ FROM scored GROUP BY doc_id ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# DSIR importance weighting (Xie et al. 2023 — target-domain selection)
+
+
+def doc_dsir_weights(t: dict[str, DataFrame]) -> DataFrame:
+    """DSIR importance weights for every document against the curated
+    English slice as the target domain (``corpus.dsir_importance``):
+    mean bigram likelihood ratio p_target/q_raw with add-one smoothing
+    — the principled data-selection score (resample with
+    ``priority_sample`` over it). Non-'en' docs whose bigrams never
+    occur in the target land near the smoothing floor; target-like
+    docs score ~V-normalized ratios above 1."""
+    docs = t["documents"]
+    return corpus.dsir_importance(docs, docs.filter(F.col("lang") == "en")).orderBy(
+        "doc_id"
+    )
+
+
+DOC_DSIR_WEIGHTS_ORACLE = rf"""
+WITH {_TOKS_SQL.strip().rstrip()},
+big AS (
+  SELECT doc_id, arr[i] || ' ' || arr[i+1] AS f
+  FROM toks, UNNEST(range(1, len(arr))) AS t(i)
+  WHERE len(arr) >= 2
+),
+raw AS (SELECT f, COUNT(*) AS cr FROM big GROUP BY f),
+tgt AS (
+  SELECT b.f, COUNT(*) AS ct
+  FROM big b JOIN documents d USING (doc_id)
+  WHERE d.lang = 'en'
+  GROUP BY b.f
+),
+tot AS (
+  SELECT CAST(SUM(cr) AS BIGINT) AS Tr, COUNT(*) AS V,
+         (SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) FROM tgt) AS Tt
+  FROM raw
+),
+scored AS (
+  SELECT big.doc_id,
+         CAST(
+           (CAST(COALESCE(tgt.ct, 0) + 1 AS DOUBLE)
+            / CAST(COALESCE(raw.cr, 0) + 1 AS DOUBLE))
+           * (CAST(tot.Tr + tot.V AS DOUBLE) / CAST(tot.Tt + tot.V AS DOUBLE))
+         AS DECIMAL(28,12)) AS term
+  FROM big
+  LEFT JOIN tgt USING (f)
+  LEFT JOIN raw USING (f)
+  CROSS JOIN tot
+)
+SELECT doc_id, COUNT(*) AS n_transitions,
+       CAST(SUM(term) AS DOUBLE) / COUNT(*) AS dsir_weight
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Exact-substring duplication census (VERDICT r6 #6c — Lee et al. 2022)
 
 DUP_GRAM_K = 5

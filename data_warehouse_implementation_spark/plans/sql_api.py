@@ -604,3 +604,47 @@ def window_frames_sql(t: dict[str, DataFrame]) -> DataFrame:
 
 
 WINDOW_FRAMES_ORACLE = WINDOW_FRAMES_SQL
+
+
+# Q21-shaped waiting-supplier report: the one classic subquery SHAPE the
+# battery still lacked — DOUBLE correlation on the same fact table, an
+# EXISTS and a NOT EXISTS both correlated to the outer row's order AND
+# referencing an outer JOIN column (o_orderdate) inside the inner
+# predicate. "Late" is shipped > 60 days after order date (the
+# testdata's slimmed lineitem carries no commit/receipt dates, so the
+# ship-lag proxy stands in for TPC-H's l_receiptdate > l_commitdate —
+# same correlation structure, same decorrelation stress). Catalyst
+# rewrites the pair into a left-semi and a left-anti join against
+# aggregated/filtered copies of lineitem; DuckDB plans its own
+# (de)correlation — identical rows either way, and COUNT(*) per
+# supplier is exact-integer deterministic. The multi-supplier EXISTS
+# keeps only orders more than one supplier touched; the NOT EXISTS
+# keeps only rows where the outer supplier was the SOLE late one.
+WAITING_SUPPLIER_SQL = """
+SELECT s_name, n_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders   ON o_orderkey = l1.l_orderkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name, n_name
+ORDER BY numwait DESC, s_name
+LIMIT 25
+"""
+
+
+def waiting_supplier_sql(t: dict[str, DataFrame]) -> DataFrame:
+    return t["lineitem"].sparkSession.sql(WAITING_SUPPLIER_SQL)
+
+
+WAITING_SUPPLIER_ORACLE = WAITING_SUPPLIER_SQL

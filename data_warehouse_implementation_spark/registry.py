@@ -90,6 +90,8 @@ _DRIVER_WINDOW = [
     "near_dup_prefix_join",
     "doc_lm_backoff",
     "doc_substring_dup",
+    "doc_dsir_weights",
+    "waiting_supplier_sql",
     # round-7 implementation/oracle changes — checked the round they
     # land (never-deferred rule): minhash family head first for cache
     # attribution; simhash + vocab consumers follow the
@@ -141,9 +143,9 @@ _DRIVER_WINDOW = [
     "training_sequences",
     "events_funnel",
     "doc_eval_sample",
+    # position 51+ — round-8 refresh order: the remaining r4-stale rows
     "doc_priority_sample",
     "corpus_mix_sources",
-    # position 51+ — round-8 refresh order: the remaining r4-stale rows
     "brand_band_revenue_sql",
     "brand_fuzzy_match",
     "brand_price_outliers",
@@ -709,6 +711,11 @@ register(
     corpus_queries.DOC_LM_BACKOFF_ORACLE,
 )
 register(
+    "doc_dsir_weights",
+    corpus_queries.doc_dsir_weights,
+    corpus_queries.DOC_DSIR_WEIGHTS_ORACLE,
+)
+register(
     "doc_substring_dup",
     corpus_queries.doc_substring_dup,
     corpus_queries.DOC_SUBSTRING_DUP_ORACLE,
@@ -787,6 +794,11 @@ register(
     "window_frames_sql",
     sql_api.window_frames_sql,
     sql_api.WINDOW_FRAMES_ORACLE,
+)
+register(
+    "waiting_supplier_sql",
+    sql_api.waiting_supplier_sql,
+    sql_api.WAITING_SUPPLIER_ORACLE,
 )
 register(
     "events_props_variant",

@@ -587,3 +587,24 @@ def test_substring_dup_census_interval_union(spark):
         for r in corpus.substring_dup_census(df, k=5, hashed=True).collect()
     }
     assert hashed == {d: r.dup_tokens for d, r in got.items()}
+
+
+def test_dsir_importance_hand_computed(spark):
+    """Hand-computed DSIR mean likelihood ratios on a 2-doc corpus with
+    doc 1 as the target domain: target-like bigrams score (ct+1)/(cr+1)
+    * (Tr+V)/(Tt+V); unseen-in-target bigrams land near the smoothing
+    floor. Hashed production mode preserves the target>raw ordering."""
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "x y x y")], "doc_id long, text string"
+    )
+    tgt = df.filter("doc_id = 1")
+    got = {r.doc_id: r for r in corpus.dsir_importance(df, tgt).collect()}
+    # raw: ab=2, ba=1, xy=2, yx=1 -> Tr=6, V=4; tgt: ab=2, ba=1 -> Tt=3
+    assert got[1].n_transitions == 3 and got[2].n_transitions == 3
+    assert got[1].dsir_weight == pytest.approx(10 / 7, abs=1e-9)
+    assert got[2].dsir_weight == pytest.approx((2 * 10 / 21 + 5 / 7) / 3, abs=1e-9)
+    hashed = {
+        r.doc_id: r.dsir_weight
+        for r in corpus.dsir_importance(df, tgt, hashed_buckets=8192).collect()
+    }
+    assert hashed[1] > hashed[2]
