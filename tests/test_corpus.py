@@ -608,3 +608,25 @@ def test_dsir_importance_hand_computed(spark):
         for r in corpus.dsir_importance(df, tgt, hashed_buckets=8192).collect()
     }
     assert hashed[1] > hashed[2]
+
+
+def test_new_corpus_ops_scale_plan_invariants(spark):
+    """Scale-shape assertions for the round-7 operators (RUNBOOK §3):
+    no unpartitioned window anywhere, no CartesianProduct (the only
+    nested-loop joins allowed are one-row broadcast scalar frames),
+    and the substring census's interval-union window is doc-bucketed."""
+    from data_warehouse_implementation_spark.session import load_tables
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    docs = t["documents"]
+    plans = {
+        "lm_backoff": corpus.lm_backoff_score(docs),
+        "substring_dup": corpus.substring_dup_census(docs),
+        "dsir": corpus.dsir_importance(docs, docs.filter(F.col("lang") == "en")),
+    }
+    for name, df in plans.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        for line in plan.splitlines():
+            if "windowspecdefinition(" in line:
+                assert "doc_id" in line, f"{name}: unpartitioned window:\n{line}"
