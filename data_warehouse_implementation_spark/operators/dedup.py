@@ -456,11 +456,24 @@ def jaccard_prefix_join(
     id_col: str = "doc_id",
     tokens: DataFrame | None = None,
     ordered: DataFrame | None = None,
+    max_token_df: int | None = None,
 ) -> DataFrame:
     """EXACT-threshold set-similarity self-join via prefix filtering
     (the AllPairs/PPJoin family, Bayardo et al. 2007 / Xiao et al.
     2008) — the deterministic alternative to MinHash LSH: zero false
     negatives by construction, no probabilistic recall.
+
+    ``max_token_df``: the same hot-token cap as
+    :func:`containment_prefix_join` — here BOTH candidate sides are
+    prefixes, so a stop-shingle shared by many low-slack documents
+    (tiny docs whose prefix spans most of the doc) creates a
+    |bucket|^2 self-join blowup; capping drops over-df tokens from
+    both prefix sides. Deterministic, SQL-replayable; recall is lost
+    only for pairs whose EVERY shared prefix token is hot (rare-first
+    order puts hot tokens last, so a prefix holds one only when the
+    doc lacks enough rare tokens to fill it) — account the truncation
+    with :func:`prefix_hot_token_stats` at this join's thresholds.
+    Default ``None`` = exact recall.
 
     Tokens are globally ordered rare-first (doc frequency asc, token);
     a document of size ``s`` exposes only its first
@@ -493,6 +506,12 @@ def jaccard_prefix_join(
         if tokens is None:
             tokens = word_shingles(df, n=n, text_col=text_col, id_col=id_col)
         ordered = rank_ordered_tokens(tokens, id_col=id_col)
+    if max_token_df is not None and "dfreq" not in ordered.columns:
+        raise ValueError(
+            "max_token_df requires an `ordered` frame carrying dfreq — "
+            "rebuild it with rank_ordered_tokens (its output gained the "
+            "column in round 7)"
+        )
     tok = ordered.select(id_col, "token")
     # prefix length s - ceil(t*s) + 1 with integer ceil (Column has no
     # // operator; double-div + long cast truncates == floor for
@@ -500,9 +519,10 @@ def jaccard_prefix_join(
     ceil_ts = (
         (F.col("sz") * threshold_num + threshold_den - 1) / threshold_den
     ).cast("long")
-    prefix = ordered.filter(F.col("pos") <= F.col("sz") - ceil_ts + 1).select(
-        id_col, "token", "trank", "sz", "pos"
-    )
+    prefix = ordered.filter(F.col("pos") <= F.col("sz") - ceil_ts + 1)
+    if max_token_df is not None:
+        prefix = prefix.filter(F.col("dfreq") <= max_token_df)
+    prefix = prefix.select(id_col, "token", "trank", "sz", "pos")
     a = prefix.select(
         F.col(id_col).alias("doc_a"),
         "token",
@@ -650,6 +670,12 @@ def containment_prefix_join(
         if tokens is None:
             tokens = word_shingles(df, n=n, text_col=text_col, id_col=id_col)
         ordered = rank_ordered_tokens(tokens, id_col=id_col)
+    if max_token_df is not None and "dfreq" not in ordered.columns:
+        raise ValueError(
+            "max_token_df requires an `ordered` frame carrying dfreq — "
+            "rebuild it with rank_ordered_tokens (its output gained the "
+            "column in round 7)"
+        )
     tok = ordered.select(id_col, "token")
     ceil_ts = (
         (F.col("sz") * threshold_num + threshold_den - 1) / threshold_den

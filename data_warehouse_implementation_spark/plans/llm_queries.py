@@ -934,6 +934,97 @@ FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank
 """
 
 
+def embedding_ann_recall(t: dict[str, DataFrame]) -> DataFrame:
+    """ANN QUALITY measurement — per-query recall@k of the IVF
+    cell-pruned search against the exact brute-force baseline: the
+    evaluation harness every production ANN deployment runs before
+    trading exactness for scan budget (recall@k = |ANN top-k ∩ exact
+    top-k| / k). Both rankings are the registry's own operators
+    (``similarity.cosine_topk`` with/without the cell restriction), so
+    the report measures exactly what ``embedding_ann_ivf`` serves;
+    queries whose true neighbors sit across a Voronoi boundary score
+    < 1 and are the signal to raise ``n_probe`` (see
+    ``embedding_ann_multiprobe``). Integer overlap / k is engine-exact.
+
+    Scale shape: two query-bounded top-k computations (|queries| x k
+    rows each) + one tiny join; the corpus is scanned once per ranking,
+    never crossed."""
+    emb = t["embeddings"]
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = similarity.cosine_topk(q, emb, k=TOP_K).select(
+        "query_id", F.col("neighbor_id").alias("_n_exact")
+    )
+    ivf = similarity.cosine_topk(q, emb, k=TOP_K, cell_col="label").select(
+        "query_id", F.col("neighbor_id").alias("_n_ivf")
+    )
+    overlap = (
+        exact.join(
+            ivf,
+            (exact["query_id"] == ivf["query_id"])
+            & (F.col("_n_exact") == F.col("_n_ivf")),
+        )
+        .groupBy(exact["query_id"].alias("query_id"))
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    retrieved = ivf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_retrieved"))
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(retrieved, on="query_id", how="left")
+        .join(overlap, on="query_id", how="left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_retrieved", F.lit(0)).alias("n_retrieved"),
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (
+                F.coalesce("n_overlap", F.lit(0)).cast("double")
+                / F.lit(float(TOP_K))
+            ).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
+EMBEDDING_ANN_RECALL_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS qlabel
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv, label AS clabel FROM embeddings),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY {_COSINE_SQL} DESC, neighbor_id ASC) AS rank
+    FROM q JOIN c ON query_id <> neighbor_id
+  ) WHERE rank <= {TOP_K}
+),
+ivf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY {_COSINE_SQL} DESC, neighbor_id ASC) AS rank
+    FROM q JOIN c ON query_id <> neighbor_id AND qlabel = clabel
+  ) WHERE rank <= {TOP_K}
+),
+ov AS (
+  SELECT e.query_id, COUNT(*) AS n_overlap
+  FROM exact e JOIN ivf i ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+  GROUP BY e.query_id
+),
+ret AS (SELECT query_id, COUNT(*) AS n_retrieved FROM ivf GROUP BY query_id)
+SELECT e.query_id,
+       COUNT(*) AS n_exact,
+       COALESCE(MIN(ret.n_retrieved), 0) AS n_retrieved,
+       COALESCE(MIN(ov.n_overlap), 0) AS n_overlap,
+       CAST(COALESCE(MIN(ov.n_overlap), 0) AS DOUBLE) / CAST({TOP_K} AS DOUBLE) AS recall_at_k
+FROM exact e
+LEFT JOIN ret ON ret.query_id = e.query_id
+LEFT JOIN ov ON ov.query_id = e.query_id
+GROUP BY e.query_id
+ORDER BY e.query_id
+"""
+
+
 _IVF_ASSIGN_SQL = f"""
 cvr AS (SELECT vec_id AS ccen_id, embedding::DOUBLE[] AS ccv FROM embeddings
         WHERE vec_id < {N_CENTROIDS}),

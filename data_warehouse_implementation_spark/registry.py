@@ -92,6 +92,7 @@ _DRIVER_WINDOW = [
     "doc_substring_dup",
     "doc_dsir_weights",
     "waiting_supplier_sql",
+    "embedding_ann_recall",
     # round-7 implementation/oracle changes — checked the round they
     # land (never-deferred rule): minhash family head first for cache
     # attribution; simhash + vocab consumers follow the
@@ -142,8 +143,8 @@ _DRIVER_WINDOW = [
     "doc_rarity_score",
     "training_sequences",
     "events_funnel",
-    "doc_eval_sample",
     # position 51+ — round-8 refresh order: the remaining r4-stale rows
+    "doc_eval_sample",
     "doc_priority_sample",
     "corpus_mix_sources",
     "brand_band_revenue_sql",
@@ -500,6 +501,11 @@ register(
     "embedding_ann_multiprobe",
     llm_queries.embedding_ann_multiprobe,
     llm_queries.EMBEDDING_ANN_MULTIPROBE_ORACLE,
+)
+register(
+    "embedding_ann_recall",
+    llm_queries.embedding_ann_recall,
+    llm_queries.EMBEDDING_ANN_RECALL_ORACLE,
 )
 register(
     "events_funnel", timeseries_queries.events_funnel, timeseries_queries.EVENTS_FUNNEL_ORACLE

@@ -814,3 +814,39 @@ def test_global_rank_date_leading_key(spark):
     got = {(r.d, r.tie): r.r for r in relational.global_rank(df, ["d", "tie"], "r").collect()}
     expect = {k: i + 1 for i, k in enumerate(sorted(got))}
     assert got == expect
+
+
+def test_jaccard_prefix_join_hot_token_cap(spark):
+    """The jaccard twin's |bucket|^2 exposure: identical stop-shingle
+    docs pair only through hot tokens (dropped under the cap), while a
+    rare-token near-identical pair survives; the cap may only remove
+    pairs. A stale `ordered` without dfreq raises loudly instead of
+    failing analysis downstream."""
+    stop = "the same words again and again"
+    rows = [
+        (1, stop),  # identical pair (1,2): all-hot prefixes
+        (2, stop),
+        (3, stop + " t3a t3b t3c t3d"),
+        (4, stop + " t4a t4b t4c t4d"),
+        (5, stop + " t5a t5b t5c t5d"),
+        (6, stop + " t6a t6b t6c t6d"),
+        (7, "u1 u2 u3 u4 u5 u6 u7"),  # rare-token pair (7,8): J = 4/6
+        (8, "u1 u2 u3 u4 u5 u6 u8"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cap = 4  # stop shingles have df 6
+    exact = {(r.doc_a, r.doc_b) for r in dedup.jaccard_prefix_join(df).collect()}
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.jaccard_prefix_join(df, max_token_df=cap).collect()
+    }
+    assert (1, 2) in exact and (7, 8) in exact
+    assert (7, 8) in capped and (1, 2) not in capped
+    assert capped <= exact
+    import pytest as _pytest
+
+    stale = dedup.rank_ordered_tokens(dedup.word_shingles(df, n=3)).drop("dfreq")
+    with _pytest.raises(ValueError, match="dfreq"):
+        dedup.jaccard_prefix_join(df, ordered=stale, max_token_df=cap)
+    with _pytest.raises(ValueError, match="dfreq"):
+        dedup.containment_prefix_join(df, ordered=stale, max_token_df=cap)
