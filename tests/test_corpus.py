@@ -630,3 +630,67 @@ def test_new_corpus_ops_scale_plan_invariants(spark):
         for line in plan.splitlines():
             if "windowspecdefinition(" in line:
                 assert "doc_id" in line, f"{name}: unpartitioned window:\n{line}"
+
+
+# ---------------------------------------------------------------------------
+# Property differential: substring_dup_census vs a pure-Python reference
+# (interval-union edge cases: overlapping/adjacent/nested spans, within-
+# doc repeats, docs shorter than k, single-token alphabets).
+
+from hypothesis import HealthCheck as _HC2
+from hypothesis import given as _given2
+from hypothesis import settings as _settings2
+from hypothesis import strategies as _st2
+
+_census_corpus = _st2.lists(
+    _st2.lists(_st2.sampled_from("abcd"), min_size=0, max_size=14).map(
+        lambda ws: " ".join(ws)
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _census_ref(texts: list[str], k: int) -> dict[int, tuple[int, int]]:
+    """Brute-force duplicated-k-gram coverage: count every positional
+    k-gram corpus-wide, then per doc union the spans of grams occurring
+    >= 2 times."""
+    from collections import Counter
+
+    toks = {i: t.split() for i, t in enumerate(texts)}
+    counts = Counter(
+        tuple(ws[i : i + k])
+        for ws in toks.values()
+        for i in range(len(ws) - k + 1)
+    )
+    out = {}
+    for d, ws in toks.items():
+        if len(ws) < k:
+            continue
+        covered = set()
+        for i in range(len(ws) - k + 1):
+            if counts[tuple(ws[i : i + k])] >= 2:
+                covered.update(range(i, i + k))
+        out[d] = (len(ws), len(covered))
+    return out
+
+
+@_settings2(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[_HC2.function_scoped_fixture],
+)
+@_given2(corpus=_census_corpus, k=_st2.integers(min_value=2, max_value=4))
+def test_substring_dup_census_matches_brute_force(spark, corpus, k):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    ).repartition(3)
+    got = {
+        r.doc_id: (r.n_tokens, r.dup_tokens)
+        for r in corpus_ops_census(df, k)
+    }
+    assert got == _census_ref(corpus, k)
+
+
+def corpus_ops_census(df, k):
+    return corpus.substring_dup_census(df, k=k).collect()
