@@ -141,9 +141,14 @@ _DRIVER_WINDOW = [
     "boilerplate_ngrams",
     "doc_hash_split",
     "doc_rarity_score",
+    # changed this round: node-scale iteration parallelism
+    # (iter_partitions=4) — plan-only, results bit-identical, but
+    # changed queries are checked the round they change
+    "purchase_graph_pagerank",
+    "purchase_graph_communities",
+    # position 51+ — round-8 refresh order: the remaining r4-stale rows
     "training_sequences",
     "events_funnel",
-    # position 51+ — round-8 refresh order: the remaining r4-stale rows
     "doc_eval_sample",
     "doc_priority_sample",
     "corpus_mix_sources",
