@@ -1005,3 +1005,94 @@ def dsir_importance(
         F.count(F.lit(1)).alias("n_transitions"),
         (F.sum("_term").cast("double") / F.count(F.lit(1))).alias("dsir_weight"),
     )
+
+
+def substring_dedup(
+    df: DataFrame,
+    k: int = 5,
+    min_occurrences: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT-substring dedup REMOVAL — the action step behind
+    :func:`substring_dup_census` (Lee et al. 2022 remove all-but-one
+    occurrence of every duplicated substring): token position ``p`` of
+    a document survives unless it is covered ONLY by non-canonical
+    occurrences of duplicated k-grams, where the CANONICAL occurrence
+    of a gram is its corpus-wide first ``(doc_id, position)`` (a
+    per-gram argmin window — deterministic, engine-replayable). The
+    first copy of a duplicated passage therefore survives verbatim;
+    later copies lose exactly the duplicated span, and positions where
+    a canonical span overlaps a non-canonical one are kept (canonical
+    wins — a keep-biased, well-defined policy where span overlap makes
+    "remove the copy" ambiguous).
+
+    Returns ``(id_col, n_tokens, n_removed, cleaned_text)`` for every
+    doc (sub-k docs pass through untouched). ``cleaned_text`` is the
+    kept tokens of the NORMALIZED stream (lowercased, whitespace-
+    split) joined by single spaces — span removal operates on the
+    token stream, so original casing/whitespace is not reconstructed.
+
+    Scale shape: census plumbing (map-side positional k-grams, one
+    gram-count aggregate) plus one per-gram argmin window (vocab-scale
+    rows bucketed by gram — never global) and a k-fold position
+    explode of the DUPLICATED gram occurrences only; per-doc kept
+    tokens reassemble via array_sort, not an ordered shuffle."""
+    gram_expr = (
+        f"transform(sequence(1, size(_arr) - {k - 1}), "
+        f"s -> named_struct('s', s, 'gram', "
+        f"concat_ws(' ', {', '.join(f'element_at(_arr, s + {j})' for j in range(k))})))"
+    )
+    base = df.select(F.col(id_col), words(text_col).alias("_arr")).filter(
+        F.size("_arr") > 0
+    )
+    grams = (
+        base.filter(F.size("_arr") >= k)
+        .select(id_col, F.explode(F.expr(gram_expr)).alias("_g"))
+        .select(id_col, F.col("_g.s").alias("s"), F.col("_g.gram").alias("gram"))
+    )
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_occ"))
+        .filter(F.col("_occ") >= min_occurrences)
+        .select("gram")
+    )
+    dup_occ = grams.join(dup_grams, on="gram", how="left_semi").withColumn(
+        "_canon",
+        F.row_number().over(
+            Window.partitionBy("gram").orderBy(id_col, "s")
+        )
+        == 1,
+    )
+    cover = (
+        dup_occ.select(
+            id_col, "_canon", F.explode(F.sequence(F.col("s"), F.col("s") + k - 1)).alias("p")
+        )
+        .groupBy(id_col, "p")
+        .agg(F.max(F.col("_canon").cast("int")).alias("_any_canon"))
+        .withColumn("_removed", F.col("_any_canon") == 0)
+        .select(id_col, "p", "_removed")
+    )
+    tokens = base.select(
+        id_col, F.posexplode("_arr").alias("p0", "token")
+    ).withColumn("p", F.col("p0") + 1)
+    kept = (
+        tokens.join(cover, on=[id_col, "p"], how="left")
+        .withColumn("_keep", ~F.coalesce(F.col("_removed"), F.lit(False)))
+    )
+    agg = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("_keep"), 0).otherwise(1)).cast("long").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_keep"), F.struct(F.col("p"), F.col("token")))
+                    )
+                ),
+                lambda x: x["token"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    return agg.select(id_col, "n_tokens", "n_removed", "cleaned_text")

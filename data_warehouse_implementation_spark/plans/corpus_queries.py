@@ -876,6 +876,57 @@ ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Exact-substring dedup REMOVAL (the census's action step)
+
+
+def doc_substring_dedup(t: dict[str, DataFrame]) -> DataFrame:
+    """Exact-substring span REMOVAL (``corpus.substring_dedup``):
+    Lee et al. 2022's all-but-one policy made deterministic — the
+    corpus-wide FIRST occurrence of every duplicated 5-gram survives
+    (per-gram argmin window), later copies lose the duplicated span,
+    canonical-overlapped positions are kept. Emits the cleaned token
+    stream plus removal counts; the census query reports how much mass
+    this pass touches before you run it."""
+    return corpus.substring_dedup(t["documents"], k=DUP_GRAM_K).orderBy("doc_id")
+
+
+DOC_SUBSTRING_DEDUP_ORACLE = rf"""
+WITH {_TOKS_SQL.strip().rstrip()},
+base AS (SELECT doc_id, arr, len(arr) AS n FROM toks WHERE len(arr) > 0),
+g AS (
+  SELECT doc_id, i AS s,
+         arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] || ' ' || arr[i+3] || ' ' || arr[i+4] AS gram
+  FROM base, UNNEST(range(1, n - {DUP_GRAM_K} + 2)) AS t(i)
+  WHERE n >= {DUP_GRAM_K}
+),
+dupg AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+occ AS (
+  SELECT g.doc_id, g.s,
+         (ROW_NUMBER() OVER (PARTITION BY g.gram ORDER BY g.doc_id, g.s)) = 1 AS canon
+  FROM g JOIN dupg USING (gram)
+),
+cover AS (
+  SELECT doc_id, s + j AS p, MAX(CASE WHEN canon THEN 1 ELSE 0 END) AS anyc
+  FROM occ, UNNEST(range(0, {DUP_GRAM_K})) AS t(j)
+  GROUP BY doc_id, s + j
+),
+tok AS (
+  SELECT doc_id, i AS p, arr[i] AS token
+  FROM base, UNNEST(range(1, n + 1)) AS t(i)
+),
+kept AS (
+  SELECT t.doc_id, t.p, t.token,
+         COALESCE(c.anyc = 0, FALSE) AS removed
+  FROM tok t LEFT JOIN cover c ON c.doc_id = t.doc_id AND c.p = t.p
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       COALESCE(string_agg(CASE WHEN NOT removed THEN token END, ' ' ORDER BY p), '') AS cleaned_text
+FROM kept GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # BPE tokenizer training (operators/bpe.py)
 
 BPE_ROUNDS = 8

@@ -90,6 +90,7 @@ _DRIVER_WINDOW = [
     "near_dup_prefix_join",
     "doc_lm_backoff",
     "doc_substring_dup",
+    "doc_substring_dedup",
     "doc_dsir_weights",
     "waiting_supplier_sql",
     "embedding_ann_recall",
@@ -140,13 +141,13 @@ _DRIVER_WINDOW = [
     "bpe_token_stats",
     "boilerplate_ngrams",
     "doc_hash_split",
-    "doc_rarity_score",
     # changed this round: node-scale iteration parallelism
     # (iter_partitions=4) — plan-only, results bit-identical, but
     # changed queries are checked the round they change
     "purchase_graph_pagerank",
     "purchase_graph_communities",
     # position 51+ — round-8 refresh order: the remaining r4-stale rows
+    "doc_rarity_score",
     "training_sequences",
     "events_funnel",
     "doc_eval_sample",
@@ -730,6 +731,11 @@ register(
     "doc_substring_dup",
     corpus_queries.doc_substring_dup,
     corpus_queries.DOC_SUBSTRING_DUP_ORACLE,
+)
+register(
+    "doc_substring_dedup",
+    corpus_queries.doc_substring_dedup,
+    corpus_queries.DOC_SUBSTRING_DEDUP_ORACLE,
 )
 register(
     "purchase_graph_pagerank",

@@ -694,3 +694,24 @@ def test_substring_dup_census_matches_brute_force(spark, corpus, k):
 
 def corpus_ops_census(df, k):
     return corpus.substring_dup_census(df, k=k).collect()
+
+
+def test_substring_dedup_first_occurrence_survives(spark):
+    """The removal policy: corpus-wide first occurrence of a duplicated
+    5-gram keeps its span; later copies (cross-doc AND within-doc) lose
+    exactly the duplicated positions; sub-k docs pass through."""
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e x1 x2 x3"),          # owns "a b c d e"
+            (2, "z1 z2 a b c d e z3"),          # later copy -> span removed
+            (3, "m1 m2 m3 m4 m5 m1 m2 m3 m4 m5"),  # within-doc repeat
+            (4, "q1 q2"),                        # sub-k: untouched
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in corpus.substring_dedup(df, k=5).collect()}
+    assert (got[1].n_removed, got[1].cleaned_text) == (0, "a b c d e x1 x2 x3")
+    assert (got[2].n_removed, got[2].cleaned_text) == (5, "z1 z2 z3")
+    assert (got[3].n_removed, got[3].cleaned_text) == (5, "m1 m2 m3 m4 m5")
+    assert (got[4].n_removed, got[4].cleaned_text) == (0, "q1 q2")
+    assert got[3].n_tokens == 10
