@@ -1460,6 +1460,96 @@ FROM d ORDER BY media_id
 """
 
 
+PATCH = 2  # ViT patch side for the synthetic 4..8 x 3..6 images
+
+
+def media_patchify(t: dict[str, DataFrame]) -> DataFrame:
+    """REAL decode -> ViT patch extraction on the correctness gate:
+    synthetic P6 PPM images (same deterministic pixel formula as
+    ``media_decode_roundtrip``; encoder deliberately re-written here so
+    encode and decode still share no code) pass through the real
+    ``decode_images`` parser, then ``multimodal.patchify_images`` cuts
+    each into non-overlapping 2x2 patches — one row per patch with its
+    ``(patch_row, patch_col)`` position ids, reduced to the
+    position-weighted checksum. The oracle replays every patch byte
+    from the generating formula via the (dy, dx, channel)
+    decomposition of the within-patch index, so any patch-boundary,
+    stride, or channel-order fault shifts the weighted sum."""
+    from collections.abc import Iterator  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    from ..operators import multimodal
+
+    docs = t["documents"].select("doc_id").filter(F.col("doc_id") < MEDIA_DECODE_DOCS)
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, kinds, payloads, metas = [], [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 5, 3 + did % 4
+                px = bytes((did * 31 + j) % 256 for j in range(w * h * 3))
+                ids.append(did)
+                kinds.append("image")
+                payloads.append(b"P6\n%d %d\n255\n" % (w, h) + px)
+                metas.append({"width": w, "height": h, "sample_rate": None})
+            yield _pd.DataFrame(
+                {"media_id": ids, "kind": kinds, "payload": payloads, "meta": metas}
+            )
+
+    media = docs.mapInPandas(build, multimodal.MEDIA_SCHEMA)
+    patches = multimodal.patchify_images(
+        multimodal.decode_images(media, strict=True), patch=PATCH
+    )
+
+    def weigh(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = pdf[["media_id", "patch_row", "patch_col", "channels"]].copy()
+            out["patch_checksum"] = pdf["patch"].map(
+                lambda b: sum((j + 1) * v for j, v in enumerate(b)) % _PIX_P
+            )
+            yield out
+
+    out_schema = (
+        "media_id long, patch_row int, patch_col int, channels int, patch_checksum long"
+    )
+    return patches.mapInPandas(weigh, out_schema).orderBy(
+        "media_id", "patch_row", "patch_col"
+    )
+
+
+MEDIA_PATCHIFY_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id AS media_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+  FROM documents WHERE doc_id < {MEDIA_DECODE_DOCS}
+),
+grid AS (
+  SELECT media_id, w, h, r.r AS pr, c.c AS pc
+  FROM d,
+       UNNEST(range(0, h // {PATCH})) AS r(r),
+       UNNEST(range(0, w // {PATCH})) AS c(c)
+)
+SELECT media_id,
+       CAST(pr AS INT) AS patch_row,
+       CAST(pc AS INT) AS patch_col,
+       CAST(3 AS INT) AS channels,
+       CAST(list_sum(list_transform(generate_series(0, {PATCH} * {PATCH} * 3 - 1),
+            k -> (k + 1) * ((media_id * 31
+                  + (((pr * {PATCH} + k // ({PATCH} * 3)) * w
+                      + (pc * {PATCH} + (k % ({PATCH} * 3)) // 3)) * 3
+                     + k % 3)) % 256)))
+            % {_PIX_P} AS BIGINT) AS patch_checksum
+FROM grid ORDER BY media_id, patch_row, patch_col
+"""
+
+
 # ---------------------------------------------------------------------------
 # Cluster-canonical dedup: keep the best-quality doc per near-dup cluster
 

@@ -91,6 +91,7 @@ _DRIVER_WINDOW = [
     "doc_lm_backoff",
     "doc_substring_dup",
     "doc_substring_dedup",
+    "media_patchify",
     "doc_dsir_weights",
     "waiting_supplier_sql",
     "embedding_ann_recall",
@@ -140,13 +141,13 @@ _DRIVER_WINDOW = [
     "bpe_merges",
     "bpe_token_stats",
     "boilerplate_ngrams",
-    "doc_hash_split",
     # changed this round: node-scale iteration parallelism
     # (iter_partitions=4) — plan-only, results bit-identical, but
     # changed queries are checked the round they change
     "purchase_graph_pagerank",
     "purchase_graph_communities",
     # position 51+ — round-8 refresh order: the remaining r4-stale rows
+    "doc_hash_split",
     "doc_rarity_score",
     "training_sequences",
     "events_funnel",
@@ -694,6 +695,11 @@ register(
     "media_resize_roundtrip",
     llm_queries.media_resize_roundtrip,
     llm_queries.MEDIA_RESIZE_ROUNDTRIP_ORACLE,
+)
+register(
+    "media_patchify",
+    llm_queries.media_patchify,
+    llm_queries.MEDIA_PATCHIFY_ORACLE,
 )
 register(
     "near_dup_prefix_join",

@@ -638,3 +638,25 @@ def test_decode_video_markers_and_sampling(spark):
 
     with pytest.raises(Exception, match="media_id=2"):
         multimodal.decode_video(media, strict=True).collect()
+
+
+def test_patchify_images_exact_bytes_and_crop(spark):
+    """2x2 patchify over a 5x3 RGB frame: floor-crop drops the odd
+    column and row; each patch's bytes are exactly the row-major
+    channel-interleaved block (numpy reference), positioned by
+    (patch_row, patch_col)."""
+    import numpy as np
+
+    w, h, ch = 5, 3, 3
+    arr = np.arange(w * h * ch, dtype=np.uint8).reshape(h, w, ch)
+    rows = [(7, w, h, ch, arr.tobytes(), "ppm")]
+    decoded = spark.createDataFrame(rows, multimodal.DECODED_SCHEMA)
+    got = {
+        (r.patch_row, r.patch_col): bytes(r.patch)
+        for r in multimodal.patchify_images(decoded, patch=2).collect()
+    }
+    # 3//2=1 patch row, 5//2=2 patch cols — odd edges cropped
+    assert set(got) == {(0, 0), (0, 1)}
+    for (r, c), b in got.items():
+        assert b == arr[r * 2 : r * 2 + 2, c * 2 : c * 2 + 2, :].tobytes()
+        assert len(b) == 2 * 2 * 3
