@@ -715,3 +715,115 @@ def test_substring_dedup_first_occurrence_survives(spark):
     assert (got[3].n_removed, got[3].cleaned_text) == (5, "m1 m2 m3 m4 m5")
     assert (got[4].n_removed, got[4].cleaned_text) == (0, "q1 q2")
     assert got[3].n_tokens == 10
+
+
+# ---------------------------------------------------------------------------
+# Property differentials: lm_backoff_score and dsir_importance vs
+# pure-Python references (shared bigram plumbing, different pooling).
+
+
+def _bigrams(ws):
+    return list(zip(ws, ws[1:]))
+
+
+def _lm_ref(texts, min_count):
+    from collections import Counter
+
+    toks = {i: t.split() for i, t in enumerate(texts)}
+    c1 = Counter(w for ws in toks.values() for w in ws)
+    T = sum(c1.values())
+    c2 = Counter(bg for ws in toks.values() for bg in _bigrams(ws))
+    out = {}
+    for d, ws in toks.items():
+        bgs = _bigrams(ws)
+        if not bgs:
+            continue
+        terms, backoff = [], 0
+        for w1, w2 in bgs:
+            if c2[(w1, w2)] >= min_count:
+                terms.append(c2[(w1, w2)] / c1[w1])
+            else:
+                backoff += 1
+                terms.append((2 * c1[w2]) / (5 * T))
+        out[d] = (len(bgs), backoff, sum(terms) / len(bgs))
+    return out
+
+
+def _dsir_ref(texts, target_ids):
+    from collections import Counter
+
+    toks = {i: t.split() for i, t in enumerate(texts)}
+    raw = Counter(bg for ws in toks.values() for bg in _bigrams(ws))
+    tgt = Counter(
+        bg for d, ws in toks.items() if d in target_ids for bg in _bigrams(ws)
+    )
+    Tr, V, Tt = sum(raw.values()), len(raw), sum(tgt.values())
+    out = {}
+    for d, ws in toks.items():
+        bgs = _bigrams(ws)
+        if not bgs:
+            continue
+        terms = [
+            ((tgt[bg] + 1) / (raw[bg] + 1)) * ((Tr + V) / (Tt + V)) for bg in bgs
+        ]
+        out[d] = (len(bgs), sum(terms) / len(bgs))
+    return out
+
+
+@_settings2(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[_HC2.function_scoped_fixture],
+)
+@_given2(texts=_census_corpus, min_count=_st2.integers(min_value=1, max_value=3))
+def test_lm_backoff_matches_brute_force(spark, texts, min_count):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).repartition(3)
+    got = {
+        r.doc_id: (r.n_transitions, r.n_backoff, r.lm_score)
+        for r in corpus.lm_backoff_score(df, min_count=min_count).collect()
+    }
+    ref = _lm_ref(texts, min_count)
+    assert set(got) == set(ref)
+    for d in ref:
+        assert got[d][:2] == ref[d][:2], d
+        assert got[d][2] == pytest.approx(ref[d][2], abs=1e-9), d
+
+
+@_settings2(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[_HC2.function_scoped_fixture],
+)
+@_given2(texts=_census_corpus)
+def test_dsir_matches_brute_force(spark, texts):
+    target_ids = {i for i in range(len(texts)) if i % 2 == 0}
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).repartition(3)
+    got = {
+        r.doc_id: (r.n_transitions, r.dsir_weight)
+        for r in corpus.dsir_importance(
+            df, df.filter(F.col("doc_id") % 2 == 0)
+        ).collect()
+    }
+    ref = _dsir_ref(texts, target_ids)
+    assert set(got) == set(ref)
+    for d in ref:
+        assert got[d][0] == ref[d][0], d
+        assert got[d][1] == pytest.approx(ref[d][1], abs=1e-9), d
+
+
+def test_round7_operators_on_degenerate_inputs(spark):
+    """Empty and sub-threshold corpora produce defined, empty (or
+    pass-through) results — no mod-zero, no window-over-nothing."""
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert corpus.lm_backoff_score(empty).count() == 0
+    assert corpus.substring_dup_census(empty).count() == 0
+    assert corpus.substring_dedup(empty).count() == 0
+    assert corpus.dsir_importance(empty, empty).count() == 0
+    one_word = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
+    assert corpus.lm_backoff_score(one_word).count() == 0  # no transition
+    r = corpus.substring_dedup(one_word, k=5).collect()
+    assert [(x.doc_id, x.n_removed, x.cleaned_text) for x in r] == [(1, 0, "solo")]
