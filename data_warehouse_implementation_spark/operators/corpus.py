@@ -832,12 +832,46 @@ def lm_backoff_score(
     )
 
 
+def positional_grams(
+    df: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Positional (non-distinct) token k-grams —
+    ``(id_col, n_tokens, s, gram)``, gram at 1-based position ``s``
+    covering token span ``[s, s+k)``. Map-side array algebra, the
+    shared front half of :func:`substring_dup_census` /
+    :func:`substring_dedup` and the per-batch unit the streaming gram
+    sink appends to its state table (explode each document exactly
+    once, ever)."""
+    gram_expr = (
+        f"transform(sequence(1, size(_arr) - {k - 1}), "
+        f"s -> named_struct('s', s, 'gram', "
+        f"concat_ws(' ', {', '.join(f'element_at(_arr, s + {j})' for j in range(k))})))"
+    )
+    base = df.select(F.col(id_col), words(text_col).alias("_arr")).filter(
+        F.size("_arr") >= k
+    )
+    return (
+        base.select(
+            id_col,
+            F.size("_arr").alias("n_tokens"),
+            F.explode(F.expr(gram_expr)).alias("_g"),
+        )
+        .select(
+            id_col,
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("_g.s").alias("s"),
+            F.col("_g.gram").alias("gram"),
+        )
+    )
+
+
 def substring_dup_census(
-    df: DataFrame,
+    df: DataFrame | None,
     k: int = 5,
     min_occurrences: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    grams: DataFrame | None = None,
     hashed: bool = False,
 ) -> DataFrame:
     """EXACT-substring duplication census (Lee et al. 2022,
@@ -870,21 +904,18 @@ def substring_dup_census(
     the same production trade as ``shingle_ids(hashed=True)``; not
     oracle-replayable, collisions statistically irrelevant to a
     census. Returns ``(id_col, n_tokens, dup_tokens, dup_fraction)``
-    for every doc with >= k tokens."""
-    gram_expr = (
-        f"transform(sequence(1, size(_arr) - {k - 1}), "
-        f"s -> named_struct('s', s, 'gram', "
-        f"concat_ws(' ', {', '.join(f'element_at(_arr, s + {j})' for j in range(k))})))"
-    )
-    base = df.select(F.col(id_col), words(text_col).alias("_arr")).filter(
-        F.size("_arr") >= k
-    )
-    grams = (
-        base.select(id_col, F.size("_arr").alias("n_tokens"), F.explode(F.expr(gram_expr)).alias("_g"))
-        .select(id_col, "n_tokens", F.col("_g.s").alias("s"), F.col("_g.gram").alias("gram"))
-    )
+    for every doc with >= k tokens.
+
+    ``grams``: optional pre-exploded :func:`positional_grams` frame
+    (``id_col, n_tokens, s, gram``) — pass the standing state table
+    maintained by ``streaming.pipelines.substring_gram_sink`` to
+    census a continuously-ingested corpus without re-exploding it
+    (the per-document explode then happens exactly once, at ingest)."""
+    if grams is None:
+        grams = positional_grams(df, k=k, text_col=text_col, id_col=id_col)
     if hashed:
         grams = grams.withColumn("gram", F.xxhash64("gram"))
+    base = grams.select(id_col, "n_tokens").distinct()
     counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("_occ"))
     dup = (
         grams.join(
@@ -908,8 +939,7 @@ def substring_dup_census(
         ),
     ).groupBy(id_col, "n_tokens").agg(F.sum("_cov").cast("long").alias("dup_tokens"))
     return (
-        base.select(id_col, F.size("_arr").alias("n_tokens"))
-        .join(covered.drop("n_tokens"), on=id_col, how="left")
+        base.join(covered.drop("n_tokens"), on=id_col, how="left")
         .select(
             id_col,
             F.col("n_tokens").cast("long").alias("n_tokens"),
@@ -1038,18 +1068,11 @@ def substring_dedup(
     rows bucketed by gram — never global) and a k-fold position
     explode of the DUPLICATED gram occurrences only; per-doc kept
     tokens reassemble via array_sort, not an ordered shuffle."""
-    gram_expr = (
-        f"transform(sequence(1, size(_arr) - {k - 1}), "
-        f"s -> named_struct('s', s, 'gram', "
-        f"concat_ws(' ', {', '.join(f'element_at(_arr, s + {j})' for j in range(k))})))"
-    )
     base = df.select(F.col(id_col), words(text_col).alias("_arr")).filter(
         F.size("_arr") > 0
     )
-    grams = (
-        base.filter(F.size("_arr") >= k)
-        .select(id_col, F.explode(F.expr(gram_expr)).alias("_g"))
-        .select(id_col, F.col("_g.s").alias("s"), F.col("_g.gram").alias("gram"))
+    grams = positional_grams(df, k=k, text_col=text_col, id_col=id_col).select(
+        id_col, "s", "gram"
     )
     dup_grams = (
         grams.groupBy("gram")

@@ -16,5 +16,7 @@ from .pipelines import (  # noqa: F401
     run_to_memory,
     sessionize_stateful,
     stream_events,
+    substring_census_from_state,
+    substring_gram_sink,
     tumbling_counts,
 )

@@ -521,3 +521,64 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(SF.min("c").alias("est_count"))
     )
+
+
+def substring_gram_sink(
+    stream: DataFrame,
+    catalog: WarehouseCatalog,
+    prefix: str,
+    checkpoint: str,
+    k: int = 5,
+):
+    """Incremental exact-substring state maintenance — the streaming
+    front half of ``corpus.substring_dup_census`` (Lee et al. 2022):
+    each micro-batch of documents is positional-k-gram-exploded ONCE
+    (``corpus.positional_grams`` — the corpus-scale map-side work) and
+    appended to the standing state table ``{prefix}_grams``; the
+    census / dedup decision then runs on demand over the state via
+    ``substring_dup_census(grams=...)`` without ever re-exploding
+    ingested text. Per batch the work is O(batch tokens); state grows
+    with the corpus (it IS the tokenized corpus) — at 100 TB this is
+    the parquet staging table the batch operators' docstrings
+    prescribe, partitioned however the census consumer buckets.
+
+    Replay-idempotent per ``batch_id`` (foreachBatch is
+    at-least-once): rows of a replayed batch are deleted before the
+    re-insert, same contract as ``cms_sketch_sink``."""
+    from ..operators import corpus as corpus_ops
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as SF
+
+        grams = corpus_ops.positional_grams(
+            batch.select("doc_id", "text"), k=k
+        ).withColumn("batch_id", SF.lit(batch_id))
+        tbl = f"{prefix}_grams"
+        if catalog.exists(tbl):
+            catalog.delete_where(tbl, f"batch_id = {int(batch_id)}")
+            catalog.insert_into(tbl, grams)
+        else:
+            catalog.write(tbl, grams)
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def substring_census_from_state(
+    catalog: WarehouseCatalog, prefix: str, k: int = 5, min_occurrences: int = 2
+) -> DataFrame:
+    """Census the continuously-ingested corpus: one aggregate pass over
+    the gram state table ``substring_gram_sink`` maintains — identical
+    results to the one-shot batch ``substring_dup_census`` over the
+    concatenated stream (parity-tested), with the per-document explode
+    paid once at ingest instead of per analysis."""
+    from ..operators import corpus as corpus_ops
+
+    state = catalog.table(f"{prefix}_grams").drop("batch_id")
+    return corpus_ops.substring_dup_census(
+        None, k=k, min_occurrences=min_occurrences, grams=state
+    )

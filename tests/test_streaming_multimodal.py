@@ -660,3 +660,51 @@ def test_patchify_images_exact_bytes_and_crop(spark):
     for (r, c), b in got.items():
         assert b == arr[r * 2 : r * 2 + 2, c * 2 : c * 2 + 2, :].tobytes()
         assert len(b) == 2 * 2 * 3
+
+
+def test_substring_gram_sink_census_parity_with_batch(spark, tmp_dir):
+    """Documents ingested in two micro-batches; the census over the
+    maintained gram state must EQUAL the one-shot batch census over the
+    concatenated corpus — including cross-batch duplication (a batch-2
+    doc repeating a batch-1 passage) that neither batch sees alone."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_warehouse_implementation_spark.operators import corpus as corpus_ops
+
+    passage = "w1 w2 w3 w4 w5 w6"
+    src = os.path.join(tmp_dir, "gram_src")
+    os.makedirs(src)
+    b1 = [(1, passage + " x1 x2"), (2, "a1 a2 a3 a4 a5 a6 a7")]
+    b2 = [(10, "z1 z2 " + passage), (11, "b1 b2 b3 b4 b5 b6")]
+    for i, rows in enumerate([b1, b2]):
+        p = os.path.join(src, f"g{i}.parquet")
+        pq.write_table(
+            pa.table({"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]}), p
+        )
+        os.utime(p, (1_700_000_000 + 60 * i, 1_700_000_000 + 60 * i))
+
+    cat = WarehouseCatalog(spark, os.path.join(tmp_dir, "gram_wh"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming.substring_gram_sink(
+        stream, cat, "sub", checkpoint=os.path.join(tmp_dir, "ckpt_gram"), k=5
+    )
+    q.awaitTermination()
+
+    from_state = {
+        r.doc_id: (r.n_tokens, r.dup_tokens)
+        for r in streaming.substring_census_from_state(cat, "sub", k=5).collect()
+    }
+    all_docs = spark.createDataFrame(b1 + b2, "doc_id long, text string")
+    batch = {
+        r.doc_id: (r.n_tokens, r.dup_tokens)
+        for r in corpus_ops.substring_dup_census(all_docs, k=5).collect()
+    }
+    assert from_state == batch
+    # the cross-batch duplicated passage is actually detected
+    assert from_state[10][1] > 0 and from_state[1][1] > 0
+    assert from_state[2][1] == 0 and from_state[11][1] == 0
