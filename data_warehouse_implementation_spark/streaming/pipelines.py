@@ -529,6 +529,7 @@ def substring_gram_sink(
     prefix: str,
     checkpoint: str,
     k: int = 5,
+    hashed: bool = False,
 ):
     """Incremental exact-substring state maintenance — the streaming
     front half of ``corpus.substring_dup_census`` (Lee et al. 2022):
@@ -544,7 +545,15 @@ def substring_gram_sink(
 
     Replay-idempotent per ``batch_id`` (foreachBatch is
     at-least-once): rows of a replayed batch are deleted before the
-    re-insert, same contract as ``cms_sketch_sink``."""
+    re-insert, same contract as ``cms_sketch_sink``.
+
+    ``hashed=True`` is the production state shape: grams are stored as
+    ``xxhash64`` longs — 8 bytes per position instead of a k-token
+    string (a ~10-20x state shrink at k=5), the same trade as
+    ``shingle_ids(hashed=True)``; the census downstream only ever
+    groups/joins on gram equality, so results are identical modulo
+    astronomically-unlikely 64-bit collisions (census parity is
+    asserted for both modes in the test suite)."""
     from ..operators import corpus as corpus_ops
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
@@ -552,7 +561,10 @@ def substring_gram_sink(
 
         grams = corpus_ops.positional_grams(
             batch.select("doc_id", "text"), k=k
-        ).withColumn("batch_id", SF.lit(batch_id))
+        )
+        if hashed:
+            grams = grams.withColumn("gram", SF.xxhash64("gram"))
+        grams = grams.withColumn("batch_id", SF.lit(batch_id))
         tbl = f"{prefix}_grams"
         if catalog.exists(tbl):
             catalog.delete_where(tbl, f"batch_id = {int(batch_id)}")

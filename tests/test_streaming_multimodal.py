@@ -708,3 +708,20 @@ def test_substring_gram_sink_census_parity_with_batch(spark, tmp_dir):
     # the cross-batch duplicated passage is actually detected
     assert from_state[10][1] > 0 and from_state[1][1] > 0
     assert from_state[2][1] == 0 and from_state[11][1] == 0
+    # hashed production state (8-byte gram keys): identical census
+    q2 = streaming.substring_gram_sink(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        cat,
+        "subh",
+        checkpoint=os.path.join(tmp_dir, "ckpt_gram_h"),
+        k=5,
+        hashed=True,
+    )
+    q2.awaitTermination()
+    hashed_state = {
+        r.doc_id: (r.n_tokens, r.dup_tokens)
+        for r in streaming.substring_census_from_state(cat, "subh", k=5).collect()
+    }
+    assert hashed_state == batch
