@@ -913,9 +913,20 @@ def substring_dup_census(
     (the per-document explode then happens exactly once, at ingest)."""
     if grams is None:
         grams = positional_grams(df, k=k, text_col=text_col, id_col=id_col)
+        # base comes free from the text (map-side size filter) — no
+        # distinct over the corpus-scale gram table needed
+        base = (
+            df.select(F.col(id_col), F.size(words(text_col)).alias("n_tokens"))
+            .filter(F.col("n_tokens") >= k)
+            .select(id_col, F.col("n_tokens").cast("long").alias("n_tokens"))
+        )
+    else:
+        # state-table path: derive the doc set from the grams (every
+        # >= k-token doc has >= 1 gram); a 2-column distinct with
+        # map-side partial aggregation, ~n_docs rows exchanged
+        base = grams.select(id_col, "n_tokens").distinct()
     if hashed:
         grams = grams.withColumn("gram", F.xxhash64("gram"))
-    base = grams.select(id_col, "n_tokens").distinct()
     counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("_occ"))
     dup = (
         grams.join(
