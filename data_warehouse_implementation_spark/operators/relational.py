@@ -133,9 +133,19 @@ def global_rank(
                 F.lit(float(numeric_bucket_width)),
                 (F.col("_kmax") - F.col("_kmin") + 1) / F.lit(65536.0),
             )
+            # NULL keys would produce a NULL bucket, silently dropped
+            # by the offsets equi-join — route them to a sentinel
+            # bucket BELOW every real one (-1; real buckets are >= 0
+            # because key >= kmin), matching Spark's NULLS FIRST sort
+            # order so bucket order still equals key order
             b = (
                 df.crossJoin(F.broadcast(stats))
-                .withColumn("_b", F.floor((key - F.col("_kmin")) / width))
+                .withColumn(
+                    "_b",
+                    F.coalesce(
+                        F.floor((key - F.col("_kmin")) / width), F.lit(-1)
+                    ),
+                )
                 .drop("_kmin", "_kmax")
             )
         else:

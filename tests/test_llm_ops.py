@@ -850,3 +850,18 @@ def test_jaccard_prefix_join_hot_token_cap(spark):
         dedup.jaccard_prefix_join(df, ordered=stale, max_token_df=cap)
     with _pytest.raises(ValueError, match="dfreq"):
         dedup.containment_prefix_join(df, ordered=stale, max_token_df=cap)
+
+
+def test_global_rank_null_numeric_keys_not_dropped(spark):
+    """NULL leading keys must rank (NULLS FIRST), not vanish: a null
+    bucket would silently fail the offsets equi-join — the sentinel
+    bucket routes them below every real bucket."""
+    from data_warehouse_implementation_spark.operators import relational
+
+    rows = [(None, 1), (5, 2), (None, 3), (100_000, 4), (-7, 5)]
+    df = spark.createDataFrame(rows, "k long, tie long").repartition(3)
+    got = {r.tie: r.r for r in relational.global_rank(df, ["k", "tie"], "r").collect()}
+    # NULLS FIRST, then ascending k; tie asc
+    expect_order = [(None, 1), (None, 3), (-7, 5), (5, 2), (100_000, 4)]
+    assert got == {tie: i + 1 for i, (_, tie) in enumerate(expect_order)}
+    assert len(got) == 5, "null-keyed rows dropped"
