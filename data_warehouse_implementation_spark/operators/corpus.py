@@ -782,7 +782,15 @@ def lm_backoff_score(
     pruned model fits — AQE decides); one broadcast scalar T; one
     per-doc aggregate. Returns
     ``(id_col, n_transitions, n_backoff, lm_score)``; docs with < 2
-    tokens have no transition and are absent."""
+    tokens have no transition and are absent.
+
+    Caveat with an EXTERNAL ``reference``: transitions whose tokens are
+    out-of-vocabulary relative to the reference are EXCLUDED from the
+    score (the unigram model joins are inner — there is no count to
+    back off to). Self-training (the default) never hits this; a
+    production pipeline scoring against a held-out LM should map rare
+    tokens to an UNK class in both corpora first, the standard n-gram
+    LM practice."""
     ref = reference if reference is not None else df
     big_expr = (
         "transform(sequence(1, size(_arr) - 1), "
