@@ -1138,3 +1138,102 @@ def substring_dedup(
         ).alias("cleaned_text"),
     )
     return agg.select(id_col, "n_tokens", "n_removed", "cleaned_text")
+
+
+#: Epoch-shuffle hash coefficients — independent of split/priority/
+#: negative/span draws so training order never correlates with any of
+#: them.
+SHUFFLE_A = 1_431_655_765
+SHUFFLE_B = 858_993_459
+SHUFFLE_C = 1_246_986_397
+
+
+def epoch_shuffle(
+    df: DataFrame, epoch: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic per-epoch training-order permutation: position =
+    rank of the universal hash ``(id * a_epoch + B) mod P`` with a
+    PER-EPOCH MULTIPLIER ``a_epoch = 1 + (A + epoch*C) mod (P-1)`` —
+    every epoch is a different, REPRODUCIBLE shuffle of the corpus (the
+    property ``orderBy(rand())`` does not have: re-running an epoch, on
+    any cluster layout, after any failure, yields the same order, so a
+    training job can resume mid-epoch from a row offset). The epoch
+    must enter through the MULTIPLIER, not an additive term: adding a
+    constant shifts every hash equally, which preserves the order
+    except at the modulus wrap — epochs would all replay one
+    permutation (caught by the epoch-sensitivity test). The rank is
+    :func:`relational.global_rank` (two-phase, never a single-task
+    global sort); the hash spreads uniformly over [0, P), so the
+    default derived-width numeric bucketing stays balanced.
+
+    Returns the input plus ``position`` (BIGINT, 1-based). Compose
+    with :func:`shard_by_token_budget` over the position order for
+    epoch-specific shard files."""
+    from . import relational
+
+    a_epoch = 1 + (SHUFFLE_A + epoch * SHUFFLE_C) % (HASH_P - 1)
+    h = ((F.col(id_col) % HASH_P) * F.lit(a_epoch) + SHUFFLE_B) % HASH_P
+    ranked = relational.global_rank(
+        df.withColumn("_h", h.cast("long")), ["_h", id_col], "position"
+    )
+    return ranked.drop("_h")
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    token_budget: int = 256,
+    bucket_width_tokens: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Length-bucketed batch assignment — the padding-efficiency trick
+    every sequence-training pipeline runs (fairseq/T5 style): documents
+    are grouped into LENGTH buckets (``floor(n_tokens /
+    bucket_width_tokens)``) so batch-mates have similar lengths and
+    padding waste stays bounded by the bucket width; within each
+    bucket, documents in id order are cut into batches of
+    ``token_budget`` tokens by a running total.
+
+    The within-bucket running total is the repo's two-phase cumsum
+    (:func:`shard_by_token_budget`'s pattern) — sub-bucketed by id
+    range, per-sub-bucket subtotals, cumulative offsets over the tiny
+    subtotal table, within-sub-bucket window — so no bucket ever
+    serializes on one task even when a single length class dominates
+    the corpus (the classic web-text shape: most docs short).
+
+    Returns ``(id_col, n_tokens, len_bucket, batch_idx)`` where
+    ``batch_idx`` numbers batches WITHIN the length bucket from 0.
+    Engine-exact integer arithmetic throughout."""
+    n_tokens = F.size(words(text_col)).cast("long")
+    base = df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        F.floor(n_tokens / F.lit(bucket_width_tokens)).cast("long").alias("len_bucket"),
+        (F.col(id_col) / F.lit(256)).cast("long").alias("_sb"),
+    ).filter(F.col("n_tokens") > 0)
+    sub = base.groupBy("len_bucket", "_sb").agg(F.sum("n_tokens").alias("_tot"))
+    w_off = (
+        Window.partitionBy("len_bucket")
+        .orderBy("_sb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = sub.withColumn("_off", F.sum("_tot").over(w_off) - F.col("_tot")).select(
+        "len_bucket", "_sb", "_off"
+    )
+    w_in = (
+        Window.partitionBy("len_bucket", "_sb")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.withColumn("_cum", F.sum("n_tokens").over(w_in))
+        .join(offsets, on=["len_bucket", "_sb"])
+        .withColumn(
+            "batch_idx",
+            F.floor(
+                (F.col("_off") + F.col("_cum") - F.col("n_tokens")).cast("double")
+                / F.lit(float(token_budget))
+            ).cast("long"),
+        )
+        .select(id_col, "n_tokens", "len_bucket", "batch_idx")
+    )

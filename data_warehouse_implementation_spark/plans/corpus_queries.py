@@ -720,6 +720,67 @@ FROM scored GROUP BY doc_id ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Deterministic per-epoch shuffle + length-bucketed batching
+
+SHUFFLE_EPOCH = 2
+BATCH_TOKEN_BUDGET = 256
+BATCH_BUCKET_WIDTH = 16
+
+
+def doc_epoch_shuffle(t: dict[str, DataFrame]) -> DataFrame:
+    """Reproducible epoch-2 training order (``corpus.epoch_shuffle``):
+    position = two-phase rank of the per-epoch universal hash — a
+    different deterministic permutation every epoch, resumable
+    mid-epoch on any cluster layout (what ``orderBy(rand())`` can
+    never give a training job)."""
+    return (
+        corpus.epoch_shuffle(t["documents"], epoch=SHUFFLE_EPOCH)
+        .select("doc_id", "position")
+        .orderBy("doc_id")
+    )
+
+
+DOC_EPOCH_SHUFFLE_ORACLE = f"""
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY ((doc_id % {HASH_P})
+                   * {1 + (corpus.SHUFFLE_A + SHUFFLE_EPOCH * corpus.SHUFFLE_C) % (HASH_P - 1)}
+                   + {corpus.SHUFFLE_B}) % {HASH_P},
+                  doc_id) AS BIGINT) AS position
+FROM documents ORDER BY doc_id
+"""
+
+
+def doc_length_batches(t: dict[str, DataFrame]) -> DataFrame:
+    """Length-bucketed batch assignment
+    (``corpus.length_bucketed_batches``): similar-length docs batch
+    together (padding waste bounded by the 16-token bucket width),
+    batches cut at 256 tokens by the two-phase within-bucket cumsum.
+    The oracle replays the running total as a plain window — the
+    sub-bucketed two-phase form must equal it exactly."""
+    return corpus.length_bucketed_batches(
+        t["documents"],
+        token_budget=BATCH_TOKEN_BUDGET,
+        bucket_width_tokens=BATCH_BUCKET_WIDTH,
+    ).orderBy("doc_id")
+
+
+DOC_LENGTH_BATCHES_ORACLE = rf"""
+WITH {_TOKS_SQL.strip().rstrip()},
+base AS (
+  SELECT doc_id, CAST(len(arr) AS BIGINT) AS n_tokens,
+         CAST(len(arr) // {BATCH_BUCKET_WIDTH} AS BIGINT) AS len_bucket
+  FROM toks WHERE len(arr) > 0
+)
+SELECT doc_id, n_tokens, len_bucket,
+       CAST((SUM(n_tokens) OVER (PARTITION BY len_bucket ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+            // {BATCH_TOKEN_BUDGET} AS BIGINT) AS batch_idx
+FROM base ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Stupid-Backoff bigram LM scoring (VERDICT r6 #6b — the backoff
 # completion of the rarity family above)
 

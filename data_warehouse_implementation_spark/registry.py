@@ -93,6 +93,8 @@ _DRIVER_WINDOW = [
     "doc_substring_dedup",
     "media_patchify",
     "doc_dsir_weights",
+    "doc_epoch_shuffle",
+    "doc_length_batches",
     "waiting_supplier_sql",
     "embedding_ann_recall",
     # round-7 implementation/oracle changes — checked the round they
@@ -139,14 +141,14 @@ _DRIVER_WINDOW = [
     "doc_split_dedup_aware",
     "embedding_lsh_near_dup",
     "bpe_merges",
-    "bpe_token_stats",
-    "boilerplate_ngrams",
     # changed this round: node-scale iteration parallelism
     # (iter_partitions=4) — plan-only, results bit-identical, but
     # changed queries are checked the round they change
     "purchase_graph_pagerank",
     "purchase_graph_communities",
     # position 51+ — round-8 refresh order: the remaining r4-stale rows
+    "bpe_token_stats",
+    "boilerplate_ngrams",
     "doc_hash_split",
     "doc_rarity_score",
     "training_sequences",
@@ -732,6 +734,16 @@ register(
     "doc_dsir_weights",
     corpus_queries.doc_dsir_weights,
     corpus_queries.DOC_DSIR_WEIGHTS_ORACLE,
+)
+register(
+    "doc_epoch_shuffle",
+    corpus_queries.doc_epoch_shuffle,
+    corpus_queries.DOC_EPOCH_SHUFFLE_ORACLE,
+)
+register(
+    "doc_length_batches",
+    corpus_queries.doc_length_batches,
+    corpus_queries.DOC_LENGTH_BATCHES_ORACLE,
 )
 register(
     "doc_substring_dup",

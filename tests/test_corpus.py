@@ -827,3 +827,43 @@ def test_round7_operators_on_degenerate_inputs(spark):
     assert corpus.lm_backoff_score(one_word).count() == 0  # no transition
     r = corpus.substring_dedup(one_word, k=5).collect()
     assert [(x.doc_id, x.n_removed, x.cleaned_text) for x in r] == [(1, 0, "solo")]
+
+
+def test_epoch_shuffle_is_permutation_and_epoch_sensitive(spark):
+    df = spark.range(500).withColumnRenamed("id", "doc_id").repartition(7)
+    e1 = {r.doc_id: r.position for r in corpus.epoch_shuffle(df, epoch=1).collect()}
+    e2 = {r.doc_id: r.position for r in corpus.epoch_shuffle(df, epoch=2).collect()}
+    assert sorted(e1.values()) == list(range(1, 501))  # a true permutation
+    assert sorted(e2.values()) == list(range(1, 501))
+    assert e1 != e2  # different epoch, different order
+    # reproducible across partitionings
+    again = {
+        r.doc_id: r.position
+        for r in corpus.epoch_shuffle(df.repartition(3), epoch=1).collect()
+    }
+    assert again == e1
+
+
+def test_length_bucketed_batches_homogeneous_and_budgeted(spark):
+    rows = [(i, "w " * (3 + (i * 17) % 60)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = corpus.length_bucketed_batches(
+        df, token_budget=100, bucket_width_tokens=16
+    ).collect()
+    assert len(out) == 300
+    from collections import defaultdict
+
+    batches = defaultdict(list)
+    for r in out:
+        assert r.len_bucket == r.n_tokens // 16  # bucket homogeneity
+        batches[(r.len_bucket, r.batch_idx)].append(r.n_tokens)
+    for (_, _), sizes in batches.items():
+        # a batch starts before the budget line: its first doc begins
+        # below budget*(idx+1); total overshoot bounded by one doc
+        assert sum(sizes) <= 100 + max(sizes)
+    # batch indices contiguous from 0 within each bucket
+    by_bucket = defaultdict(set)
+    for lb, bi in batches:
+        by_bucket[lb].add(bi)
+    for idxs in by_bucket.values():
+        assert idxs == set(range(max(idxs) + 1))
