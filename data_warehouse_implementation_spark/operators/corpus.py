@@ -159,15 +159,23 @@ def shard_by_token_budget(
     ``tokens_col`` supplies precomputed token counts (e.g. chunk sizes
     from :func:`chunk_documents`) instead of tokenizing ``text_col``.
     """
+    from . import relational
+
     n_tokens = (
         F.col(tokens_col).cast("long")
         if tokens_col
         else F.size(words(text_col)).cast("long")
     )
-    base = df.select(
+    # bucket width derived from the id range (relational helper), not a
+    # fixed id/width: sparse/hashed ids would otherwise degenerate to
+    # one row per bucket and push the offsets pass into a single-task
+    # O(n) window — results are bucketing-independent (hypothesis
+    # differential vs the global cumsum)
+    base = relational.derived_width_bucket(
+        df.select(F.col(id_col), n_tokens.alias("n_tokens")),
         F.col(id_col),
-        n_tokens.alias("n_tokens"),
-        (F.col(id_col) / F.lit(bucket_width)).cast("long").alias("_bkt"),
+        "_bkt",
+        min_width=float(bucket_width),
     )
     totals = base.groupBy("_bkt").agg(F.sum("n_tokens").alias("_tot"))
     w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1204,13 +1212,21 @@ def length_bucketed_batches(
     Returns ``(id_col, n_tokens, len_bucket, batch_idx)`` where
     ``batch_idx`` numbers batches WITHIN the length bucket from 0.
     Engine-exact integer arithmetic throughout."""
+    from . import relational
+
     n_tokens = F.size(words(text_col)).cast("long")
-    base = df.select(
+    base = relational.derived_width_bucket(
+        df.select(
+            F.col(id_col),
+            n_tokens.alias("n_tokens"),
+            F.floor(n_tokens / F.lit(bucket_width_tokens))
+            .cast("long")
+            .alias("len_bucket"),
+        ).filter(F.col("n_tokens") > 0),
         F.col(id_col),
-        n_tokens.alias("n_tokens"),
-        F.floor(n_tokens / F.lit(bucket_width_tokens)).cast("long").alias("len_bucket"),
-        (F.col(id_col) / F.lit(256)).cast("long").alias("_sb"),
-    ).filter(F.col("n_tokens") > 0)
+        "_sb",
+        min_width=256.0,
+    )
     sub = base.groupBy("len_bucket", "_sb").agg(F.sum("n_tokens").alias("_tot"))
     w_off = (
         Window.partitionBy("len_bucket")

@@ -49,6 +49,44 @@ def top_k_per_group(
     return out if keep_rank else out.drop(rank_col)
 
 
+def derived_width_bucket(
+    df: DataFrame,
+    key: Column,
+    out_col: str,
+    min_width: float = 4096.0,
+    max_buckets: float = 65536.0,
+) -> DataFrame:
+    """Append a MONOTONE, BOUNDED-COUNT range bucket of a numeric key:
+    ``floor((key - min) / width)`` with ``width = max(min_width,
+    range/max_buckets)`` from a broadcast min/max aggregate — the
+    engine's shared building block for every two-phase rank/cumsum
+    (:func:`global_rank`'s numeric default, the corpus sharding/
+    packing/batching cumsums). A FIXED width ``id/256`` degenerates on
+    sparse/hashed int64 ids to ~one row per bucket, pushing the whole
+    offsets pass into a single-task O(n) window; the derived width
+    keeps the bucket count <= ~max_buckets for ANY key distribution.
+    Deterministic (min/max, never a sample), double arithmetic so a
+    full-range span cannot overflow, NULL keys routed to sentinel
+    bucket -1 (below every real bucket, matching NULLS FIRST order).
+    Downstream results are bucketing-independent whenever the consumer
+    only requires bucket order == key order, which is all the
+    two-phase patterns need."""
+    k = key.cast("double")
+    stats = df.agg(F.min(k).alias("_kmin"), F.max(k).alias("_kmax"))
+    width = F.greatest(
+        F.lit(float(min_width)),
+        (F.col("_kmax") - F.col("_kmin") + 1) / F.lit(float(max_buckets)),
+    )
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn(
+            out_col,
+            F.coalesce(F.floor((k - F.col("_kmin")) / width), F.lit(-1)),
+        )
+        .drop("_kmin", "_kmax")
+    )
+
+
 def global_rank(
     df: DataFrame,
     keys: Sequence[str],
@@ -127,26 +165,9 @@ def global_rank(
                 F.unix_date(F.col(keys[0]))
                 if isinstance(lead, DateType)
                 else F.col(keys[0])
-            ).cast("double")
-            stats = df.agg(F.min(key).alias("_kmin"), F.max(key).alias("_kmax"))
-            width = F.greatest(
-                F.lit(float(numeric_bucket_width)),
-                (F.col("_kmax") - F.col("_kmin") + 1) / F.lit(65536.0),
             )
-            # NULL keys would produce a NULL bucket, silently dropped
-            # by the offsets equi-join — route them to a sentinel
-            # bucket BELOW every real one (-1; real buckets are >= 0
-            # because key >= kmin), matching Spark's NULLS FIRST sort
-            # order so bucket order still equals key order
-            b = (
-                df.crossJoin(F.broadcast(stats))
-                .withColumn(
-                    "_b",
-                    F.coalesce(
-                        F.floor((key - F.col("_kmin")) / width), F.lit(-1)
-                    ),
-                )
-                .drop("_kmin", "_kmax")
+            b = derived_width_bucket(
+                df, key, "_b", min_width=float(numeric_bucket_width)
             )
         else:
             raise ValueError(

@@ -137,21 +137,25 @@ _DRIVER_WINDOW = [
     # round-4-stale refresh, part 1 of 2 — dedup/vocab/sampling
     # plumbing nearest this round's changes, plus the r6
     # bench-variance-flagged rows for a clean re-time
-    "exact_dedup_by_fingerprint",
     "doc_split_dedup_aware",
-    "embedding_lsh_near_dup",
     "bpe_merges",
+    # changed this round: the two-phase cumsum consumers whose id
+    # bucketing moved to the derived-width helper (plan-only; results
+    # bucketing-independent, hypothesis-differentialed)
+    "doc_shard_assignment",
+    "training_sequences",
     # changed this round: node-scale iteration parallelism
     # (iter_partitions=4) — plan-only, results bit-identical, but
     # changed queries are checked the round they change
     "purchase_graph_pagerank",
     "purchase_graph_communities",
     # position 51+ — round-8 refresh order: the remaining r4-stale rows
+    "exact_dedup_by_fingerprint",
+    "embedding_lsh_near_dup",
     "bpe_token_stats",
     "boilerplate_ngrams",
     "doc_hash_split",
     "doc_rarity_score",
-    "training_sequences",
     "events_funnel",
     "doc_eval_sample",
     "doc_priority_sample",
@@ -160,7 +164,6 @@ _DRIVER_WINDOW = [
     "brand_fuzzy_match",
     "brand_price_outliers",
     "customer_order_reconcile",
-    "doc_shard_assignment",
     "documents_profile",
     "dormant_balance_sql",
     "embedding_kmeans_refine",

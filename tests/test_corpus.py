@@ -867,3 +867,24 @@ def test_length_bucketed_batches_homogeneous_and_budgeted(spark):
         by_bucket[lb].add(bi)
     for idxs in by_bucket.values():
         assert idxs == set(range(max(idxs) + 1))
+
+
+def test_shard_by_token_budget_sparse_hashed_ids(spark):
+    """Sparse int64 ids spanning the full hash range must shard
+    correctly (derived-width bucketing) — the fixed id/256 bucket would
+    give every row its own bucket and serialize the offsets pass."""
+    df = (
+        spark.range(400)
+        .select(
+            F.xxhash64(F.col("id").cast("string")).alias("doc_id"),
+            F.lit("a b c d e").alias("text"),
+        )
+        .repartition(5)
+    )
+    out = corpus.shard_by_token_budget(df, budget=50, bucket_width=16).collect()
+    assert len(out) == 400
+    running = 0
+    for r in sorted(out, key=lambda r: r.doc_id):
+        assert r.token_start == running
+        assert r.shard_id == running // 50
+        running += r.n_tokens
