@@ -698,17 +698,18 @@ def multikey_category_join(t: dict[str, DataFrame]) -> DataFrame:
     """4-key natural-key dimension join (reference J2,
     ``inserting-data.sql:171-174``): build a (brand, type, size,
     container-ish) category dim from part, join facts back on all 4
-    natural keys to resolve the surrogate id."""
+    natural keys to resolve the surrogate id. Surrogate assignment
+    delegates to ``warehouse.assign_surrogate`` (the shared two-phase
+    ``global_rank``) — identical ids to ``row_number() OVER (ORDER BY
+    keys)`` with no single-task dim-wide window, the same RUNBOOK §3
+    discipline as every other dim build."""
+    from .warehouse import assign_surrogate
+
     part = t["part"].select("p_partkey", "p_brand", "p_type", "p_size", "p_name")
-    cat = (
-        part.select("p_brand", "p_type", "p_size")
-        .distinct()
-        .withColumn(
-            "category_id",
-            F.row_number()
-            .over(Window.orderBy("p_brand", "p_type", "p_size"))
-            .cast("long"),
-        )
+    cat = assign_surrogate(
+        part.select("p_brand", "p_type", "p_size").distinct(),
+        ["p_brand", "p_type", "p_size"],
+        "category_id",
     )
     li = t["lineitem"].select("l_partkey", "l_quantity")
     resolved = (

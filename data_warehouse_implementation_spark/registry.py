@@ -137,8 +137,10 @@ _DRIVER_WINDOW = [
     # round-4-stale refresh, part 1 of 2 — dedup/vocab/sampling
     # plumbing nearest this round's changes, plus the r6
     # bench-variance-flagged rows for a clean re-time
-    "doc_split_dedup_aware",
     "bpe_merges",
+    # changed this round: surrogate assignment moved off the
+    # dim-wide global window onto assign_surrogate/global_rank
+    "multikey_category_join",
     # changed this round: the two-phase cumsum consumers whose id
     # bucketing moved to the derived-width helper (plan-only; results
     # bucketing-independent, hypothesis-differentialed)
@@ -150,6 +152,7 @@ _DRIVER_WINDOW = [
     "purchase_graph_pagerank",
     "purchase_graph_communities",
     # position 51+ — round-8 refresh order: the remaining r4-stale rows
+    "doc_split_dedup_aware",
     "exact_dedup_by_fingerprint",
     "embedding_lsh_near_dup",
     "bpe_token_stats",
