@@ -888,3 +888,80 @@ def test_shard_by_token_budget_sparse_hashed_ids(spark):
         assert r.token_start == running
         assert r.shard_id == running // 50
         running += r.n_tokens
+
+
+def test_substring_dedup_canonical_overlap_keeps(spark):
+    """A position covered by BOTH a canonical and a non-canonical span
+    is KEPT (canonical wins): doc 1 owns gram 'a b c d e' (positions
+    1-5) but carries a later copy of doc 0's 'c d e f g' (positions
+    3-7) — only the positions covered SOLELY by the non-canonical span
+    (6-7) are removed."""
+    df = spark.createDataFrame(
+        [
+            (0, "c d e f g q1 q2"),   # owns "c d e f g"
+            (1, "a b c d e f g"),     # owns "a b c d e"; later copy of g2
+            (3, "a b c d e r1 r2"),   # later copy of "a b c d e"
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in corpus.substring_dedup(df, k=5).collect()}
+    assert (got[0].n_removed, got[0].cleaned_text) == (0, "c d e f g q1 q2")
+    assert (got[1].n_removed, got[1].cleaned_text) == (2, "a b c d e")
+    assert (got[3].n_removed, got[3].cleaned_text) == (5, "r1 r2")
+
+
+def _substring_dedup_ref(texts, k):
+    """Pure-Python replay of the removal policy: canonical occurrence =
+    min (doc, s) per duplicated gram; position removed iff covered and
+    never by a canonical occurrence."""
+    from collections import Counter, defaultdict
+
+    toks = {i: t.split() for i, t in enumerate(texts)}
+    occ = [
+        (d, s, tuple(ws[s : s + k]))
+        for d, ws in toks.items()
+        for s in range(len(ws) - k + 1)
+    ]
+    counts = Counter(g for _, _, g in occ)
+    first = {}
+    for d, s, g in sorted(occ):
+        if counts[g] >= 2 and g not in first:
+            first[g] = (d, s)
+    removed = defaultdict(set)
+    kept_cover = defaultdict(set)
+    for d, s, g in occ:
+        if counts[g] < 2:
+            continue
+        span = set(range(s, s + k))
+        if first[g] == (d, s):
+            kept_cover[d] |= span
+        else:
+            removed[d] |= span
+    out = {}
+    for d, ws in toks.items():
+        if not ws:
+            continue
+        dead = removed[d] - kept_cover[d]
+        out[d] = (
+            len(ws),
+            len(dead),
+            " ".join(w for i, w in enumerate(ws) if i not in dead),
+        )
+    return out
+
+
+@_settings2(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[_HC2.function_scoped_fixture],
+)
+@_given2(texts=_census_corpus, k=_st2.integers(min_value=2, max_value=4))
+def test_substring_dedup_matches_brute_force(spark, texts, k):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).repartition(3)
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.cleaned_text)
+        for r in corpus.substring_dedup(df, k=k).collect()
+    }
+    assert got == _substring_dedup_ref(texts, k)
