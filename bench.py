@@ -197,6 +197,31 @@ def main() -> None:
             if len(ratios) >= 5:
                 env_scale = ratios[len(ratios) // 2]
             same_commit = bool(commit) and prev.get("commit") == commit
+            if not same_commit and commit and prev.get("commit"):
+                # the bench-baseline commit itself (and doc-only
+                # commits after it) contain no code change — if no .py
+                # file differs between the previous run's commit and
+                # HEAD, the plans are identical and any delta is still
+                # environment noise by identity
+                try:
+                    import subprocess as _sp
+
+                    changed = _sp.run(
+                        ["git", "diff", "--name-only", f"{prev['commit']}..{commit}"],
+                        cwd=os.path.dirname(os.path.abspath(__file__)),
+                        capture_output=True,
+                        text=True,
+                        timeout=10,
+                    ).stdout.splitlines()
+                    # only library/bench code affects query plans —
+                    # tests/ and tools/ churn cannot change a timing
+                    same_commit = not any(
+                        f.endswith(".py")
+                        and not f.startswith(("tests/", "tools/"))
+                        for f in changed
+                    )
+                except Exception:
+                    pass
             for name, dt in timings.items():
                 was = prev_q.get(name)
                 if not was or same_commit:
