@@ -121,3 +121,30 @@ def test_survey_test_count_matches_collection():
         f"SURVEY.md says {m.group(1)} tests; collection finds {mc.group(1)} — "
         "update the SURVEY footer"
     )
+
+
+def test_registry_wide_plan_lint_no_cartesian(spark):
+    """Engine-wide scale invariant, checked over EVERY registered
+    query's compiled plan at sf0.001: no CartesianProduct anywhere,
+    and every BroadcastNestedLoopJoin is a one-row scalar-frame
+    broadcast (IdentityBroadcastMode — the lazy `broadcast scalar N`
+    pattern), never a data-by-data nested loop. This is the lint that
+    would have caught an accidental unconstrained crossJoin in any of
+    the 171 queries the day it was written."""
+    from data_warehouse_implementation_spark import registry
+
+    offenders = []
+    for name, q in registry.queries().items():
+        plan = (
+            q(spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+        n_bnlj = plan.count("BroadcastNestedLoopJoin")
+        n_scalar = plan.count("IdentityBroadcastMode")
+        if n_bnlj > n_scalar:
+            offenders.append((name, f"non-scalar BNLJ ({n_bnlj} > {n_scalar})"))
+    assert not offenders, offenders
