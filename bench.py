@@ -171,16 +171,32 @@ def main() -> None:
     regressions: dict[str, dict] = {}
     env_scale = 1.0
     same_commit = False
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
     try:
         import subprocess
 
-        commit = subprocess.run(
+        head = subprocess.run(
             ["git", "rev-parse", "HEAD"],
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-            capture_output=True,
-            text=True,
-            timeout=10,
-        ).stdout.strip() or None
+            cwd=repo_dir, capture_output=True, text=True, timeout=10,
+        )
+        commit = head.stdout.strip() if head.returncode == 0 else None
+        # a DIRTY tree means the timings do not belong to any commit:
+        # mark it so a later clean run at the same HEAD never treats
+        # the poisoned baseline as identical code (review finding)
+        if commit:
+            dirty = subprocess.run(
+                ["git", "status", "--porcelain"],
+                cwd=repo_dir, capture_output=True, text=True, timeout=10,
+            )
+            # bench_detail.json itself is rewritten by every run and
+            # may legitimately be modified; anything else is real dirt
+            real_dirt = [
+                ln
+                for ln in dirty.stdout.splitlines()
+                if dirty.returncode == 0 and not ln.endswith("bench_detail.json")
+            ]
+            if dirty.returncode != 0 or real_dirt:
+                commit = commit + "-dirty"
     except Exception:
         commit = None
     try:
@@ -196,30 +212,45 @@ def main() -> None:
             )
             if len(ratios) >= 5:
                 env_scale = ratios[len(ratios) // 2]
-            same_commit = bool(commit) and prev.get("commit") == commit
-            if not same_commit and commit and prev.get("commit"):
-                # the bench-baseline commit itself (and doc-only
-                # commits after it) contain no code change — if no .py
-                # file differs between the previous run's commit and
-                # HEAD, the plans are identical and any delta is still
-                # environment noise by identity
+            prev_commit = prev.get("commit")
+            same_commit = (
+                bool(commit)
+                and not commit.endswith("-dirty")
+                and prev_commit == commit
+            )
+            if (
+                not same_commit
+                and commit
+                and prev_commit
+                and "-dirty" not in commit
+                and "-dirty" not in prev_commit
+            ):
+                # the bench-baseline commit itself (and tests/tools/doc
+                # churn after it) contains no runtime change — if every
+                # file differing between the runs' commits is
+                # TIMING-IRRELEVANT, the plans are identical and any
+                # delta is still environment noise by identity. The
+                # whitelist is of KNOWN-irrelevant paths (review
+                # finding: a lockfile/config/testdata change is NOT
+                # .py yet absolutely changes timings, so unknown files
+                # must fail open into the per-query gate).
                 try:
                     import subprocess as _sp
 
-                    changed = _sp.run(
-                        ["git", "diff", "--name-only", f"{prev['commit']}..{commit}"],
-                        cwd=os.path.dirname(os.path.abspath(__file__)),
-                        capture_output=True,
-                        text=True,
-                        timeout=10,
-                    ).stdout.splitlines()
-                    # only library/bench code affects query plans —
-                    # tests/ and tools/ churn cannot change a timing
-                    same_commit = not any(
-                        f.endswith(".py")
-                        and not f.startswith(("tests/", "tools/"))
-                        for f in changed
+                    diff = _sp.run(
+                        ["git", "diff", "--name-only", f"{prev_commit}..{commit}"],
+                        cwd=repo_dir, capture_output=True, text=True, timeout=10,
                     )
+                    if diff.returncode == 0:
+                        irrelevant = lambda f: (  # noqa: E731
+                            f.startswith(("tests/", "tools/"))
+                            or f.endswith((".md", ".json"))
+                        )
+                        same_commit = all(irrelevant(f) for f in diff.stdout.splitlines())
+                    # non-zero returncode (unresolvable commit — shallow
+                    # clone, rebased baseline): keep same_commit False
+                    # and let the per-query gate run; an empty diff on
+                    # a FAILED subprocess must never disable the gate
                 except Exception:
                     pass
             for name, dt in timings.items():

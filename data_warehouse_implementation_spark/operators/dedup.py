@@ -447,6 +447,19 @@ def rank_ordered_tokens(
     )
 
 
+def _require_dfreq(ordered: DataFrame) -> None:
+    """Shared guard for the hot-token-capped prefix joins and the skew
+    census: a capped run against a stale ``ordered`` frame (built
+    before round 7 added ``dfreq``) must fail with THIS message, not a
+    downstream AnalysisException."""
+    if "dfreq" not in ordered.columns:
+        raise ValueError(
+            "max_token_df requires an `ordered` frame carrying dfreq — "
+            "rebuild it with rank_ordered_tokens (its output gained the "
+            "column in round 7)"
+        )
+
+
 def jaccard_prefix_join(
     df: DataFrame,
     threshold_num: int = 3,
@@ -506,12 +519,8 @@ def jaccard_prefix_join(
         if tokens is None:
             tokens = word_shingles(df, n=n, text_col=text_col, id_col=id_col)
         ordered = rank_ordered_tokens(tokens, id_col=id_col)
-    if max_token_df is not None and "dfreq" not in ordered.columns:
-        raise ValueError(
-            "max_token_df requires an `ordered` frame carrying dfreq — "
-            "rebuild it with rank_ordered_tokens (its output gained the "
-            "column in round 7)"
-        )
+    if max_token_df is not None:
+        _require_dfreq(ordered)
     tok = ordered.select(id_col, "token")
     # prefix length s - ceil(t*s) + 1 with integer ceil (Column has no
     # // operator; double-div + long cast truncates == floor for
@@ -670,12 +679,8 @@ def containment_prefix_join(
         if tokens is None:
             tokens = word_shingles(df, n=n, text_col=text_col, id_col=id_col)
         ordered = rank_ordered_tokens(tokens, id_col=id_col)
-    if max_token_df is not None and "dfreq" not in ordered.columns:
-        raise ValueError(
-            "max_token_df requires an `ordered` frame carrying dfreq — "
-            "rebuild it with rank_ordered_tokens (its output gained the "
-            "column in round 7)"
-        )
+    if max_token_df is not None:
+        _require_dfreq(ordered)
     tok = ordered.select(id_col, "token")
     ceil_ts = (
         (F.col("sz") * threshold_num + threshold_den - 1) / threshold_den
@@ -791,6 +796,7 @@ def prefix_hot_token_stats(
 
     All BIGINT; engine-portable (the oracle replays the identical
     filter + aggregate)."""
+    _require_dfreq(ordered)
     ceil_ts = (
         (F.col("sz") * threshold_num + threshold_den - 1) / threshold_den
     ).cast("long")

@@ -29,6 +29,14 @@ from pyspark.sql import functions as F
 PR_TERM_DECIMAL = "decimal(38,30)"
 
 
+def _sized(df: DataFrame, iter_partitions: int | None) -> DataFrame:
+    """Shared iteration-state sizing for the graph walks (see
+    :func:`pagerank`'s ``iter_partitions`` docstring): repartition the
+    node-scale tables when the caller sized them, else keep the
+    session layout."""
+    return df.repartition(iter_partitions) if iter_partitions else df
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 5,
@@ -74,14 +82,12 @@ def pagerank(
     knob alone, results bit-identical). Size it to the node count —
     a handful for graphs that fit one executor, ~nodes/5e6 on a
     cluster; ``None`` keeps the session default."""
-    def _sized(df: DataFrame) -> DataFrame:
-        return df.repartition(iter_partitions) if iter_partitions else df
-
     nodes = (
         _sized(
             edges.select(F.col(src).alias("node"))
             .unionByName(edges.select(F.col(dst).alias("node")))
-            .distinct()
+            .distinct(),
+            iter_partitions,
         )
         # every round references nodes and the normalized edges; left
         # lazy, round i's plan embeds i copies of the (possibly
@@ -103,7 +109,8 @@ def pagerank(
                 (F.col(weight).cast("double") / F.col("_out").cast("double")).alias(
                     "_frac"
                 ),
-            )
+            ),
+            iter_partitions,
         )
         .localCheckpoint(eager=False)
     )
@@ -168,14 +175,12 @@ def label_propagation(
     edge/node tables must be checkpointed rather than re-derived per
     round, and whose ``iter_partitions`` note explains sizing the
     node-scale iteration parallelism)."""
-    def _sized(df: DataFrame) -> DataFrame:
-        return df.repartition(iter_partitions) if iter_partitions else df
-
     nodes = (
         _sized(
             edges.select(F.col(src).alias("node"))
             .unionByName(edges.select(F.col(dst).alias("node")))
-            .distinct()
+            .distinct(),
+            iter_partitions,
         )
         .localCheckpoint(eager=False)
     )
@@ -184,7 +189,8 @@ def label_propagation(
             F.col(src).alias("_esrc"),
             F.col(dst).alias("_edst"),
             F.col(weight).alias("_w"),
-        )
+        ),
+        iter_partitions,
     ).localCheckpoint(eager=False)
     labels = nodes.withColumn("label", F.col("node"))
     w_pick = Window.partitionBy("_edst").orderBy(F.desc("_mass"), F.asc("label"))

@@ -69,7 +69,12 @@ def staleness_table(root: Path = REPO_ROOT) -> list[tuple[str, int, int, bool]]:
 def main() -> None:
     min_stale = 0
     if "--stale" in sys.argv:
-        min_stale = int(sys.argv[sys.argv.index("--stale") + 1])
+        idx = sys.argv.index("--stale") + 1
+        try:
+            min_stale = int(sys.argv[idx])
+        except (IndexError, ValueError):
+            print(__doc__, file=sys.stderr)
+            sys.exit(2)
     rows = staleness_table()
     print(f"{'query':40s} {'last':>4s} {'stale':>5s} green")
     for name, rnd, stale, green in rows:
