@@ -865,3 +865,98 @@ def test_global_rank_null_numeric_keys_not_dropped(spark):
     expect_order = [(None, 1), (None, 3), (-7, 5), (5, 2), (100_000, 4)]
     assert got == {tie: i + 1 for i, (_, tie) in enumerate(expect_order)}
     assert len(got) == 5, "null-keyed rows dropped"
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis differentials for the prefix-filtered similarity joins —
+# the positional filter + hot-token cap are the subtlest algebra in the
+# dedup family, so random corpora pin them against brute force.
+
+from hypothesis import HealthCheck as _HC
+from hypothesis import given as _given
+from hypothesis import settings as _hsettings
+from hypothesis import strategies as _hst
+
+_pj_corpus = _hst.lists(
+    _hst.lists(_hst.sampled_from("abcde"), min_size=2, max_size=10).map(
+        lambda ws: " ".join(ws)
+    ),
+    min_size=2,
+    max_size=7,
+)
+
+
+def _shingle_sets(texts, n=2):
+    out = {}
+    for i, t in enumerate(texts):
+        ws = t.lower().split()
+        if len(ws) >= n:
+            out[i] = {" ".join(ws[j : j + n]) for j in range(len(ws) - n + 1)}
+    return out
+
+
+@_hsettings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[_HC.function_scoped_fixture],
+)
+@_given(texts=_pj_corpus, cap=_hst.integers(min_value=1, max_value=3))
+def test_prefix_joins_match_brute_force_random_corpora(spark, texts, cap):
+    """Exact jaccard (3/5) and containment (7/10) prefix joins must
+    equal brute force over every random corpus (zero false negatives,
+    zero false positives, exact values); capped variants must be
+    subsets of the exact answers with identical surviving values."""
+    import itertools
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).repartition(3)
+    sets = _shingle_sets(texts, n=2)
+
+    want_j, want_c = {}, {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        mn = min(len(sets[a]), len(sets[b]))
+        if union and inter * 5 >= union * 3:
+            want_j[(a, b)] = inter / union
+        if mn and inter * 10 >= mn * 7:
+            want_c[(a, b)] = inter / mn
+
+    got_j = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.jaccard_prefix_join(df, n=2).collect()
+    }
+    got_c = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in dedup.containment_prefix_join(df, n=2).collect()
+    }
+    assert got_j == pytest_approx_dict(want_j)
+    assert got_c == pytest_approx_dict(want_c)
+
+    capped_j = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.jaccard_prefix_join(df, n=2, max_token_df=cap).collect()
+    }
+    capped_c = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in dedup.containment_prefix_join(df, n=2, max_token_df=cap).collect()
+    }
+    assert set(capped_j) <= set(got_j)
+    assert set(capped_c) <= set(got_c)
+    for k in capped_j:
+        assert capped_j[k] == got_j[k]
+    for k in capped_c:
+        assert capped_c[k] == got_c[k]
+
+
+def pytest_approx_dict(d, tol=1e-12):
+    """Comparison helper: dict equality with per-value tolerance."""
+    class _D(dict):
+        def __eq__(self, other):
+            return set(self) == set(other) and all(
+                abs(self[k] - other[k]) <= tol for k in self
+            )
+        __hash__ = None
+
+    return _D(d)
