@@ -9,8 +9,9 @@ enforces that the first 50 actually cover the stalest queries).
 
 Usage::
 
-    python tools/staleness.py            # full table, stalest first
-    python tools/staleness.py --stale 2  # only queries >= 2 rounds stale
+    python tools/staleness.py                    # full table, stalest first
+    python tools/staleness.py --stale 2          # only queries >= 2 rounds stale
+    python tools/staleness.py --suggest-window 50  # next round's refresh order
 """
 
 from __future__ import annotations
@@ -66,7 +67,34 @@ def staleness_table(root: Path = REPO_ROOT) -> list[tuple[str, int, int, bool]]:
     return rows
 
 
+def suggest_window(slots: int, root: Path = REPO_ROOT) -> list[str]:
+    """Mechanized window rotation: the flagship first, then
+    never-checked queries (the never-deferred rule), then everything
+    else stalest-first (ties by name). The round's builder still
+    prepends queries whose IMPLEMENTATION changed that round — code
+    changes aren't visible to this census — but the staleness ordering
+    itself stops being re-derived by hand (VERDICT r6 #7)."""
+    rows = staleness_table(root)
+    never = sorted(n for n, rnd, _, _ in rows if rnd == 0 and n != "timely_rank_report")
+    checked = sorted(
+        ((s, n) for n, rnd, s, _ in rows if rnd > 0 and n != "timely_rank_report"),
+        key=lambda t: (-t[0], t[1]),
+    )
+    ordered = ["timely_rank_report", *never, *(n for _, n in checked)]
+    return ordered[:slots] if slots else ordered
+
+
 def main() -> None:
+    if "--suggest-window" in sys.argv:
+        idx = sys.argv.index("--suggest-window") + 1
+        try:
+            slots = int(sys.argv[idx])
+        except (IndexError, ValueError):
+            print(__doc__, file=sys.stderr)
+            sys.exit(2)
+        for name in suggest_window(slots):
+            print(name)
+        return
     min_stale = 0
     if "--stale" in sys.argv:
         idx = sys.argv.index("--stale") + 1
