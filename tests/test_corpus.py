@@ -965,3 +965,31 @@ def test_substring_dedup_matches_brute_force(spark, texts, k):
         for r in corpus.substring_dedup(df, k=k).collect()
     }
     assert got == _substring_dedup_ref(texts, k)
+
+
+def test_lm_backoff_external_reference_and_oov_exclusion(spark):
+    """Scoring against an EXTERNAL reference corpus: known bigrams use
+    the reference conditionals, reference-vocabulary transitions back
+    off to the reference unigram, and transitions with OOV tokens are
+    EXCLUDED from the score entirely (documented caveat — there is no
+    count to back off to)."""
+    ref = spark.createDataFrame(
+        [(100, "a b a b a b"), (101, "b c b c")], "doc_id long, text string"
+    )
+    # doc 1: (a,b) known in ref; (b,z) has OOV z -> excluded
+    df = spark.createDataFrame([(1, "a b z")], "doc_id long, text string")
+    got = corpus.lm_backoff_score(df, min_count=3, reference=ref).collect()
+    assert len(got) == 1
+    r = got[0]
+    # ref counts: c2(a,b)=3 (known at min_count=3), c1(a)=3
+    assert (r.n_transitions, r.n_backoff) == (1, 0)
+    assert r.lm_score == pytest.approx(3 / 3, abs=1e-12)
+    # a doc made ENTIRELY of OOV transitions is absent from the output
+    oov = spark.createDataFrame([(2, "x y x")], "doc_id long, text string")
+    assert corpus.lm_backoff_score(oov, min_count=3, reference=ref).count() == 0
+    # in-vocab but unseen-bigram transitions back off to the ref unigram
+    bo = spark.createDataFrame([(3, "a c")], "doc_id long, text string")
+    row = corpus.lm_backoff_score(bo, min_count=3, reference=ref).collect()[0]
+    # (a,c) never occurs in ref -> backoff = 0.4 * c1(c)/T = 2*2/(5*10)
+    assert (row.n_transitions, row.n_backoff) == (1, 1)
+    assert row.lm_score == pytest.approx(2 * 2 / (5 * 10), abs=1e-12)
