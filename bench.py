@@ -116,6 +116,7 @@ def main() -> None:
     total = 0.0
     errors: dict[str, str] = {}
     cache_builds: dict[str, list[str]] = {}
+    row_counts: dict[str, int] = {}
     for name, q in qs.items():
         # Failure isolation: one broken query must never zero the whole
         # round's bench — record the error and keep timing the rest.
@@ -130,6 +131,7 @@ def main() -> None:
             continue
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
+        row_counts[name] = n
         total += dt
         # Shared-cache attribution: which session caches did THIS query
         # build (vs merely consume)? Build cost lands on whichever family
@@ -318,6 +320,10 @@ def main() -> None:
         "errors": errors,
         "regressions": regressions,
         "cache_builds": cache_builds,
+        # result cardinalities: a "regression" whose row count also
+        # changed is a data/plan change, not noise — free adjudication
+        # signal alongside cache_builds
+        "row_counts": row_counts,
         "env_scale": round(env_scale, 3),
         "commit": commit,
         "sf": sf,
