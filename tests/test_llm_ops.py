@@ -960,3 +960,30 @@ def pytest_approx_dict(d, tol=1e-12):
         __hash__ = None
 
     return _D(d)
+
+
+def test_derived_width_bucket_contract(spark):
+    """The shared range-bucket helper: monotone non-decreasing in the
+    key, bounded bucket count on full-range sparse keys, NULLs in the
+    sentinel bucket below every real one, dense keys at min_width."""
+    from data_warehouse_implementation_spark.operators.relational import (
+        derived_width_bucket,
+    )
+
+    # sparse: full signed-64 span
+    sparse = spark.range(3000).select(
+        F.xxhash64(F.col("id").cast("string")).alias("k")
+    )
+    b = derived_width_bucket(sparse, F.col("k"), "b")
+    rows = sorted(b.collect(), key=lambda r: r.k)
+    assert all(x.b <= y.b for x, y in zip(rows, rows[1:])), "not monotone"
+    assert b.select("b").distinct().count() <= 65537
+    # dense ids: min_width honored (ids 0..9999 / 4096 -> 3 buckets)
+    dense = spark.range(10_000).select(F.col("id").alias("k"))
+    nb = derived_width_bucket(dense, F.col("k"), "b").select("b").distinct().count()
+    assert nb == 3
+    # nulls: sentinel below every real bucket
+    withnull = spark.createDataFrame([(None,), (5,), (9999,)], "k long")
+    got = {r.k: r.b for r in derived_width_bucket(withnull, F.col("k"), "b").collect()}
+    assert got[None] == -1 and got[None] < min(got[5], got[9999])
+    assert len(got) == 3, "null row dropped"
