@@ -131,3 +131,46 @@ def test_whole_stage_codegen_covers_core_query(spark):
     assert "isFinalPlan=true" in plan
     assert "codegen id :" in plan  # whole-stage codegen spans present
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_materialize_get_or_build_semantics(spark, tmp_path, monkeypatch):
+    """The session cache's contract: builder runs ONCE per (name,
+    sf_dir) with the build recorded in BUILD_LOG; a different sf_dir is
+    a different entry; corpus_scale entries stage to parquet when
+    SPARK_GRAFT_STAGE_DIR is set (and reread from disk, not memory)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_warehouse_implementation_spark.plans import materialize
+
+    materialize.clear()
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(10).select(F.col("id").alias("v"))
+
+    log_before = len(materialize.BUILD_LOG)
+    a = materialize.get_or_build("unit_cache", "sfA", build)
+    b = materialize.get_or_build("unit_cache", "sfA", build)
+    assert calls["n"] == 1, "builder re-ran for a cached entry"
+    assert a is b
+    assert materialize.BUILD_LOG[log_before:] == ["unit_cache"]
+    c = materialize.get_or_build("unit_cache", "sfB", build)
+    assert calls["n"] == 2 and c is not a
+    assert materialize.BUILD_LOG[log_before:] == ["unit_cache", "unit_cache"]
+
+    # staging mode: corpus-scale entries land on disk
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage, exist_ok=True)
+    monkeypatch.setenv("SPARK_GRAFT_STAGE_DIR", stage)
+    d = materialize.get_or_build("unit_stage", "sfA", build, corpus_scale=True)
+    assert d.count() == 10
+    staged = [p for p in os.listdir(stage) if p.startswith("unit_stage")]
+    assert staged, "corpus-scale entry not staged to parquet"
+    # a second session-cache call serves the same frame without rebuild
+    n_before = calls["n"]
+    materialize.get_or_build("unit_stage", "sfA", build, corpus_scale=True)
+    assert calls["n"] == n_before
+    materialize.clear()
