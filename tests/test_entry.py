@@ -148,3 +148,41 @@ def test_registry_wide_plan_lint_no_cartesian(spark):
         if n_bnlj > n_scalar:
             offenders.append((name, f"non-scalar BNLJ ({n_bnlj} > {n_scalar})"))
     assert not offenders, offenders
+
+
+def test_staleness_tool_census_and_window_suggestion():
+    """tools/staleness.py: latest_checks keeps the NEWEST round per
+    query and marks red checks; suggest_window leads with the flagship,
+    then never-checked, then stalest-first."""
+    import json
+    import sys
+    from pathlib import Path
+
+    repo_root = Path(__file__).resolve().parents[1]
+    sys.path.insert(0, str(repo_root / "tools"))
+    import staleness
+
+    # synthetic correctness history in a temp root
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        root = Path(td)
+        (root / "CORRECTNESS_r01.json").write_text(json.dumps({
+            "q_old": {"rows_match": True, "schema_match": True, "hash_match": True, "err": None},
+            "q_red": {"rows_match": False, "schema_match": True, "hash_match": False, "err": None},
+        }))
+        (root / "CORRECTNESS_r03.json").write_text(json.dumps({
+            "q_red": {"rows_match": True, "schema_match": True, "hash_match": True, "err": None},
+        }))
+        latest = staleness.latest_checks(root)
+        assert latest["q_old"] == (1, True)
+        assert latest["q_red"] == (3, True)  # newest check wins, now green
+
+    # live repo: the suggestion starts with the flagship and contains
+    # every registered query exactly once when unsliced
+    from data_warehouse_implementation_spark import registry
+
+    full = staleness.suggest_window(0)
+    assert full[0] == "timely_rank_report"
+    assert sorted(full) == sorted(registry._QUERIES)
+    assert staleness.suggest_window(10) == full[:10]
