@@ -66,92 +66,21 @@ def oracle_sql() -> dict[str, str]:
 
 
 # The correctness driver differentials the FIRST 50 registry entries per
-# round. Round-7 window (derived from tools/staleness.py — enforced by
+# round. Round-8 window (derived from tools/staleness.py — enforced by
 # tests/test_entry.py::test_driver_window_covers_stalest): the flagship;
-# the four new queries (hot-token-capped containment + its skew census,
-# Stupid-Backoff LM scoring, exact-substring dup census); everything
-# transitively changed this round (rank_ordered_tokens grew dfreq and
-# refined its hapax bucket; global_rank's string/numeric default buckets
-# hardened; negative_pairs degenerate guard; RRF oracle id
-# interpolation); the 23 round-3-stale verifications (vocab_top_terms
-# first — stale AND transitively changed, VERDICT r6 #1); and 13 of the
-# 45 round-4-stale rows, dedup/vocab-plumbing first. After this round
-# every query's latest driver check is <= 2 rounds old except the
-# remaining r4 tail listed at position 51+ (round 8's refresh order).
+# then ALL 41 queries whose latest driver check is round 4 (the
+# max-staleness cohort VERDICT r7 #1 queued at the old position 51+ —
+# this retires the staleness tail: after this round every query's latest
+# check is <= 3 rounds old and the r5 cohort is the round-9 refresh
+# order at position 51+); then 8 slots for this round's additions and
+# implementation-adjacent rows (BM25 df-cap work, the ANN recall-matrix
+# constituents, and the SCD batches whose streaming composition gains a
+# hypothesis differential this round).
 _DRIVER_WINDOW = [
     # flagship — always re-verified
     "timely_rank_report",
-    # round-7 additions; the skew census leads so the shared shingle +
-    # rank-ordered-token cache build cost lands on the family head and
-    # the three prefix joins time warm (cache_builds records it)
-    "containment_probe_skew",
-    "containment_capped_join",
-    "containment_prefix_join",
-    "near_dup_prefix_join",
-    "doc_lm_backoff",
-    "doc_substring_dup",
-    "doc_substring_dedup",
-    "media_patchify",
-    "doc_dsir_weights",
-    "doc_epoch_shuffle",
-    "doc_length_batches",
-    "waiting_supplier_sql",
-    "embedding_ann_recall",
-    # round-7 implementation/oracle changes — checked the round they
-    # land (never-deferred rule): minhash family head first for cache
-    # attribution; simhash + vocab consumers follow the
-    # build_dictionary bucket refinement; negative_pairs (N>=2 guard),
-    # hybrid_rrf_fusion (oracle id interpolation), balanced_oversample
-    # + both warehouse builds (global_rank default-bucket hardening)
-    "near_dup_minhash",
-    "simhash_near_dup",
-    "doc_negative_pairs",
-    "hybrid_rrf_fusion",
-    "doc_balanced_oversample",
-    "warehouse_dim_build",
-    "warehouse_fact_build",
-    # round-3-stale refresh (VERDICT r6 #1; vocab_top_terms first)
-    "vocab_top_terms",
-    "events_asof_join",
-    "events_daily_delta",
-    "events_keep_latest",
-    "events_sessionize",
-    "incremental_agg_refresh",
-    "integrity_report",
-    "jsonl_scan_agg",
-    "late_order_exists_sql",
-    "local_supplier_volume_sql",
-    "market_share_sql",
-    "nation_revenue_share",
-    "nation_top_customer_list",
-    "order_cube",
-    "orders_profile",
-    "price_histogram",
-    "pricing_summary_sql",
-    "priority_status_sets_sql",
-    "salted_flag_join",
-    "salted_skew_agg",
-    "shipping_priority_sql",
-    "small_qty_revenue_sql",
-    "user_sketch_distinct",
-    # round-4-stale refresh, part 1 of 2 — dedup/vocab/sampling
-    # plumbing nearest this round's changes, plus the r6
-    # bench-variance-flagged rows for a clean re-time
-    "bpe_merges",
-    # changed this round: surrogate assignment moved off the
-    # dim-wide global window onto assign_surrogate/global_rank
-    "multikey_category_join",
-    # changed this round: the two-phase cumsum consumers whose id
-    # bucketing moved to the derived-width helper (plan-only; results
-    # bucketing-independent, hypothesis-differentialed)
-    "doc_shard_assignment",
-    "training_sequences",
-    # changed this round: node-scale iteration parallelism
-    # (iter_partitions=4) — plan-only, results bit-identical, but
-    # changed queries are checked the round they change
-    "purchase_graph_pagerank",
-    "purchase_graph_communities",
-    # position 51+ — round-8 refresh order: the remaining r4-stale rows
+    # the 41 round-4-stale rows (tools/staleness.py --stale 3), the
+    # whole max-staleness cohort — never split across rounds again
     "doc_split_dedup_aware",
     "exact_dedup_by_fingerprint",
     "embedding_lsh_near_dup",
@@ -193,6 +122,53 @@ _DRIVER_WINDOW = [
     "user_retention_cohorts",
     "user_sketch_rollup",
     "window_funcs_sql",
+    # round-8 additions + implementation-adjacent slots: doc_bm25_topk
+    # re-times next to the new df-capped variant; the SCD2/SCD3 batches
+    # are re-proven the round their streaming composition gains the
+    # hypothesis differential; dense/hashed rows back the recall-matrix
+    # and minhash families
+    "doc_bm25_topk",
+    "scd2_apply_batch",
+    "scd3_apply_batch",
+    "near_dup_minhash_hashed",
+    "embedding_dense_topk",
+    "near_dup_containment",
+    "scd1_upsert_batch",
+    "insert_if_absent_batch",
+    # position 51+ — round-9 refresh order: the r5 cohort, stalest-first
+    "avg_qty_gated_revenue_sql",
+    "brand_median_price",
+    "calendar_dim",
+    "companies_of_interest",
+    "complaints_clean",
+    "csv_scan_agg",
+    "cust_order_dist_sql",
+    "demo_reshape_pipeline",
+    "disputed_rank_report",
+    "doc_bigram_rarity",
+    "drilldown_report",
+    "events_asof_forward",
+    "events_props_extract",
+    "events_session_window_native",
+    "events_window_agg",
+    "exact_dedup_docs",
+    "media_resize_roundtrip",
+    "nation_value_concentration_sql",
+    "near_dup_clusters",
+    "near_dup_source_matrix",
+    "null_canonical_dedup",
+    "null_canonical_join",
+    "part_melt",
+    "population_fact_build",
+    "preaggregate",
+    "priority_pivot",
+    "priority_pivot_first",
+    "segment_ratio_report",
+    "shipments_by_quarter",
+    "supplier_part_census_sql",
+    "top5_orders",
+    "top_orders_per_nation",
+    "top_supplier_sql",
 ]
 
 
