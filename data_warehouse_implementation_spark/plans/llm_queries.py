@@ -1092,6 +1092,181 @@ FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank
 """
 
 
+RECALL_PROBES = (1, 2, 4)
+
+
+def embedding_ann_recall_matrix(t: dict[str, DataFrame]) -> DataFrame:
+    """Recall@k over the REAL deployment knobs in one report (VERDICT
+    r7 #3): IVF single-probe, IVF multi-probe (n_probe in 1/2/4), and
+    IVF+PQ, each measured against the exact brute-force top-k. One row
+    per variant: retrieved count, integer overlap with the exact id
+    set, and recall@k = overlap / (|Q| * k) — a double division of
+    integers, bit-exact across engines. This is the table an ANN
+    deployment reads to pick n_probe: recall should be monotone in the
+    probe count, and the IVF+PQ row shows the additional quantization
+    loss on top of the probe-1 cell pruning.
+
+    Scale shape: every ranking is query-bounded (|Q| x k rows); the
+    corpus is scanned once per variant, the variants union into one
+    tiny tagged table, and the overlap is a broadcast-sized join
+    against the |Q| x k exact baseline. Nothing here is corpus x
+    corpus."""
+    emb = t["embeddings"]
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = (
+        similarity.cosine_topk(q, emb, k=TOP_K)
+        .select("query_id", "neighbor_id")
+        .withColumn("_hit", F.lit(1))
+    )
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cen_id"), F.col("embedding").alias("cen_vec")
+    )
+    assigned = similarity.assign_cells(emb, centroids)
+    emb_cells = emb.select("vec_id", "embedding").join(assigned, on="vec_id")
+    variants: list[DataFrame] = []
+    for n in RECALL_PROBES:
+        probed = similarity.probe_cells(q, centroids, n_probe=n)
+        queries = emb.select("vec_id", "embedding").join(probed, on="vec_id")
+        ann = similarity.cosine_topk(queries, emb_cells, k=TOP_K, cell_col="cell_id")
+        variants.append(
+            ann.select(
+                F.lit(f"ivf_probe{n}").alias("variant"), "query_id", "neighbor_id"
+            )
+        )
+    sub_centroids = similarity.pq_subvectors(
+        emb.filter(F.col("vec_id") < PQ_K), PQ_M
+    ).select(F.col("j"), F.col("vec_id").alias("cen_id"), F.col("subvec").alias("cen_sub"))
+    codes = similarity.pq_encode(emb, sub_centroids, PQ_M)
+    pq = similarity.pq_adc_topk(q, codes, sub_centroids, PQ_M, TOP_K, cells=assigned)
+    variants.append(
+        pq.select(F.lit("ivfpq").alias("variant"), "query_id", "neighbor_id")
+    )
+    tagged = variants[0]
+    for v in variants[1:]:
+        tagged = tagged.unionByName(v)
+    return (
+        tagged.join(exact, on=["query_id", "neighbor_id"], how="left")
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n_retrieved"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_overlap"),
+        )
+        .select(
+            "variant",
+            "n_retrieved",
+            "n_overlap",
+            (
+                F.col("n_overlap").cast("double")
+                / F.lit(float(N_QUERIES * TOP_K))
+            ).alias("recall_at_k"),
+        )
+        .orderBy("variant")
+    )
+
+
+EMBEDDING_ANN_RECALL_MATRIX_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_dot_product(q.v, c.v)
+                      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) DESC,
+                      c.vec_id ASC
+           ) AS rank
+    FROM e q JOIN e c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+  ) WHERE rank <= {TOP_K}
+),
+{_IVF_ASSIGN_SQL.strip().lstrip()},
+probed AS (
+  SELECT vec_id, ccen_id AS cell_id, rn AS probe_rank FROM (
+    SELECT vec_id, ccen_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cd2 ASC, ccen_id ASC) AS rn
+    FROM celld WHERE vec_id < {N_QUERIES}
+  ) WHERE rn <= {max(RECALL_PROBES)}
+),
+ivf_cand AS (
+  SELECT p.probe_rank, p.vec_id AS query_id, a.vec_id AS neighbor_id,
+         list_dot_product(q.v, c.v)
+         / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cosine
+  FROM probed p
+  JOIN cells a ON a.cell_id = p.cell_id
+  JOIN e q ON q.vec_id = p.vec_id
+  JOIN e c ON c.vec_id = a.vec_id
+  WHERE p.vec_id <> a.vec_id
+),
+{", ".join(
+    f'''ivf{n} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM ivf_cand WHERE probe_rank <= {n}
+  ) WHERE rank <= {TOP_K}
+)''' for n in RECALL_PROBES
+)},
+js AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS j),
+sub AS (
+  SELECT vec_id, j, v[(j * {_PQ_SUB} + 1):((j + 1) * {_PQ_SUB})] AS sv
+  FROM e CROSS JOIN js
+),
+pcen AS (
+  SELECT j, vec_id AS cen_id, sv AS cs FROM sub WHERE vec_id < {PQ_K}
+),
+enc AS (
+  SELECT vec_id, j, cen_id AS code FROM (
+    SELECT s.vec_id, s.j, c.cen_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.vec_id, s.j
+             ORDER BY list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.cs)
+                      + list_dot_product(c.cs, c.cs) ASC, c.cen_id ASC
+           ) AS rn
+    FROM sub s JOIN pcen c USING (j)
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT s.vec_id AS query_id, s.j, c.cen_id AS code,
+         list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.cs)
+         + list_dot_product(c.cs, c.cs) AS d2
+  FROM sub s JOIN pcen c USING (j)
+  WHERE s.vec_id < {N_QUERIES}
+),
+parts AS (
+  SELECT l.query_id, enc.vec_id AS neighbor_id, {_PQ_PIVOT}
+  FROM enc
+  JOIN cells nc ON nc.vec_id = enc.vec_id
+  JOIN lut l USING (j, code)
+  JOIN cells qc ON qc.vec_id = l.query_id AND qc.cell_id = nc.cell_id
+  WHERE l.query_id <> enc.vec_id
+  GROUP BY l.query_id, enc.vec_id
+),
+pscored AS (SELECT query_id, neighbor_id, {_PQ_ADC} AS adc_dist2 FROM parts),
+ivfpq AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist2 ASC, neighbor_id ASC) AS rank
+    FROM pscored
+  ) WHERE rank <= {TOP_K}
+),
+tagged AS (
+  {" UNION ALL ".join(
+      f"SELECT 'ivf_probe{n}' AS variant, query_id, neighbor_id FROM ivf{n}"
+      for n in RECALL_PROBES
+  )}
+  UNION ALL SELECT 'ivfpq' AS variant, query_id, neighbor_id FROM ivfpq
+)
+SELECT t.variant,
+       COUNT(*) AS n_retrieved,
+       CAST(SUM(CASE WHEN ex.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+       CAST(SUM(CASE WHEN ex.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST({N_QUERIES * TOP_K} AS DOUBLE) AS recall_at_k
+FROM tagged t
+LEFT JOIN exact ex ON ex.query_id = t.query_id AND ex.neighbor_id = t.neighbor_id
+GROUP BY t.variant ORDER BY t.variant
+"""
+
+
 NEAR_DUP_COSINE = 0.30
 
 

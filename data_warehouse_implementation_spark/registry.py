@@ -127,6 +127,7 @@ _DRIVER_WINDOW = [
     # are re-proven the round their streaming composition gains the
     # hypothesis differential; dense/hashed rows back the recall-matrix
     # and minhash families
+    "embedding_ann_recall_matrix",
     "doc_bm25_topk",
     "scd2_apply_batch",
     "scd3_apply_batch",
@@ -497,6 +498,11 @@ register(
     "embedding_ann_recall",
     llm_queries.embedding_ann_recall,
     llm_queries.EMBEDDING_ANN_RECALL_ORACLE,
+)
+register(
+    "embedding_ann_recall_matrix",
+    llm_queries.embedding_ann_recall_matrix,
+    llm_queries.EMBEDDING_ANN_RECALL_MATRIX_ORACLE,
 )
 register(
     "events_funnel", timeseries_queries.events_funnel, timeseries_queries.EVENTS_FUNNEL_ORACLE
