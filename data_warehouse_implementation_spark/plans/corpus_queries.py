@@ -1223,6 +1223,109 @@ FROM ranked WHERE rank <= {BM25_TOP_K} ORDER BY query_doc, rank
 """
 
 
+#: A query term held by more than this fraction of the corpus is
+#: dropped from capped BM25 scoring (``dfreq * 100 > N * 78``). 78%
+#: bites on the driver corpus at every sf — the synthetic vocabulary is
+#: ~30 words, half of which sit in ~80% of documents — so the capped
+#: query genuinely exercises the truncation path while rare
+#: discriminative terms ('dup' and the sub-78% half) keep scoring.
+BM25_CAP_NUM = 78
+BM25_CAP_DEN = 100
+
+
+def doc_bm25_capped(t: dict[str, DataFrame]) -> DataFrame:
+    """The df-CAPPED BM25 top-k (``corpus.bm25_topk`` with
+    ``max_df_num`` — VERDICT r7 #7): query terms in more than 78% of
+    documents never enter the postings join, the WAND-style valve that
+    stops a stopword-grade term fanning one query across the whole
+    corpus at 100 TB. Deterministic integer-ratio truncation, so the
+    oracle replays it exactly; ``doc_bm25_term_stats`` publishes the
+    accounting row alongside (a capped run without its census is a
+    silent recall loss)."""
+    return corpus.bm25_topk(
+        t["documents"],
+        BM25_QUERY_DOCS,
+        k=BM25_TOP_K,
+        max_df_num=BM25_CAP_NUM,
+        max_df_den=BM25_CAP_DEN,
+    ).orderBy("query_doc", "rank")
+
+
+DOC_BM25_CAPPED_ORACLE = f"""
+WITH {_TOKS_SQL.strip()},
+tok AS (SELECT doc_id, unnest(arr) AS token FROM toks),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+dfq AS (SELECT token, COUNT(*) AS dfreq FROM tf GROUP BY token),
+lens AS (SELECT doc_id, COUNT(*) AS len FROM tok GROUP BY doc_id),
+tot AS (SELECT SUM(len) AS T, COUNT(*) AS N FROM lens),
+q AS (
+  SELECT f0.doc_id AS query_doc, f0.token, d0.dfreq FROM tf f0
+  JOIN dfq d0 ON d0.token = f0.token
+  CROSS JOIN tot t0
+  WHERE f0.doc_id IN ({", ".join(str(i) for i in BM25_QUERY_DOCS)})
+    AND d0.dfreq * {BM25_CAP_DEN} <= t0.N * {BM25_CAP_NUM}
+),
+scored AS (
+  SELECT q.query_doc, d.doc_id,
+         SUM(CAST(
+           (CAST(2*(t.N - q.dfreq) + 1 AS DOUBLE) / CAST(2*q.dfreq + 1 AS DOUBLE))
+           * (CAST(d.tf AS DOUBLE) * 2.2)
+           / (CAST(d.tf AS DOUBLE)
+              + CAST(3*t.T + 9*l.len*t.N AS DOUBLE) / CAST(10*t.T AS DOUBLE))
+         AS DECIMAL(28,6))) AS s
+  FROM q
+  JOIN tf d ON d.token = q.token AND d.doc_id <> q.query_doc
+  JOIN lens l ON l.doc_id = d.doc_id
+  CROSS JOIN tot t
+  GROUP BY q.query_doc, d.doc_id
+),
+ranked AS (
+  SELECT query_doc, doc_id, s,
+         ROW_NUMBER() OVER (PARTITION BY query_doc ORDER BY s DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query_doc, CAST(rank AS BIGINT) AS rank, doc_id, CAST(s AS DOUBLE) AS bm25
+FROM ranked WHERE rank <= {BM25_TOP_K} ORDER BY query_doc, rank
+"""
+
+
+def doc_bm25_term_stats(t: dict[str, DataFrame]) -> DataFrame:
+    """The loud-truncation accounting row for ``doc_bm25_capped``
+    (``corpus.bm25_term_stats``): how many query terms the 78% df cap
+    drops, which queries are at risk, and the postings-join row bound
+    before/after — the census that makes the cap's recall cost visible
+    instead of silent. Same contract as r7's
+    ``containment_probe_skew``."""
+    return corpus.bm25_term_stats(
+        t["documents"],
+        BM25_QUERY_DOCS,
+        max_df_num=BM25_CAP_NUM,
+        max_df_den=BM25_CAP_DEN,
+    )
+
+
+DOC_BM25_TERM_STATS_ORACLE = f"""
+WITH {_TOKS_SQL.strip()},
+tok AS (SELECT doc_id, unnest(arr) AS token FROM toks),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+dfq AS (SELECT token, COUNT(*) AS dfreq FROM tf GROUP BY token),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS N FROM tok),
+q AS (
+  SELECT f.doc_id AS query_doc, f.token, d.dfreq, n.N,
+         CASE WHEN d.dfreq * {BM25_CAP_DEN} > n.N * {BM25_CAP_NUM} THEN 1 ELSE 0 END AS hot
+  FROM tf f JOIN dfq d ON d.token = f.token CROSS JOIN nd n
+  WHERE f.doc_id IN ({", ".join(str(i) for i in BM25_QUERY_DOCS)})
+)
+SELECT COUNT(*) AS query_terms,
+       CAST(SUM(hot) AS BIGINT) AS terms_dropped,
+       CAST(COUNT(DISTINCT CASE WHEN hot = 1 THEN query_doc END) AS BIGINT) AS queries_at_risk,
+       CAST(SUM(dfreq) AS BIGINT) AS postings_bound_uncapped,
+       CAST(SUM(CASE WHEN hot = 1 THEN 0 ELSE dfreq END) AS BIGINT) AS postings_bound_capped,
+       CAST(MAX(dfreq) AS BIGINT) AS max_term_df
+FROM q
+"""
+
+
 # ---------------------------------------------------------------------------
 # Deterministic span-corruption planning (T5-style denoising data prep)
 

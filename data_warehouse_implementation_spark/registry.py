@@ -128,6 +128,8 @@ _DRIVER_WINDOW = [
     # hypothesis differential; dense/hashed rows back the recall-matrix
     # and minhash families
     "embedding_ann_recall_matrix",
+    "doc_bm25_capped",
+    "doc_bm25_term_stats",
     "doc_bm25_topk",
     "scd2_apply_batch",
     "scd3_apply_batch",
@@ -802,6 +804,16 @@ register(
     "doc_bm25_topk",
     corpus_queries.doc_bm25_topk,
     corpus_queries.DOC_BM25_TOPK_ORACLE,
+)
+register(
+    "doc_bm25_capped",
+    corpus_queries.doc_bm25_capped,
+    corpus_queries.DOC_BM25_CAPPED_ORACLE,
+)
+register(
+    "doc_bm25_term_stats",
+    corpus_queries.doc_bm25_term_stats,
+    corpus_queries.DOC_BM25_TERM_STATS_ORACLE,
 )
 register(
     "hybrid_rrf_fusion",
