@@ -1,0 +1,255 @@
+"""END-TO-END corpus curation (VERDICT r7 #4): the full training-data
+ladder the RUNBOOK describes — quality filter -> minhash near-dup
+keep-BEST -> benchmark decontamination -> weighted source mixing ->
+training-sequence packing — composed as ONE registered query whose
+output (the packed sequence table) proves every upstream stage at once:
+which documents are present encodes the filter + dedup + decontam +
+mix decisions, and ``token_start``/``seq_id`` encode the packing math
+over exactly the surviving set.
+
+Every stage is an existing, individually-green operator; what THIS
+query proves is their COMPOSITION — schema contracts between stages,
+session-cache reuse (the near-dup pair graph comes from the family's
+shared stack, so no second minhash pass), and stage coupling (mix
+rates derive from the SURVIVORS' per-source token totals, not the raw
+corpus). The oracle replays the entire ladder in DuckDB, recursive
+connected components included.
+
+Stage semantics (each the production-shaped choice):
+- near-dup pairs are computed on the full corpus (that is what the
+  cached family stack holds) and then RESTRICTED to pairs whose both
+  endpoints survived the quality filter; components are built on the
+  restricted graph. Filtering before clustering means two kept docs
+  are not merged through a rejected bridge document — the bridge is
+  gone, so its evidence of transitivity goes with it.
+- keep-best (not keep-first) picks the highest-quality member per
+  component, tie -> smallest id (``dedup_keep_best``'s rule).
+- decontamination keeps a surviving doc only if it is not itself a
+  benchmark doc and shares no 8-gram with the benchmark set (built
+  from the FULL corpus — contamination does not care whether the
+  benchmark copy was low quality).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import corpus, dedup
+from ..operators import text as text_ops
+from ..operators.corpus import HASH_P, SPLIT_A, SPLIT_B
+from . import llm_queries
+from .corpus_queries import (
+    BENCHMARK_MAX_ID,
+    DECONTAM_N,
+    FILTER_MAX_WORDS,
+    FILTER_MIN_QUALITY,
+    FILTER_MIN_WORDS,
+    MIX_DEFAULT_WEIGHT,
+    MIX_TOKEN_BUDGET,
+    MIX_WEIGHTS,
+    SEQ_BUDGET,
+    SEQ_CHUNK,
+    _QF_STOPLIST,
+    _TOKS_SQL,
+)
+from .llm_queries import _ND_PAIR_CTES
+
+
+def corpus_curation_e2e(t: dict[str, DataFrame]) -> DataFrame:
+    """The five-stage curation ladder as one lazy plan (plus the
+    session-cached near-dup stack and the CC fixpoint loop). Returns
+    the packed training sequences of the fully-curated corpus:
+    ``(doc_id, chunk_id, n_chunk_tokens, token_start, seq_id)``.
+
+    Scale shape: stage 1 is map-side column algebra; stage 2 reuses the
+    family-cached banded-LSH pair graph (built once per session, never
+    all-pairs) and runs CC on the |pairs|-sized survivor graph; stage 3
+    is a broadcast semi-join against the tiny benchmark shingle set;
+    stage 4's rates are broadcast per-source totals; stage 5 is the
+    two-phase distributed cumsum (no global window). No stage
+    materializes the corpus more than once."""
+    docs = t["documents"]
+    # 1. C4-style quality filter
+    qf = text_ops.quality_filter(
+        docs,
+        min_words=FILTER_MIN_WORDS,
+        max_words=FILTER_MAX_WORDS,
+        min_quality=FILTER_MIN_QUALITY,
+    )
+    kept1 = qf.filter(F.col("verdict") == "kept").select("doc_id", "quality")
+    # 2. near-dup keep-best among survivors (cached pair graph)
+    pairs = llm_queries._shared_stack(t)["verified"].select("doc_a", "doc_b")
+    surv_pairs = (
+        pairs.join(
+            kept1.select(F.col("doc_id").alias("doc_a")), on="doc_a", how="left_semi"
+        ).join(
+            kept1.select(F.col("doc_id").alias("doc_b")), on="doc_b", how="left_semi"
+        )
+    )
+    cc = dedup.connected_components(surv_pairs.select("doc_a", "doc_b"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(F.col("quality").desc(), F.col("doc_id"))
+    dropped_dups = (
+        cc.select(F.col("id").alias("doc_id"), "cluster_id")
+        .join(kept1, on="doc_id")
+        .withColumn("_pr", F.row_number().over(w))
+        .filter(F.col("_pr") > 1)
+        .select("doc_id")
+    )
+    kept2 = kept1.join(dropped_dups, on="doc_id", how="left_anti").select("doc_id")
+    # 3. benchmark decontamination (8-gram overlap, benchmark = id < 20)
+    corpus_sh = dedup.word_shingles(docs, n=DECONTAM_N)
+    bench_sh = (
+        dedup.word_shingles(
+            docs.filter(F.col("doc_id") < BENCHMARK_MAX_ID), n=DECONTAM_N
+        )
+        .select("shingle")
+        .distinct()
+    )
+    contaminated = (
+        corpus_sh.filter(F.col("doc_id") >= BENCHMARK_MAX_ID)
+        .join(F.broadcast(bench_sh), on="shingle", how="left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    kept3 = (
+        kept2.filter(F.col("doc_id") >= BENCHMARK_MAX_ID)
+        .join(contaminated, on="doc_id", how="left_anti")
+    )
+    # 4. weighted source mixing over the SURVIVORS' token totals
+    kept4 = corpus.mix_sources(
+        docs.join(kept3, on="doc_id", how="left_semi"),
+        weights=MIX_WEIGHTS,
+        token_budget=MIX_TOKEN_BUDGET,
+        default_weight=MIX_DEFAULT_WEIGHT,
+    ).select("doc_id")
+    # 5. pack the curated corpus into training sequences
+    return corpus.pack_sequences(
+        docs.join(kept4, on="doc_id", how="left_semi"),
+        seq_budget=SEQ_BUDGET,
+        chunk_size=SEQ_CHUNK,
+        chunk_stride=SEQ_CHUNK,
+    ).orderBy("doc_id", "chunk_id")
+
+
+_MIX_W_SQL = f"""CASE source WHEN 'src0' THEN {MIX_WEIGHTS["src0"]}
+                     WHEN 'src1' THEN {MIX_WEIGHTS["src1"]}
+                     ELSE {MIX_DEFAULT_WEIGHT} END"""
+
+_E2E_SHINGLE = " || ' ' || ".join(
+    f"arr[i+{j}]" if j else "arr[i]" for j in range(DECONTAM_N)
+)
+
+CORPUS_CURATION_E2E_ORACLE = f"""
+WITH RECURSIVE {_ND_PAIR_CTES},
+feat AS (
+  SELECT d.doc_id,
+         CAST(len(arr) AS BIGINT) AS n_words,
+         CASE WHEN len(arr) > 0
+              THEN CAST(length(regexp_replace(lower(d.text), '\\s+', '', 'g')) AS DOUBLE)
+                   / CAST(len(arr) AS DOUBLE)
+              ELSE 0.0 END AS mean_word_len,
+         CASE WHEN len(arr) > 0
+              THEN CAST(len(list_filter(arr, x -> list_contains([{_QF_STOPLIST}], x))) AS DOUBLE)
+                   / CAST(len(arr) AS DOUBLE)
+              ELSE 0.0 END AS stop_ratio
+  FROM toks JOIN documents d USING (doc_id)
+),
+qual AS (
+  SELECT doc_id, n_words, stop_ratio,
+         0.4 * least(greatest(CAST(n_words AS DOUBLE) / 100.0, 0.0), 1.0)
+       + 0.3 * least(greatest((mean_word_len - 2.0) / 6.0, 0.0), 1.0)
+       + 0.3 * least(greatest(stop_ratio * 5.0, 0.0), 1.0) AS quality
+  FROM feat
+),
+kept1 AS (
+  SELECT doc_id, quality FROM qual
+  WHERE NOT (n_words < {FILTER_MIN_WORDS})
+    AND NOT (n_words > {FILTER_MAX_WORDS})
+    AND (CASE WHEN stop_ratio >= 0.05 THEN 'en' ELSE 'unknown' END) = 'en'
+    AND NOT (quality < {FILTER_MIN_QUALITY})
+),
+fp AS (
+  SELECT doc_a, doc_b FROM nd
+  WHERE doc_a IN (SELECT doc_id FROM kept1)
+    AND doc_b IN (SELECT doc_id FROM kept1)
+),
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM fp
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM fp
+),
+walk(id, label) AS (
+  SELECT DISTINCT src, src FROM sym
+  UNION
+  SELECT s.src, w.label FROM sym s JOIN walk w ON s.dst = w.id
+),
+clusters AS (SELECT id AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY id),
+rankedc AS (
+  SELECT c.doc_id,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY k.quality DESC, c.doc_id) AS pr
+  FROM clusters c JOIN kept1 k USING (doc_id)
+),
+kept2 AS (
+  SELECT doc_id FROM kept1
+  WHERE doc_id NOT IN (SELECT doc_id FROM rankedc WHERE pr > 1)
+),
+dsh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, len(arr) - {DECONTAM_N - 1}),
+           i -> {_E2E_SHINGLE}))) AS g
+  FROM toks WHERE len(arr) >= {DECONTAM_N}
+),
+bench AS (SELECT DISTINCT g FROM dsh WHERE doc_id < {BENCHMARK_MAX_ID}),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM dsh
+  WHERE doc_id >= {BENCHMARK_MAX_ID} AND g IN (SELECT g FROM bench)
+),
+kept3 AS (
+  SELECT doc_id FROM kept2
+  WHERE doc_id >= {BENCHMARK_MAX_ID}
+    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+mixbase AS (
+  SELECT d.doc_id, d.source, CAST(len(t2.arr) AS BIGINT) AS n_tokens
+  FROM documents d
+  JOIN toks t2 ON t2.doc_id = d.doc_id
+  JOIN kept3 k ON k.doc_id = d.doc_id
+),
+mw AS (
+  SELECT source, {_MIX_W_SQL} AS wt
+  FROM (SELECT DISTINCT source FROM mixbase)
+),
+mwsum AS (SELECT SUM(wt) AS ws FROM mw),
+mtot AS (SELECT source, SUM(n_tokens) AS tt FROM mixbase GROUP BY source),
+kept4 AS (
+  SELECT b.doc_id FROM mixbase b
+  JOIN mw USING (source) JOIN mtot USING (source) CROSS JOIN mwsum
+  WHERE ((b.doc_id % {HASH_P}) * {SPLIT_A} + {SPLIT_B}) % {HASH_P} % 100
+        < CAST(least(CAST(100 AS BIGINT),
+                (CAST({MIX_TOKEN_BUDGET} AS BIGINT) * 100 * mw.wt) // (mwsum.ws * mtot.tt))
+            AS BIGINT)
+),
+st AS (
+  SELECT t3.doc_id, t3.arr, unnest(generate_series(1, len(t3.arr), {SEQ_CHUNK})) AS s
+  FROM toks t3 JOIN kept4 USING (doc_id) WHERE len(t3.arr) > 0
+),
+ch AS (
+  SELECT doc_id,
+         CAST((s - 1) / {SEQ_CHUNK} AS BIGINT) AS chunk_id,
+         CAST(least({SEQ_CHUNK}, len(arr) - s + 1) AS BIGINT) AS n_chunk_tokens
+  FROM st
+),
+cum AS (
+  SELECT *, CAST(SUM(n_chunk_tokens) OVER (
+    ORDER BY doc_id, chunk_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) - n_chunk_tokens AS BIGINT) AS token_start
+  FROM ch
+)
+SELECT doc_id, chunk_id, n_chunk_tokens, token_start,
+       CAST(FLOOR(CAST(token_start AS DOUBLE) / {SEQ_BUDGET}.0) AS BIGINT) AS seq_id
+FROM cum ORDER BY doc_id, chunk_id
+"""

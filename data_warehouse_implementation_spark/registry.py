@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .plans import (
     analytics,
     corpus_queries,
+    curation,
     etl,
     graph_queries,
     ingest_queries,
@@ -127,6 +128,7 @@ _DRIVER_WINDOW = [
     # are re-proven the round their streaming composition gains the
     # hypothesis differential; dense/hashed rows back the recall-matrix
     # and minhash families
+    "corpus_curation_e2e",
     "embedding_ann_recall_matrix",
     "doc_bm25_capped",
     "doc_bm25_term_stats",
@@ -839,4 +841,12 @@ register(
     "events_props_variant",
     ingest_queries.events_props_variant,
     ingest_queries.EVENTS_PROPS_VARIANT_ORACLE,
+)
+
+# Round-8 additions: the end-to-end curation ladder (quality filter ->
+# near-dup keep-best -> decontaminate -> mix -> pack) as one query
+register(
+    "corpus_curation_e2e",
+    curation.corpus_curation_e2e,
+    curation.CORPUS_CURATION_E2E_ORACLE,
 )
