@@ -186,3 +186,70 @@ def test_staleness_tool_census_and_window_suggestion():
     assert full[0] == "timely_rank_report"
     assert sorted(full) == sorted(registry._QUERIES)
     assert staleness.suggest_window(10) == full[:10]
+
+
+def test_bench_regression_gate_noise_floor():
+    """VERDICT r7 #2: the bench regression gate must not flag shared-
+    box contention. A query with a noisy run history earns a floor of
+    3x its spread, so the r7-style +1.4s wobble passes; a historically
+    stable query still trips on a real slowdown; and both the ratio
+    and the absolute floor must trip together."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", Path(__file__).resolve().parents[1] / "bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    # no history: absolute floor only
+    assert bench.noise_floor([]) == bench.NOISE_FLOOR_SECONDS
+    assert bench.noise_floor([1.3]) == bench.NOISE_FLOOR_SECONDS
+    # noisy history widens the floor: spread 1.2s -> floor 3.6s
+    noisy = [1.2, 2.4, 1.5, 1.9]
+    assert bench.noise_floor(noisy) == 3.0 * 1.2
+    # the r7 adjudication case: 1.27s -> 2.69s (2.1x, +1.4s) on a query
+    # whose history wobbles by >0.5s -> NOT a regression
+    assert not bench.is_regression(2.69, 1.27, [1.27, 1.9, 1.4])
+    # same delta on a rock-stable query -> flagged
+    assert bench.is_regression(2.69, 1.27, [1.27, 1.28, 1.26])
+    # big ratio but tiny absolute delta (fast query jitter) -> not flagged
+    assert not bench.is_regression(0.6, 0.2, [0.2, 0.21])
+    # big absolute delta but ratio under 1.5x -> not flagged
+    assert not bench.is_regression(13.0, 10.0, [10.0, 10.1])
+    # unambiguous regression on an empty history -> flagged
+    assert bench.is_regression(4.0, 1.0, [])
+
+
+def test_registry_exchange_budget(spark):
+    """VERDICT r7 #5: structural shuffle budget. Every registered
+    query's compiled plan must not contain MORE shuffle exchanges than
+    its committed budget (tools/exchange_baseline.json) — a shuffle
+    regression is caught here, on any machine, without timing noise.
+    Intentional plan changes regenerate the baseline in the same commit
+    (python tools/exchange_budget.py --update; RUNBOOK §9). A query
+    missing from the baseline fails too: new queries must land with
+    their budget."""
+    import sys
+    from pathlib import Path
+
+    repo_root = Path(__file__).resolve().parents[1]
+    sys.path.insert(0, str(repo_root / "tools"))
+    import exchange_budget
+
+    base = exchange_budget.load_baseline()
+    counts = exchange_budget.census(spark)
+    missing = sorted(set(counts) - set(base))
+    assert not missing, (
+        f"queries without a committed exchange budget: {missing} — run "
+        "`python tools/exchange_budget.py --update` and commit the baseline"
+    )
+    over = {
+        n: (c, base[n]) for n, c in counts.items() if n in base and c > base[n]
+    }
+    assert not over, (
+        "shuffle-exchange count increased (now, budget): "
+        f"{over} — if intentional, regenerate tools/exchange_baseline.json "
+        "in the same commit"
+    )
