@@ -12,6 +12,8 @@ from .pipelines import (  # noqa: F401
     incremental_dedup_sink,
     incremental_scd2_sink,
     interval_join_stream,
+    ivf_admission_sink,
+    ivf_state_topk,
     normalize_event_ts,
     run_to_memory,
     sessionize_stateful,

