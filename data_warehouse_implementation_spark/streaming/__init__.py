@@ -11,6 +11,7 @@ from .pipelines import (  # noqa: F401
     events_stream_schema,
     incremental_dedup_sink,
     incremental_scd2_sink,
+    incremental_scd3_sink,
     interval_join_stream,
     ivf_admission_sink,
     ivf_state_topk,

@@ -253,6 +253,53 @@ def incremental_scd2_sink(
     )
 
 
+def incremental_scd3_sink(
+    stream: DataFrame,
+    catalog: WarehouseCatalog,
+    table: str,
+    keys: list[str],
+    tracked_col: str,
+    order_col: str,
+    as_of: str,
+    checkpoint: str,
+    old_col: str,
+):
+    """Incremental SCD3 dimension maintenance — the change-tracking
+    twin of :func:`incremental_scd2_sink`: each micro-batch is applied
+    with the *batch* scd3 algebra (null-safe tracked-column update +
+    fresh-key insert) against the current table state. Sequential
+    per-batch application equals one-shot application of the
+    concatenated batches (both replay the reference trigger row by
+    row) — hypothesis-differentialed in
+    ``tests/test_scd_properties.py``."""
+
+    def apply_batch(batch: DataFrame, _batch_id: int) -> None:
+        spark = batch.sparkSession
+        if catalog.exists(table):
+            current = catalog.table(table)
+        else:
+            from pyspark.sql.types import DateType, StringType, StructField, StructType
+
+            base = batch.drop(order_col).schema
+            fields = list(base.fields) + [
+                StructField(old_col, StringType()),
+                StructField("effective_date", DateType()),
+            ]
+            current = spark.createDataFrame([], StructType(fields))
+        new_state = scd.scd3_apply(
+            current, batch, keys, tracked_col=tracked_col, as_of=as_of,
+            order_col=order_col, old_col=old_col,
+        )
+        catalog.replace(table, new_state, internal=True)
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def _empty_like(spark: SparkSession, batch: DataFrame, order_col: str) -> DataFrame:
     base = batch.drop(order_col).schema
     from pyspark.sql.types import BooleanType, DateType, StructField, StructType
