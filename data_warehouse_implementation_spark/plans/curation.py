@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from ..operators import corpus, dedup
 from ..operators import text as text_ops
 from ..operators.corpus import HASH_P, SPLIT_A, SPLIT_B
-from . import llm_queries
+from . import llm_queries, materialize
 from .corpus_queries import (
     BENCHMARK_MAX_ID,
     DECONTAM_N,
@@ -56,10 +56,93 @@ from .corpus_queries import (
 from .llm_queries import _ND_PAIR_CTES
 
 
+def _curation_stages(t: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    """Session-cached survivor sets per curation stage (S7 discipline):
+    ``kept1``..``kept4`` are each built ONCE per (session, corpus) and
+    shared by ``corpus_curation_e2e`` and ``corpus_curation_funnel`` —
+    the bench's ``cache_builds`` attribution shows the stage outputs
+    built exactly once on whichever query runs first (VERDICT r7 #4's
+    acceptance criterion)."""
+    docs = t["documents"]
+    key = str(docs.semanticHash())
+
+    def _kept1() -> DataFrame:
+        qf = text_ops.quality_filter(
+            docs,
+            min_words=FILTER_MIN_WORDS,
+            max_words=FILTER_MAX_WORDS,
+            min_quality=FILTER_MIN_QUALITY,
+        )
+        return qf.filter(F.col("verdict") == "kept").select("doc_id", "quality")
+
+    kept1 = materialize.get_or_build("curation_kept1", key, _kept1)
+
+    def _kept2() -> DataFrame:
+        pairs = llm_queries._shared_stack(t)["verified"].select("doc_a", "doc_b")
+        surv_pairs = (
+            pairs.join(
+                kept1.select(F.col("doc_id").alias("doc_a")), on="doc_a", how="left_semi"
+            ).join(
+                kept1.select(F.col("doc_id").alias("doc_b")), on="doc_b", how="left_semi"
+            )
+        )
+        cc = dedup.connected_components(surv_pairs.select("doc_a", "doc_b"))
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.col("quality").desc(), F.col("doc_id")
+        )
+        dropped_dups = (
+            cc.select(F.col("id").alias("doc_id"), "cluster_id")
+            .join(kept1, on="doc_id")
+            .withColumn("_pr", F.row_number().over(w))
+            .filter(F.col("_pr") > 1)
+            .select("doc_id")
+        )
+        return kept1.join(dropped_dups, on="doc_id", how="left_anti").select("doc_id")
+
+    kept2 = materialize.get_or_build("curation_kept2", key, _kept2)
+
+    def _kept3() -> DataFrame:
+        corpus_sh = dedup.word_shingles(docs, n=DECONTAM_N)
+        bench_sh = (
+            dedup.word_shingles(
+                docs.filter(F.col("doc_id") < BENCHMARK_MAX_ID), n=DECONTAM_N
+            )
+            .select("shingle")
+            .distinct()
+        )
+        contaminated = (
+            corpus_sh.filter(F.col("doc_id") >= BENCHMARK_MAX_ID)
+            .join(F.broadcast(bench_sh), on="shingle", how="left_semi")
+            .select("doc_id")
+            .distinct()
+        )
+        return (
+            kept2.filter(F.col("doc_id") >= BENCHMARK_MAX_ID)
+            .join(contaminated, on="doc_id", how="left_anti")
+        )
+
+    kept3 = materialize.get_or_build("curation_kept3", key, _kept3)
+
+    kept4 = materialize.get_or_build(
+        "curation_kept4",
+        key,
+        lambda: corpus.mix_sources(
+            docs.join(kept3, on="doc_id", how="left_semi"),
+            weights=MIX_WEIGHTS,
+            token_budget=MIX_TOKEN_BUDGET,
+            default_weight=MIX_DEFAULT_WEIGHT,
+        ).select("doc_id"),
+    )
+    return {"kept1": kept1, "kept2": kept2, "kept3": kept3, "kept4": kept4}
+
+
 def corpus_curation_e2e(t: dict[str, DataFrame]) -> DataFrame:
     """The five-stage curation ladder as one lazy plan (plus the
-    session-cached near-dup stack and the CC fixpoint loop). Returns
-    the packed training sequences of the fully-curated corpus:
+    session-cached near-dup stack, the session-cached stage survivor
+    sets, and the CC fixpoint loop). Returns the packed training
+    sequences of the fully-curated corpus:
     ``(doc_id, chunk_id, n_chunk_tokens, token_start, seq_id)``.
 
     Scale shape: stage 1 is map-side column algebra; stage 2 reuses the
@@ -70,68 +153,50 @@ def corpus_curation_e2e(t: dict[str, DataFrame]) -> DataFrame:
     two-phase distributed cumsum (no global window). No stage
     materializes the corpus more than once."""
     docs = t["documents"]
-    # 1. C4-style quality filter
-    qf = text_ops.quality_filter(
-        docs,
-        min_words=FILTER_MIN_WORDS,
-        max_words=FILTER_MAX_WORDS,
-        min_quality=FILTER_MIN_QUALITY,
-    )
-    kept1 = qf.filter(F.col("verdict") == "kept").select("doc_id", "quality")
-    # 2. near-dup keep-best among survivors (cached pair graph)
-    pairs = llm_queries._shared_stack(t)["verified"].select("doc_a", "doc_b")
-    surv_pairs = (
-        pairs.join(
-            kept1.select(F.col("doc_id").alias("doc_a")), on="doc_a", how="left_semi"
-        ).join(
-            kept1.select(F.col("doc_id").alias("doc_b")), on="doc_b", how="left_semi"
-        )
-    )
-    cc = dedup.connected_components(surv_pairs.select("doc_a", "doc_b"))
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("cluster_id").orderBy(F.col("quality").desc(), F.col("doc_id"))
-    dropped_dups = (
-        cc.select(F.col("id").alias("doc_id"), "cluster_id")
-        .join(kept1, on="doc_id")
-        .withColumn("_pr", F.row_number().over(w))
-        .filter(F.col("_pr") > 1)
-        .select("doc_id")
-    )
-    kept2 = kept1.join(dropped_dups, on="doc_id", how="left_anti").select("doc_id")
-    # 3. benchmark decontamination (8-gram overlap, benchmark = id < 20)
-    corpus_sh = dedup.word_shingles(docs, n=DECONTAM_N)
-    bench_sh = (
-        dedup.word_shingles(
-            docs.filter(F.col("doc_id") < BENCHMARK_MAX_ID), n=DECONTAM_N
-        )
-        .select("shingle")
-        .distinct()
-    )
-    contaminated = (
-        corpus_sh.filter(F.col("doc_id") >= BENCHMARK_MAX_ID)
-        .join(F.broadcast(bench_sh), on="shingle", how="left_semi")
-        .select("doc_id")
-        .distinct()
-    )
-    kept3 = (
-        kept2.filter(F.col("doc_id") >= BENCHMARK_MAX_ID)
-        .join(contaminated, on="doc_id", how="left_anti")
-    )
-    # 4. weighted source mixing over the SURVIVORS' token totals
-    kept4 = corpus.mix_sources(
-        docs.join(kept3, on="doc_id", how="left_semi"),
-        weights=MIX_WEIGHTS,
-        token_budget=MIX_TOKEN_BUDGET,
-        default_weight=MIX_DEFAULT_WEIGHT,
-    ).select("doc_id")
-    # 5. pack the curated corpus into training sequences
+    kept4 = _curation_stages(t)["kept4"]
     return corpus.pack_sequences(
         docs.join(kept4, on="doc_id", how="left_semi"),
         seq_budget=SEQ_BUDGET,
         chunk_size=SEQ_CHUNK,
         chunk_stride=SEQ_CHUNK,
     ).orderBy("doc_id", "chunk_id")
+
+
+def corpus_curation_funnel(t: dict[str, DataFrame]) -> DataFrame:
+    """The pipeline owner's FUNNEL census over the same cached stage
+    outputs: one row per curation stage with its surviving count —
+    ``(stage_ord, stage, n)`` where ``n`` is documents for stages 0-4
+    and produced SEQUENCES for the final packing row. This is the
+    at-a-glance artifact that says WHERE the corpus went (how many docs
+    the quality filter rejected vs dedup vs decontamination vs the
+    mixture downsample) — a curation run without its funnel is a silent
+    shrink. Six scalar aggregates over cached stage frames; the oracle
+    replays the whole ladder and counts the same sets."""
+    docs = t["documents"]
+    stages = _curation_stages(t)
+    packed = corpus.pack_sequences(
+        docs.join(stages["kept4"], on="doc_id", how="left_semi"),
+        seq_budget=SEQ_BUDGET,
+        chunk_size=SEQ_CHUNK,
+        chunk_stride=SEQ_CHUNK,
+    )
+    rows = [
+        (0, "input", docs.select("doc_id")),
+        (1, "quality_filter", stages["kept1"].select("doc_id")),
+        (2, "near_dup_keep_best", stages["kept2"]),
+        (3, "decontaminate", stages["kept3"]),
+        (4, "mix_sources", stages["kept4"]),
+        (5, "pack_sequences", packed.select("seq_id").distinct()),
+    ]
+    out = None
+    for ord_, name, frame in rows:
+        one = frame.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(ord_).cast("long").alias("stage_ord"),
+            F.lit(name).alias("stage"),
+            "n",
+        )
+        out = one if out is None else out.unionByName(one)
+    return out.orderBy("stage_ord")
 
 
 _MIX_W_SQL = f"""CASE source WHEN 'src0' THEN {MIX_WEIGHTS["src0"]}
@@ -142,7 +207,7 @@ _E2E_SHINGLE = " || ' ' || ".join(
     f"arr[i+{j}]" if j else "arr[i]" for j in range(DECONTAM_N)
 )
 
-CORPUS_CURATION_E2E_ORACLE = f"""
+_CURATION_CTES = f"""
 WITH RECURSIVE {_ND_PAIR_CTES},
 feat AS (
   SELECT d.doc_id,
@@ -249,7 +314,24 @@ cum AS (
   ) - n_chunk_tokens AS BIGINT) AS token_start
   FROM ch
 )
+"""
+
+CORPUS_CURATION_E2E_ORACLE = f"""{_CURATION_CTES}
 SELECT doc_id, chunk_id, n_chunk_tokens, token_start,
        CAST(FLOOR(CAST(token_start AS DOUBLE) / {SEQ_BUDGET}.0) AS BIGINT) AS seq_id
 FROM cum ORDER BY doc_id, chunk_id
+"""
+
+CORPUS_CURATION_FUNNEL_ORACLE = f"""{_CURATION_CTES}
+SELECT CAST(stage_ord AS BIGINT) AS stage_ord, stage, CAST(n AS BIGINT) AS n FROM (
+  SELECT 0 AS stage_ord, 'input' AS stage,
+         (SELECT COUNT(*) FROM documents) AS n
+  UNION ALL SELECT 1, 'quality_filter', (SELECT COUNT(*) FROM kept1)
+  UNION ALL SELECT 2, 'near_dup_keep_best', (SELECT COUNT(*) FROM kept2)
+  UNION ALL SELECT 3, 'decontaminate', (SELECT COUNT(*) FROM kept3)
+  UNION ALL SELECT 4, 'mix_sources', (SELECT COUNT(*) FROM kept4)
+  UNION ALL SELECT 5, 'pack_sequences',
+    (SELECT COUNT(DISTINCT CAST(FLOOR(CAST(token_start AS DOUBLE) / {SEQ_BUDGET}.0) AS BIGINT))
+     FROM cum)
+) ORDER BY stage_ord
 """

@@ -129,6 +129,7 @@ _DRIVER_WINDOW = [
     # hypothesis differential; dense/hashed rows back the recall-matrix
     # and minhash families
     "corpus_curation_e2e",
+    "corpus_curation_funnel",
     "embedding_ann_recall_matrix",
     "doc_bm25_capped",
     "doc_bm25_term_stats",
@@ -849,4 +850,9 @@ register(
     "corpus_curation_e2e",
     curation.corpus_curation_e2e,
     curation.CORPUS_CURATION_E2E_ORACLE,
+)
+register(
+    "corpus_curation_funnel",
+    curation.corpus_curation_funnel,
+    curation.CORPUS_CURATION_FUNNEL_ORACLE,
 )
