@@ -648,3 +648,31 @@ def waiting_supplier_sql(t: dict[str, DataFrame]) -> DataFrame:
 
 
 WAITING_SUPPLIER_ORACLE = WAITING_SUPPLIER_SQL
+
+
+# LATERAL correlated subquery: per-nation top-2 customers by balance,
+# written as `JOIN LATERAL (... ORDER BY ... LIMIT 2) ON true` — the
+# ANSI shape for "top-k per outer row". Catalyst decorrelates the
+# LATERAL into a ranked join (no per-row re-execution: the inner query
+# becomes one window over customer partitioned by the correlation key),
+# so at scale this costs one shuffle of customer by nation key — the
+# same physical plan as the DSL `top_k_per_group`, reached from plain
+# SQL. Deterministic ties via c_custkey.
+TOP_BALANCE_LATERAL_SQL = """
+SELECT n_name, c_name, c_acctbal
+FROM nation JOIN LATERAL (
+  SELECT c_name, c_acctbal
+  FROM customer
+  WHERE c_nationkey = n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey
+  LIMIT 2
+) ON true
+ORDER BY n_name, c_acctbal DESC, c_name
+"""
+
+
+def top_balance_lateral_sql(t: dict[str, DataFrame]) -> DataFrame:
+    return t["customer"].sparkSession.sql(TOP_BALANCE_LATERAL_SQL)
+
+
+TOP_BALANCE_LATERAL_ORACLE = TOP_BALANCE_LATERAL_SQL

@@ -130,6 +130,7 @@ _DRIVER_WINDOW = [
     # and minhash families
     "corpus_curation_e2e",
     "corpus_curation_funnel",
+    "top_balance_lateral_sql",
     "embedding_ann_recall_matrix",
     "doc_bm25_capped",
     "doc_bm25_term_stats",
@@ -855,4 +856,9 @@ register(
     "corpus_curation_funnel",
     curation.corpus_curation_funnel,
     curation.CORPUS_CURATION_FUNNEL_ORACLE,
+)
+register(
+    "top_balance_lateral_sql",
+    sql_api.top_balance_lateral_sql,
+    sql_api.TOP_BALANCE_LATERAL_ORACLE,
 )
