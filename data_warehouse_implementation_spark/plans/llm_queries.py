@@ -3175,3 +3175,64 @@ ranked AS (
 SELECT query_doc, CAST(rank AS BIGINT) AS rank, doc_id, rrf
 FROM ranked WHERE rank <= {RRF_TOP_K} ORDER BY query_doc, rank
 """
+
+
+# ---------------------------------------------------------------------------
+# FUZZY benchmark decontamination: minhash-banded near-dup of the corpus
+# against the benchmark slice — catches paraphrased/partially-edited
+# contamination that the exact 8-gram overlap check
+# (corpus_queries.doc_decontaminate) misses, e.g. a benchmark answer
+# lightly rewritten into a crawl page. The two checks compose: exact
+# n-gram for verbatim leaks, banded jaccard for near-verbatim.
+
+from .corpus_queries import BENCHMARK_MAX_ID as _FUZZY_BENCH_MAX_ID
+
+
+def doc_decontaminate_fuzzy(t: dict[str, DataFrame]) -> DataFrame:
+    """Near-duplicate contamination pairs (corpus doc x benchmark doc,
+    verified jaccard >= threshold) via the family's shared banded-LSH
+    stack — the benchmark side is tiny (id < 20), so the band join is
+    benchmark-bounded: corpus band rows only ever meet the handful of
+    benchmark band keys, never each other. At 100 TB the benchmark
+    band table is a broadcast, making the scan one corpus pass.
+
+    Verification by SUBSET JOIN (the ``near_dup_incremental`` trick):
+    any benchmark x corpus band collision is, unordered, a collision
+    of the full self-join, so joining against the session-cached
+    verified pair set returns exactly the verified cross pairs with
+    identical jaccard values — no second verification pass. Emits
+    ``(corpus_id, bench_id, jaccard)``; a downstream dedup drops every
+    distinct ``corpus_id`` listed here (plus the exact-overlap set)."""
+    stack = _shared_stack(t, hashed=False)
+    bands = stack["bands"]
+    is_bench = F.col("doc_id") < _FUZZY_BENCH_MAX_ID
+    bench_b = bands.filter(is_bench).select(
+        F.col("doc_id").alias("bench_id"), "band_id", "band_key"
+    )
+    corpus_b = bands.filter(~is_bench).select(
+        F.col("doc_id").alias("corpus_id"), "band_id", "band_key"
+    )
+    cands = (
+        corpus_b.join(F.broadcast(bench_b), on=["band_id", "band_key"])
+        .select("corpus_id", "bench_id")
+        .distinct()
+    )
+    v = stack["verified"].select(
+        F.col("doc_a").alias("_lo"), F.col("doc_b").alias("_hi"), "jaccard"
+    )
+    return (
+        cands.join(
+            v,
+            (F.least("corpus_id", "bench_id") == F.col("_lo"))
+            & (F.greatest("corpus_id", "bench_id") == F.col("_hi")),
+        )
+        .select("corpus_id", "bench_id", "jaccard")
+        .orderBy("corpus_id", "bench_id")
+    )
+
+
+DOC_DECONTAMINATE_FUZZY_ORACLE = f"""
+WITH {_nd_pair_ctes(pair_pred=f"a.doc_id < {_FUZZY_BENCH_MAX_ID} AND b.doc_id >= {_FUZZY_BENCH_MAX_ID}")}
+SELECT doc_b AS corpus_id, doc_a AS bench_id, jaccard
+FROM nd ORDER BY corpus_id, bench_id
+"""

@@ -131,6 +131,7 @@ _DRIVER_WINDOW = [
     "corpus_curation_e2e",
     "corpus_curation_funnel",
     "top_balance_lateral_sql",
+    "doc_decontaminate_fuzzy",
     "embedding_ann_recall_matrix",
     "doc_bm25_capped",
     "doc_bm25_term_stats",
@@ -861,4 +862,9 @@ register(
     "top_balance_lateral_sql",
     sql_api.top_balance_lateral_sql,
     sql_api.TOP_BALANCE_LATERAL_ORACLE,
+)
+register(
+    "doc_decontaminate_fuzzy",
+    llm_queries.doc_decontaminate_fuzzy,
+    llm_queries.DOC_DECONTAMINATE_FUZZY_ORACLE,
 )
