@@ -3236,3 +3236,90 @@ WITH {_nd_pair_ctes(pair_pred=f"a.doc_id < {_FUZZY_BENCH_MAX_ID} AND b.doc_id >=
 SELECT doc_b AS corpus_id, doc_a AS bench_id, jaccard
 FROM nd ORDER BY corpus_id, bench_id
 """
+
+
+VISION_SEQ_BUDGET = 24  # patches per packed ViT training sequence
+
+
+def media_vision_pack(t: dict[str, DataFrame]) -> DataFrame:
+    """The VISION-side training-prep pipeline end to end: real PPM
+    decode (``multimodal.decode_images`` — the actual header parser) ->
+    ViT patch extraction (``patchify_images``, 2x2) -> per-image patch
+    counts -> PACK images into fixed-budget patch sequences via the
+    two-phase distributed cumsum (``corpus.shard_by_token_budget``
+    with patches as the token currency) — the multimodal twin of
+    ``corpus_curation_e2e``'s final stage: what a ViT trainer consumes
+    is sequences of ~``VISION_SEQ_BUDGET`` patches, images laid end to
+    end in id order. Emits ``(media_id, n_patches, patch_start,
+    seq_id)``; the oracle replays the patch-grid arithmetic from the
+    generating formula and the running sum with a window — exactly the
+    single-task shape the Spark plan avoids.
+
+    Scale shape: decode/patchify are Arrow-batched ``mapInPandas``
+    (one corpus pass, no shuffle), the count is one partial-agg
+    shuffle of (media_id) rows, and the packing shuffles only
+    #buckets + per-bucket rows — no global window anywhere."""
+    from collections.abc import Iterator  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    from ..operators import multimodal
+
+    docs = t["documents"].select("doc_id").filter(F.col("doc_id") < MEDIA_DECODE_DOCS)
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, kinds, payloads, metas = [], [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 5, 3 + did % 4
+                px = bytes((did * 31 + j) % 256 for j in range(w * h * 3))
+                ids.append(did)
+                kinds.append("image")
+                payloads.append(b"P6\n%d %d\n255\n" % (w, h) + px)
+                metas.append({"width": w, "height": h, "sample_rate": None})
+            yield _pd.DataFrame(
+                {"media_id": ids, "kind": kinds, "payload": payloads, "meta": metas}
+            )
+
+    media = docs.mapInPandas(build, multimodal.MEDIA_SCHEMA)
+    patches = multimodal.patchify_images(
+        multimodal.decode_images(media, strict=True), patch=PATCH
+    )
+    counts = patches.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_patches")
+    )
+    assigned = corpus_mod.shard_by_token_budget(
+        counts,
+        budget=VISION_SEQ_BUDGET,
+        id_col="media_id",
+        tokens_col="n_patches",
+    )
+    return assigned.select(
+        "media_id",
+        F.col("n_tokens").alias("n_patches"),
+        F.col("token_start").alias("patch_start"),
+        F.col("shard_id").alias("seq_id"),
+    ).orderBy("media_id")
+
+
+MEDIA_VISION_PACK_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id AS media_id,
+         CAST(((4 + doc_id % 5) // {PATCH}) * ((3 + doc_id % 4) // {PATCH}) AS BIGINT)
+           AS n_patches
+  FROM documents WHERE doc_id < {MEDIA_DECODE_DOCS}
+),
+cum AS (
+  SELECT media_id, n_patches,
+         CAST(SUM(n_patches) OVER (
+           ORDER BY media_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - n_patches AS BIGINT) AS patch_start
+  FROM d
+)
+SELECT media_id, n_patches, patch_start,
+       CAST(FLOOR(CAST(patch_start AS DOUBLE) / {VISION_SEQ_BUDGET}.0) AS BIGINT) AS seq_id
+FROM cum ORDER BY media_id
+"""

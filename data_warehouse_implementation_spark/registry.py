@@ -132,6 +132,7 @@ _DRIVER_WINDOW = [
     "corpus_curation_funnel",
     "top_balance_lateral_sql",
     "doc_decontaminate_fuzzy",
+    "media_vision_pack",
     "embedding_ann_recall_matrix",
     "doc_bm25_capped",
     "doc_bm25_term_stats",
@@ -867,4 +868,9 @@ register(
     "doc_decontaminate_fuzzy",
     llm_queries.doc_decontaminate_fuzzy,
     llm_queries.DOC_DECONTAMINATE_FUZZY_ORACLE,
+)
+register(
+    "media_vision_pack",
+    llm_queries.media_vision_pack,
+    llm_queries.MEDIA_VISION_PACK_ORACLE,
 )
