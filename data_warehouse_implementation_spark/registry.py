@@ -123,11 +123,14 @@ _DRIVER_WINDOW = [
     "user_retention_cohorts",
     "user_sketch_rollup",
     "window_funcs_sql",
-    # round-8 additions + implementation-adjacent slots: doc_bm25_topk
-    # re-times next to the new df-capped variant; the SCD2/SCD3 batches
-    # are re-proven the round their streaming composition gains the
-    # hypothesis differential; dense/hashed rows back the recall-matrix
-    # and minhash families
+    # round-8 additions (never-deferred rule): the window is now
+    # exactly full — 1 flagship + 41 stale + these 8 new queries.
+    # doc_bm25_topk's implementation changed this round (the dfreq
+    # join moved ahead of the postings join) but no slot remains; it
+    # LEADS position 51+ and is re-proven locally by the full
+    # tests/test_oracle.py battery at the driver's sf (same
+    # dtype-strict differential), so the round-9 driver check is the
+    # only deferral.
     "corpus_curation_e2e",
     "corpus_curation_funnel",
     "top_balance_lateral_sql",
