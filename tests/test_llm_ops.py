@@ -987,3 +987,59 @@ def test_derived_width_bucket_contract(spark):
     got = {r.k: r.b for r in derived_width_bucket(withnull, F.col("k"), "b").collect()}
     assert got[None] == -1 and got[None] < min(got[5], got[9999])
     assert len(got) == 3, "null row dropped"
+
+
+def test_vision_pack_partition_invariant_and_no_global_window(spark):
+    """media_vision_pack: the patch-sequence packing must be a pure
+    function of the image set (partition-invariant), and the packing
+    plan must use the two-phase cumsum, never a corpus-wide
+    unpartitioned window over per-image rows."""
+    from data_warehouse_implementation_spark.plans import llm_queries
+    from data_warehouse_implementation_spark.session import load_tables
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    base = llm_queries.media_vision_pack(t)
+    rows = sorted(map(tuple, base.collect()))
+    # repartitioned input, same result
+    t2 = dict(t)
+    t2["documents"] = t["documents"].repartition(7)
+    again = sorted(map(tuple, llm_queries.media_vision_pack(t2).collect()))
+    assert again == rows
+    # n_patches from the generating formula; seq boundaries respect the
+    # budget (an image never starts inside a full sequence)
+    for media_id, n_patches, patch_start, seq_id in rows:
+        w, h = 4 + media_id % 5, 3 + media_id % 4
+        assert n_patches == (w // 2) * (h // 2)
+        assert seq_id == patch_start // llm_queries.VISION_SEQ_BUDGET
+    # plan: every Window has a partitionBy EXCEPT the bounded
+    # #buckets-row offsets window of the two-phase cumsum
+    plan = base._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    unpartitioned = [
+        ln for ln in plan.splitlines()
+        if "Window" in ln and "partitionBy" not in ln and re.search(r"windowspecdefinition\((?!_bkt|media_id)", ln)
+    ]
+    # the only unpartitioned windows may be over _bkt-aggregated rows
+    for ln in unpartitioned:
+        assert "_bkt" in ln, f"corpus-wide window in plan: {ln}"
+
+
+def test_fuzzy_decontam_broadcasts_benchmark_side(spark):
+    """doc_decontaminate_fuzzy: the benchmark band table (tiny by
+    construction) must reach the candidate join as a broadcast, so the
+    corpus side streams through one pass — the 100 TB shape claimed in
+    the docstring."""
+    from data_warehouse_implementation_spark.plans import llm_queries
+    from data_warehouse_implementation_spark.plans import materialize
+    from data_warehouse_implementation_spark.session import load_tables
+
+    materialize.clear()
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    df = llm_queries.doc_decontaminate_fuzzy(t)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # and the pairs it reports are symmetric-verified: jaccard >= theta
+    for r in df.collect():
+        assert r.jaccard >= llm_queries.NEAR_DUP_THRESHOLD
+        assert r.bench_id < 20 <= r.corpus_id
