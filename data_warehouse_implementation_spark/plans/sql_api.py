@@ -676,3 +676,147 @@ def top_balance_lateral_sql(t: dict[str, DataFrame]) -> DataFrame:
 
 
 TOP_BALANCE_LATERAL_ORACLE = TOP_BALANCE_LATERAL_SQL
+
+
+# Q2-shaped min-cost supplier: the correlated scalar-MAX-over-a-join
+# subquery in the WHERE clause — for each size-15 part, keep only the
+# supplier(s) whose account balance equals the best balance among ALL
+# suppliers who ever shipped that part. The reference's partsupp role is
+# played by the distinct (part, supplier) pairs observed in lineitem
+# (hence the DISTINCT: the fact join multiplies rows per shipment).
+# Catalyst decorrelates the scalar aggregate into a grouped max joined
+# back on p_partkey — one aggregate + one join, never per-row
+# re-execution; at 100 TB the inner aggregate shuffles (partkey) key
+# groups only. s_acctbal flows straight from parquet (no arithmetic), so
+# the double equality is exact on both engines.
+MIN_COST_SUPPLIER_SQL = """
+SELECT DISTINCT p_partkey, p_name, s_name, n_name, s_acctbal
+FROM part
+JOIN lineitem ON l_partkey = p_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+WHERE p_size = 15
+  AND s_acctbal = (
+    SELECT MAX(s2.s_acctbal)
+    FROM supplier s2
+    JOIN lineitem l2 ON l2.l_suppkey = s2.s_suppkey
+    WHERE l2.l_partkey = p_partkey)
+ORDER BY s_acctbal DESC, p_partkey, s_name
+LIMIT 20
+"""
+
+
+def min_cost_supplier_sql(t: dict[str, DataFrame]) -> DataFrame:
+    return t["lineitem"].sparkSession.sql(MIN_COST_SUPPLIER_SQL)
+
+
+MIN_COST_SUPPLIER_ORACLE = MIN_COST_SUPPLIER_SQL
+
+
+# Q9-shaped product-profit measure: 5-way star with a DERIVED measure
+# combining columns from two different tables (revenue minus a
+# retail-cost surrogate for the missing ps_supplycost), grouped by
+# supplier nation x order YEAR — the classic "profit by nation and
+# year" rollup. Every term is exact cent/quantity decimal arithmetic
+# summed before the final double cast, so the result is
+# order-independent and bit-identical across engines and shuffle
+# schedules. The part-name predicate prunes the probe side before the
+# fact join; nation broadcasts under AQE.
+PRODUCT_PROFIT_SQL = """
+SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(1 - l_discount AS DECIMAL(18,2))
+                - CAST(p_retailprice AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN nation   ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, YEAR(o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+
+def product_profit_sql(t: dict[str, DataFrame]) -> DataFrame:
+    return t["lineitem"].sparkSession.sql(PRODUCT_PROFIT_SQL)
+
+
+PRODUCT_PROFIT_ORACLE = PRODUCT_PROFIT_SQL
+
+
+# Q12-shaped shipping-speed priority census: group by a DERIVED
+# dimension (CASE ladder over the ship-lag interval, standing in for
+# the testdata's missing l_shipmode) with the two complementary
+# conditional counts over order priority. The CASE and both SUM(CASE)
+# flags are integer-exact; the whole query is one fact-fact equi-join
+# plus a 3-group aggregate — map-side partials do almost all the work
+# at scale.
+SHIP_SPEED_PRIORITY_SQL = """
+SELECT ship_bucket,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM (
+  SELECT o_orderpriority,
+         CASE WHEN l_shipdate > o_orderdate + INTERVAL 45 DAY THEN 'SLOW'
+              WHEN l_shipdate > o_orderdate + INTERVAL 15 DAY THEN 'MEDIUM'
+              ELSE 'FAST' END AS ship_bucket
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+) shipped
+GROUP BY ship_bucket
+ORDER BY ship_bucket
+"""
+
+
+def ship_speed_priority_sql(t: dict[str, DataFrame]) -> DataFrame:
+    return t["lineitem"].sparkSession.sql(SHIP_SPEED_PRIORITY_SQL)
+
+
+SHIP_SPEED_PRIORITY_ORACLE = SHIP_SPEED_PRIORITY_SQL
+
+
+# Q20-shaped concentrated-supply report: TPC-H's deepest subquery
+# nesting — an IN whose subquery scans a DERIVED partsupp (distinct
+# part x supplier shipment totals), itself filtered by a second IN
+# (part-name list) AND a correlated scalar aggregate that references
+# TWO columns of the derived table (the all-time total for that exact
+# part-supplier pair). Keeps suppliers for whom some 'small%' part's
+# 1996 shipments exceed half its all-time volume. Catalyst decorrelates
+# the scalar into a grouped sum joined on (partkey, suppkey) and plans
+# both INs as semi joins — three aggregates, three equi-joins, zero
+# per-row subquery execution; every shuffle is keyed on part/supplier
+# ids, so the plan scales with the distinct-pair count, not the fact
+# row count.
+CONCENTRATED_SUPPLY_SQL = """
+SELECT s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT ps.l_suppkey
+  FROM (
+    SELECT l_partkey, l_suppkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS year_qty
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+    GROUP BY l_partkey, l_suppkey
+  ) ps
+  WHERE ps.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+    AND ps.year_qty > (
+      SELECT CAST(0.5 AS DOUBLE)
+             * CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      FROM lineitem l2
+      WHERE l2.l_partkey = ps.l_partkey AND l2.l_suppkey = ps.l_suppkey))
+ORDER BY s_name
+"""
+
+
+def concentrated_supply_sql(t: dict[str, DataFrame]) -> DataFrame:
+    return t["lineitem"].sparkSession.sql(CONCENTRATED_SUPPLY_SQL)
+
+
+CONCENTRATED_SUPPLY_ORACLE = CONCENTRATED_SUPPLY_SQL

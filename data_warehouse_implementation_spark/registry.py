@@ -140,6 +140,19 @@ _DRIVER_WINDOW = [
     "doc_bm25_capped",
     "doc_bm25_term_stats",
     "doc_bm25_topk",
+    # round-8 OVERFLOW additions (window already full: flagship + the
+    # whole 41-query max-staleness cohort + the 8 earlier round-8
+    # additions = exactly 50): the four queries completing the TPC-H
+    # dialect battery (Q2/Q9/Q12/Q20 shapes). Per the capacity escape
+    # hatch in tests/test_entry.py::test_driver_window_integrity they
+    # MUST lead position 51+ so the round-9 driver checks them first;
+    # until then they are proven by the same dtype-strict DuckDB
+    # differential locally (tests/test_oracle.py runs every registered
+    # query at sf0.01).
+    "min_cost_supplier_sql",
+    "product_profit_sql",
+    "ship_speed_priority_sql",
+    "concentrated_supply_sql",
     "scd2_apply_batch",
     "scd3_apply_batch",
     "near_dup_minhash_hashed",
@@ -876,4 +889,31 @@ register(
     "media_vision_pack",
     llm_queries.media_vision_pack,
     llm_queries.MEDIA_VISION_PACK_ORACLE,
+)
+
+# Round-8 TPC-H completion: the four remaining classic shapes — Q2
+# (correlated scalar-MAX-over-a-join), Q9 (derived profit measure by
+# nation x year), Q12 (derived ship-speed dimension with dual
+# conditional counts), Q20 (nested IN + two-column-correlated scalar).
+# With these, all 22 TPC-H query shapes run from the SAME SQL text on
+# both engines.
+register(
+    "min_cost_supplier_sql",
+    sql_api.min_cost_supplier_sql,
+    sql_api.MIN_COST_SUPPLIER_ORACLE,
+)
+register(
+    "product_profit_sql",
+    sql_api.product_profit_sql,
+    sql_api.PRODUCT_PROFIT_ORACLE,
+)
+register(
+    "ship_speed_priority_sql",
+    sql_api.ship_speed_priority_sql,
+    sql_api.SHIP_SPEED_PRIORITY_ORACLE,
+)
+register(
+    "concentrated_supply_sql",
+    sql_api.concentrated_supply_sql,
+    sql_api.CONCENTRATED_SUPPLY_ORACLE,
 )
