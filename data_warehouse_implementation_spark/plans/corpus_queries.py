@@ -1366,3 +1366,70 @@ SELECT doc_id, span_id, CAST(start_pos AS BIGINT) AS start_pos,
 FROM spans
 ORDER BY doc_id, span_id
 """
+
+
+def bpe_fertility_by_lang(t: dict[str, DataFrame]) -> DataFrame:
+    """Tokenizer fertility report (the standard tokenizer-eval metric a
+    training pipeline checks per language): encode the corpus with the
+    session-cached trained merge table and report, per language,
+    docs / words / tokens and fertility = tokens per word. Word counts
+    are recovered from the token stream itself — every word contributes
+    exactly ONE terminal symbol carrying the ``</w>`` end marker
+    (merges only concatenate symbols WITHIN a word, so the marker stays
+    on the final token and appears nowhere else). Fertility is the
+    double division of two exact integer sums — bit-identical across
+    engines. The oracle replays training AND encoding round by round
+    (same generated CTE chain as ``bpe_token_stats``)."""
+    from ..operators import bpe
+    from ..operators.bpe import END_MARK
+
+    docs = t["documents"]
+    enc = bpe.bpe_encode(docs, _trained_merges(docs))
+    per_doc = enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_toks"),
+        F.sum(
+            F.when(F.col("token").endswith(END_MARK), F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_wrds"),
+    )
+    return (
+        per_doc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_wrds").cast("long").alias("n_words"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            (F.sum("n_toks").cast("double") / F.sum("n_wrds")).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _bpe_fertility_oracle(rounds: int) -> str:
+    """Training + encode CTEs from :func:`_bpe_encode_oracle`, with the
+    final histogram swapped for the per-word -> per-doc -> per-lang
+    fertility rollup."""
+    base = _bpe_encode_oracle(rounds, 1)
+    ctes = base[: base.rindex("SELECT token, COUNT(*)")].rstrip()
+    return (
+        ctes
+        + f""",
+per_word AS (
+  SELECT doc_id, len(string_split(trim(sym), ' ')) AS n_toks
+  FROM dw{rounds}
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_wrds, CAST(SUM(n_toks) AS BIGINT) AS n_toks
+  FROM per_word GROUP BY doc_id
+)
+SELECT d.lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(p.n_wrds) AS BIGINT) AS n_words,
+       CAST(SUM(p.n_toks) AS BIGINT) AS n_tokens,
+       CAST(SUM(p.n_toks) AS DOUBLE) / SUM(p.n_wrds) AS fertility
+FROM per_doc p JOIN documents d USING (doc_id)
+GROUP BY d.lang ORDER BY d.lang
+"""
+    )
+
+
+BPE_FERTILITY_BY_LANG_ORACLE = _bpe_fertility_oracle(BPE_ROUNDS)

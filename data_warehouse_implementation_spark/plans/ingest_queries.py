@@ -484,3 +484,70 @@ SELECT event_type,
 FROM events
 GROUP BY event_type ORDER BY event_type
 """
+
+
+def events_hypertable_rollup(t: dict[str, DataFrame]) -> DataFrame:
+    """Hypertable-style cascading continuous aggregate (brief
+    requirement — multi-resolution event rollups; no reference analog):
+    hour partials -> day partials -> month grain, each level built
+    ONLY from the previous level's mergeable partials (counts sum,
+    decimal sums sum, mins min, maxes max) — never re-reading the raw
+    events. The oracle computes the month grain DIRECTLY from the raw
+    rows, so the differential is the mergeability proof: cascade ==
+    direct, bit for bit.
+
+    Scale shape: only the hour aggregate touches fact-scale rows (one
+    shuffle with map-side partial aggregation); the day and month
+    levels shuffle hour-/day-partial-scale rows — exactly why
+    production continuous aggregates materialize the finest level and
+    refresh coarser grains from it. The value sum stays an exact
+    DECIMAL through every level and becomes a double only at the end,
+    so the result is independent of merge order and partitioning."""
+    ev = t["events"].withColumn("ts_us", _event_ts(t["events"]))
+    hour = (
+        ev.groupBy(F.date_trunc("hour", "ts_us").alias("hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+    )
+    day = (
+        hour.groupBy(F.date_trunc("day", "hour").alias("day"), "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sv").alias("sv"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+            F.count(F.lit(1)).alias("n_hours"),
+        )
+    )
+    return (
+        day.groupBy(
+            F.date_format(F.date_trunc("month", "day"), "yyyy-MM-dd").alias("month"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.sum("sv").cast("double").alias("total_value"),
+            F.min("mn").alias("min_value"),
+            F.max("mx").alias("max_value"),
+            F.sum("n_hours").cast("long").alias("n_hours"),
+        )
+        .orderBy("month", "event_type")
+    )
+
+
+EVENTS_HYPERTABLE_ROLLUP_ORACLE = """
+SELECT strftime(date_trunc('month', ts), '%Y-%m-%d') AS month,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value,
+       COUNT(DISTINCT date_trunc('hour', ts)) AS n_hours
+FROM events
+GROUP BY 1, 2
+ORDER BY month, event_type
+"""

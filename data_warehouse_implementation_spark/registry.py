@@ -153,6 +153,8 @@ _DRIVER_WINDOW = [
     "product_profit_sql",
     "ship_speed_priority_sql",
     "concentrated_supply_sql",
+    "events_hypertable_rollup",
+    "bpe_fertility_by_lang",
     "scd2_apply_batch",
     "scd3_apply_batch",
     "near_dup_minhash_hashed",
@@ -916,4 +918,16 @@ register(
     "concentrated_supply_sql",
     sql_api.concentrated_supply_sql,
     sql_api.CONCENTRATED_SUPPLY_ORACLE,
+)
+
+register(
+    "events_hypertable_rollup",
+    ingest_queries.events_hypertable_rollup,
+    ingest_queries.EVENTS_HYPERTABLE_ROLLUP_ORACLE,
+)
+
+register(
+    "bpe_fertility_by_lang",
+    corpus_queries.bpe_fertility_by_lang,
+    corpus_queries.BPE_FERTILITY_BY_LANG_ORACLE,
 )
