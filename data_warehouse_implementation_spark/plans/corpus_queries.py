@@ -1373,24 +1373,28 @@ def bpe_fertility_by_lang(t: dict[str, DataFrame]) -> DataFrame:
     training pipeline checks per language): encode the corpus with the
     session-cached trained merge table and report, per language,
     docs / words / tokens and fertility = tokens per word. Word counts
-    are recovered from the token stream itself — every word contributes
-    exactly ONE terminal symbol carrying the ``</w>`` end marker
-    (merges only concatenate symbols WITHIN a word, so the marker stays
-    on the final token and appears nowhere else). Fertility is the
-    double division of two exact integer sums — bit-identical across
-    engines. The oracle replays training AND encoding round by round
-    (same generated CTE chain as ``bpe_token_stats``)."""
+    are STRUCTURAL — a second pass over the same ``words()`` splitter
+    the trainer uses — never inferred from the ``</w>`` marker string,
+    which adversarial corpus text could forge mid-token (the marker is
+    plain characters once merges glue symbols together). ``n_docs``
+    counts documents with at least one word: zero-word (empty or
+    whitespace-only) documents contribute no tokens on either engine
+    and are excluded from the census by both, identically. Fertility is
+    the double division of two exact integer sums — bit-identical
+    across engines. The oracle replays training AND encoding round by
+    round (same generated CTE chain as ``bpe_token_stats``)."""
     from ..operators import bpe
-    from ..operators.bpe import END_MARK
+    from ..operators.text import words
 
     docs = t["documents"]
     enc = bpe.bpe_encode(docs, _trained_merges(docs))
-    per_doc = enc.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_toks"),
-        F.sum(
-            F.when(F.col("token").endswith(END_MARK), F.lit(1)).otherwise(F.lit(0))
-        ).alias("n_wrds"),
+    n_toks = enc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_toks"))
+    n_wrds = (
+        docs.select("doc_id", F.explode(words("text")).alias("w"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_wrds"))
     )
+    per_doc = n_toks.join(n_wrds, "doc_id")
     return (
         per_doc.join(docs.select("doc_id", "lang"), "doc_id")
         .groupBy("lang")

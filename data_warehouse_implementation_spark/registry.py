@@ -77,6 +77,11 @@ def oracle_sql() -> dict[str, str]:
 # implementation-adjacent rows (BM25 df-cap work, the ANN recall-matrix
 # constituents, and the SCD batches whose streaming composition gains a
 # hypothesis differential this round).
+# Same-round deferrals that are NOT new queries (impl-changed rows
+# re-proven locally) — the ONLY names the window-integrity test allows
+# to interleave with deferred new additions at position 51+.
+_WINDOW_DEFERRAL_INTERLEAVE = ["doc_bm25_topk"]
+
 _DRIVER_WINDOW = [
     # flagship — always re-verified
     "timely_rank_report",

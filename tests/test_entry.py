@@ -54,16 +54,38 @@ def test_driver_window_integrity():
     # (tests/test_oracle.py) proves it with the driver's own
     # dtype-strict differential.
     if deferred:
-        assert len(first50) == 50, (
-            f"new queries deferred from a non-full window: {deferred}"
+        # (a) the window must be GENUINELY full of must-run rows:
+        # every first-50 slot is the flagship, a member of the
+        # max-staleness cohort, or a same-round addition — otherwise a
+        # fresh, just-checked query is squatting on a slot the new
+        # query should have.
+        sys.path.insert(0, str(repo_root / "tools"))
+        import staleness
+
+        rows = staleness.staleness_table(repo_root)
+        checked_rows = [r for r in rows if r[1] > 0]
+        worst = max(s for _, _, s, _ in checked_rows)
+        stalest = {n for n, _, s, _ in checked_rows if s == worst}
+        must_run = {"timely_rank_report"} | stalest | set(new_queries)
+        squatters = [n for n in first50 if n not in must_run]
+        assert not squatters, (
+            f"new queries deferred ({deferred}) while non-must-run rows "
+            f"hold first-50 slots: {squatters}"
         )
+        # (b) the deferred additions must lead position 51+ so the next
+        # round's driver checks them first — interleaved ONLY with the
+        # explicitly documented same-round deferrals (impl-changed
+        # rows) in registry._WINDOW_DEFERRAL_INTERLEAVE.
+        interleave = list(getattr(registry, "_WINDOW_DEFERRAL_INTERLEAVE", []))
         window_names = [n for n in registry._DRIVER_WINDOW if n in registry._QUERIES]
-        # allow a small documented interleave (impl-changed rows) ahead
-        # of or between the deferred additions
-        lead_tail = window_names[50 : 50 + len(deferred) + 2]
+        lead_tail = window_names[50 : 50 + len(deferred) + len(interleave)]
         missing_from_lead = [n for n in deferred if n not in lead_tail]
         assert not missing_from_lead, (
             f"deferred additions must lead position 51+: {missing_from_lead}"
+        )
+        undocumented = [n for n in lead_tail if n not in deferred and n not in interleave]
+        assert not undocumented, (
+            f"undocumented entries interleaved with deferred additions: {undocumented}"
         )
 
 def test_driver_window_covers_stalest():
