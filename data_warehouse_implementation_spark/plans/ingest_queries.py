@@ -504,24 +504,34 @@ def events_hypertable_rollup(t: dict[str, DataFrame]) -> DataFrame:
     DECIMAL through every level and becomes a double only at the end,
     so the result is independent of merge order and partitioning."""
     ev = t["events"].withColumn("ts_us", _event_ts(t["events"]))
-    hour = (
-        ev.groupBy(F.date_trunc("hour", "ts_us").alias("hour"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
-            F.min("value").alias("mn"),
-            F.max("value").alias("mx"),
-        )
+    return rollup_cascade_from_hours(hour_partials(ev))
+
+
+def hour_partials(ev: DataFrame, ts_col: str = "ts_us") -> DataFrame:
+    """Finest-grain mergeable partials: per (hour, event_type) count,
+    exact decimal value sum, min, max — the ONLY aggregate that ever
+    touches fact-scale rows. Partials for the same hour merge by
+    (sum, sum, min, max), which is what the coarser grains and the
+    streaming sink rely on."""
+    return ev.groupBy(F.date_trunc("hour", ts_col).alias("hour"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
     )
-    day = (
-        hour.groupBy(F.date_trunc("day", "hour").alias("day"), "event_type")
-        .agg(
-            F.sum("n").alias("n"),
-            F.sum("sv").alias("sv"),
-            F.min("mn").alias("mn"),
-            F.max("mx").alias("mx"),
-            F.count(F.lit(1)).alias("n_hours"),
-        )
+
+
+def rollup_cascade_from_hours(hour: DataFrame) -> DataFrame:
+    """day -> month cascade over hour partials (one fully-merged row
+    per (hour, event_type)) — shared verbatim by the batch query and
+    the streaming state rollup so their parity is structural, not
+    coincidental."""
+    day = hour.groupBy(F.date_trunc("day", "hour").alias("day"), "event_type").agg(
+        F.sum("n").alias("n"),
+        F.sum("sv").alias("sv"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+        F.count(F.lit(1)).alias("n_hours"),
     )
     return (
         day.groupBy(

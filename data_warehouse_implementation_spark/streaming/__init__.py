@@ -16,6 +16,8 @@ from .pipelines import (  # noqa: F401
     ivf_admission_sink,
     ivf_state_topk,
     normalize_event_ts,
+    rollup_hour_sink,
+    rollup_month_from_state,
     run_to_memory,
     sessionize_stateful,
     stream_events,

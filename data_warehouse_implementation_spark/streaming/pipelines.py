@@ -728,3 +728,81 @@ def substring_census_from_state(
     return corpus_ops.substring_dup_census(
         None, k=k, min_occurrences=min_occurrences, grams=state
     )
+
+
+def rollup_hour_sink(
+    stream: DataFrame,
+    catalog: WarehouseCatalog,
+    prefix: str,
+    checkpoint: str,
+):
+    """Streaming continuous-aggregate maintenance — the live twin of
+    the batch ``events_hypertable_rollup`` cascade. Each micro-batch
+    collapses to its own hour-grain mergeable partials (count, exact
+    decimal value sum, min, max per (hour, event_type) — the same
+    ``hour_partials`` expression the batch query uses) appended to
+    ``{prefix}_hours`` with the batch id; every coarser grain is one
+    tiny re-aggregation of that state (``rollup_month_from_state``).
+    Per batch the work is O(batch rows) map-side + an
+    hour-partial-sized aggregate: state grows with distinct
+    (batch, hour, event_type) triples, never with the raw event count
+    — the continuous-aggregate shape that makes month-grain dashboards
+    O(partials) instead of O(100 TB rescan).
+
+    Replay-idempotent per ``batch_id`` exactly like ``cms_sketch_sink``:
+    rows a previously-failed attempt of the same batch appended are
+    deleted before the re-insert, so the state holds one complete
+    partial set per committed batch and the merged rollup stays
+    IDENTICAL to the one-shot batch cascade over the concatenated
+    stream."""
+    from ..plans.ingest_queries import hour_partials
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        hours = hour_partials(batch, ts_col="ts").withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        tbl = f"{prefix}_hours"
+        if catalog.exists(tbl):
+            catalog.delete_where(tbl, f"batch_id = {int(batch_id)}")
+            catalog.insert_into(tbl, hours)
+        else:
+            catalog.write(tbl, hours)
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def rollup_month_from_state(catalog: WarehouseCatalog, prefix: str) -> DataFrame:
+    """Month grain on demand from the maintained hour-partial state:
+    first merge cross-batch partials of the SAME hour (a micro-batch
+    boundary can split an hour — counts and decimal sums add, mins
+    min, maxes max), then run the identical day -> month cascade the
+    batch query uses (``rollup_cascade_from_hours``), so
+    streamed-state results equal ``events_hypertable_rollup`` bit for
+    bit.
+
+    Defense in depth vs sink replays: partials are first collapsed to
+    one row per (batch_id, hour, event_type) — batch content is
+    deterministic, so duplicate appends of the same batch carry
+    identical rows and the collapse restores the single-append state
+    even if a failure window left both copies on disk."""
+    from ..plans.ingest_queries import rollup_cascade_from_hours
+
+    state = catalog.table(f"{prefix}_hours")
+    deduped = state.groupBy("batch_id", "hour", "event_type").agg(
+        F.max("n").alias("n"),
+        F.max("sv").alias("sv"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+    )
+    merged = deduped.groupBy("hour", "event_type").agg(
+        F.sum("n").alias("n"),
+        F.sum("sv").alias("sv"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+    )
+    return rollup_cascade_from_hours(merged)

@@ -809,3 +809,88 @@ def test_ivf_admission_sink_parity_with_batch(spark, tmp_dir):
         cell_col="cell_id",
     )
     assert sorted(map(tuple, got3.collect())) == sorted(map(tuple, want3.collect()))
+
+
+def test_rollup_hour_sink_parity_with_batch(spark, tmp_dir):
+    """Two micro-batches through the streaming continuous-aggregate
+    sink must yield EXACTLY the batch hypertable cascade over the
+    concatenated stream — including an hour SPLIT ACROSS the batch
+    boundary (partials for the same hour must merge by sum/min/max) —
+    and a duplicate append of one batch (the replay failure window)
+    must be absorbed by the state-side collapse."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_warehouse_implementation_spark.plans.ingest_queries import (
+        events_hypertable_rollup,
+    )
+
+    def us(y, mo, d, h, mi):
+        return dt.datetime(y, mo, d, h, mi)
+
+    # batch 1 and 2 SHARE hour 2024-01-31 23:xx and event_type 'click';
+    # rows span a day AND a month boundary
+    b1 = [
+        (us(2024, 1, 31, 23, 10), "click", 1.25),
+        (us(2024, 1, 31, 23, 20), "view", 2.50),
+        (us(2024, 1, 15, 8, 0), "click", -3.75),
+    ]
+    b2 = [
+        (us(2024, 1, 31, 23, 40), "click", 10.00),  # same hour as b1's first
+        (us(2024, 2, 1, 0, 5), "click", 4.00),  # next month, 55 min later
+        (us(2024, 2, 10, 12, 0), "view", 0.25),
+    ]
+    src = os.path.join(tmp_dir, "rollup_src")
+    os.makedirs(src)
+    for i, rows in enumerate([b1, b2]):
+        p = os.path.join(src, f"b{i}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+                    "event_type": pa.array([r[1] for r in rows]),
+                    "value": pa.array([r[2] for r in rows], pa.float64()),
+                }
+            ),
+            p,
+        )
+        os.utime(p, (1_700_000_000 + 60 * i, 1_700_000_000 + 60 * i))
+
+    cat = WarehouseCatalog(spark, os.path.join(tmp_dir, "rollup_wh"))
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming.rollup_hour_sink(
+        stream, cat, "ca", checkpoint=os.path.join(tmp_dir, "ckpt_rollup")
+    )
+    q.awaitTermination()
+    state = cat.table("ca_hours")
+    assert state.select("batch_id").distinct().count() == 2
+    # the boundary-split hour holds one partial per batch
+    assert (
+        state.filter(F.col("event_type") == "click")
+        .groupBy("hour")
+        .count()
+        .filter(F.col("count") == 2)
+        .count()
+        == 1
+    )
+
+    batch_all = spark.read.parquet(src)
+    want = [
+        tuple(r)
+        for r in events_hypertable_rollup({"events": batch_all}).collect()
+    ]
+    got = [tuple(r) for r in streaming.rollup_month_from_state(cat, "ca").collect()]
+    assert got == want
+
+    # replay failure window: duplicate-append batch 1's partials and
+    # assert the collapse restores the single-append rollup
+    dup = state.filter(F.col("batch_id") == 1)
+    cat.insert_into("ca_hours", dup)
+    got2 = [tuple(r) for r in streaming.rollup_month_from_state(cat, "ca").collect()]
+    assert got2 == want
