@@ -1389,10 +1389,10 @@ def bpe_fertility_by_lang(t: dict[str, DataFrame]) -> DataFrame:
     docs = t["documents"]
     enc = bpe.bpe_encode(docs, _trained_merges(docs))
     n_toks = enc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_toks"))
-    n_wrds = (
-        docs.select("doc_id", F.explode(words("text")).alias("w"))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_wrds"))
+    # per-row array size — map-side, no explode/shuffle; zero-word docs
+    # are still excluded by the inner join (they have no n_toks row)
+    n_wrds = docs.select(
+        "doc_id", F.size(words("text")).cast("long").alias("n_wrds")
     )
     per_doc = n_toks.join(n_wrds, "doc_id")
     return (

@@ -147,10 +147,13 @@ _DRIVER_WINDOW = [
     "doc_bm25_topk",
     # round-8 OVERFLOW additions (window already full: flagship + the
     # whole 41-query max-staleness cohort + the 8 earlier round-8
-    # additions = exactly 50): the four queries completing the TPC-H
-    # dialect battery (Q2/Q9/Q12/Q20 shapes). Per the capacity escape
-    # hatch in tests/test_entry.py::test_driver_window_integrity they
-    # MUST lead position 51+ so the round-9 driver checks them first;
+    # additions = exactly 50): SIX deferred never-checked queries —
+    # the four completing the TPC-H dialect battery (Q2/Q9/Q12/Q20
+    # shapes), the hypertable cascade, and the tokenizer fertility
+    # report. Per the capacity escape hatch in
+    # tests/test_entry.py::test_driver_window_integrity they MUST lead
+    # position 51+ so the round-9 driver checks them first (round-9
+    # rotation: all six are still "new" and go INTO the first 50);
     # until then they are proven by the same dtype-strict DuckDB
     # differential locally (tests/test_oracle.py runs every registered
     # query at sf0.01).

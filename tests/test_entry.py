@@ -77,15 +77,29 @@ def test_driver_window_integrity():
         # explicitly documented same-round deferrals (impl-changed
         # rows) in registry._WINDOW_DEFERRAL_INTERLEAVE.
         interleave = list(getattr(registry, "_WINDOW_DEFERRAL_INTERLEAVE", []))
+        unregistered_il = [n for n in interleave if n not in registry._QUERIES]
+        assert not unregistered_il, (
+            f"interleave names not registered: {unregistered_il}"
+        )
+        new_il = [n for n in interleave if n in new_queries]
+        assert not new_il, (
+            f"interleave must hold impl-changed (not new) rows: {new_il}"
+        )
         window_names = [n for n in registry._DRIVER_WINDOW if n in registry._QUERIES]
-        lead_tail = window_names[50 : 50 + len(deferred) + len(interleave)]
-        missing_from_lead = [n for n in deferred if n not in lead_tail]
+        # the deferred additions must form the tail's leading block,
+        # interleaved only with documented names; the prefix scan stops
+        # at the first row that is neither (so a stale interleave entry
+        # absent from the tail can never extend the slice onto the
+        # refresh-order rows behind it)
+        lead_block: list[str] = []
+        for n in window_names[50:]:
+            if n in deferred or n in interleave:
+                lead_block.append(n)
+            else:
+                break
+        missing_from_lead = [n for n in deferred if n not in lead_block]
         assert not missing_from_lead, (
             f"deferred additions must lead position 51+: {missing_from_lead}"
-        )
-        undocumented = [n for n in lead_tail if n not in deferred and n not in interleave]
-        assert not undocumented, (
-            f"undocumented entries interleaved with deferred additions: {undocumented}"
         )
 
 def test_driver_window_covers_stalest():
