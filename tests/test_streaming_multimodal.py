@@ -894,3 +894,55 @@ def test_rollup_hour_sink_parity_with_batch(spark, tmp_dir):
     cat.insert_into("ca_hours", dup)
     got2 = [tuple(r) for r in streaming.rollup_month_from_state(cat, "ca").collect()]
     assert got2 == want
+
+
+def test_rollup_hour_sink_replay_idempotent(spark, tmp_dir):
+    """Re-running the whole stream from a FRESH checkpoint replays the
+    same batch ids against existing state — the sink's probe-then-
+    delete path must restore the single-append partials, leaving the
+    state row set and the month rollup unchanged."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [
+        (dt.datetime(2024, 3, 5, 10, 1), "click", 1.00),
+        (dt.datetime(2024, 3, 5, 11, 2), "view", 2.00),
+        (dt.datetime(2024, 4, 1, 0, 3), "click", 3.00),
+    ]
+    src = os.path.join(tmp_dir, "rollup_replay_src")
+    os.makedirs(src)
+    p = os.path.join(src, "b0.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+                "event_type": pa.array([r[1] for r in rows]),
+                "value": pa.array([r[2] for r in rows], pa.float64()),
+            }
+        ),
+        p,
+    )
+
+    cat = WarehouseCatalog(spark, os.path.join(tmp_dir, "rollup_replay_wh"))
+
+    def run(ckpt):
+        stream = spark.readStream.schema(
+            "ts timestamp, event_type string, value double"
+        ).parquet(src)
+        q = streaming.rollup_hour_sink(
+            stream, cat, "car", checkpoint=os.path.join(tmp_dir, ckpt)
+        )
+        q.awaitTermination()
+
+    run("ckpt_a")
+    first_state = sorted(tuple(r) for r in cat.table("car_hours").collect())
+    first = [tuple(r) for r in streaming.rollup_month_from_state(cat, "car").collect()]
+    # fresh checkpoint => batch id 0 is replayed verbatim against the
+    # populated state table
+    run("ckpt_b")
+    second_state = sorted(tuple(r) for r in cat.table("car_hours").collect())
+    second = [tuple(r) for r in streaming.rollup_month_from_state(cat, "car").collect()]
+    assert second_state == first_state
+    assert second == first
