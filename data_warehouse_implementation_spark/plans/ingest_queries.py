@@ -561,3 +561,46 @@ FROM events
 GROUP BY 1, 2
 ORDER BY month, event_type
 """
+
+
+SUPPLIER_XML_SCHEMA = (
+    "s_suppkey long, s_name string, s_nationkey int, s_acctbal double"
+)
+
+
+def xml_scan_agg(t: dict[str, DataFrame]) -> DataFrame:
+    """S1 staging scan via XML (``sources/xmlio.py`` — Spark 4's native
+    ``format(\"xml\")``): stage suppliers to XML once, read them back
+    with an explicit schema, and aggregate per nation. The oracle
+    aggregates the original parquet, so the differential proves the
+    XML round-trip is lossless for int64, int32, double (shortest-repr
+    formatting), and strings — the markup interchange path next to
+    CSV/JSONL/ORC."""
+    from ..sources import xmlio
+
+    supplier = t["supplier"]
+    spark = supplier.sparkSession
+    staged = os.path.join(
+        _CSV_CACHE_ROOT, f"supplier_xml_{supplier.semanticHash() & 0xFFFFFFFF:x}"
+    )
+    if not os.path.exists(staged):
+        xmlio.write_xml(supplier, staged)
+    back = xmlio.read_xml(spark, staged, schema=SUPPLIER_XML_SCHEMA)
+    return (
+        back.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            _decimal_sum_as_double(F.col("s_acctbal")).alias("sum_acctbal"),
+            F.min("s_name").alias("first_name"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+XML_SCAN_AGG_ORACLE = """
+SELECT s_nationkey,
+       COUNT(*) AS n_suppliers,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal,
+       MIN(s_name) AS first_name
+FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+"""

@@ -147,13 +147,13 @@ _DRIVER_WINDOW = [
     "doc_bm25_topk",
     # round-8 OVERFLOW additions (window already full: flagship + the
     # whole 41-query max-staleness cohort + the 8 earlier round-8
-    # additions = exactly 50): SIX deferred never-checked queries —
+    # additions = exactly 50): SEVEN deferred never-checked queries —
     # the four completing the TPC-H dialect battery (Q2/Q9/Q12/Q20
-    # shapes), the hypertable cascade, and the tokenizer fertility
-    # report. Per the capacity escape hatch in
+    # shapes), the hypertable cascade, the tokenizer fertility
+    # report, and the XML staging scan. Per the capacity escape hatch in
     # tests/test_entry.py::test_driver_window_integrity they MUST lead
     # position 51+ so the round-9 driver checks them first (round-9
-    # rotation: all six are still "new" and go INTO the first 50);
+    # rotation: all seven are still "new" and go INTO the first 50);
     # until then they are proven by the same dtype-strict DuckDB
     # differential locally (tests/test_oracle.py runs every registered
     # query at sf0.01).
@@ -163,6 +163,7 @@ _DRIVER_WINDOW = [
     "concentrated_supply_sql",
     "events_hypertable_rollup",
     "bpe_fertility_by_lang",
+    "xml_scan_agg",
     "scd2_apply_batch",
     "scd3_apply_batch",
     "near_dup_minhash_hashed",
@@ -938,4 +939,10 @@ register(
     "bpe_fertility_by_lang",
     corpus_queries.bpe_fertility_by_lang,
     corpus_queries.BPE_FERTILITY_BY_LANG_ORACLE,
+)
+
+register(
+    "xml_scan_agg",
+    ingest_queries.xml_scan_agg,
+    ingest_queries.XML_SCAN_AGG_ORACLE,
 )
