@@ -946,3 +946,49 @@ def test_rollup_hour_sink_replay_idempotent(spark, tmp_dir):
     second = [tuple(r) for r in streaming.rollup_month_from_state(cat, "car").collect()]
     assert second_state == first_state
     assert second == first
+
+
+def test_binary_file_ingest_decode_parity(spark, tmp_dir):
+    """Raw media files ingested via the binaryFile source must flow
+    through decode_images identically to the same blobs delivered as
+    parquet-column rows: numeric filename stems become media_ids, the
+    extension glob prunes foreign files at the listing, and the decoded
+    dimensions/pixels match the in-memory path byte for byte."""
+    from data_warehouse_implementation_spark.sources.binaryio import (
+        read_binary_media,
+    )
+
+    ppm_px = bytes(range(2 * 2 * 3))
+    rgb = [[(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+           [(10, 20, 30), (40, 50, 60), (70, 80, 90)]]
+    blobs = {7: bytes(_ppm_bytes(2, 2, ppm_px)), 12: bytes(_bmp_bytes(3, 2, rgb))}
+    media_dir = os.path.join(tmp_dir, "media")
+    os.makedirs(media_dir)
+    for mid, b in blobs.items():
+        with open(os.path.join(media_dir, f"{mid}.img"), "wb") as f:
+            f.write(b)
+    # a foreign file the glob must exclude from the listing
+    with open(os.path.join(media_dir, "manifest.txt"), "wb") as f:
+        f.write(b"not media")
+
+    ingested = read_binary_media(spark, media_dir, kind="image", glob="*.img")
+    assert ingested.schema.simpleString() == (
+        "struct<media_id:bigint,kind:string,payload:binary,"
+        "meta:struct<width:int,height:int,sample_rate:int>>"
+    )
+    rows = {r.media_id: bytes(r.payload) for r in ingested.collect()}
+    assert rows == blobs
+
+    via_files = {
+        r.media_id: (r.width, r.height, bytes(r.pixels))
+        for r in multimodal.decode_images(ingested).collect()
+    }
+    inmem = spark.createDataFrame(
+        [(mid, "image", bytearray(b), (None, None, None)) for mid, b in blobs.items()],
+        multimodal.MEDIA_SCHEMA,
+    )
+    via_column = {
+        r.media_id: (r.width, r.height, bytes(r.pixels))
+        for r in multimodal.decode_images(inmem).collect()
+    }
+    assert via_files == via_column
