@@ -67,111 +67,43 @@ def oracle_sql() -> dict[str, str]:
 
 
 # The correctness driver differentials the FIRST 50 registry entries per
-# round. Round-8 window (derived from tools/staleness.py — enforced by
-# tests/test_entry.py::test_driver_window_covers_stalest): the flagship;
-# then ALL 41 queries whose latest driver check is round 4 (the
-# max-staleness cohort VERDICT r7 #1 queued at the old position 51+ —
-# this retires the staleness tail: after this round every query's latest
-# check is <= 3 rounds old and the r5 cohort is the round-9 refresh
-# order at position 51+); then 8 slots for this round's additions and
-# implementation-adjacent rows (BM25 df-cap work, the ANN recall-matrix
-# constituents, and the SCD batches whose streaming composition gains a
-# hypothesis differential this round).
-# Same-round deferrals that are NOT new queries (impl-changed rows
-# re-proven locally) — the ONLY names the window-integrity test allows
-# to interleave with deferred new additions at position 51+.
-_WINDOW_DEFERRAL_INTERLEAVE = ["doc_bm25_topk"]
+# round. Round-9 window (derived from tools/staleness.py --suggest-window;
+# enforced by tests/test_entry.py::test_driver_window_covers_stalest):
+# the flagship; the SEVEN never-driver-checked round-8 additions
+# (deferred last round under the capacity escape hatch — the
+# never-deferred rule forces them in now), with bpe_token_stats placed
+# DIRECTLY BEFORE bpe_fertility_by_lang (VERDICT r8 #3: the family head
+# pays the shared bpe_trained_merges session cache first, keeping bench
+# cache attribution identical to round 8 while the rotation refreshes
+# both driver rows in one adjacent pair; bpe_merges stays r7-green at
+# staleness 1 and leads the round-10/11 candidates in the tail); then
+# ONE slot for this round's addition (media_file_ingest, the binaryFile
+# staging source on the oracle gate — VERDICT r8 #5); then the ENTIRE
+# 40-query max-staleness cohort (last checked round 5) — the staleness
+# tail retires whole, never split across rounds.
+#
+# Position 51+ IS the round-10 rotation plan (VERDICT r8 #4): the exact
+# tools/staleness.py --suggest-window order at rotation time (r6-stale
+# cohort first, then r7, then the just-checked r8 rows), so round 10\'s
+# rotation is a mechanical promote-the-prefix edit.
+# Same-round deferrals that are NOT new queries — the ONLY names the
+# window-integrity test allows to interleave with deferred new
+# additions at position 51+. Round 9 defers nothing: empty.
+_WINDOW_DEFERRAL_INTERLEAVE: list[str] = []
 
 _DRIVER_WINDOW = [
     # flagship — always re-verified
     "timely_rank_report",
-    # the 41 round-4-stale rows (tools/staleness.py --stale 3), the
-    # whole max-staleness cohort — never split across rounds again
-    "doc_split_dedup_aware",
-    "exact_dedup_by_fingerprint",
-    "embedding_lsh_near_dup",
-    "bpe_token_stats",
-    "boilerplate_ngrams",
-    "doc_hash_split",
-    "doc_rarity_score",
-    "events_funnel",
-    "doc_eval_sample",
-    "doc_priority_sample",
-    "corpus_mix_sources",
-    "brand_band_revenue_sql",
-    "brand_fuzzy_match",
-    "brand_price_outliers",
-    "customer_order_reconcile",
-    "documents_profile",
-    "dormant_balance_sql",
-    "embedding_kmeans_refine",
-    "event_transitions",
-    "events_cdc_apply",
-    "events_gap_fill",
-    "events_heavy_hitters_cms",
-    "events_quantile_rollup",
-    "events_skew_census",
-    "events_volume_anomaly",
-    "forecast_revenue_sql",
-    "large_orders_sql",
-    "media_audio_roundtrip",
-    "media_decode_roundtrip",
-    "media_video_roundtrip",
-    "nation_volume_sql",
-    "orc_scan_agg",
-    "order_lifecycle_fact",
-    "orders_constraint_gate",
-    "promo_revenue_sql",
-    "region_nation_revenue_share",
-    "returned_item_sql",
-    "session_conversion",
-    "user_retention_cohorts",
-    "user_sketch_rollup",
-    "window_funcs_sql",
-    # round-8 additions (never-deferred rule): the window is now
-    # exactly full — 1 flagship + 41 stale + these 8 new queries.
-    # doc_bm25_topk's implementation changed this round (the dfreq
-    # join moved ahead of the postings join) but no slot remains; it
-    # LEADS position 51+ and is re-proven locally by the full
-    # tests/test_oracle.py battery at the driver's sf (same
-    # dtype-strict differential), so the round-9 driver check is the
-    # only deferral.
-    "corpus_curation_e2e",
-    "corpus_curation_funnel",
-    "top_balance_lateral_sql",
-    "doc_decontaminate_fuzzy",
-    "media_vision_pack",
-    "embedding_ann_recall_matrix",
-    "doc_bm25_capped",
-    "doc_bm25_term_stats",
-    "doc_bm25_topk",
-    # round-8 OVERFLOW additions (window already full: flagship + the
-    # whole 41-query max-staleness cohort + the 8 earlier round-8
-    # additions = exactly 50): SEVEN deferred never-checked queries —
-    # the four completing the TPC-H dialect battery (Q2/Q9/Q12/Q20
-    # shapes), the hypertable cascade, the tokenizer fertility
-    # report, and the XML staging scan. Per the capacity escape hatch in
-    # tests/test_entry.py::test_driver_window_integrity they MUST lead
-    # position 51+ so the round-9 driver checks them first (round-9
-    # rotation: all seven are still "new" and go INTO the first 50);
-    # until then they are proven by the same dtype-strict DuckDB
-    # differential locally (tests/test_oracle.py runs every registered
-    # query at sf0.01).
+    # the 7 never-driver-checked r8 additions (BPE head directly before fertility)
     "min_cost_supplier_sql",
     "product_profit_sql",
     "ship_speed_priority_sql",
     "concentrated_supply_sql",
     "events_hypertable_rollup",
-    "bpe_fertility_by_lang",
     "xml_scan_agg",
-    "scd2_apply_batch",
-    "scd3_apply_batch",
-    "near_dup_minhash_hashed",
-    "embedding_dense_topk",
-    "near_dup_containment",
-    "scd1_upsert_batch",
-    "insert_if_absent_batch",
-    # position 51+ — round-9 refresh order: the r5 cohort, stalest-first
+    "bpe_token_stats",
+    "bpe_fertility_by_lang",
+    # the 40-query round-5 max-staleness cohort (tools/staleness.py --stale 3)
     "avg_qty_gated_revenue_sql",
     "brand_median_price",
     "calendar_dim",
@@ -183,14 +115,18 @@ _DRIVER_WINDOW = [
     "disputed_rank_report",
     "doc_bigram_rarity",
     "drilldown_report",
+    "embedding_dense_topk",
     "events_asof_forward",
     "events_props_extract",
     "events_session_window_native",
     "events_window_agg",
     "exact_dedup_docs",
+    "insert_if_absent_batch",
     "media_resize_roundtrip",
     "nation_value_concentration_sql",
     "near_dup_clusters",
+    "near_dup_containment",
+    "near_dup_minhash_hashed",
     "near_dup_source_matrix",
     "null_canonical_dedup",
     "null_canonical_join",
@@ -199,12 +135,153 @@ _DRIVER_WINDOW = [
     "preaggregate",
     "priority_pivot",
     "priority_pivot_first",
+    "scd1_upsert_batch",
+    "scd2_apply_batch",
+    "scd3_apply_batch",
     "segment_ratio_report",
     "shipments_by_quarter",
     "supplier_part_census_sql",
     "top5_orders",
     "top_orders_per_nation",
     "top_supplier_sql",
+    # position 51+ — the round-10 suggested window, stalest-first
+    "bloom_prefilter_join",
+    "brand_mode_type",
+    "brand_price_percentiles",
+    "corpus_quality_filter",
+    "customer_running_totals",
+    "customer_set_ops",
+    "customer_spend_quartiles",
+    "dedup_keep_best",
+    "doc_bm25_topk",
+    "doc_chunks",
+    "doc_decontaminate",
+    "doc_fingerprint",
+    "doc_language_id",
+    "doc_language_ngram",
+    "doc_pii_redact",
+    "doc_quality_score",
+    "doc_repetition_ratio",
+    "doc_simhash",
+    "doc_span_corruption",
+    "doc_stratified_sample",
+    "doc_tfidf_top_terms",
+    "embedding_ann_ivf",
+    "embedding_ann_ivfpq",
+    "embedding_ann_kmeans",
+    "embedding_ann_multiprobe",
+    "embedding_ann_pq",
+    "embedding_cosine_topk",
+    "embedding_near_dup",
+    "event_user_distinct",
+    "event_value_band_join",
+    "events_props_variant",
+    "media_feature_extract",
+    "near_dup_capped",
+    "near_dup_incremental",
+    "order_rollup",
+    "recent_order_preview",
+    "segment_mode_fill",
+    "semantic_dedup_census",
+    "semantic_dedup_greedy",
+    "window_frames_sql",
+    "bpe_merges",
+    "containment_capped_join",
+    "containment_prefix_join",
+    "containment_probe_skew",
+    "doc_balanced_oversample",
+    "doc_dsir_weights",
+    "doc_epoch_shuffle",
+    "doc_length_batches",
+    "doc_lm_backoff",
+    "doc_negative_pairs",
+    "doc_shard_assignment",
+    "doc_substring_dedup",
+    "doc_substring_dup",
+    "embedding_ann_recall",
+    "events_asof_join",
+    "events_daily_delta",
+    "events_keep_latest",
+    "events_sessionize",
+    "hybrid_rrf_fusion",
+    "incremental_agg_refresh",
+    "integrity_report",
+    "jsonl_scan_agg",
+    "late_order_exists_sql",
+    "local_supplier_volume_sql",
+    "market_share_sql",
+    "media_patchify",
+    "multikey_category_join",
+    "nation_revenue_share",
+    "nation_top_customer_list",
+    "near_dup_minhash",
+    "near_dup_prefix_join",
+    "order_cube",
+    "orders_profile",
+    "price_histogram",
+    "pricing_summary_sql",
+    "priority_status_sets_sql",
+    "purchase_graph_communities",
+    "purchase_graph_pagerank",
+    "salted_flag_join",
+    "salted_skew_agg",
+    "shipping_priority_sql",
+    "simhash_near_dup",
+    "small_qty_revenue_sql",
+    "training_sequences",
+    "user_sketch_distinct",
+    "vocab_top_terms",
+    "waiting_supplier_sql",
+    "warehouse_dim_build",
+    "warehouse_fact_build",
+    "boilerplate_ngrams",
+    "brand_band_revenue_sql",
+    "brand_fuzzy_match",
+    "brand_price_outliers",
+    "corpus_curation_e2e",
+    "corpus_curation_funnel",
+    "corpus_mix_sources",
+    "customer_order_reconcile",
+    "doc_bm25_capped",
+    "doc_bm25_term_stats",
+    "doc_decontaminate_fuzzy",
+    "doc_eval_sample",
+    "doc_hash_split",
+    "doc_priority_sample",
+    "doc_rarity_score",
+    "doc_split_dedup_aware",
+    "documents_profile",
+    "dormant_balance_sql",
+    "embedding_ann_recall_matrix",
+    "embedding_kmeans_refine",
+    "embedding_lsh_near_dup",
+    "event_transitions",
+    "events_cdc_apply",
+    "events_funnel",
+    "events_gap_fill",
+    "events_heavy_hitters_cms",
+    "events_quantile_rollup",
+    "events_skew_census",
+    "events_volume_anomaly",
+    "exact_dedup_by_fingerprint",
+    "forecast_revenue_sql",
+    "large_orders_sql",
+    "media_audio_roundtrip",
+    "media_decode_roundtrip",
+    "media_video_roundtrip",
+    "media_vision_pack",
+    "nation_volume_sql",
+    "orc_scan_agg",
+    "order_lifecycle_fact",
+    "orders_constraint_gate",
+    "promo_revenue_sql",
+    "region_nation_revenue_share",
+    "returned_item_sql",
+    "session_conversion",
+    "top_balance_lateral_sql",
+    "user_retention_cohorts",
+    "user_sketch_rollup",
+    "window_funcs_sql",
 ]
 
 
