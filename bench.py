@@ -50,6 +50,27 @@ def is_regression(now: float, scaled_prev: float, history: list[float]) -> bool:
     return now > 1.5 * scaled_prev and (now - scaled_prev) > noise_floor(history)
 
 
+def next_history(
+    prev_hist: dict[str, list[float]],
+    timings: dict[str, float],
+    regressions: dict,
+) -> dict[str, list[float]]:
+    """Roll the per-query timing history forward one run, EXCLUDING any
+    timing this run flagged as a regression (ADVICE r8: a flagged run
+    absorbed into the history widens the query's spread 3x and masks
+    comparable follow-on regressions for up to HISTORY_KEEP runs — a
+    self-widening floor). A *persistent* real slowdown still stops
+    being flagged after one round, because the gate compares against
+    the previous run's raw timing, not the history; the history only
+    sets the noise floor and must track the accepted baseline."""
+    return {
+        n: (prev_hist.get(n, []) + ([dt] if n not in regressions else []))[
+            -HISTORY_KEEP:
+        ]
+        for n, dt in timings.items()
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -371,12 +392,9 @@ def main() -> None:
         "env_scale": round(env_scale, 3),
         "commit": commit,
         "sf": sf,
-        # rolling per-query timing history (this run included — see the
-        # load-side contract) feeding the next run's noise floors
-        "history": {
-            n: (prev_hist.get(n, []) + [dt])[-HISTORY_KEEP:]
-            for n, dt in timings.items()
-        },
+        # rolling per-query timing history (this run included unless it
+        # was flagged — see next_history) feeding the next run's floors
+        "history": next_history(prev_hist, timings, regressions),
     }
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)

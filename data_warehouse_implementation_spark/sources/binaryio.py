@@ -35,7 +35,15 @@ def read_binary_media(
     if glob is not None:
         reader = reader.option("pathGlobFilter", glob)
     files = reader.load(path)
-    stem = F.regexp_extract(F.element_at(F.split(F.col("path"), "/"), -1), r"^(\w+?)(?:\.\w+)?$", 1)
+    # Strip ONLY the final extension — crawl filenames routinely carry
+    # hyphens, spaces, and inner dots ('img-001.jpg', 'a.tar.gz'), which
+    # a \w-only stem regex silently collapsed to '' and hence ONE
+    # colliding xxhash64 id for every such file (ADVICE r8). A dotfile
+    # with no other name ('.gitignore') keeps its full filename as the
+    # stem so it still hashes uniquely.
+    fname = F.element_at(F.split(F.col("path"), "/"), -1)
+    bare = F.regexp_replace(fname, r"\.[^.]+$", "")
+    stem = F.when(F.length(bare) > 0, bare).otherwise(fname)
     media_id = (
         F.when(stem.rlike(r"^\d+$"), stem.cast("long"))
         .otherwise(F.xxhash64(stem))

@@ -263,6 +263,8 @@ def incremental_scd3_sink(
     as_of: str,
     checkpoint: str,
     old_col: str,
+    effective_col: str = "effective_date",
+    fresh_old: str | None = "",
 ):
     """Incremental SCD3 dimension maintenance — the change-tracking
     twin of :func:`incremental_scd2_sink`: each micro-batch is applied
@@ -278,17 +280,23 @@ def incremental_scd3_sink(
         if catalog.exists(table):
             current = catalog.table(table)
         else:
-            from pyspark.sql.types import DateType, StringType, StructField, StructType
+            from pyspark.sql.types import DateType, StructField, StructType
 
+            # Empty-table bootstrap: the old-value column mirrors the
+            # TRACKED column's actual type (a long tracked_col used to
+            # hit a hardcoded StringType here and break scd3_apply on
+            # the first micro-batch — ADVICE r8), and the effective
+            # column honours the caller's name like scd3_apply does.
             base = batch.drop(order_col).schema
             fields = list(base.fields) + [
-                StructField(old_col, StringType()),
-                StructField("effective_date", DateType()),
+                StructField(old_col, batch.schema[tracked_col].dataType),
+                StructField(effective_col, DateType()),
             ]
             current = spark.createDataFrame([], StructType(fields))
         new_state = scd.scd3_apply(
             current, batch, keys, tracked_col=tracked_col, as_of=as_of,
-            order_col=order_col, old_col=old_col,
+            order_col=order_col, old_col=old_col, effective_col=effective_col,
+            fresh_old=fresh_old,
         )
         catalog.replace(table, new_state, internal=True)
 
@@ -694,20 +702,29 @@ def ivf_state_topk(
     same broadcast centroids the sink used) and rank cosine within the
     probed cells only — results are IDENTICAL to a one-shot
     ``assign_cells`` + ``cosine_topk`` over the concatenation of every
-    admitted batch (parity-tested), because cell assignment is a pure
-    function of (vector, centroids), not of arrival order.
+    admitted batch (parity-tested over unique vec_ids), because cell
+    assignment is a pure function of (vector, centroids), not of
+    arrival order.
 
-    Defense in depth vs sink replays: the state is collapsed to one row
-    per ``vec_id`` first — batch content is deterministic, so duplicate
-    appends of the same batch carry identical rows and the dedup
-    restores the single-append state even if a failure window left both
-    copies on disk."""
+    The state is collapsed to one row per ``vec_id`` first,
+    DETERMINISTICALLY keeping the highest ``batch_id`` (ADVICE r8: an
+    arbitrary ``dropDuplicates`` pick made re-admission of a vec_id
+    with a new embedding nondeterministic). Semantics: re-admitting a
+    vec_id is an UPSERT — the latest admitted embedding wins. This also
+    stays replay-safe: duplicate appends of the same batch carry
+    identical rows, so the latest-wins collapse restores the
+    single-append state even if a failure window left both copies on
+    disk."""
+    from pyspark.sql import Window
+
     from ..operators import similarity as sim
 
+    latest = Window.partitionBy("vec_id").orderBy(F.col("batch_id").desc())
     state = (
         catalog.table(f"{prefix}_cells")
+        .withColumn("_rn", F.row_number().over(latest))
+        .filter(F.col("_rn") == 1)
         .select("vec_id", "embedding", "cell_id")
-        .dropDuplicates(["vec_id"])
     )
     probed = sim.probe_cells(queries, centroids, n_probe=n_probe)
     q = queries.select("vec_id", "embedding").join(probed, on="vec_id")

@@ -277,6 +277,21 @@ def test_bench_regression_gate_noise_floor():
     assert not bench.is_regression(13.0, 10.0, [10.0, 10.1])
     # unambiguous regression on an empty history -> flagged
     assert bench.is_regression(4.0, 1.0, [])
+    # ADVICE r8 (self-widening floor): a run flagged as a regression is
+    # EXCLUDED from the rolling history, so it can never widen its own
+    # query's noise floor and mask follow-on regressions...
+    hist = bench.next_history(
+        {"q": [1.0, 1.1], "stable": [2.0]},
+        {"q": 4.0, "stable": 2.1},
+        {"q": {"now": 4.0}},
+    )
+    assert hist == {"q": [1.0, 1.1], "stable": [2.0, 2.1]}
+    # ...and unflagged runs still roll forward, capped at HISTORY_KEEP
+    long_hist = bench.next_history(
+        {"q": [float(i) for i in range(bench.HISTORY_KEEP)]}, {"q": 9.9}, {}
+    )
+    assert len(long_hist["q"]) == bench.HISTORY_KEEP
+    assert long_hist["q"][-1] == 9.9
 
 
 def test_registry_exchange_budget(spark):

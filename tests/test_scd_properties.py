@@ -251,3 +251,42 @@ def test_streaming_scd3_matches_one_shot_batch(spark, dim, rows, cuts):
 
     shutil.rmtree(tmp_path, ignore_errors=True)
     assert got == want
+
+
+def test_streaming_scd3_bootstrap_nonstring_tracked_col(spark):
+    """ADVICE r8: the sink's empty-table bootstrap hardcoded the old
+    column as StringType and the effective column as 'effective_date',
+    so a LONG tracked_col (or a custom effective column name) broke
+    scd3_apply on the very first micro-batch. The bootstrap must derive
+    the old column's type from the tracked column and honour
+    effective_col/fresh_old."""
+    import os
+    import shutil
+    import tempfile
+
+    from data_warehouse_implementation_spark import streaming
+    from data_warehouse_implementation_spark.sources.catalog import WarehouseCatalog
+
+    tmp_path = tempfile.mkdtemp(prefix="scd3_boot_")
+    try:
+        src = os.path.join(tmp_path, "src")
+        spark.createDataFrame(
+            [(1, 100, 1), (1, 200, 2), (2, 300, 3)],
+            "key long, quota long, seq long",
+        ).write.parquet(src)
+        cat = WarehouseCatalog(spark, os.path.join(tmp_path, "wh"))
+        stream = spark.readStream.schema("key long, quota long, seq long").parquet(src)
+        q = streaming.incremental_scd3_sink(
+            stream, cat, "dim_boot", ["key"], tracked_col="quota",
+            order_col="seq", as_of=AS_OF,
+            checkpoint=os.path.join(tmp_path, "ckpt"),
+            old_col="quota_old", effective_col="valid_from", fresh_old=None,
+        )
+        q.awaitTermination()
+        out = {r.key: (r.quota, r.quota_old, str(r.valid_from)) for r in cat.table("dim_boot").collect()}
+        # key 1: inserted at 100 then updated to 200 (old <- 100);
+        # key 2: fresh insert keeps the null fresh_old sentinel
+        assert out == {1: (200, 100, AS_OF), 2: (300, None, AS_OF)}
+        assert dict(cat.table("dim_boot").dtypes)["quota_old"] == "bigint"
+    finally:
+        shutil.rmtree(tmp_path, ignore_errors=True)

@@ -810,6 +810,29 @@ def test_ivf_admission_sink_parity_with_batch(spark, tmp_dir):
     )
     assert sorted(map(tuple, got3.collect())) == sorted(map(tuple, want3.collect()))
 
+    # re-admission upsert (ADVICE r8): the same vec_id admitted again in
+    # a LATER batch with a different embedding must be searched with the
+    # latest embedding, deterministically — not an arbitrary state row
+    readmit_id = 2
+    new_vec = [float(i % 7) / 7.0 for i in range(len(emb.first().embedding))]
+    readmit = spark.createDataFrame([(readmit_id, new_vec)], schema)
+    cat.insert_into(
+        "ivf_cells",
+        readmit.join(sim.assign_cells(readmit, centroids), on="vec_id")
+        .withColumn("batch_id", F.lit(9)),
+    )
+    emb_after = emb.filter(F.col("vec_id") != readmit_id).unionByName(readmit)
+    cells_after = sim.assign_cells(emb_after, centroids)
+    want4 = sim.cosine_topk(
+        queries.join(sim.probe_cells(queries, centroids, n_probe=2), on="vec_id"),
+        emb_after.join(cells_after, on="vec_id"),
+        k=3,
+        cell_col="cell_id",
+    )
+    for _ in range(2):  # twice: the pick must be stable run-over-run
+        got4 = streaming.ivf_state_topk(cat, "ivf", queries, centroids, k=3, n_probe=2)
+        assert sorted(map(tuple, got4.collect())) == sorted(map(tuple, want4.collect()))
+
 
 def test_rollup_hour_sink_parity_with_batch(spark, tmp_dir):
     """Two micro-batches through the streaming continuous-aggregate
@@ -992,3 +1015,40 @@ def test_binary_file_ingest_decode_parity(spark, tmp_dir):
         for r in multimodal.decode_images(inmem).collect()
     }
     assert via_files == via_column
+
+
+def test_binary_file_ingest_messy_filenames(spark, tmp_dir):
+    """ADVICE r8: crawl filenames with hyphens, spaces, and multiple
+    dots must each get a DISTINCT stable media_id (the old \\w-only stem
+    regex collapsed them all to xxhash64('')); only the final extension
+    is stripped, a numeric stem with a double extension still resolves
+    to its number, and an extensionless/dotfile name hashes its full
+    filename."""
+    from data_warehouse_implementation_spark.sources.binaryio import (
+        read_binary_media,
+    )
+
+    names = [
+        "img-001.img",      # hyphenated stem
+        "a.tar.img",        # inner dot: stem 'a.tar'
+        "with space.img",   # space in stem
+        "42.img",           # numeric stem -> id 42
+    ]
+    media_dir = os.path.join(tmp_dir, "messy")
+    os.makedirs(media_dir)
+    for i, n in enumerate(names):
+        with open(os.path.join(media_dir, n), "wb") as f:
+            f.write(b"blob-%d" % i)
+
+    ingested = read_binary_media(spark, media_dir, kind="image", glob="*.img")
+    rows = {bytes(r.payload): r.media_id for r in ingested.collect()}
+    ids = list(rows.values())
+    assert len(ids) == len(names)
+    assert len(set(ids)) == len(names), f"colliding media_ids: {ids}"
+    assert rows[b"blob-3"] == 42
+    # stem derivation is stable across re-ingest (same ids both times)
+    again = {
+        bytes(r.payload): r.media_id
+        for r in read_binary_media(spark, media_dir, kind="image", glob="*.img").collect()
+    }
+    assert again == rows
