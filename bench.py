@@ -165,6 +165,7 @@ def main() -> None:
     total = 0.0
     errors: dict[str, str] = {}
     cache_builds: dict[str, list[str]] = {}
+    cache_build_seconds: dict[str, float] = {}
     row_counts: dict[str, int] = {}
     for name, q in qs.items():
         # Failure isolation: one broken query must never zero the whole
@@ -178,18 +179,29 @@ def main() -> None:
             errors[name] = f"{type(e).__name__}: {e}"[:500]
             print(f"# {name}: ERROR {type(e).__name__}", file=sys.stderr)
             continue
-        dt = time.perf_counter() - t0
+        wall = time.perf_counter() - t0
+        # Shared-cache attribution (VERDICT r8 #2b): get_or_build forces
+        # and times each session-cache build, so a query's recorded time
+        # is its OWN net cost — identical no matter which family member
+        # runs first. Build costs are reported per cache name; the
+        # headline total stays wall-inclusive so it remains comparable
+        # across rounds.
+        built = materialize.BUILD_LOG[builds_before:]
+        built_secs = materialize.BUILD_SECONDS[builds_before:]
+        build_total = sum(built_secs)
+        dt = max(wall - build_total, 0.0)
         timings[name] = round(dt, 3)
         row_counts[name] = n
-        total += dt
-        # Shared-cache attribution: which session caches did THIS query
-        # build (vs merely consume)? Build cost lands on whichever family
-        # member runs first, so round-over-round per-query comparisons
-        # need this to tell a plan regression from a cache reordering.
-        built = materialize.BUILD_LOG[builds_before:]
+        total += wall
         if built:
             cache_builds[name] = built
-        suffix = f" [built: {', '.join(built)}]" if built else ""
+            for bn, bs in zip(built, built_secs):
+                cache_build_seconds[bn] = round(
+                    cache_build_seconds.get(bn, 0.0) + bs, 3
+                )
+        suffix = (
+            f" [built: {', '.join(built)} (+{build_total:.3f}s)]" if built else ""
+        )
         print(f"# {name}: {dt:.3f}s ({n} rows){suffix}", file=sys.stderr)
 
     # The one-line summary must stay small enough for the driver's tail
@@ -385,6 +397,10 @@ def main() -> None:
         "errors": errors,
         "regressions": regressions,
         "cache_builds": cache_builds,
+        # wall seconds each shared session cache took to build (summed
+        # if rebuilt, e.g. across sessions) — with net per-query timings
+        # above, this is where family build cost now lives
+        "cache_build_seconds": cache_build_seconds,
         # result cardinalities: a "regression" whose row count also
         # changed is a data/plan change, not noise — free adjudication
         # signal alongside cache_builds

@@ -695,6 +695,52 @@ FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank
 N_CENTROIDS = 8
 
 
+def _ann_centroids(emb: DataFrame) -> DataFrame:
+    """Deterministic seed coarse quantizer shared by the whole ANN
+    family: the first ``N_CENTROIDS`` vectors."""
+    return emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cen_id"), F.col("embedding").alias("cen_vec")
+    )
+
+
+def _ann_cells(emb: DataFrame) -> DataFrame:
+    """Session-cached corpus cell assignment (vec_id, cell_id) against
+    the seed centroids — the ANN family's most expensive shared
+    component (one corpus pass x |centroids| argmin). kmeans / ivfpq /
+    multiprobe / the recall matrix all consume the SAME assignment, so
+    it is built once per corpus and its build cost is attributed
+    explicitly in bench cache_builds (VERDICT r8 #2b: ANN components
+    were rebuilt per query, so timings moved with bench ordering)."""
+    return materialize.get_or_build(
+        "ann_cells",
+        str(emb.semanticHash()),
+        lambda: similarity.assign_cells(emb, _ann_centroids(emb)),
+        corpus_scale=True,
+    )
+
+
+def _ann_pq_codes(emb: DataFrame) -> DataFrame:
+    """Session-cached PQ code table (vec_id, j, code) under the shared
+    deterministic sub-centroids — consumed by pq / ivfpq / the recall
+    matrix. Corpus-scale: m small-int codes per vector."""
+    return materialize.get_or_build(
+        "ann_pq_codes",
+        str(emb.semanticHash()),
+        lambda: similarity.pq_encode(emb, _ann_sub_centroids(emb), PQ_M),
+        corpus_scale=True,
+    )
+
+
+def _ann_sub_centroids(emb: DataFrame) -> DataFrame:
+    """Deterministic PQ sub-centroids (j, cen_id, cen_sub): the first
+    ``PQ_K`` vectors' subvectors. Model-scale (PQ_K x m rows)."""
+    return similarity.pq_subvectors(
+        emb.filter(F.col("vec_id") < PQ_K), PQ_M
+    ).select(
+        F.col("j"), F.col("vec_id").alias("cen_id"), F.col("subvec").alias("cen_sub")
+    )
+
+
 def embedding_ann_kmeans(t: dict[str, DataFrame]) -> DataFrame:
     """IVF with a real coarse quantizer: pick deterministic seed
     centroids (the first ``N_CENTROIDS`` vectors), assign every vector
@@ -704,10 +750,7 @@ def embedding_ann_kmeans(t: dict[str, DataFrame]) -> DataFrame:
     pre-assigned ``label``), the partitioning here is computed from the
     vectors themselves — the full inverted-file pipeline."""
     emb = t["embeddings"]
-    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cen_id"), F.col("embedding").alias("cen_vec")
-    )
-    assigned = similarity.assign_cells(emb, centroids)
+    assigned = _ann_cells(emb)
     emb_cells = emb.select("vec_id", "embedding").join(assigned, on="vec_id")
     return similarity.cosine_topk(
         emb_cells.filter(F.col("vec_id") < N_QUERIES), emb_cells, k=TOP_K, cell_col="cell_id"
@@ -769,14 +812,10 @@ def embedding_ann_pq(t: dict[str, DataFrame]) -> DataFrame:
     encoding argmin, LUT build, ordered ADC sum, ranking) is replayed
     by the oracle."""
     emb = t["embeddings"]
-    sub_centroids = similarity.pq_subvectors(
-        emb.filter(F.col("vec_id") < PQ_K), PQ_M
-    ).select(F.col("j"), F.col("vec_id").alias("cen_id"), F.col("subvec").alias("cen_sub"))
-    codes = similarity.pq_encode(emb, sub_centroids, PQ_M)
     return similarity.pq_adc_topk(
         emb.filter(F.col("vec_id") < N_QUERIES),
-        codes,
-        sub_centroids,
+        _ann_pq_codes(emb),
+        _ann_sub_centroids(emb),
         PQ_M,
         TOP_K,
     ).orderBy("query_id", "rank")
@@ -843,21 +882,13 @@ def embedding_ann_ivfpq(t: dict[str, DataFrame]) -> DataFrame:
     single join — candidate volume drops by the cell count while the
     corpus side still never touches a raw float."""
     emb = t["embeddings"]
-    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cen_id"), F.col("embedding").alias("cen_vec")
-    )
-    cells = similarity.assign_cells(emb, centroids)
-    sub_centroids = similarity.pq_subvectors(
-        emb.filter(F.col("vec_id") < PQ_K), PQ_M
-    ).select(F.col("j"), F.col("vec_id").alias("cen_id"), F.col("subvec").alias("cen_sub"))
-    codes = similarity.pq_encode(emb, sub_centroids, PQ_M)
     return similarity.pq_adc_topk(
         emb.filter(F.col("vec_id") < N_QUERIES),
-        codes,
-        sub_centroids,
+        _ann_pq_codes(emb),
+        _ann_sub_centroids(emb),
         PQ_M,
         TOP_K,
-        cells=cells,
+        cells=_ann_cells(emb),
     ).orderBy("query_id", "rank")
 
 
@@ -873,10 +904,8 @@ def embedding_ann_multiprobe(t: dict[str, DataFrame]) -> DataFrame:
     of the same equi-join; a neighbor can match at most once because
     the corpus side holds one cell per vector."""
     emb = t["embeddings"]
-    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cen_id"), F.col("embedding").alias("cen_vec")
-    )
-    assigned = similarity.assign_cells(emb, centroids)
+    centroids = _ann_centroids(emb)
+    assigned = _ann_cells(emb)
     emb_cells = emb.select("vec_id", "embedding").join(assigned, on="vec_id")
     probed = similarity.probe_cells(
         emb.filter(F.col("vec_id") < N_QUERIES), centroids, n_probe=N_PROBE
@@ -1118,10 +1147,8 @@ def embedding_ann_recall_matrix(t: dict[str, DataFrame]) -> DataFrame:
         .select("query_id", "neighbor_id")
         .withColumn("_hit", F.lit(1))
     )
-    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cen_id"), F.col("embedding").alias("cen_vec")
-    )
-    assigned = similarity.assign_cells(emb, centroids)
+    centroids = _ann_centroids(emb)
+    assigned = _ann_cells(emb)
     emb_cells = emb.select("vec_id", "embedding").join(assigned, on="vec_id")
     variants: list[DataFrame] = []
     for n in RECALL_PROBES:
@@ -1133,11 +1160,9 @@ def embedding_ann_recall_matrix(t: dict[str, DataFrame]) -> DataFrame:
                 F.lit(f"ivf_probe{n}").alias("variant"), "query_id", "neighbor_id"
             )
         )
-    sub_centroids = similarity.pq_subvectors(
-        emb.filter(F.col("vec_id") < PQ_K), PQ_M
-    ).select(F.col("j"), F.col("vec_id").alias("cen_id"), F.col("subvec").alias("cen_sub"))
-    codes = similarity.pq_encode(emb, sub_centroids, PQ_M)
-    pq = similarity.pq_adc_topk(q, codes, sub_centroids, PQ_M, TOP_K, cells=assigned)
+    pq = similarity.pq_adc_topk(
+        q, _ann_pq_codes(emb), _ann_sub_centroids(emb), PQ_M, TOP_K, cells=assigned
+    )
     variants.append(
         pq.select(F.lit("ivfpq").alias("variant"), "query_id", "neighbor_id")
     )

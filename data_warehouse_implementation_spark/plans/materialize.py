@@ -19,6 +19,7 @@ rather than executor memory, at the cost of one write/read cycle.
 from __future__ import annotations
 
 import os
+import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -31,6 +32,16 @@ _CACHE: dict[tuple[str, str], tuple[SparkSession, DataFrame]] = {}
 #: that actually paid it — round-over-round comparisons otherwise read
 #: a family-cache reordering as a per-query regression (VERDICT r5 #6).
 BUILD_LOG: list[str] = []
+
+#: Lockstep with BUILD_LOG: wall seconds each build took, EXCLUSIVE of
+#: nested child builds (a builder that itself calls get_or_build is not
+#: double-charged). Builds are forced eagerly inside get_or_build so the
+#: cost is measured HERE, not inside whichever consumer query happens to
+#: run the first action — this is what makes per-query bench timings
+#: independent of window/bench ordering (VERDICT r8 #2b).
+BUILD_SECONDS: list[float] = []
+
+_CHILD_TIME: list[float] = [0.0]  # per-depth child-build accumulator
 
 
 def get_or_build(
@@ -55,19 +66,34 @@ def get_or_build(
             return df
         # stale entry from a stopped/replaced session — rebuild
         _CACHE.pop((name, sf_dir), None)
+    pos = len(BUILD_LOG)
     BUILD_LOG.append(name)
-    stage_dir = os.environ.get("SPARK_GRAFT_STAGE_DIR")
-    if corpus_scale and stage_dir:
-        # Corpus-scale intermediates don't belong in executor memory at
-        # production scale — persist to a parquet staging table instead
-        # (one write/read cycle; columnar scans thereafter). Keyed by
-        # (name, dataset) exactly like the memory cache.
-        path = os.path.join(stage_dir, f"{name}_{sf_dir.strip('/').replace('/', '_')}")
-        if not os.path.exists(path):
-            builder().write.mode("overwrite").parquet(path)
-        df = spark.read.parquet(path)
-    else:
-        df = builder().cache()
+    BUILD_SECONDS.append(0.0)
+    _CHILD_TIME.append(0.0)
+    t0 = time.perf_counter()
+    try:
+        stage_dir = os.environ.get("SPARK_GRAFT_STAGE_DIR")
+        if corpus_scale and stage_dir:
+            # Corpus-scale intermediates don't belong in executor memory
+            # at production scale — persist to a parquet staging table
+            # instead (one write/read cycle; columnar scans thereafter).
+            # Keyed by (name, dataset) exactly like the memory cache.
+            path = os.path.join(
+                stage_dir, f"{name}_{sf_dir.strip('/').replace('/', '_')}"
+            )
+            if not os.path.exists(path):
+                builder().write.mode("overwrite").parquet(path)
+            df = spark.read.parquet(path)
+        else:
+            df = builder().cache()
+            # Force materialization NOW so the build cost is timed and
+            # attributed here, once, instead of landing on whichever
+            # consumer query runs the cache's first action.
+            df.count()
+    finally:
+        dt = time.perf_counter() - t0
+        BUILD_SECONDS[pos] = round(dt - _CHILD_TIME.pop(), 3)
+        _CHILD_TIME[-1] += dt
     _CACHE[(name, sf_dir)] = (spark, df)
     return df
 
