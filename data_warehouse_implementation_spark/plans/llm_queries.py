@@ -1660,6 +1660,150 @@ FROM d ORDER BY media_id
 """
 
 
+MEDIA_INGEST_DOCS = 200
+
+
+def media_file_ingest(t: dict[str, DataFrame]) -> DataFrame:
+    """RAW-FILE ingestion end-to-end on the CORRECTNESS gate (VERDICT
+    r8 #5 — the binaryFile staging source was pytest-only): a
+    directory-of-objects landing zone is WRITTEN by the executors (one
+    ``<doc_id>.img`` file per document below :data:`MEDIA_INGEST_DOCS`,
+    PPM for most ids / BMP for every third, pixel bytes from the same
+    generating formula as ``media_decode_roundtrip``), then CRAWLED
+    back with ``sources.binaryio.read_binary_media`` (Spark's
+    ``binaryFile`` source: extension glob at the listing, filename-stem
+    media ids), decoded by the real codecs, and reduced to the
+    position-weighted pixel checksum PLUS the on-disk byte size. The
+    oracle recomputes both straight from the formula — file size
+    included (11-byte PPM header / 54-byte BMP header + padded rows) —
+    so a fault anywhere in the write → list → read → id-map → decode
+    chain shifts a value and fails the hash.
+
+    The landing write is a session-cached stage (one executor pass,
+    atomic per-file tmp+rename, idempotent byte-identical re-writes);
+    at production scale the landing zone is the crawler's output on
+    shared object storage and only the crawl-and-decode half runs —
+    ``binaryFile`` listing is driver-side but the content reads are
+    distributed, the shape this query exercises."""
+    import hashlib  # noqa: PLC0415
+    import os as _os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+    from collections.abc import Iterator  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    from ..operators import multimodal
+    from ..sources.binaryio import read_binary_media
+
+    docs = t["documents"].select("doc_id").filter(F.col("doc_id") < MEDIA_INGEST_DOCS)
+    spark = docs.sparkSession
+    key = str(docs.semanticHash())
+    land_dir = _os.path.join(
+        tempfile.gettempdir(),
+        "dwis_media_ingest_" + hashlib.md5(key.encode()).hexdigest()[:12],
+    )
+    _os.makedirs(land_dir, exist_ok=True)
+
+    def write_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Self-contained worker closure (workers don't share the
+        # driver's sys.path): encoders are nested, not module imports.
+        import os as _wos
+        import struct as _struct
+
+        import pandas as _pd
+
+        def enc_ppm(w: int, h: int, px: bytes) -> bytes:
+            return b"P6\n%d %d\n255\n" % (w, h) + px
+
+        def enc_bmp(w: int, h: int, px: bytes) -> bytes:
+            row_bytes = (w * 3 + 3) & ~3
+            pad = b"\x00" * (row_bytes - w * 3)
+            rows = []
+            for y in range(h - 1, -1, -1):
+                row = px[y * w * 3 : (y + 1) * w * 3]
+                rows.append(
+                    b"".join(row[x * 3 : x * 3 + 3][::-1] for x in range(w)) + pad
+                )
+            body = b"".join(rows)
+            off = 14 + 40
+            return (
+                _struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+                + _struct.pack(
+                    "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+                )
+                + body
+            )
+
+        for pdf in batches:
+            n = 0
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 5, 3 + did % 4
+                px = bytes((did * 31 + j) % 256 for j in range(w * h * 3))
+                blob = enc_bmp(w, h, px) if did % 3 == 0 else enc_ppm(w, h, px)
+                final = _wos.path.join(land_dir, f"{did}.img")
+                tmp = final + f".tmp{_wos.getpid()}"  # no .img suffix match
+                with open(tmp, "wb") as fh:
+                    fh.write(blob)
+                _wos.replace(tmp, final)  # atomic; re-writes are byte-identical
+                n += 1
+            yield _pd.DataFrame({"n_written": [n]})
+
+    materialize.get_or_build(
+        "media_ingest_landing",
+        key,
+        lambda: docs.mapInPandas(write_files, "n_written long"),
+    )
+
+    ingested = read_binary_media(spark, land_dir, kind="image", glob="*.img").filter(
+        F.col("media_id") < MEDIA_INGEST_DOCS  # ignore stale larger-N leftovers
+    )
+    sizes = ingested.select("media_id", F.length("payload").alias("n_bytes"))
+    decoded = multimodal.decode_images(ingested, strict=True)
+
+    def weigh(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "codec": pdf["codec"],
+                    "pix_checksum": pdf["pixels"].map(
+                        lambda b: sum((j + 1) * v for j, v in enumerate(b)) % _PIX_P
+                    ),
+                }
+            )
+
+    out_schema = "media_id long, width int, height int, codec string, pix_checksum long"
+    return (
+        decoded.mapInPandas(weigh, out_schema)
+        .join(sizes, on="media_id")
+        .orderBy("media_id")
+    )
+
+
+MEDIA_FILE_INGEST_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+  FROM documents WHERE doc_id < {MEDIA_INGEST_DOCS}
+)
+SELECT doc_id AS media_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CASE WHEN doc_id % 3 = 0 THEN 'bmp' ELSE 'ppm' END AS codec,
+       CAST(list_sum(list_transform(generate_series(1, w * h * 3),
+            j -> j * ((doc_id * 31 + (j - 1)) % 256))) % {_PIX_P} AS BIGINT)
+         AS pix_checksum,
+       CAST(CASE WHEN doc_id % 3 = 0
+                 THEN 54 + ((w * 3 + 3) // 4) * 4 * h
+                 ELSE 11 + w * h * 3 END AS BIGINT) AS n_bytes
+FROM d ORDER BY media_id
+"""
+
+
 PATCH = 2  # ViT patch side for the synthetic 4..8 x 3..6 images
 
 

@@ -103,6 +103,9 @@ _DRIVER_WINDOW = [
     "xml_scan_agg",
     "bpe_token_stats",
     "bpe_fertility_by_lang",
+    # this round's addition: the binaryFile staging source end-to-end
+    # on the oracle gate (write -> crawl -> decode -> checksum)
+    "media_file_ingest",
     # the 40-query round-5 max-staleness cohort (tools/staleness.py --stale 3)
     "avg_qty_gated_revenue_sql",
     "brand_median_price",
@@ -409,6 +412,11 @@ register(
     "media_decode_roundtrip",
     llm_queries.media_decode_roundtrip,
     llm_queries.MEDIA_DECODE_ROUNDTRIP_ORACLE,
+)
+register(
+    "media_file_ingest",
+    llm_queries.media_file_ingest,
+    llm_queries.MEDIA_FILE_INGEST_ORACLE,
 )
 register("order_rollup", analytics.order_rollup, analytics.ORDER_ROLLUP_ORACLE)
 
