@@ -28,6 +28,13 @@ Stage semantics (each the production-shaped choice):
   benchmark doc and shares no 8-gram with the benchmark set (built
   from the FULL corpus — contamination does not care whether the
   benchmark copy was low quality).
+
+Scale posture: RUNBOOK §4.1 maps every stage to its scale mechanism
+and cache tier (survivor sets are doc-id-scale session caches; the
+near-dup pair stack is corpus-scale and spills to parquet staging
+tables under ``SPARK_GRAFT_STAGE_DIR``) — the 100× switch is a config
+change, not a redesign. The streaming twin is
+``streaming/pipelines.py::curation_admission_sink``.
 """
 
 from __future__ import annotations

@@ -6,6 +6,7 @@ maintenance."""
 from .pipelines import (  # noqa: F401
     cms_estimate,
     cms_sketch_sink,
+    curation_admission_sink,
     dedup_stream,
     enrich_stream,
     events_stream_schema,

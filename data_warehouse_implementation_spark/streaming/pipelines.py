@@ -424,6 +424,170 @@ def incremental_dedup_sink(
     )
 
 
+def curation_admission_sink(
+    stream: DataFrame,
+    catalog: WarehouseCatalog,
+    prefix: str,
+    checkpoint: str,
+    benchmark: DataFrame,
+    min_words: int = 5,
+    max_words: int = 100_000,
+    min_quality: float = 0.0,
+    decontam_n: int = 8,
+    n_shingle: int = 3,
+    k: int = 16,
+    bands: int = 8,
+    rows: int = 2,
+    threshold: float = 0.5,
+):
+    """Incremental CURATION admission (VERDICT r8 #8) — the streaming
+    twin of the batch curation ladder's admission stages (RUNBOOK
+    §4.1), composed from pieces that each already exist: per
+    micro-batch,
+
+    1. stateless quality filter (``operators.text.quality_filter`` —
+       the exact expression the batch ladder's stage 1 uses),
+    2. benchmark decontamination: drop docs that ARE benchmark members
+       or share a ``decontam_n``-gram with the FIXED broadcast
+       benchmark shingle set (order matters: decontaminating BEFORE
+       dedup means a contaminated doc can never enter the corpus state
+       and permanently shadow a clean near-copy arriving later),
+    3. near-dup admission against the STANDING admitted corpus
+       (hashed shingles → minhash → banded LSH candidates →
+       exact-Jaccard verify, the ``incremental_dedup_sink`` shape):
+       keep-first-by-arrival.
+
+    Admitted docs append their bands/tids and text to the state tables
+    ``{prefix}_bands`` / ``{prefix}_tids`` / ``{prefix}_admitted``;
+    every input doc gets one row in ``{prefix}_verdicts`` recording the
+    REJECTING stage (``admitted`` / ``quality`` / ``contaminated`` /
+    ``duplicate`` + corpus match). Replay-idempotent per ``batch_id``:
+    each table's rows for a replayed batch are deleted before
+    re-insert, the same contract as the CMS/rollup/IVF sinks.
+
+    Parity contract (tested incl. a cross-batch near-duplicate): the
+    admitted set equals a one-shot batch pass over the concatenated
+    stream — quality ∧ clean ∧ not-near-dup-of-any-earlier-ADMITTED
+    doc — built from the SAME operator expressions, so the parity is
+    structural. Intra-batch duplicates are both admitted if novel vs
+    the corpus, exactly as in ``incremental_dedup_sink``."""
+    from pyspark.sql import functions as SF  # local alias for closures
+
+    from ..operators import dedup
+    from ..operators import text as text_ops
+
+    bench_ids = benchmark.select("doc_id")
+    bench_grams = (
+        dedup.word_shingles(benchmark, n=decontam_n).select("shingle").distinct()
+    )
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.select("doc_id", "text")
+        # replay idempotence: drop any prior attempt of THIS batch
+        for tname in ("verdicts", "bands", "tids", "admitted"):
+            full = f"{prefix}_{tname}"
+            if catalog.exists(full):
+                catalog.delete_where(full, f"batch_id = {int(batch_id)}")
+
+        qf = text_ops.quality_filter(
+            batch, min_words=min_words, max_words=max_words, min_quality=min_quality
+        )
+        kept_q = qf.filter(SF.col("verdict") == "kept").select("doc_id")
+        contaminated = (
+            dedup.word_shingles(
+                batch.join(kept_q, on="doc_id", how="left_semi"), n=decontam_n
+            )
+            .join(SF.broadcast(bench_grams), on="shingle", how="left_semi")
+            .select("doc_id")
+            .distinct()
+            .unionByName(kept_q.join(bench_ids, on="doc_id", how="left_semi"))
+            .distinct()
+        )
+        survivors = batch.join(kept_q, on="doc_id", how="left_semi").join(
+            contaminated, on="doc_id", how="left_anti"
+        )
+
+        tids_new = dedup.shingle_ids(
+            dedup.word_shingles(survivors, n=n_shingle), hashed=True
+        )
+        bands_new = dedup.lsh_bands(
+            dedup.minhash_signatures(tids_new, k=k), bands=bands, rows=rows
+        )
+        if catalog.exists(f"{prefix}_bands"):
+            old_bands = catalog.table(f"{prefix}_bands")
+            old_tids = catalog.table(f"{prefix}_tids")
+            cands = (
+                bands_new.select(SF.col("doc_id").alias("doc_a"), "band_id", "band_key")
+                .join(
+                    old_bands.select(
+                        SF.col("doc_id").alias("doc_b"), "band_id", "band_key"
+                    ),
+                    on=["band_id", "band_key"],
+                )
+                .select("doc_a", "doc_b")
+                .distinct()
+            )
+            verified = dedup.pairwise_jaccard(
+                cands, tids_new.unionByName(old_tids.drop("batch_id"))
+            ).filter(SF.col("jaccard") >= threshold)
+            best = verified.groupBy("doc_a").agg(
+                SF.max_by("doc_b", SF.struct("jaccard", SF.col("doc_b"))).alias(
+                    "matched_corpus_id"
+                ),
+                SF.max("jaccard").alias("jaccard"),
+            )
+        else:
+            best = batch.sparkSession.createDataFrame(
+                [], "doc_a long, matched_corpus_id long, jaccard double"
+            )
+
+        verdicts = (
+            batch.select("doc_id")
+            .join(kept_q.withColumn("_q", SF.lit(True)), on="doc_id", how="left")
+            .join(
+                contaminated.withColumn("_c", SF.lit(True)), on="doc_id", how="left"
+            )
+            .join(best.withColumnRenamed("doc_a", "doc_id"), on="doc_id", how="left")
+            .select(
+                "doc_id",
+                SF.lit(batch_id).alias("batch_id"),
+                SF.when(SF.col("_q").isNull(), SF.lit("quality"))
+                .when(SF.col("_c").isNotNull(), SF.lit("contaminated"))
+                .when(SF.col("matched_corpus_id").isNotNull(), SF.lit("duplicate"))
+                .otherwise(SF.lit("admitted"))
+                .alias("stage"),
+                "matched_corpus_id",
+                "jaccard",
+            )
+        )
+        # verdicts must be decided before the state tables grow below
+        verdicts = verdicts.localCheckpoint()
+        admitted = verdicts.filter(SF.col("stage") == "admitted").select("doc_id")
+        for name, df in (
+            (f"{prefix}_bands", bands_new),
+            (f"{prefix}_tids", tids_new),
+            (f"{prefix}_admitted", batch),
+        ):
+            admit_rows = df.join(admitted, on="doc_id", how="left_semi").withColumn(
+                "batch_id", SF.lit(batch_id)
+            )
+            if catalog.exists(name):
+                catalog.insert_into(name, admit_rows)
+            else:
+                catalog.write(name, admit_rows)
+        if catalog.exists(f"{prefix}_verdicts"):
+            catalog.insert_into(f"{prefix}_verdicts", verdicts)
+        else:
+            catalog.write(f"{prefix}_verdicts", verdicts)
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def enrich_stream(
     stream: DataFrame, dim: DataFrame, on: list[str] | str, how: str = "left"
 ) -> DataFrame:

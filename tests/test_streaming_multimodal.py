@@ -469,6 +469,136 @@ def test_incremental_dedup_sink_admits_novel_rejects_dups(spark, tmp_dir):
     assert state_docs == {1, 2, 11}
 
 
+def test_curation_admission_sink_parity_with_batch(spark, tmp_dir):
+    """VERDICT r8 #8 — the incremental curation ladder: two micro-
+    batches through quality filter → benchmark decontamination →
+    near-dup admission must (a) reject each doc at the right stage,
+    including a CROSS-BATCH near-duplicate of an admitted batch-1 doc,
+    (b) admit a near-copy of a CONTAMINATED doc (rejected docs never
+    enter the corpus state, so they cannot shadow clean arrivals), and
+    (c) equal the one-shot batch admission over the concatenated
+    stream, computed from the SAME operator expressions. Replaying
+    under a fresh checkpoint must leave state and verdicts unchanged."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_warehouse_implementation_spark.operators import dedup
+    from data_warehouse_implementation_spark.operators import text as text_ops
+
+    base = (
+        "the quick brown fox jumps over a lazy dog and the cat sits "
+        "in the warm sun of a quiet afternoon to rest and dream"
+    )
+    base2 = (
+        "a measured essay about the craft of writing and the value of "
+        "revision in the long slow work of thought and expression"
+    )
+    bench_text = (
+        "the secret benchmark passage lives here with its own special "
+        "eight gram signature of unusual words in a row"
+    )
+    b1 = [
+        (1, base),                       # admitted
+        (2, "too short"),                # rejected: quality
+        (3, base2 + " " + bench_text),   # rejected: contaminated
+    ]
+    b2 = [
+        (10, base.replace("fox", "wolf")),  # rejected: cross-batch near-dup of 1
+        (11, (
+            "an unrelated report on the state of the harvest and the "
+            "price of grain in the markets of the eastern provinces"
+        )),                              # admitted
+        (12, base2),                     # admitted: near-copy of REJECTED 3
+    ]
+    src = os.path.join(tmp_dir, "cur_src")
+    os.makedirs(src)
+    for i, rows in enumerate([b1, b2]):
+        p = os.path.join(src, f"b{i}.parquet")
+        pq.write_table(
+            pa.table({"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]}), p
+        )
+        os.utime(p, (1_700_000_000 + 60 * i, 1_700_000_000 + 60 * i))
+
+    benchmark = spark.createDataFrame([(900, bench_text)], "doc_id long, text string")
+    cat = WarehouseCatalog(spark, os.path.join(tmp_dir, "cur_wh"))
+    params = dict(
+        benchmark=benchmark, min_words=5, max_words=200, min_quality=0.0,
+        decontam_n=8, n_shingle=3, k=16, bands=8, rows=2, threshold=0.5,
+    )
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = streaming.curation_admission_sink(
+            stream, cat, "cur", checkpoint=os.path.join(tmp_dir, ckpt), **params
+        )
+        q.awaitTermination()
+
+    run("ckpt_cur")
+    v = {r.doc_id: r for r in cat.table("cur_verdicts").collect()}
+    assert {d: r.stage for d, r in v.items()} == {
+        1: "admitted", 2: "quality", 3: "contaminated",
+        10: "duplicate", 11: "admitted", 12: "admitted",
+    }
+    assert v[10].matched_corpus_id == 1 and v[10].jaccard >= 0.5
+    admitted = {r.doc_id for r in cat.table("cur_admitted").collect()}
+    assert admitted == {1, 11, 12}
+    state_docs = {
+        r.doc_id for r in cat.table("cur_tids").select("doc_id").distinct().collect()
+    }
+    assert state_docs == admitted
+
+    # (c) one-shot batch admission over the concatenated stream, from
+    # the same operator expressions: quality ∧ clean ∧ not-near-dup of
+    # any earlier-ADMITTED doc
+    all_docs = spark.createDataFrame(b1 + b2, "doc_id long, text string")
+    kept_q = (
+        text_ops.quality_filter(all_docs, min_words=5, max_words=200, min_quality=0.0)
+        .filter(F.col("verdict") == "kept").select("doc_id")
+    )
+    bench_grams = dedup.word_shingles(benchmark, n=8).select("shingle").distinct()
+    contaminated = (
+        dedup.word_shingles(all_docs.join(kept_q, "doc_id", "left_semi"), n=8)
+        .join(bench_grams, on="shingle", how="left_semi")
+        .select("doc_id").distinct()
+    )
+    survivors = all_docs.join(kept_q, "doc_id", "left_semi").join(
+        contaminated, "doc_id", "left_anti"
+    )
+    tids = dedup.shingle_ids(dedup.word_shingles(survivors, n=3), hashed=True)
+    bands_t = dedup.lsh_bands(dedup.minhash_signatures(tids, k=16), bands=8, rows=2)
+    b1_admitted = {1}  # batch-1 survivors (no standing state to collide with)
+    cands = (
+        bands_t.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
+        .join(
+            bands_t.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key"),
+            on=["band_id", "band_key"],
+        )
+        .filter(F.col("doc_a") >= 10)
+        .filter(F.col("doc_b").isin(list(b1_admitted)))
+        .select("doc_a", "doc_b").distinct()
+    )
+    dup2 = {
+        r.doc_a
+        for r in dedup.pairwise_jaccard(cands, tids)
+        .filter(F.col("jaccard") >= 0.5).collect()
+    }
+    one_shot_admitted = b1_admitted | (
+        {r.doc_id for r in survivors.collect() if r.doc_id >= 10} - dup2
+    )
+    assert one_shot_admitted == admitted
+
+    # replay idempotence: fresh checkpoint, same source, identical state
+    before = sorted((r.doc_id, r.batch_id, r.stage) for r in cat.table("cur_verdicts").collect())
+    run("ckpt_cur_replay")
+    after = sorted((r.doc_id, r.batch_id, r.stage) for r in cat.table("cur_verdicts").collect())
+    assert after == before
+    assert {r.doc_id for r in cat.table("cur_admitted").collect()} == admitted
+
+
 def test_cms_sketch_sink_parity_with_batch(spark, tmp_dir):
     """Two micro-batches of keyed events through the streaming count-min
     sink must yield EXACTLY the estimates of one batch sketch over the
