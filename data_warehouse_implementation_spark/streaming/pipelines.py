@@ -348,6 +348,11 @@ def incremental_dedup_sink(
     duplicates are not split here (both admitted if novel vs the
     corpus) — run the batch exact/near-dup pass inside the batch first
     if at-least-once sources can replay documents within one trigger.
+
+    Replay-idempotent per ``batch_id`` (foreachBatch is at-least-once):
+    every state/verdict table carries the batch id and a replayed
+    batch's rows are deleted before the re-insert — the same contract
+    as the CMS, rollup, IVF, and curation sinks.
     """
     from pyspark.sql import functions as SF  # local alias for closures
 
@@ -355,6 +360,10 @@ def incremental_dedup_sink(
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         batch = batch.select("doc_id", "text")
+        for tname in ("bands", "tids", "verdicts"):
+            full = f"{prefix}_{tname}"
+            if catalog.exists(full):
+                catalog.delete_where(full, f"batch_id = {int(batch_id)}")
         tids_new = dedup.shingle_ids(
             dedup.word_shingles(batch, n=n_shingle), hashed=True
         )
@@ -376,7 +385,7 @@ def incremental_dedup_sink(
                 .distinct()
             )
             verified = dedup.pairwise_jaccard(
-                cands, tids_new.unionByName(old_tids)
+                cands, tids_new.unionByName(old_tids.drop("batch_id"))
             ).filter(SF.col("jaccard") >= threshold)
             best = verified.groupBy("doc_a").agg(
                 SF.max_by("doc_b", SF.struct("jaccard", SF.col("doc_b"))).alias(
@@ -406,7 +415,9 @@ def incremental_dedup_sink(
             (f"{prefix}_bands", bands_new),
             (f"{prefix}_tids", tids_new),
         ):
-            admit_rows = df.join(admitted, on="doc_id", how="left_semi")
+            admit_rows = df.join(admitted, on="doc_id", how="left_semi").withColumn(
+                "batch_id", SF.lit(batch_id)
+            )
             if catalog.exists(name):
                 catalog.insert_into(name, admit_rows)
             else:

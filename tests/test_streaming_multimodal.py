@@ -449,16 +449,19 @@ def test_incremental_dedup_sink_admits_novel_rejects_dups(spark, tmp_dir):
         os.utime(p, (1_700_000_000 + 60 * i, 1_700_000_000 + 60 * i))
 
     cat = WarehouseCatalog(spark, os.path.join(tmp_dir, "dedup_wh"))
-    stream = (
-        spark.readStream.schema("doc_id long, text string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    q = streaming.incremental_dedup_sink(
-        stream, cat, "corpus", checkpoint=os.path.join(tmp_dir, "ckpt_dedup")
-    )
-    q.awaitTermination()
 
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = streaming.incremental_dedup_sink(
+            stream, cat, "corpus", checkpoint=os.path.join(tmp_dir, ckpt)
+        )
+        q.awaitTermination()
+
+    run("ckpt_dedup")
     v = {r.doc_id: r for r in cat.table("corpus_verdicts").collect()}
     assert set(v) == {1, 2, 10, 11}
     assert not v[1].is_dup and not v[2].is_dup and not v[11].is_dup
@@ -467,6 +470,19 @@ def test_incremental_dedup_sink_admits_novel_rejects_dups(spark, tmp_dir):
     # state holds only admitted docs
     state_docs = {r.doc_id for r in cat.table("corpus_tids").select("doc_id").distinct().collect()}
     assert state_docs == {1, 2, 11}
+
+    # replay idempotence: a fresh checkpoint re-delivers both batches;
+    # batch_id-keyed delete-first must leave state and verdicts unchanged
+    before_state = sorted(
+        tuple(r) for r in cat.table("corpus_tids").collect()
+    )
+    before_verdicts = sorted(tuple(r) for r in cat.table("corpus_verdicts").collect())
+    run("ckpt_dedup_replay")
+    assert sorted(tuple(r) for r in cat.table("corpus_tids").collect()) == before_state
+    assert (
+        sorted(tuple(r) for r in cat.table("corpus_verdicts").collect())
+        == before_verdicts
+    )
 
 
 def test_curation_admission_sink_parity_with_batch(spark, tmp_dir):
