@@ -276,6 +276,39 @@ def test_corpus_scale_cache_stages_to_parquet(spark, tmp_path, monkeypatch):
     assert any(d.startswith("near_dup_doc_tids_rank") for d in staged), staged
 
 
+def test_curation_and_ann_in_staged_cache_mode(spark, tmp_path, monkeypatch):
+    """RUNBOOK §4.1's claim that the 100× switch is a config change:
+    the END-TO-END curation ladder and the IVF+PQ ANN stack must return
+    identical results when every corpus-scale session cache (near-dup
+    shingles/bands/pairs, ANN cell assignment, PQ codes) is staged to
+    parquet via SPARK_GRAFT_STAGE_DIR instead of executor memory — and
+    the ANN staging tables must actually exist on disk."""
+    import os as _os
+
+    from data_warehouse_implementation_spark.plans import (
+        curation,
+        llm_queries,
+        materialize,
+    )
+
+    t = load_tables(spark, SF)
+    want_cur = [tuple(r) for r in curation.corpus_curation_e2e(t).collect()]
+    want_ann = [tuple(r) for r in llm_queries.embedding_ann_ivfpq(t).collect()]
+    materialize.clear()
+    stage = str(tmp_path / "stage")
+    monkeypatch.setenv("SPARK_GRAFT_STAGE_DIR", stage)
+    try:
+        got_cur = [tuple(r) for r in curation.corpus_curation_e2e(t).collect()]
+        got_ann = [tuple(r) for r in llm_queries.embedding_ann_ivfpq(t).collect()]
+    finally:
+        materialize.clear()
+    assert got_cur == want_cur and len(got_cur) > 0
+    assert got_ann == want_ann and len(got_ann) > 0
+    staged = _os.listdir(stage)
+    for prefix in ("ann_cells", "ann_pq_codes"):
+        assert any(d.startswith(prefix) for d in staged), (prefix, staged)
+
+
 def test_multiprobe_recall_dominates_single_probe(spark):
     """2-probe candidates are a superset of 1-probe candidates, so
     multiprobe recall vs brute force must be >= single-probe recall."""
