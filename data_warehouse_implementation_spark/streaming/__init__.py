@@ -7,6 +7,7 @@ from .pipelines import (  # noqa: F401
     cms_estimate,
     cms_sketch_sink,
     curation_admission_sink,
+    curation_sequences_from_state,
     dedup_stream,
     enrich_stream,
     events_stream_schema,

@@ -599,6 +599,33 @@ def curation_admission_sink(
     )
 
 
+def curation_sequences_from_state(
+    catalog: WarehouseCatalog,
+    prefix: str,
+    seq_budget: int,
+    chunk_size: int,
+    chunk_stride: int | None = None,
+) -> DataFrame:
+    """Pack training sequences from the continuously-admitted curation
+    corpus — the analysis-side reader that completes the streaming
+    ladder (crawl → :func:`curation_admission_sink` admission →
+    training sequences): one ``pack_sequences`` pass (the two-phase
+    distributed cumsum, no global window) over the ``{prefix}_admitted``
+    state table. Results are IDENTICAL to batch packing over the same
+    admitted set (parity-tested) because packing is a pure function of
+    the set — the same batch/stream sharing contract as
+    ``rollup_month_from_state`` and ``substring_census_from_state``."""
+    from ..operators import corpus as corpus_ops
+
+    admitted = catalog.table(f"{prefix}_admitted").select("doc_id", "text")
+    return corpus_ops.pack_sequences(
+        admitted,
+        seq_budget=seq_budget,
+        chunk_size=chunk_size,
+        chunk_stride=chunk_stride if chunk_stride is not None else chunk_size,
+    )
+
+
 def enrich_stream(
     stream: DataFrame, dim: DataFrame, on: list[str] | str, how: str = "left"
 ) -> DataFrame:

@@ -614,6 +614,25 @@ def test_curation_admission_sink_parity_with_batch(spark, tmp_dir):
     assert after == before
     assert {r.doc_id for r in cat.table("cur_admitted").collect()} == admitted
 
+    # the ladder's last step: training sequences packed from the
+    # admitted STATE equal batch packing over the same document set
+    from data_warehouse_implementation_spark.operators import corpus as corpus_ops
+
+    got_seq = sorted(
+        tuple(r)
+        for r in streaming.curation_sequences_from_state(
+            cat, "cur", seq_budget=16, chunk_size=8
+        ).collect()
+    )
+    want_seq = sorted(
+        tuple(r)
+        for r in corpus_ops.pack_sequences(
+            all_docs.filter(F.col("doc_id").isin(sorted(admitted))),
+            seq_budget=16, chunk_size=8, chunk_stride=8,
+        ).collect()
+    )
+    assert got_seq == want_seq and len(got_seq) > 0
+
 
 def test_cms_sketch_sink_parity_with_batch(spark, tmp_dir):
     """Two micro-batches of keyed events through the streaming count-min
