@@ -1758,7 +1758,9 @@ def media_file_ingest(t: dict[str, DataFrame]) -> DataFrame:
     ingested = read_binary_media(spark, land_dir, kind="image", glob="*.img").filter(
         F.col("media_id") < MEDIA_INGEST_DOCS  # ignore stale larger-N leftovers
     )
-    sizes = ingested.select("media_id", F.length("payload").alias("n_bytes"))
+    sizes = ingested.select(
+        "media_id", F.length("payload").cast("long").alias("n_bytes")
+    )
     decoded = multimodal.decode_images(ingested, strict=True)
 
     def weigh(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2147,10 +2149,7 @@ def embedding_kmeans_refine(t: dict[str, DataFrame]) -> DataFrame:
     differential the whole mechanism (the oracle replays assignment AND
     the order-defined mean fold)."""
     emb = t["embeddings"]
-    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cen_id"), F.col("embedding").alias("cen_vec")
-    )
-    assigned = similarity.assign_cells(emb, centroids)
+    assigned = _ann_cells(emb)  # the family's shared cell assignment
     vec_cells = emb.select("vec_id", "embedding").join(assigned, on="vec_id")
     return similarity.centroid_update(vec_cells).orderBy("cell_id", "pos")
 

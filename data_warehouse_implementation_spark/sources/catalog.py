@@ -340,6 +340,16 @@ class WarehouseCatalog:
 
     def delete_where(self, name: str, condition: str) -> None:
         """Predicate delete = keep the complement (batch formulation of
-        row deletes). Guarded like all destructive ops."""
+        row deletes). Guarded like all destructive ops.
+
+        NO-OP fast path: when the predicate matches nothing, skip the
+        rewrite entirely. A delete is a full read + overwrite + version
+        archive, and the streaming sinks call this once per state table
+        per micro-batch for replay idempotence — on the normal
+        (no-replay) path the probe is one pruned scan and the state is
+        never rewritten, keeping per-batch cost O(batch), not O(state)."""
         self._check_mutable(name)
-        self.replace(name, self.table(name).filter(f"NOT ({condition})"))
+        current = self.table(name)
+        if current.filter(condition).limit(1).count() == 0:
+            return
+        self.replace(name, current.filter(f"NOT ({condition})"))

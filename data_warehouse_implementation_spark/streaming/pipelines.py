@@ -308,6 +308,18 @@ def incremental_scd3_sink(
     )
 
 
+def _ensure_batch_id(catalog: WarehouseCatalog, name: str) -> None:
+    """One-time state-layout migration: tables written by the sinks'
+    pre-idempotence layout carry no ``batch_id`` column, and a
+    ``delete_where('batch_id = N')`` over them would die with an
+    unresolved-column error on the first micro-batch after an upgrade.
+    Tag such legacy rows with batch_id = -1 (never a real foreachBatch
+    id) so replay deletes skip them and inserts stay schema-aligned."""
+    tbl = catalog.table(name)
+    if "batch_id" not in tbl.columns:
+        catalog.replace(name, tbl.withColumn("batch_id", F.lit(-1)), internal=True)
+
+
 def _empty_like(spark: SparkSession, batch: DataFrame, order_col: str) -> DataFrame:
     base = batch.drop(order_col).schema
     from pyspark.sql.types import BooleanType, DateType, StructField, StructType
@@ -363,13 +375,18 @@ def incremental_dedup_sink(
         for tname in ("bands", "tids", "verdicts"):
             full = f"{prefix}_{tname}"
             if catalog.exists(full):
+                _ensure_batch_id(catalog, full)
                 catalog.delete_where(full, f"batch_id = {int(batch_id)}")
+        # checkpoint the batch-scale shingle/band tables: the verdict
+        # join AND the two state inserts each run an action over them —
+        # left lazy, every action re-pays the shingle->minhash->band
+        # pipeline (3x the dominant map-side cost per trigger)
         tids_new = dedup.shingle_ids(
             dedup.word_shingles(batch, n=n_shingle), hashed=True
-        )
+        ).localCheckpoint()
         bands_new = dedup.lsh_bands(
             dedup.minhash_signatures(tids_new, k=k), bands=bands, rows=rows
-        )
+        ).localCheckpoint()
         if catalog.exists(f"{prefix}_bands"):
             old_bands = catalog.table(f"{prefix}_bands")
             old_tids = catalog.table(f"{prefix}_tids")
@@ -498,6 +515,7 @@ def curation_admission_sink(
         for tname in ("verdicts", "bands", "tids", "admitted"):
             full = f"{prefix}_{tname}"
             if catalog.exists(full):
+                _ensure_batch_id(catalog, full)
                 catalog.delete_where(full, f"batch_id = {int(batch_id)}")
 
         qf = text_ops.quality_filter(
@@ -518,12 +536,14 @@ def curation_admission_sink(
             contaminated, on="doc_id", how="left_anti"
         )
 
+        # checkpointed for the same reason as in incremental_dedup_sink:
+        # the verdict join and both state inserts each force these
         tids_new = dedup.shingle_ids(
             dedup.word_shingles(survivors, n=n_shingle), hashed=True
-        )
+        ).localCheckpoint()
         bands_new = dedup.lsh_bands(
             dedup.minhash_signatures(tids_new, k=k), bands=bands, rows=rows
-        )
+        ).localCheckpoint()
         if catalog.exists(f"{prefix}_bands"):
             old_bands = catalog.table(f"{prefix}_bands")
             old_tids = catalog.table(f"{prefix}_tids")

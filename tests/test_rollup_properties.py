@@ -135,15 +135,28 @@ def test_cascade_skew_stress(spark):
     # the string prints top-down (final agg, then Exchange, then partial
     # agg over the scan), so the partial must sit BELOW the exchange
     assert plan.index("partial_count") > plan.index("Exchange"), plan
+    # quantify the shuffle volume the map-side combine produces: group
+    # the INPUT by (map partition, key) — one row per key a task saw is
+    # exactly what each task ships after partial aggregation. The hot
+    # key crosses the wire as one partial per task, never as its ~180k
+    # raw rows, which is WHY no reducer can be skewed by it.
     n_keys = hours.count()
-    census = [
-        r["count"]
-        for r in hours.withColumn("pid", F.spark_partition_id())
-        .groupBy("pid")
-        .agg(F.count(F.lit(1)).alias("count"))
+    shipped = (
+        ev.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid", F.date_trunc("hour", "ts_us").alias("hour"), "event_type")
+        .count()
+    )
+    n_shipped = shipped.count()
+    n_tasks = ev.rdd.getNumPartitions()
+    assert n_shipped <= n_tasks * n_keys, (n_shipped, n_tasks, n_keys)
+    assert n_shipped < n / 100, f"partial agg must collapse the shuffle: {n_shipped}"
+    per_key_max = max(
+        r["m"]
+        for r in shipped.groupBy("hour", "event_type")
+        .agg(F.max("count").alias("m"))
         .collect()
-    ]
-    assert max(census) <= n_keys, (census, n_keys)
+    )
+    assert per_key_max > 500, "generator failed to make the hot key task-dominant"
 
     # (3) the salted escape hatch is a drop-in for the same partials
     salted_hours = salted_two_phase_agg(

@@ -634,6 +634,50 @@ def test_curation_admission_sink_parity_with_batch(spark, tmp_dir):
     assert got_seq == want_seq and len(got_seq) > 0
 
 
+def test_dedup_sink_migrates_legacy_state_without_batch_id(spark, tmp_dir):
+    """State tables written by the pre-idempotence sink layout carry no
+    batch_id column; the upgraded sink must migrate them in place
+    (legacy rows tagged batch_id = -1) instead of dying with an
+    unresolved-column error on the first micro-batch, and the standing
+    corpus must still reject near-duplicates of legacy-admitted docs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_warehouse_implementation_spark.operators import dedup
+
+    base = (
+        "one two three four five six seven eight nine ten eleven twelve "
+        "thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    )
+    legacy = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    cat = WarehouseCatalog(spark, os.path.join(tmp_dir, "legacy_wh"))
+    tids = dedup.shingle_ids(dedup.word_shingles(legacy, n=3), hashed=True)
+    cat.write("corpus_tids", tids)  # legacy layout: NO batch_id column
+    cat.write(
+        "corpus_bands",
+        dedup.lsh_bands(dedup.minhash_signatures(tids, k=16), bands=8, rows=2),
+    )
+
+    src = os.path.join(tmp_dir, "legacy_src")
+    os.makedirs(src)
+    rows = [(10, base.replace("seven", "SEVEN7")), (11, "fresh novel words entirely unrelated to the admitted corpus")]
+    pq.write_table(
+        pa.table({"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]}),
+        os.path.join(src, "b0.parquet"),
+    )
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = streaming.incremental_dedup_sink(
+        stream, cat, "corpus", checkpoint=os.path.join(tmp_dir, "ckpt_legacy")
+    )
+    q.awaitTermination()
+
+    v = {r.doc_id: r for r in cat.table("corpus_verdicts").collect()}
+    assert v[10].is_dup and v[10].matched_corpus_id == 1
+    assert not v[11].is_dup
+    legacy_rows = cat.table("corpus_tids").filter("doc_id = 1").collect()
+    assert legacy_rows and all(r.batch_id == -1 for r in legacy_rows)
+
+
 def test_cms_sketch_sink_parity_with_batch(spark, tmp_dir):
     """Two micro-batches of keyed events through the streaming count-min
     sink must yield EXACTLY the estimates of one batch sketch over the
