@@ -97,8 +97,15 @@ def hyperplane_signature(
             lambda acc, x: acc + x,
         )
 
+    # shiftleft, not a Python 1 << i literal: bit 63 as a Python int
+    # exceeds long range, while shiftleft yields the correct two's-
+    # complement pattern (Long.MIN_VALUE) — adding it to the positive
+    # lower-bit terms never overflows, so full 64-bit signatures pack
+    # into one long even under ANSI arithmetic.
     bit_terms = [
-        F.when(proj(i) >= 0, F.lit(1 << i)).otherwise(F.lit(0)) for i in range(n_bits)
+        F.when(proj(i) >= 0, F.shiftleft(F.lit(1).cast("long"), i))
+        .otherwise(F.lit(0).cast("long"))
+        for i in range(n_bits)
     ]
     sig = sum(bit_terms[1:], bit_terms[0]).cast("long")
     return base.select(id_col, sig.alias(sig_col))

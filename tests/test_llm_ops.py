@@ -256,6 +256,44 @@ def test_pq_adc_exact_on_duplicate_vectors(spark):
     assert first.adc_dist2 == 0.0
 
 
+def test_hyperplane_signature_packs_full_64_bits(spark):
+    """The sign-LSH signature must pack correctly up to the full 64-bit
+    long — including bit 63, whose shifted term is Long.MIN_VALUE (a
+    Python `1 << 63` literal overflows a long, the round-9 packing
+    fix): every band extracted from the packed long equals the band
+    recomputed bit-by-bit from the projection signs."""
+    from data_warehouse_implementation_spark.operators import similarity
+
+    HYPERPLANE_SCALE = similarity.HYPERPLANE_SCALE
+    vecs = spark.createDataFrame(
+        [(i, [((i * 13 + j * 7) % 19 - 9) / 3.0 for j in range(8)]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    sig = {r.vec_id: r.hypersig for r in
+           similarity.hyperplane_signature(vecs, n_bits=64).collect()}
+    # python replay of the documented integer arithmetic
+    rows = {r.vec_id: r.embedding for r in vecs.collect()}
+    any_negative = False
+    for vid, v in rows.items():
+        q = [round(x * HYPERPLANE_SCALE) for x in v]
+        bits = []
+        for i in range(64):
+            w = [((i * 131 + 7) + j * 31) * 2654435761 % 97 - 48 for j in range(len(q))]
+            bits.append(1 if sum(a * b for a, b in zip(q, w)) >= 0 else 0)
+        expected = sum(b << i for b, i in zip(bits, range(64)))
+        if expected >= 1 << 63:  # two's-complement long
+            expected -= 1 << 64
+        any_negative = any_negative or expected < 0
+        assert sig[vid] == expected, (vid, sig[vid], expected)
+        # band extraction (the query-side shiftright+mask) survives the
+        # sign bit: check all eight 8-bit bands
+        for b in range(8):
+            got_band = (sig[vid] >> (b * 8)) & 0xFF
+            want_band = sum(bit << k for k, bit in enumerate(bits[b * 8 : b * 8 + 8]))
+            assert got_band == want_band
+    assert any_negative, "test data must exercise a set bit 63"
+
+
 def test_corpus_scale_cache_stages_to_parquet(spark, tmp_path, monkeypatch):
     """With SPARK_GRAFT_STAGE_DIR set, corpus-scale intermediates are
     persisted as parquet staging tables (not executor memory) and the
