@@ -78,6 +78,10 @@ def hyperplane_signature(
     into one long. Dimension-agnostic (weights are generated in-plan
     from ``sequence(0, size(v)-1)``), and every step is portable
     modular arithmetic an oracle can replay."""
+    if not 1 <= n_bits <= 64:
+        # one packed long holds at most 64 sign bits; past that the JVM
+        # shift wraps mod 64 and bit 64 would silently alias bit 0
+        raise ValueError(f"n_bits must be in 1..64, got {n_bits}")
     q = F.transform(
         F.col(vec_col).cast("array<double>"),
         lambda x: F.round(x * HYPERPLANE_SCALE).cast("long"),

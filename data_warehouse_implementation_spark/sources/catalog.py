@@ -342,6 +342,11 @@ class WarehouseCatalog:
         """Predicate delete = keep the complement (batch formulation of
         row deletes). Guarded like all destructive ops.
 
+        Deletes exactly the rows where the predicate is TRUE; rows
+        where it evaluates to NULL are kept (null-safe complement —
+        a bare ``NOT(cond)`` rewrite would drop them as collateral,
+        and only when some other row happened to match).
+
         NO-OP fast path: when the predicate matches nothing, skip the
         rewrite entirely. A delete is a full read + overwrite + version
         archive, and the streaming sinks call this once per state table
@@ -352,4 +357,7 @@ class WarehouseCatalog:
         current = self.table(name)
         if current.filter(condition).limit(1).count() == 0:
             return
-        self.replace(name, current.filter(f"NOT ({condition})"))
+        self.replace(
+            name,
+            current.filter(f"NOT ({condition}) OR ({condition}) IS NULL"),
+        )

@@ -1002,19 +1002,10 @@ def rollup_hour_sink(
         )
         tbl = f"{prefix}_hours"
         if catalog.exists(tbl):
-            # Unlike the bounded CMS cell table, this state GROWS with
-            # (batch, hour, event_type) triples, and delete_where
-            # rewrites the whole table — so probe for a replayed batch
-            # first and pay the rewrite only on actual replay (the
-            # common non-replay path is append-only).
-            replayed = (
-                catalog.table(tbl)
-                .filter(F.col("batch_id") == int(batch_id))
-                .limit(1)
-                .count()
-            )
-            if replayed:
-                catalog.delete_where(tbl, f"batch_id = {int(batch_id)}")
+            # delete_where itself probes first and skips the rewrite
+            # when the batch was never seen, so the common non-replay
+            # path stays append-only (one pruned scan, no rewrite)
+            catalog.delete_where(tbl, f"batch_id = {int(batch_id)}")
             catalog.insert_into(tbl, hours)
         else:
             catalog.write(tbl, hours)

@@ -148,15 +148,25 @@ def test_cascade_skew_stress(spark):
     )
     n_shipped = shipped.count()
     n_tasks = ev.rdd.getNumPartitions()
+    # thresholds derive from the actual parallelism so the test means
+    # the same thing on any SPARK_GRAFT_CPUS: the wire carries at most
+    # one partial per (task, key) — far under the raw row count as long
+    # as tasks x keys << rows — and the raw distribution really is
+    # task-dominated by the hot key (each task holds ~0.9*n/6/P hot
+    # rows per hour, all collapsing to ONE shipped partial).
+    assert n_tasks * n_keys < n / 10, "generator invariant: keys x tasks << rows"
     assert n_shipped <= n_tasks * n_keys, (n_shipped, n_tasks, n_keys)
-    assert n_shipped < n / 100, f"partial agg must collapse the shuffle: {n_shipped}"
     per_key_max = max(
         r["m"]
         for r in shipped.groupBy("hour", "event_type")
         .agg(F.max("count").alias("m"))
         .collect()
     )
-    assert per_key_max > 500, "generator failed to make the hot key task-dominant"
+    hot_rows_per_task_hour = 0.9 * n / 6 / n_tasks
+    assert per_key_max > 0.5 * hot_rows_per_task_hour, (
+        per_key_max,
+        hot_rows_per_task_hour,
+    )
 
     # (3) the salted escape hatch is a drop-in for the same partials
     salted_hours = salted_two_phase_agg(

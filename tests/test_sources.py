@@ -142,6 +142,25 @@ def test_catalog_truncate_and_delete_where(spark, tmp_root):
     assert [f.name for f in cat.table("f").schema.fields] == ["k", "v"]
 
 
+def test_delete_where_null_predicate_rows_survive(spark, tmp_root):
+    """delete_where removes exactly the rows where the predicate is
+    TRUE: rows where it evaluates to NULL are kept — and kept the SAME
+    whether or not any other row matched (the no-op fast path and the
+    rewrite path must agree on NULL semantics)."""
+    cat = WarehouseCatalog(spark, tmp_root)
+    schema = "k long, v string"
+    cat.create_table("g", schema)
+    cat.insert_into(
+        "g", spark.createDataFrame([(1, "a"), (None, "n"), (3, "c")], schema)
+    )
+    # no row matches: fast path, NULL row survives
+    cat.delete_where("g", "k = 99")
+    assert sorted(r.v for r in cat.table("g").collect()) == ["a", "c", "n"]
+    # a row matches: rewrite path, NULL row must STILL survive
+    cat.delete_where("g", "k = 3")
+    assert sorted(r.v for r in cat.table("g").collect()) == ["a", "n"]
+
+
 def test_bucketed_tables_join_without_shuffle(spark, tmp_root):
     """S10 at scale: two tables bucketed on the join key at write time
     join with NO Exchange in the physical plan — the shuffle was paid
