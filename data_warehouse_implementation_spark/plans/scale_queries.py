@@ -124,17 +124,35 @@ def events_quantile_rollup(t: dict[str, DataFrame]) -> DataFrame:
     is the small-table tool). Companion of ``user_sketch_rollup``
     (mergeable HLL distinct) — same maintenance contract, for
     quantiles."""
-    ev = t["events"].select(
-        "event_type",
-        F.date_format(
-            F.date_trunc("day", _event_ts(t["events"])), "yyyy-MM-dd"
-        ).alias("day"),
-        F.floor(F.col("value") / BIN_W).cast("long").alias("bin"),
-    )
-    daily = ev.groupBy("day", "event_type", "bin").agg(
-        F.count(F.lit(1)).alias("n")
+    daily = histogram_partials(
+        t["events"].withColumn("_ts", _event_ts(t["events"])), ts_col="_ts"
     )
     merged = daily.groupBy("event_type", "bin").agg(F.sum("n").alias("n"))
+    return quantiles_from_bins(merged)
+
+
+def histogram_partials(ev: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Day-grain mergeable histogram partials ``(day, event_type, bin,
+    n)`` — partials for the same (day, type, bin) merge by summing
+    ``n``, which is what the coarser rollup and the streaming sink
+    (``streaming/pipelines.py::histogram_sketch_sink``) rely on; shared
+    verbatim by both so their parity is structural."""
+    return (
+        ev.select(
+            "event_type",
+            F.date_format(F.date_trunc("day", ts_col), "yyyy-MM-dd").alias("day"),
+            F.floor(F.col("value") / BIN_W).cast("long").alias("bin"),
+        )
+        .groupBy("day", "event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def quantiles_from_bins(merged: DataFrame) -> DataFrame:
+    """Quantile report from fully-merged ``(event_type, bin, n)`` rows —
+    the estimate is the lower bound of the first bin whose cumulative
+    count reaches ``q * total``. Shared by the batch rollup and the
+    streaming state reader."""
     w = Window.partitionBy("event_type").orderBy("bin")
     cum = merged.withColumn("cum", F.sum("n").over(w)).withColumn(
         "total", F.sum("n").over(Window.partitionBy("event_type"))

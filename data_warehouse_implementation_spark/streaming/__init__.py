@@ -9,8 +9,11 @@ from .pipelines import (  # noqa: F401
     curation_admission_sink,
     curation_sequences_from_state,
     dedup_stream,
+    distinct_from_state,
     enrich_stream,
     events_stream_schema,
+    histogram_sketch_sink,
+    hll_sketch_sink,
     incremental_dedup_sink,
     incremental_scd2_sink,
     incremental_scd3_sink,
@@ -18,6 +21,7 @@ from .pipelines import (  # noqa: F401
     ivf_admission_sink,
     ivf_state_topk,
     normalize_event_ts,
+    quantiles_from_state,
     rollup_hour_sink,
     rollup_month_from_state,
     run_to_memory,

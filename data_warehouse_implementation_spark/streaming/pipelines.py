@@ -969,6 +969,119 @@ def substring_census_from_state(
     )
 
 
+def histogram_sketch_sink(
+    stream: DataFrame,
+    catalog: WarehouseCatalog,
+    prefix: str,
+    checkpoint: str,
+):
+    """Streaming QUANTILE-sketch maintenance — the live twin of the
+    batch ``events_quantile_rollup``: each micro-batch collapses to its
+    day-grain mergeable histogram partials (``(day, event_type, bin,
+    n)`` — the SAME ``histogram_partials`` expression the batch query
+    uses, so parity is structural) and appends them to
+    ``{prefix}_hist`` with the batch id. Histograms merge by summing
+    counts, so :func:`quantiles_from_state` at any point equals the
+    one-shot batch rollup over every event seen — including a day (or a
+    single bin) split across the batch boundary. Replay-idempotent per
+    ``batch_id``. Completes the mergeable-sketch trio with the CMS
+    (heavy hitters) and HLL (distincts) sinks: same O(delta)
+    maintenance contract, for percentiles."""
+    from ..plans.scale_queries import histogram_partials
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        partials = histogram_partials(batch).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        tbl = f"{prefix}_hist"
+        if catalog.exists(tbl):
+            catalog.delete_where(tbl, f"batch_id = {int(batch_id)}")
+            catalog.insert_into(tbl, partials)
+        else:
+            catalog.write(tbl, partials)
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def quantiles_from_state(catalog: WarehouseCatalog, prefix: str) -> DataFrame:
+    """Current quantile report from the continuously-maintained
+    histogram state: merge the per-(day, batch) partials by key and run
+    the identical ``quantiles_from_bins`` expression the batch query
+    uses — streamed-state results equal ``events_quantile_rollup`` over
+    the concatenated stream bit for bit (parity-tested)."""
+    from ..plans.scale_queries import quantiles_from_bins
+
+    merged = (
+        catalog.table(f"{prefix}_hist")
+        .groupBy("event_type", "bin")
+        .agg(F.sum("n").alias("n"))
+    )
+    return quantiles_from_bins(merged)
+
+
+def hll_sketch_sink(
+    stream: DataFrame,
+    catalog: WarehouseCatalog,
+    prefix: str,
+    checkpoint: str,
+    key_col: str = "user_id",
+):
+    """Streaming DISTINCT-count maintenance via mergeable HLL sketches —
+    the live twin of the batch ``user_sketch_rollup``: each micro-batch
+    collapses to one Datasketches HLL sketch per (event_type, day)
+    (``hll_sketch_agg`` — a bounded binary cell, the distinct-count
+    analog of the CMS partial) appended to ``{prefix}_sketches`` with
+    the batch id. HLL union is order- and duplicate-insensitive, so
+    :func:`distinct_from_state` equals the one-shot estimate over the
+    concatenated stream EXACTLY (no approximation drift from batching:
+    union of sketches over any partition of the data is the sketch of
+    the whole). Replay-idempotent per ``batch_id``."""
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        sketches = (
+            batch.select(
+                "event_type", F.to_date("ts").alias("day"), F.col(key_col)
+            )
+            .groupBy("event_type", "day")
+            .agg(F.hll_sketch_agg(key_col).alias("sk"))
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        tbl = f"{prefix}_sketches"
+        if catalog.exists(tbl):
+            catalog.delete_where(tbl, f"batch_id = {int(batch_id)}")
+            catalog.insert_into(tbl, sketches)
+        else:
+            catalog.write(tbl, sketches)
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def distinct_from_state(catalog: WarehouseCatalog, prefix: str) -> DataFrame:
+    """Current per-type distinct estimate from the continuously-
+    maintained HLL state: one union-merge over the tiny sketch rows —
+    the month-to-date distinct query costs ~|days x batches| sketch
+    merges, never a rescan of the raw stream."""
+    return (
+        catalog.table(f"{prefix}_sketches")
+        .groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_approx"),
+            F.count_distinct("day").alias("n_days"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def rollup_hour_sink(
     stream: DataFrame,
     catalog: WarehouseCatalog,

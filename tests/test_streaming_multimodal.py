@@ -678,6 +678,120 @@ def test_dedup_sink_migrates_legacy_state_without_batch_id(spark, tmp_dir):
     assert legacy_rows and all(r.batch_id == -1 for r in legacy_rows)
 
 
+def test_histogram_and_hll_sketch_sinks_parity_with_batch(spark, tmp_dir):
+    """The mergeable-sketch trio's remaining two members, live: two
+    micro-batches through (a) the histogram-quantile sink must yield
+    EXACTLY the batch events_quantile_rollup over the concatenated
+    stream — including a (day, type, bin) cell split across the batch
+    boundary (partials merge by summing counts) — and (b) the HLL sink
+    must estimate distincts identically to a one-shot sketch over all
+    events, including users recurring across batches (HLL union is
+    duplicate- and partition-insensitive). Replaying a batch under a
+    fresh checkpoint must leave both states unchanged."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_warehouse_implementation_spark.plans.scale_queries import (
+        events_quantile_rollup,
+    )
+
+    d1 = dt.datetime(2024, 3, 1, 9, 0, 0)
+    d2 = dt.datetime(2024, 3, 2, 14, 0, 0)
+    # batch 1 and batch 2 both hit (2024-03-01, 'view', bin 1) — the
+    # split-cell case — and share user 7 across batches
+    b1 = [
+        (d1, "view", 12.0, 7),
+        (d1, "view", 17.0, 8),
+        (d1, "click", 95.0, 7),
+        (d2, "view", 44.0, 9),
+    ]
+    b2 = [
+        (d1 + dt.timedelta(minutes=30), "view", 15.0, 7),
+        (d2, "view", 101.0, 10),
+        (d2, "click", 3.0, 11),
+        (d2, "click", 95.0, 7),
+    ]
+    src = os.path.join(tmp_dir, "sk_src")
+    os.makedirs(src)
+    for i, rows in enumerate([b1, b2]):
+        p = os.path.join(src, f"b{i}.parquet")
+        pq.write_table(
+            pa.table({
+                "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+                "event_type": [r[1] for r in rows],
+                "value": [r[2] for r in rows],
+                "user_id": pa.array([r[3] for r in rows], pa.int64()),
+            }),
+            p,
+        )
+        os.utime(p, (1_700_000_000 + 60 * i, 1_700_000_000 + 60 * i))
+
+    cat = WarehouseCatalog(spark, os.path.join(tmp_dir, "sk_wh"))
+    schema = "ts timestamp, event_type string, value double, user_id long"
+
+    def run(sink, ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = sink(stream, cat, "sk", checkpoint=os.path.join(tmp_dir, ckpt))
+        q.awaitTermination()
+
+    run(streaming.histogram_sketch_sink, "ckpt_hist")
+    run(streaming.hll_sketch_sink, "ckpt_hll")
+
+    batch_all = spark.createDataFrame(b1 + b2, schema)
+    want_q = [tuple(r) for r in events_quantile_rollup({"events": batch_all}).collect()]
+    got_q = [tuple(r) for r in streaming.quantiles_from_state(cat, "sk").collect()]
+    assert got_q == want_q and len(got_q) == 2
+    # the split (2024-03-01, view, bin 1) cell merged into one count
+    hist = cat.table("sk_hist")
+    split = hist.filter("day = '2024-03-01' AND event_type = 'view' AND bin = 1")
+    assert {(r.n, r.batch_id) for r in split.collect()} == {(2, 0), (1, 1)}
+
+    want_d = {
+        (r.event_type, r.n_approx, r.n_days)
+        for r in batch_all.select(
+            "event_type", F.to_date("ts").alias("day"), "user_id"
+        )
+        .groupBy("event_type", "day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_approx"),
+            F.count_distinct("day").alias("n_days"),
+        )
+        .collect()
+    }
+    got_d = {
+        (r.event_type, r.n_approx, r.n_days)
+        for r in streaming.distinct_from_state(cat, "sk").collect()
+    }
+    assert got_d == want_d
+    # exact small-cardinality check: HLL is exact at these sizes
+    assert {(r[0], r[1]) for r in got_d} == {("view", 4), ("click", 2)}
+
+    # replay idempotence for both states
+    before_h = sorted(tuple(r) for r in cat.table("sk_hist").collect())
+    before_s = sorted(
+        (r.event_type, str(r.day), r.batch_id) for r in cat.table("sk_sketches").collect()
+    )
+    run(streaming.histogram_sketch_sink, "ckpt_hist_replay")
+    run(streaming.hll_sketch_sink, "ckpt_hll_replay")
+    assert sorted(tuple(r) for r in cat.table("sk_hist").collect()) == before_h
+    assert (
+        sorted(
+            (r.event_type, str(r.day), r.batch_id)
+            for r in cat.table("sk_sketches").collect()
+        )
+        == before_s
+    )
+    assert [tuple(r) for r in streaming.quantiles_from_state(cat, "sk").collect()] == want_q
+
+
 def test_cms_sketch_sink_parity_with_batch(spark, tmp_dir):
     """Two micro-batches of keyed events through the streaming count-min
     sink must yield EXACTLY the estimates of one batch sketch over the
