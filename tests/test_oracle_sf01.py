@@ -1,0 +1,47 @@
+"""Opt-in LARGE-SCALE oracle differential: the driver's correctness
+gate runs at sf0.01; this re-proves the most scale-sensitive query
+families at sf0.1 (10x), where candidate volumes, bucket occupancies,
+and partial-aggregation shapes actually differ. Run with
+
+    SPARK_GRAFT_SF01_ORACLE=1 python -m pytest tests/test_oracle_sf01.py
+
+(off by default: the DuckDB full-ladder replays add ~3-4 minutes).
+Round 9 ran it green 18/18."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from .oracle_utils import compare_to_oracle
+
+SCALE_SENSITIVE = [
+    "timely_rank_report",
+    "near_dup_minhash",
+    "near_dup_containment",
+    "exact_dedup_docs",
+    "exact_dedup_by_fingerprint",
+    "doc_split_dedup_aware",
+    "embedding_lsh_near_dup",
+    "embedding_ann_ivfpq",
+    "embedding_ann_recall_matrix",
+    "corpus_curation_e2e",
+    "corpus_curation_funnel",
+    "doc_substring_dup",
+    "events_hypertable_rollup",
+    "events_quantile_rollup",
+    "media_file_ingest",
+    "doc_decontaminate_fuzzy",
+    "doc_bm25_capped",
+    "user_sketch_rollup",
+]
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_SF01_ORACLE"),
+    reason="sf0.1 oracle differential is opt-in (SPARK_GRAFT_SF01_ORACLE=1)",
+)
+def test_scale_sensitive_queries_match_oracle_at_sf01(spark):
+    for name in SCALE_SENSITIVE:
+        compare_to_oracle(spark, name, sf_dir="/root/testdata/sf0.1")
