@@ -948,13 +948,9 @@ def user_sketch_rollup(t: dict[str, DataFrame]) -> DataFrame:
     ev = t["events"].select(
         "event_type", "user_id", F.to_date(_event_ts(t["events"])).alias("day")
     )
-    daily_sketches = ev.groupBy("event_type", "day").agg(
-        F.hll_sketch_agg("user_id").alias("_sk")
-    )
-    merged = daily_sketches.groupBy("event_type").agg(
-        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_n_approx"),
-        F.count(F.lit(1)).alias("n_day_sketches"),
-    )
+    merged = hll_union_estimate(daily_hll_sketches(ev)).withColumnRenamed(
+        "n_approx", "_n_approx"
+    ).withColumnRenamed("n_sketches", "n_day_sketches")
     exact = ev.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("n_users")
     )
@@ -970,6 +966,28 @@ def user_sketch_rollup(t: dict[str, DataFrame]) -> DataFrame:
             ).alias("rollup_ok"),
         )
         .orderBy("event_type")
+    )
+
+
+def daily_hll_sketches(ev: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """One mergeable HLL sketch per (event_type, day) — ``(event_type,
+    day, sk)``. Expects ``ev`` to carry a NORMALIZED date column
+    ``day`` (the batch query derives it via ``_event_ts``; the
+    streaming sink via its ``ts_col``). Shared verbatim by
+    ``user_sketch_rollup`` and ``streaming/pipelines.py::
+    hll_sketch_sink`` so their batch/stream parity is structural."""
+    return ev.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg(key_col).alias("sk")
+    )
+
+
+def hll_union_estimate(sketches: DataFrame) -> DataFrame:
+    """Union-merge (event_type, day, sk) sketch rows per type and
+    estimate — ``(event_type, n_approx, n_sketches)``. Shared by the
+    batch rollup and ``streaming/pipelines.py::distinct_from_state``."""
+    return sketches.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_approx"),
+        F.count(F.lit(1)).alias("n_sketches"),
     )
 
 

@@ -974,6 +974,7 @@ def histogram_sketch_sink(
     catalog: WarehouseCatalog,
     prefix: str,
     checkpoint: str,
+    ts_col: str = "ts",
 ):
     """Streaming QUANTILE-sketch maintenance — the live twin of the
     batch ``events_quantile_rollup``: each micro-batch collapses to its
@@ -986,11 +987,13 @@ def histogram_sketch_sink(
     single bin) split across the batch boundary. Replay-idempotent per
     ``batch_id``. Completes the mergeable-sketch trio with the CMS
     (heavy hitters) and HLL (distincts) sinks: same O(delta)
-    maintenance contract, for percentiles."""
+    maintenance contract, for percentiles. ``ts_col`` must be a
+    NORMALIZED timestamp column (route nanos-BIGINT sources through
+    ``normalize_event_ts`` first, as with every event sink here)."""
     from ..plans.scale_queries import histogram_partials
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
-        partials = histogram_partials(batch).withColumn(
+        partials = histogram_partials(batch, ts_col=ts_col).withColumn(
             "batch_id", F.lit(batch_id)
         )
         tbl = f"{prefix}_hist"
@@ -1030,26 +1033,29 @@ def hll_sketch_sink(
     prefix: str,
     checkpoint: str,
     key_col: str = "user_id",
+    ts_col: str = "ts",
 ):
     """Streaming DISTINCT-count maintenance via mergeable HLL sketches —
     the live twin of the batch ``user_sketch_rollup``: each micro-batch
     collapses to one Datasketches HLL sketch per (event_type, day)
-    (``hll_sketch_agg`` — a bounded binary cell, the distinct-count
-    analog of the CMS partial) appended to ``{prefix}_sketches`` with
-    the batch id. HLL union is order- and duplicate-insensitive, so
+    (``daily_hll_sketches`` — the SAME expression the batch query uses,
+    so parity is structural) appended to ``{prefix}_sketches`` with the
+    batch id. HLL union is order- and duplicate-insensitive, so
     :func:`distinct_from_state` equals the one-shot estimate over the
     concatenated stream EXACTLY (no approximation drift from batching:
     union of sketches over any partition of the data is the sketch of
-    the whole). Replay-idempotent per ``batch_id``."""
+    the whole). Replay-idempotent per ``batch_id``.
+
+    ``ts_col`` must be a NORMALIZED timestamp column (like every other
+    event sink here): a raw nanos-BIGINT ts would cast as seconds and
+    land days in year ~56000 — route such sources through
+    ``normalize_event_ts`` first."""
+    from ..plans.timeseries_queries import daily_hll_sketches
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
-        sketches = (
-            batch.select(
-                "event_type", F.to_date("ts").alias("day"), F.col(key_col)
-            )
-            .groupBy("event_type", "day")
-            .agg(F.hll_sketch_agg(key_col).alias("sk"))
-            .withColumn("batch_id", F.lit(batch_id))
+        ev = batch.select("event_type", F.to_date(ts_col).alias("day"), key_col)
+        sketches = daily_hll_sketches(ev, key_col=key_col).withColumn(
+            "batch_id", F.lit(batch_id)
         )
         tbl = f"{prefix}_sketches"
         if catalog.exists(tbl):
@@ -1068,16 +1074,22 @@ def hll_sketch_sink(
 
 def distinct_from_state(catalog: WarehouseCatalog, prefix: str) -> DataFrame:
     """Current per-type distinct estimate from the continuously-
-    maintained HLL state: one union-merge over the tiny sketch rows —
-    the month-to-date distinct query costs ~|days x batches| sketch
-    merges, never a rescan of the raw stream."""
-    return (
+    maintained HLL state: merge the per-(day, batch) sketch rows to one
+    sketch per day (HLL union is associative, so day-then-type merging
+    equals one-shot), then run the batch query's own
+    ``hll_union_estimate`` expression — ``n_sketches`` is the distinct
+    day count, exactly as in ``user_sketch_rollup``. Costs ~|days x
+    batches| sketch merges, never a rescan of the raw stream."""
+    from ..plans.timeseries_queries import hll_union_estimate
+
+    per_day = (
         catalog.table(f"{prefix}_sketches")
-        .groupBy("event_type")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_approx"),
-            F.count_distinct("day").alias("n_days"),
-        )
+        .groupBy("event_type", "day")
+        .agg(F.hll_union_agg("sk").alias("sk"))
+    )
+    return (
+        hll_union_estimate(per_day)
+        .withColumnRenamed("n_sketches", "n_days")
         .orderBy("event_type")
     )
 

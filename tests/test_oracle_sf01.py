@@ -42,6 +42,6 @@ SCALE_SENSITIVE = [
     not os.environ.get("SPARK_GRAFT_SF01_ORACLE"),
     reason="sf0.1 oracle differential is opt-in (SPARK_GRAFT_SF01_ORACLE=1)",
 )
-def test_scale_sensitive_queries_match_oracle_at_sf01(spark):
-    for name in SCALE_SENSITIVE:
-        compare_to_oracle(spark, name, sf_dir="/root/testdata/sf0.1")
+@pytest.mark.parametrize("name", SCALE_SENSITIVE)
+def test_scale_sensitive_query_matches_oracle_at_sf01(spark, name):
+    compare_to_oracle(spark, name, sf_dir="/root/testdata/sf0.1")

@@ -752,19 +752,22 @@ def test_histogram_and_hll_sketch_sinks_parity_with_batch(spark, tmp_dir):
     split = hist.filter("day = '2024-03-01' AND event_type = 'view' AND bin = 1")
     assert {(r.n, r.batch_id) for r in split.collect()} == {(2, 0), (1, 1)}
 
+    # expectations via the BATCH query's own shared expressions, so the
+    # parity is against the batch path, not a copy of the sink's code
+    from data_warehouse_implementation_spark.plans.timeseries_queries import (
+        daily_hll_sketches,
+        hll_union_estimate,
+    )
+
     want_d = {
-        (r.event_type, r.n_approx, r.n_days)
-        for r in batch_all.select(
-            "event_type", F.to_date("ts").alias("day"), "user_id"
-        )
-        .groupBy("event_type", "day")
-        .agg(F.hll_sketch_agg("user_id").alias("sk"))
-        .groupBy("event_type")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_approx"),
-            F.count_distinct("day").alias("n_days"),
-        )
-        .collect()
+        (r.event_type, r.n_approx, r.n_sketches)
+        for r in hll_union_estimate(
+            daily_hll_sketches(
+                batch_all.select(
+                    "event_type", F.to_date("ts").alias("day"), "user_id"
+                )
+            )
+        ).collect()
     }
     got_d = {
         (r.event_type, r.n_approx, r.n_days)
