@@ -66,6 +66,56 @@ def test_cascade_matches_direct_replay(spark, rows):
     assert got == _replay(rows)
 
 
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=ev_rows)
+def test_quantile_sketch_matches_direct_replay(spark, rows):
+    """The histogram-sketch quantile rule (shared by the batch
+    events_quantile_rollup and the streaming quantiles_from_state) must
+    equal a direct Python replay of 'lower bound of the first bin whose
+    cumulative count reaches q*total' on randomized streams — negative
+    values (floor toward -inf), bin-boundary values, duplicate
+    timestamps, and single-row types included."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from data_warehouse_implementation_spark.plans.scale_queries import (
+        BIN_W,
+        histogram_partials,
+        quantiles_from_bins,
+    )
+
+    df = spark.createDataFrame(
+        [(BASE + dt.timedelta(minutes=off), et, cents / 100.0) for off, et, cents in rows],
+        "ts timestamp, event_type string, value double",
+    )
+    daily = histogram_partials(df)
+    merged = daily.groupBy("event_type", "bin").agg(F.sum("n").alias("n"))
+    got = sorted(tuple(r) for r in quantiles_from_bins(merged).collect())
+
+    by_type: dict = {}
+    for _, et, cents in rows:
+        by_type.setdefault(et, []).append(math.floor((cents / 100.0) / BIN_W))
+    want = []
+    for et, bins in by_type.items():
+        bins.sort()
+        total = len(bins)
+        qs = []
+        for q100 in (50, 90, 99):
+            # first bin whose cumulative count reaches q*total, by the
+            # same integer rank test (100*cum >= q100*total)
+            cum = 0
+            lo = None
+            for b in sorted(set(bins)):
+                cum += sum(1 for x in bins if x == b)
+                if 100 * cum >= q100 * total:
+                    lo = b * BIN_W
+                    break
+            qs.append(lo)
+        want.append((et, total, *qs))
+    assert got == sorted(want)
+
+
 def test_cascade_skew_stress(spark):
     """VERDICT r8 #6 — the cascade under a hot-key distribution: 200k
     events, 90% one event_type, all inside six hours (so the hour grain
