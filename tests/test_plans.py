@@ -174,3 +174,48 @@ def test_materialize_get_or_build_semantics(spark, tmp_path, monkeypatch):
     materialize.get_or_build("unit_stage", "sfA", build, corpus_scale=True)
     assert calls["n"] == n_before
     materialize.clear()
+
+
+def test_materialize_build_seconds_nesting_exclusive(spark):
+    """BUILD_SECONDS is lockstep with BUILD_LOG and EXCLUSIVE of nested
+    child builds — the property the bench's net-of-build per-query
+    timings (and cache_build_seconds attribution) rest on: a parent
+    cache whose builder sleeps 0.2s and triggers a 0.4s-sleeping child
+    must be charged ~0.2s, with the 0.4s on the child's own row."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from data_warehouse_implementation_spark.plans import materialize
+
+    materialize.clear()
+
+    def child():
+        time.sleep(0.4)
+        return spark.range(5).select(F.col("id").alias("v"))
+
+    def parent():
+        time.sleep(0.2)
+        inner = materialize.get_or_build("unit_nest_child", "sfN", child)
+        return inner.select((F.col("v") * 2).alias("w"))
+
+    log_before = len(materialize.BUILD_LOG)
+    t0 = time.perf_counter()
+    materialize.get_or_build("unit_nest_parent", "sfN", parent)
+    wall = time.perf_counter() - t0
+    built = dict(
+        zip(
+            materialize.BUILD_LOG[log_before:],
+            materialize.BUILD_SECONDS[log_before:],
+        )
+    )
+    assert set(built) == {"unit_nest_parent", "unit_nest_child"}
+    assert built["unit_nest_child"] >= 0.4
+    # exclusive decomposition: the parent is charged the wall time MINUS
+    # the child's inclusive time, so the child's 0.4s sleep never
+    # double-counts (a small epsilon absorbs rounding to 3 decimals)
+    assert built["unit_nest_parent"] >= 0.2
+    assert built["unit_nest_parent"] <= wall - built["unit_nest_child"] + 0.01
+    # lockstep invariant over the whole process history
+    assert len(materialize.BUILD_LOG) == len(materialize.BUILD_SECONDS)
+    materialize.clear()
