@@ -67,87 +67,28 @@ def oracle_sql() -> dict[str, str]:
 
 
 # The correctness driver differentials the FIRST 50 registry entries per
-# round. Round-9 window (derived from tools/staleness.py --suggest-window;
+# round. Round-10 window (derived from tools/staleness.py --suggest-window;
 # enforced by tests/test_entry.py::test_driver_window_covers_stalest):
-# the flagship; the SEVEN never-driver-checked round-8 additions
-# (deferred last round under the capacity escape hatch — the
-# never-deferred rule forces them in now), with bpe_token_stats placed
-# DIRECTLY BEFORE bpe_fertility_by_lang (VERDICT r8 #3: the family head
-# pays the shared bpe_trained_merges session cache first, keeping bench
-# cache attribution identical to round 8 while the rotation refreshes
-# both driver rows in one adjacent pair; bpe_merges stays r7-green at
-# staleness 1 and leads the round-10/11 candidates in the tail); then
-# ONE slot for this round's addition (media_file_ingest, the binaryFile
-# staging source on the oracle gate — VERDICT r8 #5); then the ENTIRE
-# 40-query max-staleness cohort (last checked round 5) — the staleness
-# tail retires whole, never split across rounds.
+# the flagship; the ENTIRE 40-query round-6 max-staleness cohort (last
+# checked round 6 — the staleness tail retires whole, never split across
+# rounds); then nine round-7-stale fills with the graph family promoted
+# (VERDICT r9 #6) and slots reserved for this round's additions/changes
+# (the embedding-LSH bucket cap, the per-source curation cap).
 #
-# Position 51+ IS the round-10 rotation plan (VERDICT r8 #4): the exact
-# tools/staleness.py --suggest-window order at rotation time (r6-stale
-# cohort first, then r7, then the just-checked r8 rows), so round 10\'s
-# rotation is a mechanical promote-the-prefix edit.
+# Position 51+ IS the round-11 rotation plan: the exact
+# tools/staleness.py --suggest-window order at rotation time (remaining
+# r7-stale rows first, then r8, then the just-checked r9 rows), so
+# round 11's rotation is again a mechanical promote-the-prefix edit.
 # Same-round deferrals that are NOT new queries — the ONLY names the
 # window-integrity test allows to interleave with deferred new
-# additions at position 51+. Round 9 defers nothing: empty.
+# additions at position 51+. Round 10 defers nothing: empty.
 _WINDOW_DEFERRAL_INTERLEAVE: list[str] = []
 
 _DRIVER_WINDOW = [
     # flagship — always re-verified
     "timely_rank_report",
-    # the 7 never-driver-checked r8 additions (BPE head directly before fertility)
-    "min_cost_supplier_sql",
-    "product_profit_sql",
-    "ship_speed_priority_sql",
-    "concentrated_supply_sql",
-    "events_hypertable_rollup",
-    "xml_scan_agg",
-    "bpe_token_stats",
-    "bpe_fertility_by_lang",
-    # this round's addition: the binaryFile staging source end-to-end
-    # on the oracle gate (write -> crawl -> decode -> checksum)
-    "media_file_ingest",
-    # the 40-query round-5 max-staleness cohort (tools/staleness.py --stale 3)
-    "avg_qty_gated_revenue_sql",
-    "brand_median_price",
-    "calendar_dim",
-    "companies_of_interest",
-    "complaints_clean",
-    "csv_scan_agg",
-    "cust_order_dist_sql",
-    "demo_reshape_pipeline",
-    "disputed_rank_report",
-    "doc_bigram_rarity",
-    "drilldown_report",
-    "embedding_dense_topk",
-    "events_asof_forward",
-    "events_props_extract",
-    "events_session_window_native",
-    "events_window_agg",
-    "exact_dedup_docs",
-    "insert_if_absent_batch",
-    "media_resize_roundtrip",
-    "nation_value_concentration_sql",
-    "near_dup_clusters",
-    "near_dup_containment",
-    "near_dup_minhash_hashed",
-    "near_dup_source_matrix",
-    "null_canonical_dedup",
-    "null_canonical_join",
-    "part_melt",
-    "population_fact_build",
-    "preaggregate",
-    "priority_pivot",
-    "priority_pivot_first",
-    "scd1_upsert_batch",
-    "scd2_apply_batch",
-    "scd3_apply_batch",
-    "segment_ratio_report",
-    "shipments_by_quarter",
-    "supplier_part_census_sql",
-    "top5_orders",
-    "top_orders_per_nation",
-    "top_supplier_sql",
-    # position 51+ — the round-10 suggested window, stalest-first
+    # the ENTIRE 40-query round-6 max-staleness cohort (tools/staleness.py
+    # --stale 3) — the staleness tail retires whole, never split across rounds
     "bloom_prefilter_join",
     "brand_mode_type",
     "brand_price_percentiles",
@@ -188,13 +129,22 @@ _DRIVER_WINDOW = [
     "semantic_dedup_census",
     "semantic_dedup_greedy",
     "window_frames_sql",
+    # nine round-7-stale fills: the graph family promoted (VERDICT r9 #6 —
+    # the two most expensive bench rows; pagerank's impl also gains the
+    # dangling-node guard this round), then the r7 staleness head
     "bpe_merges",
+    "purchase_graph_pagerank",
+    "purchase_graph_communities",
     "containment_capped_join",
     "containment_prefix_join",
     "containment_probe_skew",
     "doc_balanced_oversample",
     "doc_dsir_weights",
     "doc_epoch_shuffle",
+    # position 51+ — the round-11 suggested window (tools/staleness.py
+    # --suggest-window at rotation time): remaining r7-stale rows, then
+    # r8, then the just-checked r9 rows — next round's rotation is again
+    # a mechanical promote-the-prefix edit
     "doc_length_batches",
     "doc_lm_backoff",
     "doc_negative_pairs",
@@ -224,8 +174,6 @@ _DRIVER_WINDOW = [
     "price_histogram",
     "pricing_summary_sql",
     "priority_status_sets_sql",
-    "purchase_graph_communities",
-    "purchase_graph_pagerank",
     "salted_flag_join",
     "salted_skew_agg",
     "shipping_priority_sql",
@@ -285,6 +233,55 @@ _DRIVER_WINDOW = [
     "user_retention_cohorts",
     "user_sketch_rollup",
     "window_funcs_sql",
+    "avg_qty_gated_revenue_sql",
+    "bpe_fertility_by_lang",
+    "bpe_token_stats",
+    "brand_median_price",
+    "calendar_dim",
+    "companies_of_interest",
+    "complaints_clean",
+    "concentrated_supply_sql",
+    "csv_scan_agg",
+    "cust_order_dist_sql",
+    "demo_reshape_pipeline",
+    "disputed_rank_report",
+    "doc_bigram_rarity",
+    "drilldown_report",
+    "embedding_dense_topk",
+    "events_asof_forward",
+    "events_hypertable_rollup",
+    "events_props_extract",
+    "events_session_window_native",
+    "events_window_agg",
+    "exact_dedup_docs",
+    "insert_if_absent_batch",
+    "media_file_ingest",
+    "media_resize_roundtrip",
+    "min_cost_supplier_sql",
+    "nation_value_concentration_sql",
+    "near_dup_clusters",
+    "near_dup_containment",
+    "near_dup_minhash_hashed",
+    "near_dup_source_matrix",
+    "null_canonical_dedup",
+    "null_canonical_join",
+    "part_melt",
+    "population_fact_build",
+    "preaggregate",
+    "priority_pivot",
+    "priority_pivot_first",
+    "product_profit_sql",
+    "scd1_upsert_batch",
+    "scd2_apply_batch",
+    "scd3_apply_batch",
+    "segment_ratio_report",
+    "ship_speed_priority_sql",
+    "shipments_by_quarter",
+    "supplier_part_census_sql",
+    "top5_orders",
+    "top_orders_per_nation",
+    "top_supplier_sql",
+    "xml_scan_agg",
 ]
 
 
