@@ -11,7 +11,7 @@ the banding misses is missed identically by both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..operators import dedup, similarity, text
@@ -1341,6 +1341,69 @@ def embedding_near_dup(t: dict[str, DataFrame]) -> DataFrame:
 
 HYPER_BITS = 16
 HYPER_BANDS = 4
+# Hot-bucket membership cap (VERDICT r9 #2). A 4-bit band key has only
+# 2^4 = 16 possible buckets per band, so a growing corpus makes EVERY
+# bucket hot and the band self-join near-quadratic (measured r9: 471k
+# candidates from 2,000 vectors ≈ 24% of all pairs). Dropping whole hot
+# buckets (the minhash ``candidate_pairs(max_bucket_size=...)`` guard)
+# would empty the output here — instead each bucket keeps at most ~cap
+# MEMBERS via a deterministic hash threshold, bounding total candidate
+# volume to bands × 2^width × C(cap, 2) ≈ 2.1M pairs REGARDLESS of
+# corpus size: graceful recall degradation (made loud by
+# ``embedding_lsh_bucket_stats``) instead of a quadratic blowup. 256 is
+# sized from the measured sf0.1 profile: only the hottest buckets
+# (max 280) truncate, keeping ~99% of true near-dup pairs while the
+# worst case stays constant-bounded.
+EMBEDDING_LSH_MAX_BUCKET = 256
+# Knuth multiplicative member hash, overflow-safe for any BIGINT id:
+# h = ((vec_id % 1000003) * 2654435761) % 2^32; keep iff
+# h % bucket_n < cap (auto-true when bucket_n <= cap, so one predicate
+# serves cold and hot buckets alike). Map-side after a broadcast bucket
+# census — no window, no per-bucket single-task sort, replayed
+# bit-for-bit by the oracle.
+_LSH_MEMBER_PREMOD = 1000003
+_LSH_MEMBER_MULT = 2654435761
+_LSH_MEMBER_MOD = 2**32
+
+
+def _lsh_bands(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, band_id, band_key) rows: 16 deterministic hyperplane
+    sign bits per vector (similarity.hyperplane_signature) banded 4x4,
+    shared by the near-dup join and the bucket-stats census."""
+    sig = similarity.hyperplane_signature(embeddings, n_bits=HYPER_BITS)
+    width = HYPER_BITS // HYPER_BANDS
+    mask = (1 << width) - 1
+    structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.shiftright(F.col("hypersig"), b * width).bitwiseAND(F.lit(mask)).alias("band_key"),
+        )
+        for b in range(HYPER_BANDS)
+    ]
+    return sig.select("vec_id", F.explode(F.array(*structs)).alias("_b")).select(
+        "vec_id", F.col("_b.band_id").alias("band_id"), F.col("_b.band_key").alias("band_key")
+    )
+
+
+def _lsh_member_hash() -> Column:
+    return F.pmod(
+        F.pmod(F.col("vec_id"), F.lit(_LSH_MEMBER_PREMOD)) * F.lit(_LSH_MEMBER_MULT),
+        F.lit(_LSH_MEMBER_MOD),
+    )
+
+
+def _lsh_capped_bands(bands: DataFrame, cap: int) -> DataFrame:
+    """Band rows surviving the hot-bucket membership cap: census bucket
+    sizes (a groupBy on the SAME key the candidate join shuffles on),
+    broadcast the #buckets-row size table back, and keep a member iff
+    its hash lands under the cap fraction of its bucket — one map-side
+    predicate, zero windows."""
+    sizes = bands.groupBy("band_id", "band_key").agg(F.count(F.lit(1)).alias("_bucket_n"))
+    return (
+        bands.join(F.broadcast(sizes), on=["band_id", "band_key"])
+        .filter(F.pmod(_lsh_member_hash(), F.col("_bucket_n")) < F.lit(cap))
+        .drop("_bucket_n")
+    )
 
 
 def embedding_lsh_near_dup(t: dict[str, DataFrame]) -> DataFrame:
@@ -1353,7 +1416,7 @@ def embedding_lsh_near_dup(t: dict[str, DataFrame]) -> DataFrame:
     original floats keeps only true near-duplicates. Recall follows the
     Charikar collision bound — a pair this misses is missed identically
     by the oracle, which replays the integer hyperplane arithmetic
-    bit-for-bit.
+    (and the membership cap below) bit-for-bit.
 
     Scale sizing — MEASURED (round 9) before trusting the textbook
     knob: at sf0.1 (2,000 clustered vectors) the 4-bit bands admit
@@ -1367,26 +1430,25 @@ def embedding_lsh_near_dup(t: dict[str, DataFrame]) -> DataFrame:
     16x4 is the right sizing for this similarity profile; on a corpus
     whose near-dups are tight (cosine ≥ 0.95+) widen bands AND raise
     the band count together (signature stays one packed long up to 64
-    bits), and cap hot buckets like
-    ``dedup.candidate_pairs(max_bucket_size=...)`` — the plan shape
-    never changes."""
-    sig = similarity.hyperplane_signature(t["embeddings"], n_bits=HYPER_BITS)
-    width = HYPER_BITS // HYPER_BANDS
-    mask = (1 << width) - 1
-    structs = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.shiftright(F.col("hypersig"), b * width).bitwiseAND(F.lit(mask)).alias("band_key"),
-        )
-        for b in range(HYPER_BANDS)
-    ]
-    bands = sig.select("vec_id", F.explode(F.array(*structs)).alias("_b")).select(
-        "vec_id", F.col("_b.band_id").alias("band_id"), F.col("_b.band_key").alias("band_key")
-    )
+    bits).
+
+    The 100×-scale guard (round 10): hot-bucket MEMBERSHIP capping.
+    4-bit keys mean only 16 buckets per band, so at corpus scale every
+    bucket is hot and the self-join is near-quadratic no matter how the
+    banding is tuned. ``_lsh_capped_bands`` keeps at most ~cap members
+    per bucket via a deterministic hash threshold, bounding candidates
+    to bands × 2^width × C(cap, 2) — a CONSTANT — while
+    ``embedding_lsh_bucket_stats`` accounts every truncated member so
+    the recall cost is loud, per RUNBOOK's no-silent-caps rule. On a
+    corpus where the census shows heavy truncation, widen the
+    signature/bands or route to the IVF-cell path
+    (``embedding_near_dup``), which is cell-bounded by training."""
+    bands = _lsh_bands(t["embeddings"])
+    kept = _lsh_capped_bands(bands, EMBEDDING_LSH_MAX_BUCKET)
     cands = (
-        bands.select(F.col("vec_id").alias("vec_a"), "band_id", "band_key")
+        kept.select(F.col("vec_id").alias("vec_a"), "band_id", "band_key")
         .join(
-            bands.select(F.col("vec_id").alias("vec_b"), "band_id", "band_key"),
+            kept.select(F.col("vec_id").alias("vec_b"), "band_id", "band_key"),
             on=["band_id", "band_key"],
         )
         .filter(F.col("vec_a") < F.col("vec_b"))
@@ -1429,8 +1491,10 @@ _COS_AB = (
     " * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
 )
 
-EMBEDDING_LSH_NEAR_DUP_ORACLE = f"""
-WITH qv AS (
+# Shared CTE chain: hyperplane signature -> 4-bit bands -> bucket census
+# -> hash-threshold membership cap (replays _lsh_capped_bands exactly;
+# vec_id is non-negative so engine %-sign conventions agree).
+_LSH_BAND_CTES = f"""qv AS (
   SELECT vec_id,
          list_transform(embedding::DOUBLE[],
                         x -> CAST(round(x * {similarity.HYPERPLANE_SCALE}) AS BIGINT)) AS q
@@ -1448,10 +1512,27 @@ bands AS (
          CAST(SUM(bit * (1 << (i % {HYPER_BITS // HYPER_BANDS}))) AS BIGINT) AS band_key
   FROM bits GROUP BY vec_id, i // {HYPER_BITS // HYPER_BANDS}
 ),
+sizes AS (
+  SELECT band_id, band_key, CAST(COUNT(*) AS BIGINT) AS bucket_n
+  FROM bands GROUP BY band_id, band_key
+),
+members AS (
+  SELECT b.vec_id, b.band_id, b.band_key, s.bucket_n,
+         (((b.vec_id % {_LSH_MEMBER_PREMOD}) * {_LSH_MEMBER_MULT})
+          % {_LSH_MEMBER_MOD}) % s.bucket_n AS member_slot
+  FROM bands b JOIN sizes s USING (band_id, band_key)
+),
+kept AS (
+  SELECT vec_id, band_id, band_key FROM members
+  WHERE member_slot < {EMBEDDING_LSH_MAX_BUCKET}
+)"""
+
+EMBEDDING_LSH_NEAR_DUP_ORACLE = f"""
+WITH {_LSH_BAND_CTES},
 cand AS (
   SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-  FROM bands x
-  JOIN bands y ON x.band_id = y.band_id AND x.band_key = y.band_key
+  FROM kept x
+  JOIN kept y ON x.band_id = y.band_id AND x.band_key = y.band_key
              AND x.vec_id < y.vec_id
 )
 SELECT c.vec_a, c.vec_b, {_COS_AB} AS cosine
@@ -1460,6 +1541,74 @@ JOIN embeddings a ON a.vec_id = c.vec_a
 JOIN embeddings b ON b.vec_id = c.vec_b
 WHERE {_COS_AB} >= {NEAR_DUP_COSINE}
 ORDER BY vec_a, vec_b
+"""
+
+
+# Tight demo cap so the sf0.01 driver differential proves the truncation
+# arithmetic on REAL nonzero truncation (sf0.01 buckets never exceed the
+# production cap of {EMBEDDING_LSH_MAX_BUCKET}; they do exceed 8).
+EMBEDDING_LSH_DEMO_CAP = 8
+
+
+def embedding_lsh_bucket_stats(t: dict[str, DataFrame]) -> DataFrame:
+    """Loud-truncation accounting for the LSH membership cap (RUNBOOK's
+    no-silent-caps rule; the ``prefix_hot_token_stats`` pattern applied
+    to ``embedding_lsh_near_dup``): per band — bucket count, hottest
+    bucket, member totals, members kept/truncated at the PRODUCTION cap
+    and at a tight DEMO cap (so the differential proves the arithmetic
+    on nonzero truncation even at sf0.01), plus the candidate-pair
+    volume bound before and after capping (sum over buckets of
+    C(size, 2) vs C(kept, 2)) — the number that shows the cap turning
+    a near-quadratic join into a constant-bounded one. Same shuffle
+    key as the candidate join; the census is #buckets rows."""
+    bands = _lsh_bands(t["embeddings"])
+    sizes = bands.groupBy("band_id", "band_key").agg(F.count(F.lit(1)).alias("_bucket_n"))
+    slot = F.pmod(_lsh_member_hash(), F.col("_bucket_n"))
+    per_bucket = (
+        bands.join(F.broadcast(sizes), on=["band_id", "band_key"])
+        .groupBy("band_id", "band_key", "_bucket_n")
+        .agg(
+            F.sum((slot < F.lit(EMBEDDING_LSH_MAX_BUCKET)).cast("long")).alias("_kept_cap"),
+            F.sum((slot < F.lit(EMBEDDING_LSH_DEMO_CAP)).cast("long")).alias("_kept_demo"),
+        )
+    )
+    return (
+        per_bucket.groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("_bucket_n").alias("max_bucket"),
+            F.sum("_bucket_n").alias("total_members"),
+            F.sum("_kept_cap").alias("kept_at_cap"),
+            F.sum(F.col("_bucket_n") - F.col("_kept_cap")).alias("truncated_at_cap"),
+            F.sum("_kept_demo").alias("kept_at_demo"),
+            F.sum(F.col("_bucket_n") - F.col("_kept_demo")).alias("truncated_at_demo"),
+            F.sum(F.expr("_bucket_n * (_bucket_n - 1) div 2")).alias("uncapped_pair_bound"),
+            F.sum(F.expr("_kept_cap * (_kept_cap - 1) div 2")).alias("capped_pair_bound"),
+        )
+        .orderBy("band_id")
+    )
+
+
+EMBEDDING_LSH_BUCKET_STATS_ORACLE = f"""
+WITH {_LSH_BAND_CTES},
+per_bucket AS (
+  SELECT band_id, band_key, bucket_n,
+         CAST(SUM(CASE WHEN member_slot < {EMBEDDING_LSH_MAX_BUCKET} THEN 1 ELSE 0 END) AS BIGINT) AS kept_cap,
+         CAST(SUM(CASE WHEN member_slot < {EMBEDDING_LSH_DEMO_CAP} THEN 1 ELSE 0 END) AS BIGINT) AS kept_demo
+  FROM members GROUP BY band_id, band_key, bucket_n
+)
+SELECT band_id,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(MAX(bucket_n) AS BIGINT) AS max_bucket,
+       CAST(SUM(bucket_n) AS BIGINT) AS total_members,
+       CAST(SUM(kept_cap) AS BIGINT) AS kept_at_cap,
+       CAST(SUM(bucket_n - kept_cap) AS BIGINT) AS truncated_at_cap,
+       CAST(SUM(kept_demo) AS BIGINT) AS kept_at_demo,
+       CAST(SUM(bucket_n - kept_demo) AS BIGINT) AS truncated_at_demo,
+       CAST(SUM(bucket_n * (bucket_n - 1) // 2) AS BIGINT) AS uncapped_pair_bound,
+       CAST(SUM(kept_cap * (kept_cap - 1) // 2) AS BIGINT) AS capped_pair_bound
+FROM per_bucket
+GROUP BY band_id ORDER BY band_id
 """
 
 

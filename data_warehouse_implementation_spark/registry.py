@@ -139,12 +139,16 @@ _DRIVER_WINDOW = [
     "containment_prefix_join",
     "containment_probe_skew",
     "doc_balanced_oversample",
-    "doc_dsir_weights",
-    "doc_epoch_shuffle",
+    # round-10 changes on the driver gate: the LSH membership cap
+    # (impl-changed embedding_lsh_near_dup) and its new accounting row
+    "embedding_lsh_near_dup",
+    "embedding_lsh_bucket_stats",
     # position 51+ — the round-11 suggested window (tools/staleness.py
     # --suggest-window at rotation time): remaining r7-stale rows, then
     # r8, then the just-checked r9 rows — next round's rotation is again
     # a mechanical promote-the-prefix edit
+    "doc_dsir_weights",
+    "doc_epoch_shuffle",
     "doc_length_batches",
     "doc_lm_backoff",
     "doc_negative_pairs",
@@ -205,7 +209,6 @@ _DRIVER_WINDOW = [
     "dormant_balance_sql",
     "embedding_ann_recall_matrix",
     "embedding_kmeans_refine",
-    "embedding_lsh_near_dup",
     "event_transitions",
     "events_cdc_apply",
     "events_funnel",
@@ -726,6 +729,13 @@ register(
     "embedding_lsh_near_dup",
     llm_queries.embedding_lsh_near_dup,
     llm_queries.EMBEDDING_LSH_NEAR_DUP_ORACLE,
+)
+# Round-10 addition (VERDICT r9 #2): the loud-truncation accounting row
+# for the LSH hot-bucket membership cap.
+register(
+    "embedding_lsh_bucket_stats",
+    llm_queries.embedding_lsh_bucket_stats,
+    llm_queries.EMBEDDING_LSH_BUCKET_STATS_ORACLE,
 )
 register(
     "events_heavy_hitters_cms",

@@ -1114,3 +1114,39 @@ def test_fuzzy_decontam_broadcasts_benchmark_side(spark):
     for r in df.collect():
         assert r.jaccard >= llm_queries.NEAR_DUP_THRESHOLD
         assert r.bench_id < 20 <= r.corpus_id
+
+
+def test_lsh_capped_bands_hash_threshold_replay(spark):
+    """The LSH hot-bucket MEMBERSHIP cap (round 10, VERDICT r9 #2):
+    buckets at or under the cap keep every member (the `h % bucket_n <
+    cap` predicate is vacuously true when bucket_n <= cap), hot buckets
+    keep exactly the members whose Knuth-hash slot lands under the cap
+    — replayed here bit-for-bit in pure Python, the same arithmetic the
+    DuckDB oracle replays. No window anywhere: the plan must stay
+    census-groupBy + broadcast-join + filter."""
+    from data_warehouse_implementation_spark.plans import llm_queries as lq
+
+    hot = [(i, 0, 7) for i in range(40)]          # one bucket of 40
+    cold = [(1000 + i, 1, 3) for i in range(5)]   # one bucket of 5
+    bands = spark.createDataFrame(
+        hot + cold, "vec_id long, band_id int, band_key long"
+    )
+    cap = 8
+    kept = {
+        (r.vec_id, r.band_id)
+        for r in lq._lsh_capped_bands(bands, cap).collect()
+    }
+
+    def slot(vec_id: int, bucket_n: int) -> int:
+        h = ((vec_id % lq._LSH_MEMBER_PREMOD) * lq._LSH_MEMBER_MULT) % lq._LSH_MEMBER_MOD
+        return h % bucket_n
+
+    expect = {(i, 0) for i in range(40) if slot(i, 40) < cap}
+    expect |= {(1000 + i, 1) for i in range(5)}  # cold bucket intact
+    assert kept == expect
+    n_hot_kept = sum(1 for (_, b) in kept if b == 0)
+    assert 0 < n_hot_kept < 40  # the cap genuinely truncated the hot bucket
+    # scale shape: no window/sort in the physical plan, census joined broadcast
+    plan = lq._lsh_capped_bands(bands, cap)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -11,31 +11,18 @@ Round 9 ran it green 18/18."""
 from __future__ import annotations
 
 import os
+import sys
+from pathlib import Path
 
 import pytest
 
 from .oracle_utils import compare_to_oracle
 
-SCALE_SENSITIVE = [
-    "timely_rank_report",
-    "near_dup_minhash",
-    "near_dup_containment",
-    "exact_dedup_docs",
-    "exact_dedup_by_fingerprint",
-    "doc_split_dedup_aware",
-    "embedding_lsh_near_dup",
-    "embedding_ann_ivfpq",
-    "embedding_ann_recall_matrix",
-    "corpus_curation_e2e",
-    "corpus_curation_funnel",
-    "doc_substring_dup",
-    "events_hypertable_rollup",
-    "events_quantile_rollup",
-    "media_file_ingest",
-    "doc_decontaminate_fuzzy",
-    "doc_bm25_capped",
-    "user_sketch_rollup",
-]
+# Single source of truth for the battery lives next to the artifact
+# emitter (tools/oracle_sf01.py writes the committed ORACLE_SF01_r{N}
+# evidence file from the same list — VERDICT r9 #4).
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+from oracle_sf01 import SCALE_SENSITIVE  # noqa: E402
 
 
 @pytest.mark.skipif(

@@ -1,0 +1,126 @@
+"""Emit a committed, judge-verifiable artifact from the sf0.1 oracle
+battery (VERDICT r9 #4: the opt-in pytest run was builder-asserted
+only — this writes the evidence to the repo root).
+
+For every scale-sensitive query, runs the Spark implementation AND its
+DuckDB oracle at sf0.1 (10x the driver's correctness scale) and records
+the same per-query shape as the driver's CORRECTNESS files:
+
+    python tools/oracle_sf01.py            # writes ORACLE_SF01_r{N}.json
+    python tools/oracle_sf01.py --out x.json
+
+The round number N is derived as (newest committed CORRECTNESS round)+1,
+i.e. the round currently being built. SCALE_SENSITIVE is the single
+source of truth for the battery — tests/test_oracle_sf01.py imports it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import re
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+# The most scale-sensitive query families: candidate volumes, bucket
+# occupancies, hot-key caps, and partial-aggregation shapes all differ
+# materially between sf0.01 and sf0.1.
+SCALE_SENSITIVE = [
+    "timely_rank_report",
+    "near_dup_minhash",
+    "near_dup_containment",
+    "exact_dedup_docs",
+    "exact_dedup_by_fingerprint",
+    "doc_split_dedup_aware",
+    # the LSH membership cap only ENGAGES at sf0.1 (sf0.01 buckets never
+    # exceed the production cap) — this pair is where the capped join
+    # and its truncation accounting are actually differentially proven
+    "embedding_lsh_near_dup",
+    "embedding_lsh_bucket_stats",
+    "embedding_ann_ivfpq",
+    "embedding_ann_recall_matrix",
+    "corpus_curation_e2e",
+    "corpus_curation_funnel",
+    "doc_substring_dup",
+    "events_hypertable_rollup",
+    "events_quantile_rollup",
+    "media_file_ingest",
+    "doc_decontaminate_fuzzy",
+    "doc_bm25_capped",
+    "user_sketch_rollup",
+]
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def _next_round() -> int:
+    rounds = [
+        int(m.group(1))
+        for p in REPO.glob("CORRECTNESS_r*.json")
+        if (m := re.match(r"CORRECTNESS_r(\d+)\.json", p.name))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    out = Path(args.out) if args.out else REPO / f"ORACLE_SF01_r{_next_round():02d}.json"
+
+    sys.path.insert(0, str(REPO))
+    sys.path.insert(0, str(REPO / "tests"))
+    import pandas as pd
+
+    from data_warehouse_implementation_spark import registry
+    from data_warehouse_implementation_spark.session import get_spark
+    from oracle_utils import duckdb_conn, normalize
+
+    spark = get_spark()
+    queries, oracles = registry.queries(), registry.oracle_sql()
+    results: dict[str, dict] = {"_meta": {"sf_dir": SF_DIR, "queries": len(SCALE_SENSITIVE)}}
+    for name in SCALE_SENSITIVE:
+        rec: dict = {
+            "rows_match": False,
+            "schema_match": False,
+            "hash_match": False,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
+        try:
+            got = normalize(queries[name](spark, SF_DIR).toPandas())
+            con = duckdb_conn(SF_DIR)
+            try:
+                want = normalize(con.execute(oracles[name]).fetchdf())
+            finally:
+                con.close()
+            rec["spark_rows"], rec["oracle_rows"] = len(got), len(want)
+            rec["rows_match"] = len(got) == len(want)
+            rec["schema_match"] = list(got.columns) == list(want.columns) and list(
+                got.dtypes
+            ) == list(want.dtypes)
+            if rec["rows_match"] and rec["schema_match"]:
+                try:
+                    pd.testing.assert_frame_equal(
+                        got, want, check_exact=True, check_dtype=False
+                    )
+                    rec["hash_match"] = True
+                except AssertionError as exc:
+                    rec["err"] = f"value mismatch: {exc}"[:500]
+        except Exception as exc:  # noqa: BLE001 — artifact records, never aborts
+            rec["err"] = f"{type(exc).__name__}: {exc}"[:500]
+        results[name] = rec
+        status = "OK" if rec["hash_match"] else f"FAIL ({rec['err']})"
+        print(f"{name}: {status}", file=sys.stderr)
+
+    out.write_text(json.dumps(results, indent=1) + "\n")
+    n_ok = sum(1 for k, v in results.items() if k != "_meta" and v["hash_match"])
+    print(f"{out.name}: {n_ok}/{len(SCALE_SENSITIVE)} green", file=sys.stderr)
+    return 0 if n_ok == len(SCALE_SENSITIVE) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
