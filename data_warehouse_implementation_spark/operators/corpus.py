@@ -292,6 +292,75 @@ def mix_sources(
     )
 
 
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    max_docs: int,
+    id_col: str = "doc_id",
+    rank_buckets: int = 64,
+) -> DataFrame:
+    """Per-key frequency cap — the C4/RefinedWeb "top-domain dominance"
+    guard a 100 TB pipeline runs before source mixing: keep at most
+    ``max_docs`` documents per ``key_col`` value (source, domain,
+    license), chosen by a DETERMINISTIC pseudo-random rank so (a) the
+    kept set reproduces exactly on any cluster layout or backfill
+    re-run and (b) truncation is not biased toward low doc_ids
+    (ingestion order). The rank key is the same partition-invariant
+    id-hash as :func:`hash_split` / :func:`mix_sources`. Unlike
+    ``mix_sources`` (which REWEIGHTS by a rate), this bounds a single
+    key's absolute concentration — the two compose, cap first.
+
+    Scale shape — a hot key is the NORM here (the guard exists because
+    one domain can hold 10^8 documents), so never one row_number
+    window over a whole key. Two-phase per-key rank:
+
+    1. bucket members by hash RANGE (monotone in the hash, so bucket
+       order == rank order);
+    2. ``row_number`` within (key, bucket) — parallel across
+       ``rank_buckets`` tasks even for a single hot key;
+    3. offset by the per-key running sum of bucket counts — a window
+       over at most ``rank_buckets`` rows per key, never member-scale.
+
+    The decomposition preserves the total (hash, id) order per key, so
+    any engine replays it as a plain ``ROW_NUMBER() OVER (PARTITION BY
+    key ORDER BY hash, id)`` — which is exactly what the DuckDB oracle
+    does. Returns the kept rows with ``key_rank`` (1-based) appended.
+    """
+    h = ((F.col(id_col) % HASH_P) * SPLIT_A + SPLIT_B) % HASH_P
+    width = max(1, HASH_P // rank_buckets)
+    b = df.withColumn("_h", h).withColumn("_hb", F.expr(f"_h div {width}"))
+    within = (
+        F.row_number()
+        .over(Window.partitionBy(key_col, "_hb").orderBy("_h", id_col))
+        .cast("long")
+    )
+    counts = b.groupBy(key_col, "_hb").agg(F.count(F.lit(1)).alias("_bn"))
+    offsets = counts.select(
+        key_col,
+        "_hb",
+        F.coalesce(
+            F.sum("_bn").over(
+                Window.partitionBy(key_col)
+                .orderBy("_hb")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("_off"),
+    )
+    # plain equi-join on the window's own shuffle key (key, bucket):
+    # co-partitioned with step 2; AQE broadcasts when the offsets side
+    # is small (it is #keys x rank_buckets rows, never member-scale)
+    return (
+        b.withColumn("_wr", within)
+        .join(offsets, on=[key_col, "_hb"])
+        .withColumn("key_rank", F.col("_wr") + F.col("_off"))
+        .filter(F.col("key_rank") <= max_docs)
+        .drop("_h", "_hb", "_wr", "_off")
+    )
+
+
 def boilerplate_ngrams(
     df: DataFrame,
     n: int = 3,

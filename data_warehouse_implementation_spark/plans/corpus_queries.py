@@ -453,6 +453,47 @@ FROM kept GROUP BY source, rate_pct ORDER BY source
 
 
 # ---------------------------------------------------------------------------
+# Per-source frequency cap (top-domain dominance guard, VERDICT r9 #5)
+
+CAP_MAX_DOCS_PER_SOURCE = 20  # engages at sf0.01 (25 docs/source raw)
+
+
+def corpus_cap_per_source(t: dict[str, DataFrame]) -> DataFrame:
+    """The C4/RefinedWeb "top-domain dominance" guard as a direct
+    query: keep at most ``CAP_MAX_DOCS_PER_SOURCE`` documents per
+    source by the deterministic pseudo-random per-key rank
+    (corpus.cap_per_key — two-phase, hot-key-parallel). Returns the
+    kept (doc_id, source, key_rank) rows: the full witness of WHICH
+    documents the rule keeps and their rank arithmetic, which the
+    oracle replays as a plain per-key ROW_NUMBER over the same hash
+    order (the two-phase decomposition preserves it exactly)."""
+    return (
+        corpus.cap_per_key(
+            t["documents"].select("doc_id", "source"),
+            key_col="source",
+            max_docs=CAP_MAX_DOCS_PER_SOURCE,
+        )
+        .select("doc_id", "source", "key_rank")
+        .orderBy("doc_id")
+    )
+
+
+CORPUS_CAP_PER_SOURCE_ORACLE = f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY ((doc_id % {HASH_P}) * {SPLIT_A} + {SPLIT_B}) % {HASH_P}, doc_id
+         ) AS BIGINT) AS key_rank
+  FROM documents
+)
+SELECT doc_id, source, key_rank FROM ranked
+WHERE key_rank <= {CAP_MAX_DOCS_PER_SOURCE}
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Boilerplate n-gram detection (corpus-wide document frequency)
 
 BOILERPLATE_N = 3

@@ -206,6 +206,84 @@ def corpus_curation_funnel(t: dict[str, DataFrame]) -> DataFrame:
     return out.orderBy("stage_ord")
 
 
+# Per-source frequency cap for the CAPPED ladder variant (VERDICT r9
+# #5: the C4/RefinedWeb top-domain dominance guard — mix_sources
+# reweights by a RATE but never bounds one source's absolute
+# concentration; the cap runs between decontamination and mixing).
+# 10 engages at sf0.01: kept3 survivors run 6-13 docs/source.
+CURATION_MAX_DOCS_PER_SOURCE = 10
+
+
+def _capped_stages(t: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    """The capped ladder's extra survivor sets, layered on the SAME
+    cached kept1-kept3 stages as the uncapped ladder (no stage is
+    rebuilt): ``kept3c`` = kept3 capped per source by the deterministic
+    two-phase rank (corpus.cap_per_key), ``kept4c`` = the mixture over
+    the capped survivors (rates re-derived from the capped totals)."""
+    docs = t["documents"]
+    key = str(docs.semanticHash())
+    kept3 = _curation_stages(t)["kept3"]
+
+    kept3c = materialize.get_or_build(
+        "curation_kept3c",
+        key,
+        lambda: corpus.cap_per_key(
+            docs.join(kept3, on="doc_id", how="left_semi").select("doc_id", "source"),
+            key_col="source",
+            max_docs=CURATION_MAX_DOCS_PER_SOURCE,
+        ).select("doc_id"),
+    )
+    kept4c = materialize.get_or_build(
+        "curation_kept4c",
+        key,
+        lambda: corpus.mix_sources(
+            docs.join(kept3c, on="doc_id", how="left_semi"),
+            weights=MIX_WEIGHTS,
+            token_budget=MIX_TOKEN_BUDGET,
+            default_weight=MIX_DEFAULT_WEIGHT,
+        ).select("doc_id"),
+    )
+    return {"kept3c": kept3c, "kept4c": kept4c}
+
+
+def corpus_curation_capped_funnel(t: dict[str, DataFrame]) -> DataFrame:
+    """The curation funnel with the per-source frequency cap engaged as
+    a ladder stage between decontamination and mixing — one row per
+    stage with its surviving count, ``cap_per_source`` included, so the
+    cap's cost is a visible funnel row (never a silent shrink; the same
+    no-silent-caps discipline as the LSH bucket stats). Shares the
+    kept1-kept3 session caches with the uncapped ladder — the funnel
+    pair differs ONLY downstream of the cap, which is the point: the
+    capped variant is a config choice, not a fork of the pipeline."""
+    docs = t["documents"]
+    stages = _curation_stages(t)
+    capped = _capped_stages(t)
+    packed = corpus.pack_sequences(
+        docs.join(capped["kept4c"], on="doc_id", how="left_semi"),
+        seq_budget=SEQ_BUDGET,
+        chunk_size=SEQ_CHUNK,
+        chunk_stride=SEQ_CHUNK,
+    )
+    rows = [
+        (0, "input", docs.select("doc_id")),
+        (1, "quality_filter", stages["kept1"].select("doc_id")),
+        (2, "near_dup_keep_best", stages["kept2"]),
+        (3, "decontaminate", stages["kept3"]),
+        (4, "cap_per_source", capped["kept3c"]),
+        (5, "mix_sources", capped["kept4c"]),
+        (6, "pack_sequences", packed.select("seq_id").distinct()),
+    ]
+    out = None
+    for ord_, name, frame in rows:
+        one = frame.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(ord_).cast("long").alias("stage_ord"),
+            F.lit(name).alias("stage"),
+            "n",
+        )
+        out = one if out is None else out.unionByName(one)
+    return out.orderBy("stage_ord")
+
+
 _MIX_W_SQL = f"""CASE source WHEN 'src0' THEN {MIX_WEIGHTS["src0"]}
                      WHEN 'src1' THEN {MIX_WEIGHTS["src1"]}
                      ELSE {MIX_DEFAULT_WEIGHT} END"""
@@ -340,5 +418,72 @@ SELECT CAST(stage_ord AS BIGINT) AS stage_ord, stage, CAST(n AS BIGINT) AS n FRO
   UNION ALL SELECT 5, 'pack_sequences',
     (SELECT COUNT(DISTINCT CAST(FLOOR(CAST(token_start AS DOUBLE) / {SEQ_BUDGET}.0) AS BIGINT))
      FROM cum)
+) ORDER BY stage_ord
+"""
+
+# Capped-ladder CTEs layered onto the shared chain: the per-source rank
+# replays corpus.cap_per_key's deterministic hash order as a plain
+# window (the two-phase decomposition preserves it exactly), then the
+# mixture and packing re-run over the capped survivors.
+_CAPPED_CTES = f"""{_CURATION_CTES},
+srcrank AS (
+  SELECT d.doc_id, d.source,
+         ROW_NUMBER() OVER (
+           PARTITION BY d.source
+           ORDER BY ((d.doc_id % {HASH_P}) * {SPLIT_A} + {SPLIT_B}) % {HASH_P}, d.doc_id
+         ) AS rnk
+  FROM documents d JOIN kept3 k ON k.doc_id = d.doc_id
+),
+kept3c AS (SELECT doc_id FROM srcrank WHERE rnk <= {CURATION_MAX_DOCS_PER_SOURCE}),
+mixbase_c AS (
+  SELECT d.doc_id, d.source, CAST(len(t2.arr) AS BIGINT) AS n_tokens
+  FROM documents d
+  JOIN toks t2 ON t2.doc_id = d.doc_id
+  JOIN kept3c k ON k.doc_id = d.doc_id
+),
+mw_c AS (
+  SELECT source, {_MIX_W_SQL} AS wt
+  FROM (SELECT DISTINCT source FROM mixbase_c)
+),
+mwsum_c AS (SELECT SUM(wt) AS ws FROM mw_c),
+mtot_c AS (SELECT source, SUM(n_tokens) AS tt FROM mixbase_c GROUP BY source),
+kept4c AS (
+  SELECT b.doc_id FROM mixbase_c b
+  JOIN mw_c USING (source) JOIN mtot_c USING (source) CROSS JOIN mwsum_c
+  WHERE ((b.doc_id % {HASH_P}) * {SPLIT_A} + {SPLIT_B}) % {HASH_P} % 100
+        < CAST(least(CAST(100 AS BIGINT),
+                (CAST({MIX_TOKEN_BUDGET} AS BIGINT) * 100 * mw_c.wt) // (mwsum_c.ws * mtot_c.tt))
+            AS BIGINT)
+),
+st_c AS (
+  SELECT t3.doc_id, t3.arr, unnest(generate_series(1, len(t3.arr), {SEQ_CHUNK})) AS s
+  FROM toks t3 JOIN kept4c USING (doc_id) WHERE len(t3.arr) > 0
+),
+ch_c AS (
+  SELECT doc_id,
+         CAST((s - 1) / {SEQ_CHUNK} AS BIGINT) AS chunk_id,
+         CAST(least({SEQ_CHUNK}, len(arr) - s + 1) AS BIGINT) AS n_chunk_tokens
+  FROM st_c
+),
+cum_c AS (
+  SELECT *, CAST(SUM(n_chunk_tokens) OVER (
+    ORDER BY doc_id, chunk_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) - n_chunk_tokens AS BIGINT) AS token_start
+  FROM ch_c
+)
+"""
+
+CORPUS_CURATION_CAPPED_FUNNEL_ORACLE = f"""{_CAPPED_CTES}
+SELECT CAST(stage_ord AS BIGINT) AS stage_ord, stage, CAST(n AS BIGINT) AS n FROM (
+  SELECT 0 AS stage_ord, 'input' AS stage,
+         (SELECT COUNT(*) FROM documents) AS n
+  UNION ALL SELECT 1, 'quality_filter', (SELECT COUNT(*) FROM kept1)
+  UNION ALL SELECT 2, 'near_dup_keep_best', (SELECT COUNT(*) FROM kept2)
+  UNION ALL SELECT 3, 'decontaminate', (SELECT COUNT(*) FROM kept3)
+  UNION ALL SELECT 4, 'cap_per_source', (SELECT COUNT(*) FROM kept3c)
+  UNION ALL SELECT 5, 'mix_sources', (SELECT COUNT(*) FROM kept4c)
+  UNION ALL SELECT 6, 'pack_sequences',
+    (SELECT COUNT(DISTINCT CAST(FLOOR(CAST(token_start AS DOUBLE) / {SEQ_BUDGET}.0) AS BIGINT))
+     FROM cum_c)
 ) ORDER BY stage_ord
 """

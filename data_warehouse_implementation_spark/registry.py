@@ -137,16 +137,20 @@ _DRIVER_WINDOW = [
     "purchase_graph_communities",
     "containment_capped_join",
     "containment_prefix_join",
-    "containment_probe_skew",
-    "doc_balanced_oversample",
     # round-10 changes on the driver gate: the LSH membership cap
-    # (impl-changed embedding_lsh_near_dup) and its new accounting row
+    # (impl-changed embedding_lsh_near_dup) and its new accounting row,
+    # plus the per-source frequency cap (new operator + engaged ladder
+    # stage with its funnel row)
     "embedding_lsh_near_dup",
     "embedding_lsh_bucket_stats",
+    "corpus_cap_per_source",
+    "corpus_curation_capped_funnel",
     # position 51+ — the round-11 suggested window (tools/staleness.py
     # --suggest-window at rotation time): remaining r7-stale rows, then
     # r8, then the just-checked r9 rows — next round's rotation is again
     # a mechanical promote-the-prefix edit
+    "containment_probe_skew",
+    "doc_balanced_oversample",
     "doc_dsir_weights",
     "doc_epoch_shuffle",
     "doc_length_batches",
@@ -977,6 +981,19 @@ register(
     "corpus_curation_funnel",
     curation.corpus_curation_funnel,
     curation.CORPUS_CURATION_FUNNEL_ORACLE,
+)
+# Round-10 additions (VERDICT r9 #5): the per-source frequency cap as a
+# direct query and as an engaged curation-ladder stage with its own
+# funnel row.
+register(
+    "corpus_cap_per_source",
+    corpus_queries.corpus_cap_per_source,
+    corpus_queries.CORPUS_CAP_PER_SOURCE_ORACLE,
+)
+register(
+    "corpus_curation_capped_funnel",
+    curation.corpus_curation_capped_funnel,
+    curation.CORPUS_CURATION_CAPPED_FUNNEL_ORACLE,
 )
 register(
     "top_balance_lateral_sql",

@@ -993,3 +993,52 @@ def test_lm_backoff_external_reference_and_oov_exclusion(spark):
     # (a,c) never occurs in ref -> backoff = 0.4 * c1(c)/T = 2*2/(5*10)
     assert (row.n_transitions, row.n_backoff) == (1, 1)
     assert row.lm_score == pytest.approx(2 * 2 / (5 * 10), abs=1e-12)
+
+
+def test_cap_per_key_two_phase_matches_direct_window(spark):
+    """cap_per_key (round 10, VERDICT r9 #5): the two-phase per-key
+    rank (hash-range buckets -> within-bucket row_number -> per-key
+    bucket offsets) must equal a DIRECT row_number over (key ORDER BY
+    hash, id) on a skewed frame — one hot key with 50 members, several
+    cold ones — and must be invariant to the input partitioning (the
+    determinism the backfill story rests on)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_warehouse_implementation_spark.operators import corpus
+
+    rows = [(i, "hot") for i in range(50)] + [
+        (100 + i, f"cold{i % 3}") for i in range(9)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    cap = 7
+    got = {
+        (r.doc_id, r.key_rank)
+        for r in corpus.cap_per_key(
+            df, key_col="source", max_docs=cap, rank_buckets=8
+        ).collect()
+    }
+    h = ((F.col("doc_id") % corpus.HASH_P) * corpus.SPLIT_A + corpus.SPLIT_B) % corpus.HASH_P
+    direct = {
+        (r.doc_id, r.key_rank)
+        for r in df.withColumn(
+            "key_rank",
+            F.row_number()
+            .over(Window.partitionBy("source").orderBy(h, "doc_id"))
+            .cast("long"),
+        )
+        .filter(F.col("key_rank") <= cap)
+        .collect()
+    }
+    assert got == direct
+    # cold keys under the cap keep everything; the hot key keeps exactly cap
+    assert sum(1 for d, _ in got if d >= 100) == 9
+    assert sum(1 for d, _ in got if d < 100) == cap
+    # partitioning invariance
+    repart = {
+        (r.doc_id, r.key_rank)
+        for r in corpus.cap_per_key(
+            df.repartition(13), key_col="source", max_docs=cap, rank_buckets=8
+        ).collect()
+    }
+    assert repart == got
