@@ -30,16 +30,43 @@ SPREAD_MULT = 3.0
 HISTORY_KEEP = 8
 
 
+#: MAD -> spread scaling: for a genuinely noisy history the values are
+#: roughly evenly spread and max-min ~ 3.5x the median absolute
+#: deviation, so the robust spread matches the old max-min floor on
+#: real noise while a single spike (MAD ~ 0) no longer widens anything.
+MAD_SCALE = 3.5
+
+
+def robust_spread(history: list[float]) -> float:
+    """Run-to-run spread estimate that ONE outlier run cannot inflate
+    (VERDICT r9 #7: with the max-min spread, a single unflagged
+    contention spike widened the query's floor 3x for up to
+    HISTORY_KEEP runs, masking a later real regression). With >= 4
+    runs: ``MAD_SCALE x median(|x - median|)`` — a lone spike leaves
+    the MAD, hence the floor, tight. With 2-3 runs there are too few
+    points to call anything an outlier, so stay conservative with the
+    full max-min range; with < 2 the spread is unknown."""
+    n = len(history)
+    if n < 2:
+        return 0.0
+    if n < 4:
+        return max(history) - min(history)
+    import statistics
+
+    med = statistics.median(history)
+    return MAD_SCALE * statistics.median([abs(x - med) for x in history])
+
+
 def noise_floor(history: list[float]) -> float:
     """Per-query noise floor (VERDICT r7 #2): ``max(0.75s, 3x the
-    query's historical run-to-run spread)``. A query whose timings have
-    bounced between 1.2s and 2.4s across recent runs earns a 3.6s
+    query's historical run-to-run spread)`` — with the spread measured
+    robustly (:func:`robust_spread`). A query whose timings have
+    bounced between 1.2s and 2.4s across recent runs earns a ~3.6s
     floor — a +1.4s delta on it is contention, not a plan change —
     while a historically-stable query keeps the tight 0.75s floor so a
-    real regression still trips. With <2 historical runs the spread is
-    unknown; only the absolute floor applies."""
-    spread = max(history) - min(history) if len(history) >= 2 else 0.0
-    return max(NOISE_FLOOR_SECONDS, SPREAD_MULT * spread)
+    real regression still trips, even when one stray spike sits in an
+    otherwise-flat history."""
+    return max(NOISE_FLOOR_SECONDS, SPREAD_MULT * robust_spread(history))
 
 
 def is_regression(now: float, scaled_prev: float, history: list[float]) -> bool:

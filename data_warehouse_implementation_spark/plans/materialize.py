@@ -66,24 +66,34 @@ def get_or_build(
             return df
         # stale entry from a stopped/replaced session — rebuild
         _CACHE.pop((name, sf_dir), None)
+    stage_dir = os.environ.get("SPARK_GRAFT_STAGE_DIR")
+    staged_path = None
+    if corpus_scale and stage_dir:
+        # Corpus-scale intermediates don't belong in executor memory
+        # at production scale — persist to a parquet staging table
+        # instead (one write/read cycle; columnar scans thereafter).
+        # Keyed by (name, dataset) exactly like the memory cache.
+        staged_path = os.path.join(
+            stage_dir, f"{name}_{sf_dir.strip('/').replace('/', '_')}"
+        )
+        if os.path.exists(staged_path):
+            # A staging table persisted by a PREVIOUS session: re-opening
+            # parquet is NOT a build — logging it would attribute a
+            # phantom ~0s 'build' to whichever query touched the cache
+            # first in this process (ADVICE r9), so skip the BUILD_LOG/
+            # BUILD_SECONDS append entirely.
+            df = spark.read.parquet(staged_path)
+            _CACHE[(name, sf_dir)] = (spark, df)
+            return df
     pos = len(BUILD_LOG)
     BUILD_LOG.append(name)
     BUILD_SECONDS.append(0.0)
     _CHILD_TIME.append(0.0)
     t0 = time.perf_counter()
     try:
-        stage_dir = os.environ.get("SPARK_GRAFT_STAGE_DIR")
-        if corpus_scale and stage_dir:
-            # Corpus-scale intermediates don't belong in executor memory
-            # at production scale — persist to a parquet staging table
-            # instead (one write/read cycle; columnar scans thereafter).
-            # Keyed by (name, dataset) exactly like the memory cache.
-            path = os.path.join(
-                stage_dir, f"{name}_{sf_dir.strip('/').replace('/', '_')}"
-            )
-            if not os.path.exists(path):
-                builder().write.mode("overwrite").parquet(path)
-            df = spark.read.parquet(path)
+        if staged_path is not None:
+            builder().write.mode("overwrite").parquet(staged_path)
+            df = spark.read.parquet(staged_path)
         else:
             df = builder().cache()
             # Force materialization NOW so the build cost is timed and

@@ -159,7 +159,7 @@ def scd3_apply(
     order_col: str,
     old_col: str | None = None,
     effective_col: str = "effective_date",
-    fresh_old: str = "",
+    fresh_old: str | None = "",
 ) -> DataFrame:
     """SCD Type 3 (M4): replay of the reference's change-tracking trigger
     (``creating-tables.sql:248-270``) interplaying with ``ON CONFLICT DO
@@ -222,7 +222,17 @@ def scd3_apply(
         inc.filter(F.col("_pos") == 1)
         .drop("_pos", order_col)
         .join(dim.select(*keys).distinct(), on=keys, how="left_anti")
-        .withColumn(old_col, F.lit(fresh_old))
+        # fresh_old=None means "no prior value": a TYPED null (the
+        # tracked column's own type), so a non-string tracked column
+        # never unions a string sentinel into the old column (ADVICE
+        # r9 — with the bare F.lit(None) the column would be NullType
+        # and drift the union schema just the same)
+        .withColumn(
+            old_col,
+            F.lit(fresh_old).cast(incoming.schema[tracked_col].dataType)
+            if fresh_old is None
+            else F.lit(fresh_old),
+        )
         .withColumn(effective_col, as_of_d)
         .withColumn("_fresh", F.lit(True))
     )

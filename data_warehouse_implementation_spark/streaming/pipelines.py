@@ -264,7 +264,7 @@ def incremental_scd3_sink(
     checkpoint: str,
     old_col: str,
     effective_col: str = "effective_date",
-    fresh_old: str | None = "",
+    fresh_old: str | None = None,
 ):
     """Incremental SCD3 dimension maintenance — the change-tracking
     twin of :func:`incremental_scd2_sink`: each micro-batch is applied
@@ -273,7 +273,13 @@ def incremental_scd3_sink(
     per-batch application equals one-shot application of the
     concatenated batches (both replay the reference trigger row by
     row) — hypothesis-differentialed in
-    ``tests/test_scd_properties.py``."""
+    ``tests/test_scd_properties.py``.
+
+    ``fresh_old`` defaults to ``None`` (a TYPED null derived from the
+    tracked column — ADVICE r9: the previous ``""`` default silently
+    unioned a STRING sentinel into a non-string old column on the
+    default path); pass an explicit string sentinel only for string
+    tracked columns that want one."""
 
     def apply_batch(batch: DataFrame, _batch_id: int) -> None:
         spark = batch.sparkSession
@@ -936,12 +942,22 @@ def ivf_state_topk(
     stays replay-safe: duplicate appends of the same batch carry
     identical rows, so the latest-wins collapse restores the
     single-append state even if a failure window left both copies on
-    disk."""
+    disk.
+
+    Within ONE batch the same vec_id with two different embeddings has
+    no arrival order to break the tie, so the collapse orders by a
+    content hash of the embedding second (ADVICE r9: batch_id alone
+    left the row_number tie nondeterministic) — an arbitrary but FIXED
+    winner, reproduced on every replay and by the parity test's
+    one-shot twin. Callers who care which duplicate wins should dedup
+    upstream; this guarantees only that the pick is stable."""
     from pyspark.sql import Window
 
     from ..operators import similarity as sim
 
-    latest = Window.partitionBy("vec_id").orderBy(F.col("batch_id").desc())
+    latest = Window.partitionBy("vec_id").orderBy(
+        F.col("batch_id").desc(), F.xxhash64("embedding").desc()
+    )
     state = (
         catalog.table(f"{prefix}_cells")
         .withColumn("_rn", F.row_number().over(latest))

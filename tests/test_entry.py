@@ -263,14 +263,26 @@ def test_bench_regression_gate_noise_floor():
     # no history: absolute floor only
     assert bench.noise_floor([]) == bench.NOISE_FLOOR_SECONDS
     assert bench.noise_floor([1.3]) == bench.NOISE_FLOOR_SECONDS
-    # noisy history widens the floor: spread 1.2s -> floor 3.6s
+    # noisy history widens the floor: MAD 0.35 -> spread 1.225 -> ~3.7s
+    # (matches the old max-min floor of 3.6 on genuinely-spread noise)
     noisy = [1.2, 2.4, 1.5, 1.9]
-    assert bench.noise_floor(noisy) == 3.0 * 1.2
+    assert bench.noise_floor(noisy) == 3.0 * bench.MAD_SCALE * 0.35
+    assert abs(bench.noise_floor(noisy) - 3.6) < 0.2
     # the r7 adjudication case: 1.27s -> 2.69s (2.1x, +1.4s) on a query
-    # whose history wobbles by >0.5s -> NOT a regression
+    # whose 3-run history wobbles by >0.5s -> NOT a regression (with
+    # < 4 runs no point is an identifiable outlier, so the full range
+    # stays the spread)
     assert not bench.is_regression(2.69, 1.27, [1.27, 1.9, 1.4])
     # same delta on a rock-stable query -> flagged
     assert bench.is_regression(2.69, 1.27, [1.27, 1.28, 1.26])
+    # VERDICT r9 #7 (robust spread): ONE stray spike in an otherwise
+    # flat history must NOT widen the floor — the MAD ignores it, so a
+    # later real regression on the flat baseline still trips...
+    spiky = [1.0, 1.01, 1.0, 4.0, 1.02]
+    assert bench.noise_floor(spiky) == bench.NOISE_FLOOR_SECONDS
+    assert bench.is_regression(2.6, 1.0, spiky)
+    # ...under the old max-min rule the same spike set a 9s floor
+    assert 3.0 * (max(spiky) - min(spiky)) > 2.6 - 1.0
     # big ratio but tiny absolute delta (fast query jitter) -> not flagged
     assert not bench.is_regression(0.6, 0.2, [0.2, 0.21])
     # big absolute delta but ratio under 1.5x -> not flagged

@@ -173,6 +173,17 @@ def test_materialize_get_or_build_semantics(spark, tmp_path, monkeypatch):
     n_before = calls["n"]
     materialize.get_or_build("unit_stage", "sfA", build, corpus_scale=True)
     assert calls["n"] == n_before
+    # ADVICE r9: a staging table persisted by a PREVIOUS session is a
+    # REUSE, not a build — dropping the memory entry (what a new
+    # session sees) and re-opening must neither re-run the builder nor
+    # append a phantom ~0s row to BUILD_LOG/BUILD_SECONDS
+    materialize._CACHE.pop(("unit_stage", "sfA"), None)
+    log_n, sec_n = len(materialize.BUILD_LOG), len(materialize.BUILD_SECONDS)
+    reopened = materialize.get_or_build("unit_stage", "sfA", build, corpus_scale=True)
+    assert reopened.count() == 10
+    assert calls["n"] == n_before
+    assert len(materialize.BUILD_LOG) == log_n
+    assert len(materialize.BUILD_SECONDS) == sec_n
     materialize.clear()
 
 

@@ -229,6 +229,10 @@ def test_streaming_scd3_matches_one_shot_batch(spark, dim, rows, cuts):
         stream, cat, "dim3", ["key"], tracked_col="consent", order_col="seq",
         as_of=AS_OF, checkpoint=os.path.join(str(tmp_path), "ckpt3"),
         old_col="consent_old",
+        # explicit string sentinel: parity target is scd3_apply's
+        # batch default ("") — the SINK default is the typed null
+        # (covered by the bootstrap test below)
+        fresh_old="",
     )
     q.awaitTermination()
 
@@ -280,7 +284,9 @@ def test_streaming_scd3_bootstrap_nonstring_tracked_col(spark):
             stream, cat, "dim_boot", ["key"], tracked_col="quota",
             order_col="seq", as_of=AS_OF,
             checkpoint=os.path.join(tmp_path, "ckpt"),
-            old_col="quota_old", effective_col="valid_from", fresh_old=None,
+            # DEFAULT fresh_old: must be the typed null (ADVICE r9 —
+            # the old "" default made this long column drift to string)
+            old_col="quota_old", effective_col="valid_from",
         )
         q.awaitTermination()
         out = {r.key: (r.quota, r.quota_old, str(r.valid_from)) for r in cat.table("dim_boot").collect()}

@@ -1159,6 +1159,41 @@ def test_ivf_admission_sink_parity_with_batch(spark, tmp_dir):
         got4 = streaming.ivf_state_topk(cat, "ivf", queries, centroids, k=3, n_probe=2)
         assert sorted(map(tuple, got4.collect())) == sorted(map(tuple, want4.collect()))
 
+    # intra-batch duplicate (ADVICE r9): the same vec_id admitted TWICE
+    # within one batch with different embeddings has no batch_id to
+    # break the tie — the collapse must pick the documented content-hash
+    # winner (larger xxhash64(embedding)), stably across evaluations
+    dup_id = 3
+    dim = len(emb.first().embedding)
+    va = [float((i * 3) % 5) / 5.0 for i in range(dim)]
+    vb = [float((i * 7) % 11) / 11.0 for i in range(dim)]
+    two = spark.createDataFrame([(dup_id, va), (dup_id, vb)], schema)
+    cat.insert_into(
+        "ivf_cells",
+        two.join(sim.assign_cells(two, centroids), on="vec_id")
+        .withColumn("batch_id", F.lit(11)),
+    )
+    # hash via an indexed frame with the SAME embedding type as the
+    # state (float32 storage rounds the python literals, so the values
+    # themselves can't serve as dict keys)
+    etype = schema["embedding"].dataType.simpleString()
+    idx = spark.createDataFrame([(0, va), (1, vb)], f"i long, embedding {etype}")
+    hs = {r.i: r.h for r in idx.select("i", F.xxhash64("embedding").alias("h")).collect()}
+    winner = va if hs[0] >= hs[1] else vb
+    emb_final = emb_after.filter(F.col("vec_id") != dup_id).unionByName(
+        spark.createDataFrame([(dup_id, winner)], schema)
+    )
+    cells_final = sim.assign_cells(emb_final, centroids)
+    want5 = sim.cosine_topk(
+        queries.join(sim.probe_cells(queries, centroids, n_probe=2), on="vec_id"),
+        emb_final.join(cells_final, on="vec_id"),
+        k=3,
+        cell_col="cell_id",
+    )
+    for _ in range(2):
+        got5 = streaming.ivf_state_topk(cat, "ivf", queries, centroids, k=3, n_probe=2)
+        assert sorted(map(tuple, got5.collect())) == sorted(map(tuple, want5.collect()))
+
 
 def test_rollup_hour_sink_parity_with_batch(spark, tmp_dir):
     """Two micro-batches through the streaming continuous-aggregate
