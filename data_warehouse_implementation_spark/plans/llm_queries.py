@@ -1368,20 +1368,31 @@ _LSH_MEMBER_MOD = 2**32
 
 def _lsh_bands(embeddings: DataFrame) -> DataFrame:
     """(vec_id, band_id, band_key) rows: 16 deterministic hyperplane
-    sign bits per vector (similarity.hyperplane_signature) banded 4x4,
-    shared by the near-dup join and the bucket-stats census."""
-    sig = similarity.hyperplane_signature(embeddings, n_bits=HYPER_BITS)
-    width = HYPER_BITS // HYPER_BANDS
-    mask = (1 << width) - 1
-    structs = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.shiftright(F.col("hypersig"), b * width).bitwiseAND(F.lit(mask)).alias("band_key"),
+    sign bits per vector (similarity.hyperplane_signature) banded 4x4.
+    Session-cached — the near-dup join and the bucket-stats census both
+    consume it (HYPER_BANDS rows per vector, vector-scale)."""
+
+    def _build() -> DataFrame:
+        sig = similarity.hyperplane_signature(embeddings, n_bits=HYPER_BITS)
+        width = HYPER_BITS // HYPER_BANDS
+        mask = (1 << width) - 1
+        structs = [
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftright(F.col("hypersig"), b * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_key"),
+            )
+            for b in range(HYPER_BANDS)
+        ]
+        return sig.select("vec_id", F.explode(F.array(*structs)).alias("_b")).select(
+            "vec_id",
+            F.col("_b.band_id").alias("band_id"),
+            F.col("_b.band_key").alias("band_key"),
         )
-        for b in range(HYPER_BANDS)
-    ]
-    return sig.select("vec_id", F.explode(F.array(*structs)).alias("_b")).select(
-        "vec_id", F.col("_b.band_id").alias("band_id"), F.col("_b.band_key").alias("band_key")
+
+    return materialize.get_or_build(
+        "lsh_hyperplane_bands", str(embeddings.semanticHash()), _build
     )
 
 
