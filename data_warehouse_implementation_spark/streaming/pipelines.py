@@ -473,6 +473,8 @@ def curation_admission_sink(
     bands: int = 8,
     rows: int = 2,
     threshold: float = 0.5,
+    max_per_source: int | None = None,
+    source_col: str = "source",
 ):
     """Incremental CURATION admission (VERDICT r8 #8) — the streaming
     twin of the batch curation ladder's admission stages (RUNBOOK
@@ -504,11 +506,25 @@ def curation_admission_sink(
     stream — quality ∧ clean ∧ not-near-dup-of-any-earlier-ADMITTED
     doc — built from the SAME operator expressions, so the parity is
     structural. Intra-batch duplicates are both admitted if novel vs
-    the corpus, exactly as in ``incremental_dedup_sink``."""
+    the corpus, exactly as in ``incremental_dedup_sink``.
+
+    ``max_per_source`` (round 10) is the streaming twin of the batch
+    ladder's per-source frequency cap (``corpus.cap_per_key`` — the
+    C4/RefinedWeb top-domain dominance guard): after dedup, a source
+    whose STANDING admitted count has reached the cap rejects further
+    docs with verdict ``source_capped`` (quota is consumed only by
+    admissions — duplicates and rejects never burn it). Within one
+    batch the remaining quota is filled in the SAME deterministic
+    hash-rank order ``cap_per_key`` uses, so sequential per-batch
+    application equals one cap_per_key pass ranked by (arrival batch,
+    hash, id) — the parity the test checks. Requires ``source_col`` in
+    the stream schema; the admitted state table then carries it."""
+    from pyspark.sql import Window as SW
     from pyspark.sql import functions as SF  # local alias for closures
 
     from ..operators import dedup
     from ..operators import text as text_ops
+    from ..operators.corpus import HASH_P as CP, SPLIT_A as CA, SPLIT_B as CB
 
     bench_ids = benchmark.select("doc_id")
     bench_grams = (
@@ -516,7 +532,9 @@ def curation_admission_sink(
     )
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
-        batch = batch.select("doc_id", "text")
+        batch = batch.select(
+            "doc_id", "text", *([source_col] if max_per_source is not None else [])
+        )
         # replay idempotence: drop any prior attempt of THIS batch
         for tname in ("verdicts", "bands", "tids", "admitted"):
             full = f"{prefix}_{tname}"
@@ -597,6 +615,50 @@ def curation_admission_sink(
                 "jaccard",
             )
         )
+        if max_per_source is not None:
+            # per-source quota: standing admitted counts come from the
+            # state table (this batch's rows were delete_where'd above,
+            # so replays see the same quota); the batch's would-be
+            # admissions fill the remainder in cap_per_key's hash-rank
+            # order, the rest turn 'source_capped'
+            if catalog.exists(f"{prefix}_admitted"):
+                standing = (
+                    catalog.table(f"{prefix}_admitted")
+                    .groupBy(source_col)
+                    .agg(SF.count(SF.lit(1)).alias("_standing"))
+                )
+            else:
+                standing = batch.sparkSession.createDataFrame(
+                    [], f"{source_col} string, _standing long"
+                )
+            h = ((SF.col("doc_id") % CP) * CA + CB) % CP
+            over_quota = (
+                verdicts.filter(SF.col("stage") == "admitted")
+                .join(batch.select("doc_id", source_col), on="doc_id")
+                .withColumn(
+                    "_rk",
+                    SF.row_number()
+                    .over(SW.partitionBy(source_col).orderBy(h.asc(), SF.col("doc_id")))
+                    .cast("long"),
+                )
+                .join(SF.broadcast(standing), on=source_col, how="left")
+                .filter(
+                    SF.col("_rk") + SF.coalesce(SF.col("_standing"), SF.lit(0))
+                    > SF.lit(max_per_source)
+                )
+                .select("doc_id")
+            )
+            verdicts = verdicts.join(
+                over_quota.withColumn("_capped", SF.lit(True)), on="doc_id", how="left"
+            ).select(
+                "doc_id",
+                "batch_id",
+                SF.when(SF.col("_capped").isNotNull(), SF.lit("source_capped"))
+                .otherwise(SF.col("stage"))
+                .alias("stage"),
+                "matched_corpus_id",
+                "jaccard",
+            )
         # verdicts must be decided before the state tables grow below
         verdicts = verdicts.localCheckpoint()
         admitted = verdicts.filter(SF.col("stage") == "admitted").select("doc_id")

@@ -1413,3 +1413,101 @@ def test_binary_file_ingest_messy_filenames(spark, tmp_dir):
         for r in read_binary_media(spark, media_dir, kind="image", glob="*.img").collect()
     }
     assert again == rows
+
+
+def test_curation_admission_per_source_cap(spark, tmp_dir):
+    """The streaming twin of the batch per-source frequency cap (round
+    10): with max_per_source=2, a source's standing ADMITTED count caps
+    later arrivals with verdict 'source_capped'; within one batch the
+    remaining quota fills in cap_per_key's deterministic hash-rank
+    order; duplicates are decided BEFORE the cap and never burn quota;
+    replay under a fresh checkpoint is idempotent."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_warehouse_implementation_spark.operators.corpus import (
+        HASH_P,
+        SPLIT_A,
+        SPLIT_B,
+    )
+
+    def h(doc_id: int) -> int:
+        return ((doc_id % HASH_P) * SPLIT_A + SPLIT_B) % HASH_P
+
+    texts = {
+        1: "the quick brown fox jumps over a lazy dog near the old mill road today",
+        2: "a measured essay on the craft of writing and the slow value of revision",
+        3: "an unrelated report on the state of the harvest and the price of grain",
+        4: "the committee met on tuesday to review the annual budget for the parks",
+    }
+    # intra-batch quota fills in hash order: the two smallest-h A docs win
+    a_order = sorted([1, 2, 3], key=h)
+    winners, capped_b1 = set(a_order[:2]), a_order[2]
+    dup_target = a_order[0]
+
+    b1 = [(i, texts[i], "A") for i in (1, 2, 3)] + [(4, texts[4], "B")]
+    b2 = [
+        (10, "a fresh novel document about rivers and the bridges that cross them in spring", "A"),
+        (11, texts[dup_target].replace("the", "that", 1), "A"),  # near-dup of an ADMITTED doc
+        (12, "notes from the observatory on the motion of the planets through the winter sky", "B"),
+    ]
+    src = os.path.join(tmp_dir, "cap_src")
+    os.makedirs(src)
+    for i, rows in enumerate([b1, b2]):
+        p = os.path.join(src, f"b{i}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": [r[0] for r in rows],
+                    "text": [r[1] for r in rows],
+                    "source": [r[2] for r in rows],
+                }
+            ),
+            p,
+        )
+        os.utime(p, (1_700_000_000 + 60 * i,) * 2)
+
+    benchmark = spark.createDataFrame(
+        [(900, "completely disjoint benchmark passage with eight special uncommon tokens arranged here")],
+        "doc_id long, text string",
+    )
+    cat = WarehouseCatalog(spark, os.path.join(tmp_dir, "cap_wh"))
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("doc_id long, text string, source string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = streaming.curation_admission_sink(
+            stream, cat, "capc", checkpoint=os.path.join(tmp_dir, ckpt),
+            benchmark=benchmark, min_words=5, max_words=200, min_quality=0.0,
+            decontam_n=8, n_shingle=3, k=16, bands=8, rows=2, threshold=0.5,
+            max_per_source=2,
+        )
+        q.awaitTermination()
+
+    run("ckpt_cap")
+    v = {r.doc_id: r.stage for r in cat.table("capc_verdicts").collect()}
+    want = {w: "admitted" for w in winners}
+    want[capped_b1] = "source_capped"
+    want[4] = "admitted"           # B quota untouched in batch 1
+    want[10] = "source_capped"     # A standing count is already 2
+    want[11] = "duplicate"         # dedup fires BEFORE the cap
+    want[12] = "admitted"          # B standing count is 1 < 2
+    assert v == want
+    admitted_by_source = {
+        (r.source, r.doc_id) for r in cat.table("capc_admitted").collect()
+    }
+    assert {d for s, d in admitted_by_source if s == "A"} == winners
+    assert {d for s, d in admitted_by_source if s == "B"} == {4, 12}
+    # the duplicate matched an admitted A doc, proving it was judged
+    # before the cap could reject it
+    dup_row = [r for r in cat.table("capc_verdicts").collect() if r.doc_id == 11][0]
+    assert dup_row.matched_corpus_id == dup_target and dup_row.jaccard >= 0.5
+
+    # replay idempotence: fresh checkpoint, identical verdicts and state
+    before = sorted((r.doc_id, r.batch_id, r.stage) for r in cat.table("capc_verdicts").collect())
+    run("ckpt_cap_replay")
+    after = sorted((r.doc_id, r.batch_id, r.stage) for r in cat.table("capc_verdicts").collect())
+    assert after == before
