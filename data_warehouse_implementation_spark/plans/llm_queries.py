@@ -1454,44 +1454,47 @@ def embedding_lsh_near_dup(t: dict[str, DataFrame]) -> DataFrame:
     corpus where the census shows heavy truncation, widen the
     signature/bands or route to the IVF-cell path
     (``embedding_near_dup``), which is cell-bounded by training."""
+    # Plan shape (round 10, measured 3.6s -> 0.15s warm at sf0.1): the
+    # vectors RIDE the band rows into the self-join and the cosine is
+    # computed inline, so the only pair-scale operator is the final
+    # distinct over SURVIVORS (|near-dups|), not candidates. The old
+    # shape distinct-ed 465k candidate pairs and then re-joined the
+    # embeddings twice — four pair-scale shuffles; this one shuffles
+    # bands (HYPER_BANDS rows/vector, each carrying its vector — a 4x
+    # vector-bytes cost, linear in the corpus) and nothing else at pair
+    # scale. A multi-band collision computes its cosine up to
+    # HYPER_BANDS times; that arithmetic is ~free next to a shuffle. At
+    # sf0.1 the band+vector table broadcasts outright; at cluster scale
+    # AQE degrades it to ONE shuffle on the band key.
     bands = _lsh_bands(t["embeddings"])
-    kept = _lsh_capped_bands(bands, EMBEDDING_LSH_MAX_BUCKET)
-    cands = (
-        kept.select(F.col("vec_id").alias("vec_a"), "band_id", "band_key")
-        .join(
-            kept.select(F.col("vec_id").alias("vec_b"), "band_id", "band_key"),
-            on=["band_id", "band_key"],
-        )
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
-    )
     emb = t["embeddings"].select(
         "vec_id", "embedding", similarity.l2_norm(F.col("embedding")).alias("_norm")
     )
+    kept = _lsh_capped_bands(bands, EMBEDDING_LSH_MAX_BUCKET).join(emb, on="vec_id")
+    a = kept.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("_va"),
+        F.col("_norm").alias("_na"),
+        "band_id",
+        "band_key",
+    )
+    b = kept.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("_vb"),
+        F.col("_norm").alias("_nb"),
+        "band_id",
+        "band_key",
+    )
     return (
-        cands.join(
-            emb.select(
-                F.col("vec_id").alias("vec_a"),
-                F.col("embedding").alias("_va"),
-                F.col("_norm").alias("_na"),
-            ),
-            on="vec_a",
-        )
-        .join(
-            emb.select(
-                F.col("vec_id").alias("vec_b"),
-                F.col("embedding").alias("_vb"),
-                F.col("_norm").alias("_nb"),
-            ),
-            on="vec_b",
-        )
+        a.join(b, on=["band_id", "band_key"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
         .withColumn(
             "cosine",
             similarity.dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
         )
         .filter(F.col("cosine") >= NEAR_DUP_COSINE)
         .select("vec_a", "vec_b", "cosine")
+        .distinct()
         .orderBy("vec_a", "vec_b")
     )
 
