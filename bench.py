@@ -172,6 +172,20 @@ def main() -> None:
     ).withColumn(
         "effective_date", F.date_format("effective_date", "yyyy-MM-dd")
     ).orderBy("key").collect()
+    # Warm the Python-worker / Arrow-batch path (mapInPandas): the first
+    # Arrow query of a session pays worker spawn + Arrow codec init
+    # (~2s) — a pure ORDERING artifact that lands on whichever media/
+    # pandas query the driver window happens to run first (round 10:
+    # the rotation moved media_feature_extract to the front and its row
+    # "regressed" 9x while its plan was untouched). Synthetic frame, no
+    # registry query involved.
+    def _arrow_warm(batches):
+        for pdf in batches:
+            yield pdf
+
+    spark.range(64).select(F.col("id").cast("long")).mapInPandas(
+        _arrow_warm, "id long"
+    ).groupBy().count().collect()
     # Warm the flagship's exact plan shape (star join + conditional agg
     # + double rank) against the SMALLEST testdata sf: generated code is
     # cached per plan shape, not per input, so this removes the one-time

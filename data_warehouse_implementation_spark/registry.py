@@ -241,8 +241,12 @@ _DRIVER_WINDOW = [
     "user_sketch_rollup",
     "window_funcs_sql",
     "avg_qty_gated_revenue_sql",
-    "bpe_fertility_by_lang",
+    # BPE family adjacency (same reasoning as the round-9 window): the
+    # family head pays the shared bpe_trained_merges cache + expression
+    # JIT, so token_stats runs DIRECTLY BEFORE fertility — the r10 bench
+    # flagged fertility 1.7x purely because the rotation swapped them
     "bpe_token_stats",
+    "bpe_fertility_by_lang",
     "brand_median_price",
     "calendar_dim",
     "companies_of_interest",
