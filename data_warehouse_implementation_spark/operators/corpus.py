@@ -298,6 +298,8 @@ def cap_per_key(
     max_docs: int,
     id_col: str = "doc_id",
     rank_buckets: int = 64,
+    priority_col: str | None = None,
+    priority_buckets: int = 1024,
 ) -> DataFrame:
     """Per-key frequency cap — the C4/RefinedWeb "top-domain dominance"
     guard a 100 TB pipeline runs before source mixing: keep at most
@@ -325,13 +327,35 @@ def cap_per_key(
     any engine replays it as a plain ``ROW_NUMBER() OVER (PARTITION BY
     key ORDER BY hash, id)`` — which is exactly what the DuckDB oracle
     does. Returns the kept rows with ``key_rank`` (1-based) appended.
+
+    ``priority_col`` (RefinedWeb's variant of the guard): keep the
+    BEST ``max_docs`` per key instead of a pseudo-random subset — rank
+    order becomes (priority DESC, hash, id), with the bucketing phase
+    derived from the NEGATED priority via the shared
+    :func:`relational.derived_width_bucket` (monotone, bounded to
+    ``priority_buckets`` — the hot key still parallelizes). Priorities
+    must be non-null (quality scores here always are); replay is a
+    plain window ordered the same way.
     """
     h = ((F.col(id_col) % HASH_P) * SPLIT_A + SPLIT_B) % HASH_P
-    width = max(1, HASH_P // rank_buckets)
-    b = df.withColumn("_h", h).withColumn("_hb", F.expr(f"_h div {width}"))
+    if priority_col is not None:
+        from .relational import derived_width_bucket
+
+        b = derived_width_bucket(
+            df.withColumn("_h", h),
+            key=-F.col(priority_col),
+            out_col="_hb",
+            min_width=1e-9,
+            max_buckets=float(priority_buckets),
+        )
+        order_by = [F.col(priority_col).desc(), F.col("_h").asc(), F.col(id_col).asc()]
+    else:
+        width = max(1, HASH_P // rank_buckets)
+        b = df.withColumn("_h", h).withColumn("_hb", F.expr(f"_h div {width}"))
+        order_by = [F.col("_h").asc(), F.col(id_col).asc()]
     within = (
         F.row_number()
-        .over(Window.partitionBy(key_col, "_hb").orderBy("_h", id_col))
+        .over(Window.partitionBy(key_col, "_hb").orderBy(*order_by))
         .cast("long")
     )
     counts = b.groupBy(key_col, "_hb").agg(F.count(F.lit(1)).alias("_bn"))

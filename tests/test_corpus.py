@@ -1042,3 +1042,59 @@ def test_cap_per_key_two_phase_matches_direct_window(spark):
         ).collect()
     }
     assert repart == got
+
+
+def test_cap_per_key_priority_keeps_best(spark):
+    """cap_per_key(priority_col=...) — the RefinedWeb variant: keep the
+    BEST max_docs per key (priority desc, hash/id tie-break), computed
+    through the derived-width-bucket two-phase rank. Must equal the
+    direct window and stay partition-invariant; the kept set is the
+    top-priority members, not a random subset."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_warehouse_implementation_spark.operators import corpus
+
+    rows = [(i, "hot", float((i * 37) % 101) / 101.0) for i in range(50)] + [
+        (100 + i, f"cold{i % 3}", 0.5) for i in range(9)  # equal priorities: hash ties
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, quality double")
+    cap = 7
+    got = {
+        (r.doc_id, r.key_rank)
+        for r in corpus.cap_per_key(
+            df, key_col="source", max_docs=cap, priority_col="quality",
+            priority_buckets=16,
+        ).collect()
+    }
+    h = ((F.col("doc_id") % corpus.HASH_P) * corpus.SPLIT_A + corpus.SPLIT_B) % corpus.HASH_P
+    direct = {
+        (r.doc_id, r.key_rank)
+        for r in df.withColumn(
+            "key_rank",
+            F.row_number()
+            .over(
+                Window.partitionBy("source").orderBy(
+                    F.col("quality").desc(), h.asc(), F.col("doc_id")
+                )
+            )
+            .cast("long"),
+        )
+        .filter(F.col("key_rank") <= cap)
+        .collect()
+    }
+    assert got == direct
+    # the hot key kept exactly its 7 highest-quality members
+    hot_kept = {d for d, _ in got if d < 100}
+    top_quality = sorted(
+        (q, d) for d, s, q in rows if s == "hot"
+    )[-cap:]
+    assert hot_kept == {d for _, d in top_quality}
+    repart = {
+        (r.doc_id, r.key_rank)
+        for r in corpus.cap_per_key(
+            df.repartition(11), key_col="source", max_docs=cap,
+            priority_col="quality", priority_buckets=16,
+        ).collect()
+    }
+    assert repart == got
