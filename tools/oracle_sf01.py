@@ -43,6 +43,10 @@ SCALE_SENSITIVE = [
     "embedding_ann_recall_matrix",
     "corpus_curation_e2e",
     "corpus_curation_funnel",
+    # the per-source cap truncates far more heavily at sf0.1 (kept3
+    # survivors run ~60-130 docs/source against the cap of 10)
+    "corpus_cap_per_source",
+    "corpus_curation_capped_funnel",
     "doc_substring_dup",
     "events_hypertable_rollup",
     "events_quantile_rollup",
