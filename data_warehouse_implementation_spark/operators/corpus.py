@@ -333,9 +333,14 @@ def cap_per_key(
     order becomes (priority DESC, hash, id), with the bucketing phase
     derived from the NEGATED priority via the shared
     :func:`relational.derived_width_bucket` (monotone, bounded to
-    ``priority_buckets`` — the hot key still parallelizes). Priorities
-    must be non-null (quality scores here always are); replay is a
-    plain window ordered the same way.
+    ``priority_buckets`` — the hot key still parallelizes). NULL
+    priorities rank LAST (the DESC-nulls-last convention of both
+    engines' plain window), never first.
+
+    NULL handling: a NULL ``key_col`` is its own group (exactly like
+    the replay window's ``PARTITION BY`` — the offsets join is
+    null-safe, so NULL-key rows are capped, not dropped); ``id_col``
+    must be non-null (it is an id).
     """
     h = ((F.col(id_col) % HASH_P) * SPLIT_A + SPLIT_B) % HASH_P
     if priority_col is not None:
@@ -347,6 +352,16 @@ def cap_per_key(
             out_col="_hb",
             min_width=1e-9,
             max_buckets=float(priority_buckets),
+        )
+        # derived_width_bucket routes NULL keys to sentinel bucket -1
+        # (before every real bucket) — for a DESC priority rank NULLs
+        # must sort LAST, so remap them to a bucket beyond every real
+        # one (max_buckets is bounded, 2^62 is safely beyond)
+        b = b.withColumn(
+            "_hb",
+            F.when(F.col(priority_col).isNull(), F.lit(2**62)).otherwise(
+                F.col("_hb")
+            ),
         )
         order_by = [F.col(priority_col).desc(), F.col("_h").asc(), F.col(id_col).asc()]
     else:
@@ -360,8 +375,8 @@ def cap_per_key(
     )
     counts = b.groupBy(key_col, "_hb").agg(F.count(F.lit(1)).alias("_bn"))
     offsets = counts.select(
-        key_col,
-        "_hb",
+        F.col(key_col).alias("_ok"),
+        F.col("_hb").alias("_ob"),
         F.coalesce(
             F.sum("_bn").over(
                 Window.partitionBy(key_col)
@@ -373,15 +388,21 @@ def cap_per_key(
         .cast("long")
         .alias("_off"),
     )
-    # plain equi-join on the window's own shuffle key (key, bucket):
-    # co-partitioned with step 2; AQE broadcasts when the offsets side
-    # is small (it is #keys x rank_buckets rows, never member-scale)
+    # NULL-SAFE equi-join on the window's own shuffle key (key,
+    # bucket): a NULL key is a real group in the window replay, and a
+    # plain equi-join would silently DROP its rows instead of capping
+    # them. Co-partitioned with step 2; AQE broadcasts when the
+    # offsets side is small (#keys x rank_buckets rows, never
+    # member-scale).
     return (
         b.withColumn("_wr", within)
-        .join(offsets, on=[key_col, "_hb"])
+        .join(
+            offsets,
+            F.col(key_col).eqNullSafe(F.col("_ok")) & (F.col("_hb") == F.col("_ob")),
+        )
         .withColumn("key_rank", F.col("_wr") + F.col("_off"))
         .filter(F.col("key_rank") <= max_docs)
-        .drop("_h", "_hb", "_wr", "_off")
+        .drop("_h", "_hb", "_wr", "_off", "_ok", "_ob")
     )
 
 

@@ -161,12 +161,33 @@ def corpus_curation_e2e(t: dict[str, DataFrame]) -> DataFrame:
     materializes the corpus more than once."""
     docs = t["documents"]
     kept4 = _curation_stages(t)["kept4"]
+    return _packed_sequences(docs, kept4).orderBy("doc_id", "chunk_id")
+
+
+def _funnel(rows: list[tuple[int, str, DataFrame]]) -> DataFrame:
+    """``(stage_ord, stage, n)`` census rows from a (ord, name, frame)
+    stage list — the shared shape of both funnel variants, so the
+    capped funnel differs ONLY in its stage list."""
+    out = None
+    for ord_, name, frame in rows:
+        one = frame.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(ord_).cast("long").alias("stage_ord"),
+            F.lit(name).alias("stage"),
+            "n",
+        )
+        out = one if out is None else out.unionByName(one)
+    return out.orderBy("stage_ord")
+
+
+def _packed_sequences(docs: DataFrame, kept: DataFrame) -> DataFrame:
+    """Training sequences over a survivor set — shared by the e2e
+    query and both funnels (same packing knobs everywhere)."""
     return corpus.pack_sequences(
-        docs.join(kept4, on="doc_id", how="left_semi"),
+        docs.join(kept, on="doc_id", how="left_semi"),
         seq_budget=SEQ_BUDGET,
         chunk_size=SEQ_CHUNK,
         chunk_stride=SEQ_CHUNK,
-    ).orderBy("doc_id", "chunk_id")
+    )
 
 
 def corpus_curation_funnel(t: dict[str, DataFrame]) -> DataFrame:
@@ -181,29 +202,17 @@ def corpus_curation_funnel(t: dict[str, DataFrame]) -> DataFrame:
     replays the whole ladder and counts the same sets."""
     docs = t["documents"]
     stages = _curation_stages(t)
-    packed = corpus.pack_sequences(
-        docs.join(stages["kept4"], on="doc_id", how="left_semi"),
-        seq_budget=SEQ_BUDGET,
-        chunk_size=SEQ_CHUNK,
-        chunk_stride=SEQ_CHUNK,
+    packed = _packed_sequences(docs, stages["kept4"])
+    return _funnel(
+        [
+            (0, "input", docs.select("doc_id")),
+            (1, "quality_filter", stages["kept1"].select("doc_id")),
+            (2, "near_dup_keep_best", stages["kept2"]),
+            (3, "decontaminate", stages["kept3"]),
+            (4, "mix_sources", stages["kept4"]),
+            (5, "pack_sequences", packed.select("seq_id").distinct()),
+        ]
     )
-    rows = [
-        (0, "input", docs.select("doc_id")),
-        (1, "quality_filter", stages["kept1"].select("doc_id")),
-        (2, "near_dup_keep_best", stages["kept2"]),
-        (3, "decontaminate", stages["kept3"]),
-        (4, "mix_sources", stages["kept4"]),
-        (5, "pack_sequences", packed.select("seq_id").distinct()),
-    ]
-    out = None
-    for ord_, name, frame in rows:
-        one = frame.agg(F.count(F.lit(1)).alias("n")).select(
-            F.lit(ord_).cast("long").alias("stage_ord"),
-            F.lit(name).alias("stage"),
-            "n",
-        )
-        out = one if out is None else out.unionByName(one)
-    return out.orderBy("stage_ord")
 
 
 # Per-source frequency cap for the CAPPED ladder variant (VERDICT r9
@@ -258,30 +267,18 @@ def corpus_curation_capped_funnel(t: dict[str, DataFrame]) -> DataFrame:
     docs = t["documents"]
     stages = _curation_stages(t)
     capped = _capped_stages(t)
-    packed = corpus.pack_sequences(
-        docs.join(capped["kept4c"], on="doc_id", how="left_semi"),
-        seq_budget=SEQ_BUDGET,
-        chunk_size=SEQ_CHUNK,
-        chunk_stride=SEQ_CHUNK,
+    packed = _packed_sequences(docs, capped["kept4c"])
+    return _funnel(
+        [
+            (0, "input", docs.select("doc_id")),
+            (1, "quality_filter", stages["kept1"].select("doc_id")),
+            (2, "near_dup_keep_best", stages["kept2"]),
+            (3, "decontaminate", stages["kept3"]),
+            (4, "cap_per_source", capped["kept3c"]),
+            (5, "mix_sources", capped["kept4c"]),
+            (6, "pack_sequences", packed.select("seq_id").distinct()),
+        ]
     )
-    rows = [
-        (0, "input", docs.select("doc_id")),
-        (1, "quality_filter", stages["kept1"].select("doc_id")),
-        (2, "near_dup_keep_best", stages["kept2"]),
-        (3, "decontaminate", stages["kept3"]),
-        (4, "cap_per_source", capped["kept3c"]),
-        (5, "mix_sources", capped["kept4c"]),
-        (6, "pack_sequences", packed.select("seq_id").distinct()),
-    ]
-    out = None
-    for ord_, name, frame in rows:
-        one = frame.agg(F.count(F.lit(1)).alias("n")).select(
-            F.lit(ord_).cast("long").alias("stage_ord"),
-            F.lit(name).alias("stage"),
-            "n",
-        )
-        out = one if out is None else out.unionByName(one)
-    return out.orderBy("stage_ord")
 
 
 _MIX_W_SQL = f"""CASE source WHEN 'src0' THEN {MIX_WEIGHTS["src0"]}

@@ -1010,6 +1010,10 @@ def test_cap_per_key_two_phase_matches_direct_window(spark):
     rows = [(i, "hot") for i in range(50)] + [
         (100 + i, f"cold{i % 3}") for i in range(9)
     ]
+    # NULL keys are a real group in the window replay: they must be
+    # CAPPED like any other key, never silently dropped (the offsets
+    # join is null-safe — round-10 review finding)
+    rows += [(200 + i, None) for i in range(12)]
     df = spark.createDataFrame(rows, "doc_id long, source string")
     cap = 7
     got = {
@@ -1031,9 +1035,11 @@ def test_cap_per_key_two_phase_matches_direct_window(spark):
         .collect()
     }
     assert got == direct
-    # cold keys under the cap keep everything; the hot key keeps exactly cap
-    assert sum(1 for d, _ in got if d >= 100) == 9
+    # cold keys under the cap keep everything; the hot key keeps
+    # exactly cap; the NULL-key group is capped too (12 rows -> cap)
+    assert sum(1 for d, _ in got if 100 <= d < 200) == 9
     assert sum(1 for d, _ in got if d < 100) == cap
+    assert sum(1 for d, _ in got if d >= 200) == cap
     # partitioning invariance
     repart = {
         (r.doc_id, r.key_rank)
@@ -1058,6 +1064,10 @@ def test_cap_per_key_priority_keeps_best(spark):
     rows = [(i, "hot", float((i * 37) % 101) / 101.0) for i in range(50)] + [
         (100 + i, f"cold{i % 3}", 0.5) for i in range(9)  # equal priorities: hash ties
     ]
+    # NULL priorities rank LAST (both engines' DESC-nulls-last window
+    # convention) — never first (round-10 review finding: the bucket
+    # sentinel used to place them ahead of every real priority)
+    rows += [(300 + i, "hot", None) for i in range(3)]
     df = spark.createDataFrame(rows, "doc_id long, source string, quality double")
     cap = 7
     got = {
@@ -1084,12 +1094,14 @@ def test_cap_per_key_priority_keeps_best(spark):
         .collect()
     }
     assert got == direct
-    # the hot key kept exactly its 7 highest-quality members
-    hot_kept = {d for d, _ in got if d < 100}
+    # the hot key kept exactly its 7 highest-quality NON-NULL members;
+    # the null-priority rows ranked behind all 50 real ones
+    hot_kept = {d for d, _ in got if d < 100 or d >= 300}
     top_quality = sorted(
-        (q, d) for d, s, q in rows if s == "hot"
+        (q, d) for d, s, q in rows if s == "hot" and q is not None
     )[-cap:]
     assert hot_kept == {d for _, d in top_quality}
+    assert not any(d >= 300 for d, _ in got)
     repart = {
         (r.doc_id, r.key_rank)
         for r in corpus.cap_per_key(
