@@ -579,8 +579,9 @@ def doc_quality_score(t: dict[str, DataFrame]) -> DataFrame:
     ).orderBy("doc_id")
 
 
-DOC_QUALITY_SCORE_ORACLE = rf"""
-WITH {_TOKS_SQL.strip()},
+# quality-feature CTE chain (toks -> feat) + the quality expression,
+# shared by the score query and the keep-best per-source cap oracle
+_QUAL_FEAT_CTES = rf"""{_TOKS_SQL.strip()},
 feat AS (
   SELECT doc_id,
          CAST(len(arr) AS BIGINT) AS n_words,
@@ -594,12 +595,69 @@ feat AS (
                    / CAST(len(arr) AS DOUBLE)
               ELSE 0.0 END AS stop_ratio
   FROM toks JOIN documents USING (doc_id)
-)
-SELECT doc_id, n_words, n_bpeish, mean_word_len,
-       0.4 * least(greatest(CAST(n_words AS DOUBLE) / 100.0, 0.0), 1.0)
+)"""
+
+_QUALITY_EXPR_SQL = """0.4 * least(greatest(CAST(n_words AS DOUBLE) / 100.0, 0.0), 1.0)
      + 0.3 * least(greatest((mean_word_len - 2.0) / 6.0, 0.0), 1.0)
-     + 0.3 * least(greatest(stop_ratio * 5.0, 0.0), 1.0) AS quality
+     + 0.3 * least(greatest(stop_ratio * 5.0, 0.0), 1.0)"""
+
+DOC_QUALITY_SCORE_ORACLE = f"""
+WITH {_QUAL_FEAT_CTES}
+SELECT doc_id, n_words, n_bpeish, mean_word_len,
+       {_QUALITY_EXPR_SQL} AS quality
 FROM feat ORDER BY doc_id
+"""
+
+
+# Keep-best per-source cap: the priority mode of corpus.cap_per_key on
+# the oracle gate (the hash-rank mode is `corpus_cap_per_source` in
+# corpus_queries.py) — proves the derived-width-bucket two-phase rank
+# over a DOUBLE priority equals a plain DESC window cross-engine.
+CAP_BEST_PER_SOURCE = 20
+
+
+def corpus_cap_per_source_best(t: dict[str, DataFrame]) -> DataFrame:
+    """RefinedWeb-style top-domain guard: keep each source's
+    ``CAP_BEST_PER_SOURCE`` HIGHEST-QUALITY documents
+    (``cap_per_key(priority_col="quality")`` — quality desc, hash/id
+    tie-break). Returns (doc_id, source, quality, key_rank): the full
+    witness of which docs the rule keeps, their scores, and the rank
+    arithmetic, replayed by the oracle as a plain per-source
+    ROW_NUMBER over the same (quality DESC, hash, id) order."""
+    scored = text.quality_score(text.token_counts(t["documents"])).select(
+        "doc_id", "quality"
+    )
+    base = t["documents"].select("doc_id", "source").join(scored, on="doc_id")
+    return (
+        corpus_mod.cap_per_key(
+            base,
+            key_col="source",
+            max_docs=CAP_BEST_PER_SOURCE,
+            priority_col="quality",
+        )
+        .select("doc_id", "source", "quality", "key_rank")
+        .orderBy("doc_id")
+    )
+
+
+CORPUS_CAP_PER_SOURCE_BEST_ORACLE = f"""
+WITH {_QUAL_FEAT_CTES},
+qual AS (
+  SELECT doc_id, {_QUALITY_EXPR_SQL} AS quality FROM feat
+),
+ranked AS (
+  SELECT d.doc_id, d.source, q.quality,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY d.source
+           ORDER BY q.quality DESC,
+                    ((d.doc_id % {SPLIT_P}) * {SPLIT_A} + {SPLIT_B}) % {SPLIT_P},
+                    d.doc_id
+         ) AS BIGINT) AS key_rank
+  FROM documents d JOIN qual q USING (doc_id)
+)
+SELECT doc_id, source, quality, key_rank FROM ranked
+WHERE key_rank <= {CAP_BEST_PER_SOURCE}
+ORDER BY doc_id
 """
 
 

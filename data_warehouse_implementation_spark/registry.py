@@ -136,19 +136,20 @@ _DRIVER_WINDOW = [
     "purchase_graph_pagerank",
     "purchase_graph_communities",
     "containment_capped_join",
-    "containment_prefix_join",
     # round-10 changes on the driver gate: the LSH membership cap
     # (impl-changed embedding_lsh_near_dup) and its new accounting row,
     # plus the per-source frequency cap (new operator + engaged ladder
-    # stage with its funnel row)
+    # stage with its funnel row + keep-best priority mode)
     "embedding_lsh_near_dup",
     "embedding_lsh_bucket_stats",
     "corpus_cap_per_source",
+    "corpus_cap_per_source_best",
     "corpus_curation_capped_funnel",
     # position 51+ — the round-11 suggested window (tools/staleness.py
     # --suggest-window at rotation time): remaining r7-stale rows, then
     # r8, then the just-checked r9 rows — next round's rotation is again
     # a mechanical promote-the-prefix edit
+    "containment_prefix_join",
     "containment_probe_skew",
     "doc_balanced_oversample",
     "doc_dsir_weights",
@@ -993,6 +994,11 @@ register(
     "corpus_cap_per_source",
     corpus_queries.corpus_cap_per_source,
     corpus_queries.CORPUS_CAP_PER_SOURCE_ORACLE,
+)
+register(
+    "corpus_cap_per_source_best",
+    llm_queries.corpus_cap_per_source_best,
+    llm_queries.CORPUS_CAP_PER_SOURCE_BEST_ORACLE,
 )
 register(
     "corpus_curation_capped_funnel",
