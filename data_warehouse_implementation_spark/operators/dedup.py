@@ -361,18 +361,30 @@ def simhash_band_pairs(
         )
         for b in range(bands)
     ]
-    banded = sim.select(id_col, F.explode(F.array(*structs)).alias("band")).select(
-        id_col, F.col("band.band_id").alias("band_id"), F.col("band.band_key").alias("band_key")
+    # distinct-LAST shape (RUNBOOK §4.4): the 8-byte signature RIDES the
+    # band rows into the self-join and the Hamming verify runs inline,
+    # so the only pair-scale operator is the distinct over SURVIVORS —
+    # never a distinct over the full candidate set followed by two
+    # pair-scale signature re-joins (the round-10 LSH reshape lesson).
+    banded = sim.select(id_col, sim_col, F.explode(F.array(*structs)).alias("band")).select(
+        id_col,
+        sim_col,
+        F.col("band.band_id").alias("band_id"),
+        F.col("band.band_key").alias("band_key"),
     )
-    cands = candidate_pairs(banded, id_col=id_col)
-    a = sim.select(F.col(id_col).alias("doc_a"), F.col(sim_col).alias("_sa"))
-    b = sim.select(F.col(id_col).alias("doc_b"), F.col(sim_col).alias("_sb"))
+    a = banded.select(
+        F.col(id_col).alias("doc_a"), F.col(sim_col).alias("_sa"), "band_id", "band_key"
+    )
+    b = banded.select(
+        F.col(id_col).alias("doc_b"), F.col(sim_col).alias("_sb"), "band_id", "band_key"
+    )
     return (
-        cands.join(a, on="doc_a")
-        .join(b, on="doc_b")
+        a.join(b, on=["band_id", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .withColumn("hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 
