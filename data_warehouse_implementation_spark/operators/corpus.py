@@ -355,13 +355,20 @@ def cap_per_key(
         )
         # derived_width_bucket routes NULL keys to sentinel bucket -1
         # (before every real bucket) — for a DESC priority rank NULLs
-        # must sort LAST, so remap them to a bucket beyond every real
-        # one (max_buckets is bounded, 2^62 is safely beyond)
+        # must sort LAST, so remap them BEYOND every real bucket
+        # (max_buckets is bounded, 2^62 is safely past). Sub-bucket the
+        # NULL group by the hash range so a hot key whose priorities
+        # are largely NULL (an unscored backfill) still ranks in
+        # parallel: within the NULL group the order is (hash, id)
+        # anyway, so hash-range buckets stay monotone with the replay
+        # window.
+        hwidth = max(1, HASH_P // rank_buckets)
         b = b.withColumn(
             "_hb",
-            F.when(F.col(priority_col).isNull(), F.lit(2**62)).otherwise(
-                F.col("_hb")
-            ),
+            F.when(
+                F.col(priority_col).isNull(),
+                F.lit(2**62) + F.expr(f"_h div {hwidth}"),
+            ).otherwise(F.col("_hb")),
         )
         order_by = [F.col(priority_col).desc(), F.col("_h").asc(), F.col(id_col).asc()]
     else:

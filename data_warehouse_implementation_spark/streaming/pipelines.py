@@ -631,6 +631,13 @@ def curation_admission_sink(
                 standing = batch.sparkSession.createDataFrame(
                     [], f"{source_col} string, _standing long"
                 )
+            # NULL-SAFE standing join: a NULL source is a real quota
+            # group on the batch side (cap_per_key caps it, the window
+            # partitions it) — a plain equi-join would never match its
+            # standing count and the cap would reset every batch
+            standing = standing.select(
+                SF.col(source_col).alias("_sc"), "_standing"
+            )
             h = ((SF.col("doc_id") % CP) * CA + CB) % CP
             over_quota = (
                 verdicts.filter(SF.col("stage") == "admitted")
@@ -641,7 +648,11 @@ def curation_admission_sink(
                     .over(SW.partitionBy(source_col).orderBy(h.asc(), SF.col("doc_id")))
                     .cast("long"),
                 )
-                .join(SF.broadcast(standing), on=source_col, how="left")
+                .join(
+                    SF.broadcast(standing),
+                    SF.col(source_col).eqNullSafe(SF.col("_sc")),
+                    "left",
+                )
                 .filter(
                     SF.col("_rk") + SF.coalesce(SF.col("_standing"), SF.lit(0))
                     > SF.lit(max_per_source)

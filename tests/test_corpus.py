@@ -1068,6 +1068,12 @@ def test_cap_per_key_priority_keeps_best(spark):
     # convention) — never first (round-10 review finding: the bucket
     # sentinel used to place them ahead of every real priority)
     rows += [(300 + i, "hot", None) for i in range(3)]
+    # a key with FEWER scored docs than the cap: its NULL-priority rows
+    # must fill the remainder ranked by (hash, id) ACROSS the
+    # hash-range sub-buckets of the NULL group (round-10 review: one
+    # monolithic NULL bucket would serialize a hot unscored key)
+    rows += [(400 + i, "sparse", 0.9 - i * 0.1) for i in range(4)]
+    rows += [(500 + i, "sparse", None) for i in range(20)]
     df = spark.createDataFrame(rows, "doc_id long, source string, quality double")
     cap = 7
     got = {
@@ -1096,12 +1102,17 @@ def test_cap_per_key_priority_keeps_best(spark):
     assert got == direct
     # the hot key kept exactly its 7 highest-quality NON-NULL members;
     # the null-priority rows ranked behind all 50 real ones
-    hot_kept = {d for d, _ in got if d < 100 or d >= 300}
+    hot_kept = {d for d, _ in got if d < 100 or 300 <= d < 400}
     top_quality = sorted(
         (q, d) for d, s, q in rows if s == "hot" and q is not None
     )[-cap:]
     assert hot_kept == {d for _, d in top_quality}
-    assert not any(d >= 300 for d, _ in got)
+    assert not any(300 <= d < 400 for d, _ in got)
+    # the sparse key kept its 4 scored docs at ranks 1-4 and exactly 3
+    # NULL-priority fills behind them
+    sparse_kept = {(d, r) for d, r in got if d >= 400}
+    assert {r for d, r in sparse_kept if d < 500} == {1, 2, 3, 4}
+    assert sum(1 for d, _ in sparse_kept if d >= 500) == cap - 4
     repart = {
         (r.doc_id, r.key_rank)
         for r in corpus.cap_per_key(

@@ -1445,11 +1445,25 @@ def test_curation_admission_per_source_cap(spark, tmp_dir):
     winners, capped_b1 = set(a_order[:2]), a_order[2]
     dup_target = a_order[0]
 
-    b1 = [(i, texts[i], "A") for i in (1, 2, 3)] + [(4, texts[4], "B")]
+    # NULL source is a real quota group (round-10 review: the standing
+    # join must be null-safe or the NULL group's cap resets per batch)
+    null_texts = {
+        20: "a catalogue of ships that sailed from the harbor before the storm season began",
+        21: "remarks on the cultivation of olives in the dry hills above the southern coast",
+        22: "an account of the festival held each autumn when the river runs low and clear",
+    }
+    null_order = sorted(null_texts, key=h)
+    null_winners, null_capped_b1 = set(null_order[:2]), null_order[2]
+    b1 = (
+        [(i, texts[i], "A") for i in (1, 2, 3)]
+        + [(4, texts[4], "B")]
+        + [(i, null_texts[i], None) for i in null_texts]
+    )
     b2 = [
         (10, "a fresh novel document about rivers and the bridges that cross them in spring", "A"),
         (11, texts[dup_target].replace("the", "that", 1), "A"),  # near-dup of an ADMITTED doc
         (12, "notes from the observatory on the motion of the planets through the winter sky", "B"),
+        (23, "the keeper of the lighthouse wrote daily of the weather and the passing sails", None),
     ]
     src = os.path.join(tmp_dir, "cap_src")
     os.makedirs(src)
@@ -1492,15 +1506,19 @@ def test_curation_admission_per_source_cap(spark, tmp_dir):
     want = {w: "admitted" for w in winners}
     want[capped_b1] = "source_capped"
     want[4] = "admitted"           # B quota untouched in batch 1
+    want.update({w: "admitted" for w in null_winners})
+    want[null_capped_b1] = "source_capped"  # NULL group capped in-batch too
     want[10] = "source_capped"     # A standing count is already 2
     want[11] = "duplicate"         # dedup fires BEFORE the cap
     want[12] = "admitted"          # B standing count is 1 < 2
+    want[23] = "source_capped"     # NULL standing count carried across batches
     assert v == want
     admitted_by_source = {
         (r.source, r.doc_id) for r in cat.table("capc_admitted").collect()
     }
     assert {d for s, d in admitted_by_source if s == "A"} == winners
     assert {d for s, d in admitted_by_source if s == "B"} == {4, 12}
+    assert {d for s, d in admitted_by_source if s is None} == null_winners
     # the duplicate matched an admitted A doc, proving it was judged
     # before the cap could reject it
     dup_row = [r for r in cat.table("capc_verdicts").collect() if r.doc_id == 11][0]
