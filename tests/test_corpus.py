@@ -1121,3 +1121,74 @@ def test_cap_per_key_priority_keeps_best(spark):
         ).collect()
     }
     assert repart == got
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=60),  # doc_id (deduped below)
+            st.sampled_from(["a", "b", None]),       # key incl. NULL group
+            st.one_of(st.none(), st.sampled_from([0.0, 0.25, 0.5, 0.75, 1.0])),
+        ),
+        min_size=1,
+        max_size=40,
+    ).map(lambda rs: list({r[0]: r for r in rs}.values())),
+    cap=st.integers(min_value=1, max_value=6),
+)
+def test_cap_per_key_hypothesis_matches_direct_window(spark, rows, cap):
+    """Property differential (the repo's signature pattern): on random
+    frames — duplicate priorities, NULL keys, NULL priorities, keys
+    above and below the cap — cap_per_key's two-phase rank must equal
+    the plain window replay in BOTH modes, with tiny bucket counts
+    forcing multi-bucket offsets paths."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_warehouse_implementation_spark.operators import corpus
+
+    df = spark.createDataFrame(rows, "doc_id long, source string, quality double")
+    h = ((F.col("doc_id") % corpus.HASH_P) * corpus.SPLIT_A + corpus.SPLIT_B) % corpus.HASH_P
+
+    got_hash = {
+        (r.doc_id, r.key_rank)
+        for r in corpus.cap_per_key(
+            df, key_col="source", max_docs=cap, rank_buckets=4
+        ).collect()
+    }
+    want_hash = {
+        (r.doc_id, r.key_rank)
+        for r in df.withColumn(
+            "key_rank",
+            F.row_number()
+            .over(Window.partitionBy("source").orderBy(h, "doc_id"))
+            .cast("long"),
+        )
+        .filter(F.col("key_rank") <= cap)
+        .collect()
+    }
+    assert got_hash == want_hash
+
+    got_best = {
+        (r.doc_id, r.key_rank)
+        for r in corpus.cap_per_key(
+            df, key_col="source", max_docs=cap,
+            priority_col="quality", rank_buckets=4, priority_buckets=4,
+        ).collect()
+    }
+    want_best = {
+        (r.doc_id, r.key_rank)
+        for r in df.withColumn(
+            "key_rank",
+            F.row_number()
+            .over(
+                Window.partitionBy("source").orderBy(
+                    F.col("quality").desc(), h, F.col("doc_id")
+                )
+            )
+            .cast("long"),
+        )
+        .filter(F.col("key_rank") <= cap)
+        .collect()
+    }
+    assert got_best == want_best
