@@ -136,6 +136,17 @@ def sessionize_stateful(
     Spark's shortest-repr double→decimal(18,2) HALF_UP cast) so the
     emitted ``session_value`` is bit-identical to the batch twin's
     decimal sum.
+
+    Late-but-within-watermark events (a LATER micro-batch delivering an
+    event older than the open session's last timestamp) extend the open
+    session BACKWARD: ``start_us`` is min-updated and ``last_us`` never
+    moves backward, so the emitted session matches the batch twin's
+    time-sorted fold. The parity precondition is ``watermark delay <=
+    gap`` (the default: both 30 minutes): Spark then drops any event
+    old enough to predate the open session by more than the gap, so a
+    surviving late event ALWAYS belongs to the open session — an event
+    that would retroactively split or predate an already-emitted
+    session can never reach the operator.
     """
     import pandas as pd  # noqa: PLC0415 — worker-side import
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -188,9 +199,17 @@ def sessionize_stateful(
                 if start_us is None:
                     seq += 1
                     start_us = us
+                else:
+                    # a late-but-within-watermark event from a later
+                    # batch extends the open session backward; with
+                    # watermark <= gap it can never predate it by more
+                    # than the gap (see docstring)
+                    start_us = min(start_us, us)
                 n += 1
                 cents += _to_cents(v)
-                last_us = us
+                # never move the session's frontier backward — the gap
+                # test and the timeout must key on the LATEST event
+                last_us = us if last_us is None else max(last_us, us)
         if n == 0:
             state.remove()
             return
@@ -229,21 +248,46 @@ def incremental_scd2_sink(
     """Incremental SCD2 dimension maintenance: each micro-batch is
     applied with the *batch* scd2 algebra against the current table
     state (``foreachBatch`` — the standard pattern for stateful sinks
-    Spark doesn't natively provide). Returns the started query."""
+    Spark doesn't natively provide). Returns the started query.
 
-    def apply_batch(batch: DataFrame, _batch_id: int) -> None:
+    Replay safety: scd2_apply is a FOLD, not a per-row merge — applying
+    the same batch twice injects spurious degenerate versions (unlike
+    the scd3 sink, where re-applying equal values is a natural no-op).
+    foreachBatch is at-least-once, so each application first records
+    its post-state in ``{table}__post`` keyed by batch_id and THEN
+    publishes; a redelivery of the same batch (crash between publish
+    and the stream's commit) just republishes the recorded post-state.
+    The snapshot order closes both crash windows of the two writes.
+    Scope: this covers Spark's actual redelivery contract (only the
+    last uncommitted batch replays under a checkpoint); pointing a
+    FRESH checkpoint at an already-populated dimension re-folds the
+    whole stream and is caller error for any fold sink."""
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as SF
+
         spark = batch.sparkSession
-        if catalog.exists(table):
-            current = catalog.table(table)
-        else:
-            current = spark.createDataFrame(
-                [], scd.scd2_apply(
-                    _empty_like(spark, batch, order_col), batch.limit(0), keys,
-                    as_of=as_of, order_col=order_col,
-                ).schema,
-            )
+        post = f"{table}__post"
+        b = int(batch_id)
+        if catalog.exists(post):
+            prev = catalog.table(post)
+            if prev.filter(SF.col("_batch_id") == b).limit(1).count() > 0:
+                # at-least-once redelivery: the batch was already fully
+                # applied; republish the recorded post-state (idempotent)
+                catalog.replace(table, prev.drop("_batch_id"), internal=True)
+                return
+        current = (
+            catalog.table(table)
+            if catalog.exists(table)
+            else _empty_like(spark, batch, order_col)
+        )
         new_state = scd.scd2_apply(current, batch, keys, as_of=as_of, order_col=order_col)
-        catalog.replace(table, new_state, internal=True)
+        snap = new_state.withColumn("_batch_id", SF.lit(b))
+        if catalog.exists(post):
+            catalog.replace(post, snap, internal=True)
+        else:
+            catalog.write(post, snap)
+        catalog.replace(table, catalog.table(post).drop("_batch_id"), internal=True)
 
     return (
         stream.writeStream.foreachBatch(apply_batch)
@@ -326,6 +370,55 @@ def _ensure_batch_id(catalog: WarehouseCatalog, name: str) -> None:
         catalog.replace(name, tbl.withColumn("batch_id", F.lit(-1)), internal=True)
 
 
+def _nearest_state_match(
+    catalog: WarehouseCatalog,
+    prefix: str,
+    tids_new: DataFrame,
+    bands_new: DataFrame,
+    threshold: float,
+    spark: SparkSession,
+) -> DataFrame:
+    """Best near-dup match of each incoming doc against the STANDING
+    admitted corpus — the shared admission step of
+    ``incremental_dedup_sink`` and ``curation_admission_sink``: banded
+    LSH candidates (new bands ⋈ state bands) verified by exact jaccard,
+    collapsed to the highest-(jaccard, doc_b) match per new doc.
+    Returns ``(doc_a, matched_corpus_id, jaccard)`` (empty when no
+    state exists yet). ``cands`` is checkpointed because
+    ``pairwise_jaccard`` consumes it in three branches (its documented
+    caller contract) — left lazy, the state-scale band join + distinct
+    would re-execute per branch on every trigger."""
+    from pyspark.sql import functions as SF
+
+    from ..operators import dedup
+
+    if not catalog.exists(f"{prefix}_bands"):
+        return spark.createDataFrame(
+            [], "doc_a long, matched_corpus_id long, jaccard double"
+        )
+    old_bands = catalog.table(f"{prefix}_bands")
+    old_tids = catalog.table(f"{prefix}_tids")
+    cands = (
+        bands_new.select(SF.col("doc_id").alias("doc_a"), "band_id", "band_key")
+        .join(
+            old_bands.select(SF.col("doc_id").alias("doc_b"), "band_id", "band_key"),
+            on=["band_id", "band_key"],
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+        .localCheckpoint()
+    )
+    verified = dedup.pairwise_jaccard(
+        cands, tids_new.unionByName(old_tids.drop("batch_id"))
+    ).filter(SF.col("jaccard") >= threshold)
+    return verified.groupBy("doc_a").agg(
+        SF.max_by("doc_b", SF.struct("jaccard", SF.col("doc_b"))).alias(
+            "matched_corpus_id"
+        ),
+        SF.max("jaccard").alias("jaccard"),
+    )
+
+
 def _empty_like(spark: SparkSession, batch: DataFrame, order_col: str) -> DataFrame:
     base = batch.drop(order_col).schema
     from pyspark.sql.types import BooleanType, DateType, StructField, StructType
@@ -393,33 +486,9 @@ def incremental_dedup_sink(
         bands_new = dedup.lsh_bands(
             dedup.minhash_signatures(tids_new, k=k), bands=bands, rows=rows
         ).localCheckpoint()
-        if catalog.exists(f"{prefix}_bands"):
-            old_bands = catalog.table(f"{prefix}_bands")
-            old_tids = catalog.table(f"{prefix}_tids")
-            cands = (
-                bands_new.select(SF.col("doc_id").alias("doc_a"), "band_id", "band_key")
-                .join(
-                    old_bands.select(
-                        SF.col("doc_id").alias("doc_b"), "band_id", "band_key"
-                    ),
-                    on=["band_id", "band_key"],
-                )
-                .select("doc_a", "doc_b")
-                .distinct()
-            )
-            verified = dedup.pairwise_jaccard(
-                cands, tids_new.unionByName(old_tids.drop("batch_id"))
-            ).filter(SF.col("jaccard") >= threshold)
-            best = verified.groupBy("doc_a").agg(
-                SF.max_by("doc_b", SF.struct("jaccard", SF.col("doc_b"))).alias(
-                    "matched_corpus_id"
-                ),
-                SF.max("jaccard").alias("jaccard"),
-            )
-        else:
-            best = batch.sparkSession.createDataFrame(
-                [], "doc_a long, matched_corpus_id long, jaccard double"
-            )
+        best = _nearest_state_match(
+            catalog, prefix, tids_new, bands_new, threshold, batch.sparkSession
+        )
         verdicts = (
             batch.select("doc_id")
             .join(best.withColumnRenamed("doc_a", "doc_id"), on="doc_id", how="left")
@@ -526,9 +595,16 @@ def curation_admission_sink(
     from ..operators import text as text_ops
     from ..operators.corpus import HASH_P as CP, SPLIT_A as CA, SPLIT_B as CB
 
-    bench_ids = benchmark.select("doc_id")
+    # FIXED benchmark artifacts, checkpointed at sink construction so
+    # the shingle explode + distinct runs once for the stream's
+    # lifetime instead of once per micro-batch (deferred: the first
+    # trigger materializes them)
+    bench_ids = benchmark.select("doc_id").localCheckpoint(eager=False)
     bench_grams = (
-        dedup.word_shingles(benchmark, n=decontam_n).select("shingle").distinct()
+        dedup.word_shingles(benchmark, n=decontam_n)
+        .select("shingle")
+        .distinct()
+        .localCheckpoint(eager=False)
     )
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
@@ -568,33 +644,9 @@ def curation_admission_sink(
         bands_new = dedup.lsh_bands(
             dedup.minhash_signatures(tids_new, k=k), bands=bands, rows=rows
         ).localCheckpoint()
-        if catalog.exists(f"{prefix}_bands"):
-            old_bands = catalog.table(f"{prefix}_bands")
-            old_tids = catalog.table(f"{prefix}_tids")
-            cands = (
-                bands_new.select(SF.col("doc_id").alias("doc_a"), "band_id", "band_key")
-                .join(
-                    old_bands.select(
-                        SF.col("doc_id").alias("doc_b"), "band_id", "band_key"
-                    ),
-                    on=["band_id", "band_key"],
-                )
-                .select("doc_a", "doc_b")
-                .distinct()
-            )
-            verified = dedup.pairwise_jaccard(
-                cands, tids_new.unionByName(old_tids.drop("batch_id"))
-            ).filter(SF.col("jaccard") >= threshold)
-            best = verified.groupBy("doc_a").agg(
-                SF.max_by("doc_b", SF.struct("jaccard", SF.col("doc_b"))).alias(
-                    "matched_corpus_id"
-                ),
-                SF.max("jaccard").alias("jaccard"),
-            )
-        else:
-            best = batch.sparkSession.createDataFrame(
-                [], "doc_a long, matched_corpus_id long, jaccard double"
-            )
+        best = _nearest_state_match(
+            catalog, prefix, tids_new, bands_new, threshold, batch.sparkSession
+        )
 
         verdicts = (
             batch.select("doc_id")
@@ -1052,7 +1104,11 @@ def substring_census_from_state(
     paid once at ingest instead of per analysis."""
     from ..operators import corpus as corpus_ops
 
-    state = catalog.table(f"{prefix}_grams").drop("batch_id")
+    # defense in depth vs sink replays: gram rows are unique per
+    # (doc, position), so duplicate appends of one batch produce exact
+    # row copies — dropDuplicates restores the single-append state
+    # before the census counts occurrences
+    state = catalog.table(f"{prefix}_grams").dropDuplicates().drop("batch_id")
     return corpus_ops.substring_dup_census(
         None, k=k, min_occurrences=min_occurrences, grams=state
     )
@@ -1108,8 +1164,14 @@ def quantiles_from_state(catalog: WarehouseCatalog, prefix: str) -> DataFrame:
     the concatenated stream bit for bit (parity-tested)."""
     from ..plans.scale_queries import quantiles_from_bins
 
+    # defense in depth vs sink replays (same as cms_estimate): collapse
+    # to one row per (batch, day, type, bin) with max(n) first — batch
+    # content is deterministic, so duplicate appends of one batch carry
+    # identical partials and max() restores the single-append state
     merged = (
         catalog.table(f"{prefix}_hist")
+        .groupBy("batch_id", "day", "event_type", "bin")
+        .agg(F.max("n").alias("n"))
         .groupBy("event_type", "bin")
         .agg(F.sum("n").alias("n"))
     )

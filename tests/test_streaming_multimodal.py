@@ -131,6 +131,63 @@ def test_stateful_sessionize_matches_batch(spark, tmp_dir):
     assert len(got) > 0 and got == want
 
 
+def test_stateful_sessionize_handles_late_within_watermark_event(spark, tmp_dir):
+    """Round-10 review: a later micro-batch delivering an event OLDER
+    than the open session's last timestamp (but inside the watermark)
+    must extend the open session BACKWARD — start min-updated, the
+    session frontier never moving backward — so a following in-order
+    event does not spuriously split the session. The batch twin's
+    time-sorted fold is the truth: one session of 3 events starting at
+    the late event's timestamp."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_warehouse_implementation_spark.plans import ingest_queries
+
+    base = pd.Timestamp("2024-01-01 10:00:00")
+    batches = [
+        [(7, 1, base, 1.0)],
+        [
+            (7, 2, base - pd.Timedelta(minutes=10), 2.0),   # late, within gap+watermark
+            (7, 3, base + pd.Timedelta(minutes=25), 3.0),   # mis-split if the frontier moved back
+        ],
+        [(-1, -1, base + pd.Timedelta(days=30), 0.0)],      # watermark flush sentinel
+    ]
+    src = os.path.join(tmp_dir, "late_src")
+    os.makedirs(src)
+    frames = []
+    for i, rows in enumerate(batches):
+        pdf = pd.DataFrame(rows, columns=["user_id", "event_id", "ts", "value"])
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        frames.append(pdf)
+        p = os.path.join(src, f"b{i}.parquet")
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), p)
+        os.utime(p, (1_700_000_000 + 60 * i,) * 2)
+
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    streaming.run_to_memory(
+        streaming.sessionize_stateful(stream), "late_sessions", output_mode="append"
+    )
+    got = {
+        (r.user_id, r.session_seq): (r.n_events, r.session_start, r.session_value)
+        for r in spark.table("late_sessions").filter("user_id >= 0").collect()
+    }
+    all_df = spark.createDataFrame(pd.concat(frames[:2]))
+    want = {
+        (r.user_id, r.session_seq): (r.n_events, r.session_start, r.session_value)
+        for r in ingest_queries.events_sessionize({"events": all_df}).collect()
+    }
+    assert got == want
+    assert len(got) == 1  # ONE session: the late event merged, not split
+    (n_events, session_start, session_value) = next(iter(got.values()))
+    assert n_events == 3 and session_value == 6.0
+    assert session_start.startswith("2024-01-01 09:50:00")
+
+
 def test_incremental_scd2_over_two_microbatches(spark, tmp_dir):
     cat = WarehouseCatalog(spark, os.path.join(tmp_dir, "wh"))
     src = os.path.join(tmp_dir, "scd_src")
@@ -794,6 +851,14 @@ def test_histogram_and_hll_sketch_sinks_parity_with_batch(spark, tmp_dir):
     )
     assert [tuple(r) for r in streaming.quantiles_from_state(cat, "sk").collect()] == want_q
 
+    # duplicate-append artifact (the replay failure window the CMS and
+    # rollup readers already defend against — round-10 review): a second
+    # copy of batch 0's histogram partials on disk must be collapsed by
+    # the reader, not double-counted into the bin sums
+    dup = cat.table("sk_hist").filter("batch_id = 0")
+    cat.insert_into("sk_hist", dup)
+    assert [tuple(r) for r in streaming.quantiles_from_state(cat, "sk").collect()] == want_q
+
 
 def test_cms_sketch_sink_parity_with_batch(spark, tmp_dir):
     """Two micro-batches of keyed events through the streaming count-min
@@ -1051,6 +1116,17 @@ def test_substring_gram_sink_census_parity_with_batch(spark, tmp_dir):
         for r in streaming.substring_census_from_state(cat, "subh", k=5).collect()
     }
     assert hashed_state == batch
+
+    # duplicate-append artifact (round-10 review): a second copy of
+    # batch 0's gram rows must be collapsed by the census reader — an
+    # inflated occurrence count would flip unique substrings past
+    # min_occurrences and over-report every doc's dup_tokens
+    dup = cat.table("sub_grams").filter("batch_id = 0")
+    cat.insert_into("sub_grams", dup)
+    assert {
+        r.doc_id: (r.n_tokens, r.dup_tokens)
+        for r in streaming.substring_census_from_state(cat, "sub", k=5).collect()
+    } == batch
 
 
 def test_ivf_admission_sink_parity_with_batch(spark, tmp_dir):
