@@ -73,6 +73,10 @@ def pagerank(
       ~free on the graphs this engine builds (the bipartite
       both-direction purchase graphs have no sinks by construction),
       and a sink-bearing caller fails LOUDLY instead of losing mass.
+      The guard survives column pruning because every round ends in a
+      ``localCheckpoint`` barrier; the one barrier-free shape,
+      ``iterations=0``, is instead checked EAGERLY at build time
+      (ADVICE r10 — a pruned-away assert is no guard at all).
     - ``"redistribute"``: the textbook convention — each round the
       summed rank of dangling nodes is re-spread uniformly
       (``damping * dangling_mass / N`` added to every node), keeping
@@ -142,11 +146,31 @@ def pagerank(
     rank = nodes.crossJoin(F.broadcast(ncnt)).select(
         "node", (F.lit(1.0) / F.col("_n").cast("double")).alias("rank")
     )
+    if dangling == "forbid" and iterations == 0:
+        # ADVICE r10: with zero rounds the returned frame has no
+        # localCheckpoint barrier downstream, so Catalyst may prune the
+        # lazy guard's rank expression away entirely (e.g. a bare
+        # .count() never evaluates it). The degenerate config runs the
+        # node-scale check eagerly instead — one tiny driver job, on
+        # checkpoints every later action reuses anyway.
+        n_dang = dangling_nodes.count()
+        if n_dang:
+            raise ValueError(
+                f"pagerank(dangling='forbid'): graph has {n_dang} node(s) "
+                "with no out-edges; their rank mass would silently leak — "
+                "pass dangling='redistribute' (or 'ignore' if the leak is "
+                "intended)"
+            )
     if dangling == "forbid":
         # lazy guard: assert_true yields NULL when the precondition
         # holds; adding coalesce(NULL, 0.0) to the initial rank forces
-        # evaluation on the first action (a dropped column would be
-        # pruned and never checked) without changing any value
+        # evaluation on the first action without changing any value.
+        # With iterations >= 1 this CANNOT be pruned: each round ends
+        # in a localCheckpoint, a barrier column pruning does not
+        # cross, so round 1's checkpoint materializes the full rank
+        # values — which evaluate the guard — no matter how narrow the
+        # caller's final action is (iterations == 0, the one barrier-
+        # free shape, is checked eagerly above — ADVICE r10).
         dang_cnt = dangling_nodes.agg(F.count(F.lit(1)).alias("_dangling_n"))
         rank = rank.crossJoin(F.broadcast(dang_cnt)).select(
             "node",

@@ -258,6 +258,16 @@ def incremental_scd2_sink(
     publishes; a redelivery of the same batch (crash between publish
     and the stream's commit) just republishes the recorded post-state.
     The snapshot order closes both crash windows of the two writes.
+
+    Redelivery is detected by batch_id AND a content fingerprint of the
+    batch rows (order-insensitive count + exact decimal sum of per-row
+    ``xxhash64``), stored alongside the snapshot — ADVICE r10: a batch
+    id alone cannot tell a genuine replay from a NEW stream under a
+    fresh checkpoint whose first batch id happens to collide with the
+    recorded one (both start at 0), and treating the latter as a replay
+    silently drops the new batch. A collision with a DIFFERENT
+    fingerprint now raises loudly: the ``__post`` table belongs to the
+    old checkpoint and must be dropped together with it.
     Scope: this covers Spark's actual redelivery contract (only the
     last uncommitted batch replays under a checkpoint); pointing a
     FRESH checkpoint at an already-populated dimension re-folds the
@@ -269,12 +279,43 @@ def incremental_scd2_sink(
         spark = batch.sparkSession
         post = f"{table}__post"
         b = int(batch_id)
+        # 1-row lazy fingerprint frame: riding the snapshot as a
+        # broadcast costs no driver action on the happy path; the
+        # decimal(38,0) sum is exact and order-insensitive, so the
+        # fingerprint is independent of partitioning and replays
+        # bit-for-bit
+        fp = batch.agg(
+            SF.concat_ws(
+                ":",
+                SF.count(SF.lit(1)),
+                SF.coalesce(
+                    SF.sum(SF.xxhash64(*batch.columns).cast("decimal(38,0)")),
+                    SF.lit(0).cast("decimal(38,0)"),
+                ),
+            ).alias("_batch_fp")
+        )
         if catalog.exists(post):
             prev = catalog.table(post)
-            if prev.filter(SF.col("_batch_id") == b).limit(1).count() > 0:
+            stored = prev.filter(SF.col("_batch_id") == b).limit(1).collect()
+            if stored:
+                stored_fp = (
+                    stored[0]["_batch_fp"] if "_batch_fp" in prev.columns else None
+                )
+                if stored_fp is not None and stored_fp != fp.first()["_batch_fp"]:
+                    raise RuntimeError(
+                        f"incremental_scd2_sink: batch_id {b} was already "
+                        f"applied to '{table}' with DIFFERENT content — this "
+                        "stream is running under a fresh checkpoint whose "
+                        f"batch ids collide with the recorded '{post}' "
+                        "snapshot. Drop the post table together with the old "
+                        "checkpoint (they are one unit of state) before "
+                        "re-pointing a new stream at this dimension."
+                    )
                 # at-least-once redelivery: the batch was already fully
                 # applied; republish the recorded post-state (idempotent)
-                catalog.replace(table, prev.drop("_batch_id"), internal=True)
+                catalog.replace(
+                    table, prev.drop("_batch_id", "_batch_fp"), internal=True
+                )
                 return
         current = (
             catalog.table(table)
@@ -282,12 +323,16 @@ def incremental_scd2_sink(
             else _empty_like(spark, batch, order_col)
         )
         new_state = scd.scd2_apply(current, batch, keys, as_of=as_of, order_col=order_col)
-        snap = new_state.withColumn("_batch_id", SF.lit(b))
+        snap = new_state.withColumn("_batch_id", SF.lit(b)).crossJoin(SF.broadcast(fp))
         if catalog.exists(post):
             catalog.replace(post, snap, internal=True)
         else:
             catalog.write(post, snap)
-        catalog.replace(table, catalog.table(post).drop("_batch_id"), internal=True)
+        catalog.replace(
+            table,
+            catalog.table(post).drop("_batch_id", "_batch_fp"),
+            internal=True,
+        )
 
     return (
         stream.writeStream.foreachBatch(apply_batch)
@@ -680,8 +725,22 @@ def curation_admission_sink(
                     .agg(SF.count(SF.lit(1)).alias("_standing"))
                 )
             else:
+                # bootstrap schema mirrors the BATCH's actual source
+                # type (ADVICE r10: a hardcoded string here made the
+                # first batch's eqNullSafe join compare mismatched
+                # types for any non-string source column)
+                from pyspark.sql.types import LongType, StructField, StructType
+
                 standing = batch.sparkSession.createDataFrame(
-                    [], f"{source_col} string, _standing long"
+                    [],
+                    StructType(
+                        [
+                            StructField(
+                                source_col, batch.schema[source_col].dataType
+                            ),
+                            StructField("_standing", LongType()),
+                        ]
+                    ),
                 )
             # NULL-SAFE standing join: a NULL source is a real quota
             # group on the batch side (cap_per_key caps it, the window

@@ -115,6 +115,14 @@ def test_pagerank_forbid_raises_on_sink_and_is_free_without_one(spark):
     )  # c has no out-edges
     with pytest.raises(Exception, match="no out-edges"):
         graph.pagerank(sink, iterations=2).collect()
+    # ADVICE r10: the guard must also fire on actions that never
+    # evaluate the rank VALUES. iterations >= 1 is covered by the
+    # per-round localCheckpoint barrier (pruning cannot cross it) ...
+    with pytest.raises(Exception, match="no out-edges"):
+        graph.pagerank(sink, iterations=1).count()
+    # ... and iterations == 0 (no barrier at all) by the eager check
+    with pytest.raises(Exception, match="no out-edges"):
+        graph.pagerank(sink, iterations=0)
 
     cycle = spark.createDataFrame(
         [("a", "b", 2), ("b", "a", 1), ("b", "c", 1), ("c", "a", 3)],

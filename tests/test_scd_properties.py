@@ -347,3 +347,51 @@ def test_streaming_scd2_redelivery_is_idempotent(spark):
         assert second == first, "redelivered batch must not re-fold the dimension"
     finally:
         shutil.rmtree(tmp_path, ignore_errors=True)
+
+
+def test_streaming_scd2_batch_id_collision_with_new_data_raises(spark):
+    """ADVICE r10: redelivery detection keyed on batch_id alone cannot
+    tell a genuine replay from a NEW stream under a fresh checkpoint
+    whose first batch id (0) collides with the recorded snapshot —
+    treating the collision as a replay silently republishes the OLD
+    state and drops the new batch. The sink now fingerprints batch
+    content alongside the batch id: same id + same rows republishes
+    (previous test), same id + DIFFERENT rows fails loudly, naming the
+    post-table/checkpoint contract."""
+    import os
+    import shutil
+    import tempfile
+
+    import pytest
+
+    from data_warehouse_implementation_spark import streaming
+    from data_warehouse_implementation_spark.sources.catalog import WarehouseCatalog
+
+    tmp_path = tempfile.mkdtemp(prefix="scd2_collide_")
+    try:
+        cat = WarehouseCatalog(spark, os.path.join(tmp_path, "wh"))
+
+        def run(src_name, rows, ckpt):
+            src = os.path.join(tmp_path, src_name)
+            spark.createDataFrame(
+                rows, "key long, narrative string, seq long"
+            ).coalesce(1).write.parquet(src)
+            stream = spark.readStream.schema(
+                "key long, narrative string, seq long"
+            ).parquet(src)
+            q = streaming.incremental_scd2_sink(
+                stream, cat, "dim2c", ["key"], order_col="seq", as_of=AS_OF,
+                checkpoint=os.path.join(tmp_path, ckpt),
+            )
+            q.awaitTermination()
+
+        run("src_a", [(1, "a", 1)], "ckpt_a")
+        assert cat.table("dim2c").count() == 1
+        # a DIFFERENT batch under a fresh checkpoint also gets batch_id
+        # 0 — must raise, never silently drop the new rows
+        with pytest.raises(Exception, match="DIFFERENT content"):
+            run("src_b", [(2, "b", 2)], "ckpt_b")
+        # the recorded dimension is untouched by the failed stream
+        assert {r.key for r in cat.table("dim2c").collect()} == {1}
+    finally:
+        shutil.rmtree(tmp_path, ignore_errors=True)
