@@ -1478,3 +1478,223 @@ GROUP BY d.lang ORDER BY d.lang
 
 
 BPE_FERTILITY_BY_LANG_ORACLE = _bpe_fertility_oracle(BPE_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-family) tokenizer training — VERDICT r10 gap #1;
+# the second tokenizer family next to BPE, sharing its fertility harness.
+
+UNIGRAM_EM_ROUNDS = 2
+UNIGRAM_MAX_PIECE = 4
+UNIGRAM_SEED_MULTI = 60
+UNIGRAM_KEEP_MULTI = 40
+
+
+def _trained_unigram(docs: DataFrame) -> DataFrame:
+    """Session-cached trained unigram vocabulary (S7): ``unigram_train``
+    and ``unigram_fertility_by_lang`` share one training run per corpus
+    — the EM rounds are the expensive half, the encode pass the other
+    (the ``_trained_merges`` pattern)."""
+    from ..operators import unigram
+    from . import materialize
+
+    return materialize.get_or_build(
+        "unigram_trained_vocab",
+        str(docs.semanticHash()),
+        lambda: unigram.unigram_train(
+            docs,
+            em_rounds=UNIGRAM_EM_ROUNDS,
+            max_piece_len=UNIGRAM_MAX_PIECE,
+            seed_multi=UNIGRAM_SEED_MULTI,
+            keep_multi=UNIGRAM_KEEP_MULTI,
+        ),
+    )
+
+
+def unigram_train_report(t: dict[str, DataFrame]) -> DataFrame:
+    """Final unigram-LM vocabulary after :data:`UNIGRAM_EM_ROUNDS`
+    hard-EM rounds — every kept piece with its last-round Viterbi usage
+    and add-one-smoothed probability (``operators.unigram``: substring
+    seeding, product-space Viterbi, prune-by-usage; all arithmetic
+    exact-integer or fixed-order IEEE double, so the oracle replays it
+    bit-for-bit with recursive-CTE segmentation passes)."""
+    return _trained_unigram(t["documents"]).orderBy(F.desc("usage"), "piece")
+
+
+def _unigram_train_ctes(rounds: int, max_piece: int, seed_multi: int, keep_multi: int) -> str:
+    """Shared CTE chain replaying unigram training round by round: the
+    seeding is plain SQL, each E-step Viterbi a recursive CTE carrying
+    the per-word best-prefix list (cost/backpath DP — the generated
+    analog of ``_bpe_oracle``'s replace chain), each M-step a prune +
+    re-estimate pair. ``pv{r}`` is the vocabulary entering round ``r``;
+    ``pv{rounds}`` the final one."""
+    L = max_piece
+
+    def dp_cte(r: int) -> str:
+        return f"""dp{r} AS (
+  SELECT word, cnt, 1 AS i,
+         [struct_pack(np := -1.0::DOUBLE, j := 0::BIGINT, path := []::VARCHAR[])] AS best
+  FROM wc
+  UNION ALL
+  SELECT word, cnt, i + 1,
+    best || [list_sort(
+      list_transform(generate_series(greatest(1, i - {L} + 1), i),
+        j -> struct_pack(
+          np := best[j].np * coalesce(map_extract(vm{r}.m, substring(word, j, i - j + 1))[1], 0.0::DOUBLE),
+          j := j,
+          path := best[j].path || [substring(word, j, i - j + 1)])))[1]]
+  FROM dp{r}, vm{r} WHERE i <= len(word)
+)"""
+
+    def vm_cte(r: int) -> str:
+        return (
+            f"vm{r} AS (\n  SELECT map_from_entries(list(struct_pack(k := piece,"
+            f" v := p) ORDER BY piece)) AS m FROM pv{r}\n)"
+        )
+
+    ctes = [
+        _TOKS_SQL.strip().strip(","),
+        """wc AS (
+  SELECT token AS word, COUNT(*) AS cnt
+  FROM (SELECT unnest(arr) AS token FROM toks) GROUP BY token
+)""",
+        f"""subs AS (
+  SELECT piece, CAST(SUM(cnt) AS BIGINT) AS freq FROM (
+    SELECT cnt, unnest(flatten(list_transform(generate_series(1, len(word)),
+      s -> list_transform(generate_series(s, least(s + {L} - 1, len(word))),
+        e -> substring(word, s, e - s + 1))))) AS piece
+    FROM wc) GROUP BY piece
+)""",
+        f"""v0 AS (
+  SELECT piece, freq FROM subs WHERE len(piece) = 1
+  UNION ALL
+  SELECT piece, freq FROM (SELECT piece, freq FROM subs WHERE len(piece) >= 2
+                           ORDER BY freq DESC, piece LIMIT {seed_multi})
+)""",
+        """pv0 AS (
+  SELECT piece, CAST(freq AS DOUBLE) / CAST((SELECT SUM(freq) FROM v0) AS DOUBLE) AS p FROM v0
+)""",
+        vm_cte(0),
+    ]
+    for r in range(rounds):
+        ctes.append(dp_cte(r))
+        ctes.append(
+            f"seg{r} AS (SELECT word, cnt, best[len(word) + 1].path AS pieces"
+            f" FROM dp{r} WHERE i = len(word) + 1)"
+        )
+        ctes.append(f"occ{r} AS (SELECT unnest(pieces) AS piece, cnt FROM seg{r})")
+        ctes.append(
+            f"""use{r} AS (
+  SELECT p.piece, CAST(COALESCE(SUM(o.cnt), 0) AS BIGINT) AS usage
+  FROM pv{r} p LEFT JOIN occ{r} o USING (piece) GROUP BY p.piece
+)"""
+        )
+        ctes.append(
+            f"""v{r + 1} AS (
+  SELECT piece, usage FROM use{r} WHERE len(piece) = 1
+  UNION ALL
+  SELECT piece, usage FROM (SELECT piece, usage FROM use{r} WHERE len(piece) >= 2
+                            ORDER BY usage DESC, piece LIMIT {keep_multi})
+)"""
+        )
+        ctes.append(
+            f"""pv{r + 1} AS (
+  SELECT piece, usage, CAST(usage + 1 AS DOUBLE)
+         / CAST((SELECT SUM(usage) FROM v{r + 1}) + (SELECT COUNT(*) FROM v{r + 1}) AS DOUBLE) AS p
+  FROM v{r + 1}
+)"""
+        )
+        ctes.append(vm_cte(r + 1))
+    return "WITH RECURSIVE " + ",\n".join(ctes)
+
+
+def _unigram_train_oracle(rounds: int, max_piece: int, seed_multi: int, keep_multi: int) -> str:
+    return (
+        _unigram_train_ctes(rounds, max_piece, seed_multi, keep_multi)
+        + f"""
+SELECT piece, CAST(len(piece) AS BIGINT) AS n_chars, usage, p AS prob
+FROM pv{rounds} ORDER BY usage DESC, piece"""
+    )
+
+
+UNIGRAM_TRAIN_ORACLE = _unigram_train_oracle(
+    UNIGRAM_EM_ROUNDS, UNIGRAM_MAX_PIECE, UNIGRAM_SEED_MULTI, UNIGRAM_KEEP_MULTI
+)
+
+
+def unigram_fertility_by_lang(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-language fertility under the trained unigram vocabulary —
+    the same report as ``bpe_fertility_by_lang`` over the same splitter,
+    so the two tokenizer families compare head-to-head in one harness.
+    The encode pass segments each DISTINCT word once and joins piece
+    counts back to per-doc word multiplicities (never materializing
+    per-token rows — both join sides are word-scale at any corpus
+    size). The oracle replays training AND the final segmentation."""
+    from ..operators import unigram
+
+    docs = t["documents"]
+    per_doc = unigram.unigram_word_fertility(
+        docs, _trained_unigram(docs), max_piece_len=UNIGRAM_MAX_PIECE
+    )
+    return (
+        per_doc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_wrds").cast("long").alias("n_words"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            (F.sum("n_toks").cast("double") / F.sum("n_wrds")).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _unigram_fertility_oracle(rounds: int, max_piece: int, seed_multi: int, keep_multi: int) -> str:
+    """Training CTEs + one more Viterbi pass under the FINAL vocabulary
+    (``dp{rounds}`` / ``vm{rounds}``), rolled up per doc then per lang
+    exactly like ``_bpe_fertility_oracle``."""
+    base = _unigram_train_ctes(rounds, max_piece, seed_multi, keep_multi)
+    L = max_piece
+    return (
+        base
+        + f""",
+dpF AS (
+  SELECT word, cnt, 1 AS i,
+         [struct_pack(np := -1.0::DOUBLE, j := 0::BIGINT, path := []::VARCHAR[])] AS best
+  FROM wc
+  UNION ALL
+  SELECT word, cnt, i + 1,
+    best || [list_sort(
+      list_transform(generate_series(greatest(1, i - {L} + 1), i),
+        j -> struct_pack(
+          np := best[j].np * coalesce(map_extract(vm{rounds}.m, substring(word, j, i - j + 1))[1], 0.0::DOUBLE),
+          j := j,
+          path := best[j].path || [substring(word, j, i - j + 1)])))[1]]
+  FROM dpF, vm{rounds} WHERE i <= len(word)
+),
+np AS (
+  SELECT word, CAST(len(best[len(word) + 1].path) AS BIGINT) AS n_p
+  FROM dpF WHERE i = len(word) + 1
+),
+dwk AS (
+  SELECT doc_id, word, COUNT(*) AS k
+  FROM (SELECT doc_id, unnest(arr) AS word FROM toks) GROUP BY doc_id, word
+),
+per_doc AS (
+  SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_wrds,
+         CAST(SUM(k * n_p) AS BIGINT) AS n_toks
+  FROM dwk JOIN np USING (word) GROUP BY doc_id
+)
+SELECT d.lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(p.n_wrds) AS BIGINT) AS n_words,
+       CAST(SUM(p.n_toks) AS BIGINT) AS n_tokens,
+       CAST(SUM(p.n_toks) AS DOUBLE) / SUM(p.n_wrds) AS fertility
+FROM per_doc p JOIN documents d USING (doc_id)
+GROUP BY d.lang ORDER BY d.lang"""
+    )
+
+
+UNIGRAM_FERTILITY_BY_LANG_ORACLE = _unigram_fertility_oracle(
+    UNIGRAM_EM_ROUNDS, UNIGRAM_MAX_PIECE, UNIGRAM_SEED_MULTI, UNIGRAM_KEEP_MULTI
+)

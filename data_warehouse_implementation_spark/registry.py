@@ -1061,6 +1061,18 @@ register(
 )
 
 register(
+    "unigram_train",
+    corpus_queries.unigram_train_report,
+    corpus_queries.UNIGRAM_TRAIN_ORACLE,
+)
+
+register(
+    "unigram_fertility_by_lang",
+    corpus_queries.unigram_fertility_by_lang,
+    corpus_queries.UNIGRAM_FERTILITY_BY_LANG_ORACLE,
+)
+
+register(
     "xml_scan_agg",
     ingest_queries.xml_scan_agg,
     ingest_queries.XML_SCAN_AGG_ORACLE,

@@ -113,7 +113,8 @@ SESSION_OUT_SCHEMA = (
     " session_start string, session_value double"
 )
 _SESSION_STATE_SCHEMA = (
-    "session_seq long, start_us long, last_us long, n_events long, cents long"
+    "session_seq long, starts array<long>, lasts array<long>,"
+    " ns array<long>, cents array<long>"
 )
 
 
@@ -124,29 +125,35 @@ def sessionize_stateful(
     ``applyInPandasWithState`` — the streaming twin of the batch
     ``ingest_queries.events_sessionize`` (lag + cumulative-sum windows).
 
-    Per-user state holds only the one *open* session (5 longs), so state
-    size is O(#active users), not O(#events) — bounded at any scale.
-    Sessions close two ways: eagerly when a same-batch event arrives
-    more than ``gap_seconds`` after the previous one, or by event-time
-    timeout once the watermark passes ``last_event + gap`` (late events
-    beyond the watermark are dropped, same contract as the windowed
-    aggregate).
+    A session is emitted ONLY once the watermark passes ``last_event +
+    gap`` — gap-closed sessions stay in state as closed-but-unflushed
+    intervals until then (ADVICE r10: the old eager same-batch emission
+    left a window where a late-but-within-watermark event could land
+    between an already-emitted session and the open one, merging them
+    in the batch twin while the stream had emitted two). Per-user state
+    is the list of pending sessions ``(start, last, n, cents)``; because
+    pending sessions all satisfy ``last + gap > watermark`` and are
+    pairwise separated by more than ``gap``, the list holds at most
+    ``watermark_delay / gap + 2`` entries — O(#active users) state at
+    any scale, same bound class as before.
+
+    Parity is now UNCONDITIONAL (no ``watermark <= gap`` precondition):
+    every event processed in the same micro-batch set produces exactly
+    the batch twin's time-sorted fold over the events that survived the
+    watermark. The invariant: an event Spark lets through has ``ts >=
+    watermark >= emitted.last + gap`` for every already-emitted
+    session, so it can never retroactively merge with or precede one —
+    any surviving event lands in the pending list, where sessions are
+    re-merged as intervals (a bridging late event that joins two
+    pending sessions collapses them, matching the batch fold exactly).
+    Session numbering is emission order = start order, identical to the
+    batch twin's per-user time order.
 
     Values are summed as exact cents (``Decimal(repr(v))`` reproduces
     Spark's shortest-repr double→decimal(18,2) HALF_UP cast) so the
     emitted ``session_value`` is bit-identical to the batch twin's
-    decimal sum.
-
-    Late-but-within-watermark events (a LATER micro-batch delivering an
-    event older than the open session's last timestamp) extend the open
-    session BACKWARD: ``start_us`` is min-updated and ``last_us`` never
-    moves backward, so the emitted session matches the batch twin's
-    time-sorted fold. The parity precondition is ``watermark delay <=
-    gap`` (the default: both 30 minutes): Spark then drops any event
-    old enough to predate the open session by more than the gap, so a
-    surviving late event ALWAYS belongs to the open session — an event
-    that would retroactively split or predate an already-emitted
-    session can never reach the operator.
+    decimal sum; merging sessions adds their cents, which decimal
+    addition makes order-independent.
     """
     import pandas as pd  # noqa: PLC0415 — worker-side import
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -176,52 +183,67 @@ def sessionize_stateful(
 
     def fn(key, pdf_iter, state: GroupState):
         (user_id,) = key
-        if state.hasTimedOut:
-            seq, start_us, last_us, n, cents = state.get
-            state.remove()
-            yield _emit(user_id, seq, start_us, n, cents)
-            return
         if state.exists:
-            seq, start_us, last_us, n, cents = state.get
+            seq, starts, lasts, ns, cts = state.get
+            sess = [list(t) for t in zip(starts, lasts, ns, cts)]
         else:
-            seq, start_us, last_us, n, cents = 0, None, None, 0, 0
-        chunks = [p for p in pdf_iter if len(p)]
-        if chunks:
-            pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
-            # datetime64[us] first so the int64 view is micros regardless
-            # of the Arrow batch's native unit (ns vs us)
-            ts_us = pdf["ts"].astype("datetime64[us]").astype("int64").tolist()
-            vals = pdf["value"].tolist()
-            for us, v in zip(ts_us, vals):
-                if last_us is not None and us - last_us > gap_us:
-                    yield _emit(user_id, seq, start_us, n, cents)
-                    start_us, n, cents = None, 0, 0
-                if start_us is None:
-                    seq += 1
-                    start_us = us
-                else:
-                    # a late-but-within-watermark event from a later
-                    # batch extends the open session backward; with
-                    # watermark <= gap it can never predate it by more
-                    # than the gap (see docstring)
-                    start_us = min(start_us, us)
-                n += 1
-                cents += _to_cents(v)
-                # never move the session's frontier backward — the gap
-                # test and the timeout must key on the LATEST event
-                last_us = us if last_us is None else max(last_us, us)
-        if n == 0:
+            seq, sess = 0, []
+        if not state.hasTimedOut:
+            chunks = [p for p in pdf_iter if len(p)]
+            if chunks:
+                pdf = pd.concat(chunks)
+                # datetime64[us] first so the int64 view is micros
+                # regardless of the Arrow batch's native unit (ns vs us)
+                ts_us = pdf["ts"].astype("datetime64[us]").astype("int64").tolist()
+                vals = pdf["value"].tolist()
+                # every event enters as a unit interval; the start-sorted
+                # merge below is exactly the batch fold's gap partition
+                # (connected components of the within-gap chain), so the
+                # result is independent of arrival order — a bridging
+                # late event collapses the two pending sessions it joins
+                sess.extend([us, us, 1, _to_cents(v)] for us, v in zip(ts_us, vals))
+                sess.sort(key=lambda s: (s[0], s[1]))
+                merged: list[list[int]] = []
+                for s in sess:
+                    if merged and s[0] - merged[-1][1] <= gap_us:
+                        m = merged[-1]
+                        m[1] = max(m[1], s[1])
+                        m[2] += s[2]
+                        m[3] += s[3]
+                    else:
+                        merged.append(s)
+                sess = merged
+        if not sess:
             state.remove()
             return
         wm_us = state.getCurrentWatermarkMs() * 1000
-        if wm_us >= last_us + gap_us:
-            # Watermark already closed this session — emit now; a
-            # timeout timestamp <= watermark would be rejected.
-            state.remove()
-            yield _emit(user_id, seq, start_us, n, cents)
+        # pending sessions are disjoint and start-ordered, so the
+        # watermark-closed ones form a prefix — emit in start order,
+        # which keeps session_seq identical to the batch twin's
+        keep = []
+        for s in sess:
+            if s[1] + gap_us <= wm_us and not keep:
+                seq += 1
+                yield _emit(user_id, seq, s[0], s[2], s[3])
+            else:
+                keep.append(s)
+        if keep:
+            state.update(
+                (
+                    seq,
+                    [s[0] for s in keep],
+                    [s[1] for s in keep],
+                    [s[2] for s in keep],
+                    [s[3] for s in keep],
+                )
+            )
+            # earliest pending close; the max() guards the ms-floor edge
+            # where last+gap lands inside the watermark's current ms
+            state.setTimeoutTimestamp(
+                max(keep[0][1] // 1000 + gap_seconds * 1000, wm_us // 1000 + 1)
+            )
         else:
-            state.update((seq, start_us, last_us, n, cents))
-            state.setTimeoutTimestamp(last_us // 1000 + gap_seconds * 1000)
+            state.remove()
 
     return (
         events.withWatermark("ts", watermark)

@@ -188,6 +188,65 @@ def test_stateful_sessionize_handles_late_within_watermark_event(spark, tmp_dir)
     assert session_start.startswith("2024-01-01 09:50:00")
 
 
+def test_stateful_sessionize_late_event_bridges_gap_split_sessions(spark, tmp_dir):
+    """ADVICE r10: two same-batch events more than a gap apart used to
+    EAGERLY emit the first session, so a later in-watermark event
+    falling between them (within gap of both) merged everything into
+    one session in the batch twin while the stream had already emitted
+    two. Emission is now deferred until the watermark passes
+    ``last + gap``: the bridging event collapses the two pending
+    sessions and the stream emits the batch twin's single session."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_warehouse_implementation_spark.plans import ingest_queries
+
+    base = pd.Timestamp("2024-01-01 10:00:00")
+    batches = [
+        [
+            (7, 1, base, 1.0),
+            (7, 2, base + pd.Timedelta(minutes=50), 2.0),  # same-batch gap split
+        ],
+        # watermark after batch 1 = base+20min; this event survives and
+        # sits within the 30-min gap of BOTH pending sessions
+        [(7, 3, base + pd.Timedelta(minutes=25), 4.0)],
+        [(-1, -1, base + pd.Timedelta(days=30), 0.0)],     # watermark flush sentinel
+    ]
+    src = os.path.join(tmp_dir, "bridge_src")
+    os.makedirs(src)
+    frames = []
+    for i, rows in enumerate(batches):
+        pdf = pd.DataFrame(rows, columns=["user_id", "event_id", "ts", "value"])
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        frames.append(pdf)
+        p = os.path.join(src, f"b{i}.parquet")
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), p)
+        os.utime(p, (1_700_000_000 + 60 * i,) * 2)
+
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    streaming.run_to_memory(
+        streaming.sessionize_stateful(stream), "bridge_sessions", output_mode="append"
+    )
+    got = {
+        (r.user_id, r.session_seq): (r.n_events, r.session_start, r.session_value)
+        for r in spark.table("bridge_sessions").filter("user_id >= 0").collect()
+    }
+    all_df = spark.createDataFrame(pd.concat(frames[:2]))
+    want = {
+        (r.user_id, r.session_seq): (r.n_events, r.session_start, r.session_value)
+        for r in ingest_queries.events_sessionize({"events": all_df}).collect()
+    }
+    assert got == want
+    assert len(got) == 1  # ONE merged session, not an eager split pair
+    (n_events, session_start, session_value) = next(iter(got.values()))
+    assert n_events == 3 and session_value == 7.0
+    assert session_start.startswith("2024-01-01 10:00:00")
+
+
 def test_incremental_scd2_over_two_microbatches(spark, tmp_dir):
     cat = WarehouseCatalog(spark, os.path.join(tmp_dir, "wh"))
     src = os.path.join(tmp_dir, "scd_src")

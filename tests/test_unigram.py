@@ -1,0 +1,149 @@
+"""Unigram-LM trainer/segmenter invariants (operators/unigram.py). The
+end-to-end vocabulary values are oracle-checked in test_oracle.py
+(``unigram_train`` / ``unigram_fertility_by_lang``); these pin the
+Viterbi semantics — coverage, optimality, tie-breaks, and the
+no-logarithm product-space determinism the cross-engine replay rests
+on."""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from data_warehouse_implementation_spark.operators import unigram
+
+
+def _py_viterbi(word: str, probs: dict[str, float], L: int = 4):
+    """Reference: exhaustive best segmentation by (product desc,
+    earlier-longer-piece preference) — brute force over all
+    compositions, replaying the DP's tie-break (at each position the
+    smallest split point, i.e. the longest final piece, wins ties)."""
+    n = len(word)
+    best = [(-1.0, 0, ())]  # (neg product, j, path) per prefix
+    for i in range(1, n + 1):
+        cands = []
+        for j in range(max(1, i - L + 1), i + 1):
+            piece = word[j - 1 : i]
+            np_, _, path = best[j - 1]
+            cands.append((np_ * probs.get(piece, 0.0), j, path + (piece,)))
+        cands.sort(key=lambda c: (c[0], c[1]))
+        best.append(cands[0])
+    return list(best[n][2]), -best[n][0]
+
+
+def test_viterbi_matches_bruteforce_reference(spark):
+    probs = {
+        "a": 0.30, "b": 0.20, "c": 0.05, "ab": 0.25, "ba": 0.05,
+        "bab": 0.20, "abc": 0.10, "cc": 0.15,
+    }
+    vocab = spark.createDataFrame(list(probs.items()), "piece string, prob double")
+    words_ = ["abab", "ba", "aaab", "ccc", "abccc", "bababab", "c", "acbca"]
+    wt = spark.createDataFrame([(w, 1) for w in words_], "word string, cnt long")
+    got = {
+        r.word: (list(r.pieces), r.n_pieces)
+        for r in unigram.viterbi_segment(wt, vocab).collect()
+    }
+    for w in words_:
+        pieces, _ = _py_viterbi(w, probs)
+        assert got[w] == (pieces, len(pieces)), (w, got[w], pieces)
+
+
+def test_viterbi_segmentation_reconstructs_and_is_optimal(spark):
+    """Pieces must concatenate back to the word, and the chosen
+    product must equal the true maximum over every composition."""
+    probs = {"a": 0.4, "b": 0.1, "ab": 0.3, "bb": 0.2, "abb": 0.25}
+    vocab = spark.createDataFrame(list(probs.items()), "piece string, prob double")
+    words_ = ["abb", "abbabb", "bba"]
+    wt = spark.createDataFrame([(w, 1) for w in words_], "word string, cnt long")
+    rows = {r.word: list(r.pieces) for r in unigram.viterbi_segment(wt, vocab).collect()}
+
+    def compositions(w):
+        n = len(w)
+        for cuts in itertools.product([0, 1], repeat=n - 1):
+            parts, prev = [], 0
+            for k, c in enumerate(cuts, start=1):
+                if c:
+                    parts.append(w[prev:k])
+                    prev = k
+            parts.append(w[prev:])
+            yield parts
+
+    import math
+
+    for w in words_:
+        assert "".join(rows[w]) == w
+        got_p = math.prod(probs.get(p, 0.0) for p in rows[w])
+        best_p = max(
+            math.prod(probs.get(p, 0.0) for p in parts)
+            for parts in compositions(w)
+            if all(len(p) <= 4 for p in parts)
+        )
+        assert got_p == best_p, (w, rows[w], got_p, best_p)
+
+
+def test_train_covers_all_characters_and_probs_are_exact_ratios(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the thematic cat"), (3, "mat mat mat")],
+        "doc_id long, text string",
+    )
+    vocab = unigram.unigram_train(docs, em_rounds=2, seed_multi=10, keep_multi=6)
+    rows = vocab.collect()
+    pieces = {r.piece for r in rows}
+    chars = set("".join("thecatsonmati"))
+    assert chars <= pieces, chars - pieces  # single-char coverage survives pruning
+    # probabilities are the exact add-one ratio of the recorded usages
+    tot = sum(r.usage for r in rows)
+    n = len(rows)
+    for r in rows:
+        assert r.prob == (r.usage + 1) / (tot + n)
+    # multi-char pieces respect the keep_multi cap
+    assert sum(1 for r in rows if r.n_chars >= 2) <= 6
+
+
+def test_word_fertility_counts_occurrences_not_distinct_words(spark):
+    docs = spark.createDataFrame(
+        [(1, "aa aa b"), (2, "b")], "doc_id long, text string"
+    )
+    vocab = spark.createDataFrame(
+        [("a", 0.2), ("b", 0.3), ("aa", 0.5)], "piece string, prob double"
+    )
+    got = {
+        r.doc_id: (r.n_wrds, r.n_toks)
+        for r in unigram.unigram_word_fertility(docs, vocab).collect()
+    }
+    # doc 1: 'aa' twice (1 piece each) + 'b' once (1 piece) = 3 words, 3 tokens
+    assert got == {1: (3, 3), 2: (1, 1)}
+
+
+def test_unknown_characters_fall_back_deterministically(spark):
+    """A word with a character absent from the vocabulary still
+    segments (zero-probability path) with a deterministic longest-
+    piece-first tie-break — the guarantee that makes encode total."""
+    vocab = spark.createDataFrame([("a", 1.0)], "piece string, prob double")
+    wt = spark.createDataFrame([("axa", 1), ("axaxaxa", 1)], "word string, cnt long")
+    rows = {r.word: list(r.pieces) for r in unigram.viterbi_segment(wt, vocab).collect()}
+    # every zero-probability path ties at exactly -0.0, so the smallest
+    # split point (longest final piece, capped at max_piece_len) wins
+    assert rows["axa"] == ["axa"]
+    assert rows["axaxaxa"] == ["axa", "xaxa"]
+    for w, pieces in rows.items():
+        assert "".join(pieces) == w
+
+
+def test_plan_shape_vocab_broadcast_no_word_shuffle(spark):
+    """Scale invariant: segmentation is one broadcast + a projection —
+    the word table must reach the DP without any exchange."""
+    vocab = spark.createDataFrame([("a", 0.5), ("b", 0.5)], "piece string, prob double")
+    wt = spark.createDataFrame([("ab", 1)], "word string, cnt long").select(
+        "word", "cnt"
+    )
+    plan = (
+        unigram.viterbi_segment(wt, vocab)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the word side itself is never hash-shuffled
+    assert "hashpartitioning(word" not in plan
