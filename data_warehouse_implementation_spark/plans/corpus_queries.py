@@ -1698,3 +1698,81 @@ GROUP BY d.lang ORDER BY d.lang"""
 UNIGRAM_FERTILITY_BY_LANG_ORACLE = _unigram_fertility_oracle(
     UNIGRAM_EM_ROUNDS, UNIGRAM_MAX_PIECE, UNIGRAM_SEED_MULTI, UNIGRAM_KEEP_MULTI
 )
+
+
+# ---------------------------------------------------------------------------
+# Gopher/MassiveText repetition-rule census (VERDICT r10 gap #2)
+
+
+def doc_repetition_census(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-document Gopher repetition battery
+    (``operators.text.repetition_census``): duplicate-line /
+    duplicate-paragraph fractions (occurrence + character mass),
+    top-{2,3,4}-gram character share, duplicate word-5-gram
+    character-mass fraction. One map-side pass — every list lives
+    inside its row; the oracle replays the same exact-integer-ratio
+    formulas with list functions and a per-doc (count desc, gram)
+    window for the top-gram argmax."""
+    from ..operators import text as text_ops
+
+    return text_ops.repetition_census(t["documents"]).orderBy("doc_id")
+
+
+DOC_REPETITION_CENSUS_ORACLE = f"""
+WITH {_TOKS_SQL.strip()},
+base AS (
+  SELECT doc_id, text, arr FROM (SELECT doc_id, text, list_filter(
+           regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS arr
+         FROM documents)
+  WHERE len(arr) >= 5
+),
+seps AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                     x -> x <> '') AS lines,
+         list_filter(list_transform(string_split(text, chr(10) || chr(10)), x -> trim(x)),
+                     x -> x <> '') AS paras,
+         list_transform(generate_series(1, len(arr) - 4),
+                        i -> array_to_string(arr[i : i + 4], ' ')) AS g5,
+         len(array_to_string(arr, ' ')) AS total_chars,
+         len(arr) AS n_words
+  FROM base
+),
+tops AS (
+  SELECT doc_id, n, CAST(cnt * len(g) AS BIGINT) AS mass FROM (
+    SELECT doc_id, n, g, COUNT(*) AS cnt,
+           ROW_NUMBER() OVER (PARTITION BY doc_id, n ORDER BY COUNT(*) DESC, g) AS rn
+    FROM (
+      SELECT doc_id, n.n AS n, array_to_string(arr[t.i : t.i + n.n - 1], ' ') AS g
+      FROM base,
+           unnest([2, 3, 4]) AS n(n),
+           unnest(generate_series(1, len(arr) - n.n + 1)) AS t(i)
+    ) GROUP BY doc_id, n, g
+  ) WHERE rn = 1
+)
+SELECT s.doc_id,
+       CAST(s.n_words AS BIGINT) AS n_words,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines) AS dup_line_frac,
+       CAST(list_aggregate(list_transform(lines, x -> len(x)), 'sum')
+            - list_aggregate(list_transform(list_distinct(lines), x -> len(x)), 'sum') AS DOUBLE)
+         / list_aggregate(list_transform(lines, x -> len(x)), 'sum') AS dup_line_char_frac,
+       CAST(len(paras) AS BIGINT) AS n_paras,
+       CAST(len(paras) - len(list_distinct(paras)) AS DOUBLE) / len(paras) AS dup_para_frac,
+       CAST(list_aggregate(list_transform(paras, x -> len(x)), 'sum')
+            - list_aggregate(list_transform(list_distinct(paras), x -> len(x)), 'sum') AS DOUBLE)
+         / list_aggregate(list_transform(paras, x -> len(x)), 'sum') AS dup_para_char_frac,
+       CAST(t2.mass AS DOUBLE) / s.total_chars AS top2_char_frac,
+       CAST(t3.mass AS DOUBLE) / s.total_chars AS top3_char_frac,
+       CAST(t4.mass AS DOUBLE) / s.total_chars AS top4_char_frac,
+       CASE WHEN len(g5) > 0 THEN
+         CAST(list_aggregate(list_transform(g5, x -> len(x)), 'sum')
+              - list_aggregate(list_transform(list_distinct(g5), x -> len(x)), 'sum') AS DOUBLE)
+           / list_aggregate(list_transform(g5, x -> len(x)), 'sum')
+       ELSE 0.0 END AS dup_5gram_char_frac
+FROM seps s
+JOIN tops t2 ON t2.doc_id = s.doc_id AND t2.n = 2
+JOIN tops t3 ON t3.doc_id = s.doc_id AND t3.n = 3
+JOIN tops t4 ON t4.doc_id = s.doc_id AND t4.n = 4
+ORDER BY s.doc_id
+"""

@@ -1061,6 +1061,12 @@ register(
 )
 
 register(
+    "doc_repetition_census",
+    corpus_queries.doc_repetition_census,
+    corpus_queries.DOC_REPETITION_CENSUS_ORACLE,
+)
+
+register(
     "unigram_train",
     corpus_queries.unigram_train_report,
     corpus_queries.UNIGRAM_TRAIN_ORACLE,
