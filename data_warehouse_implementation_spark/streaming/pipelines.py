@@ -611,6 +611,7 @@ def curation_admission_sink(
     threshold: float = 0.5,
     max_per_source: int | None = None,
     source_col: str = "source",
+    priority_col: str | None = None,
 ):
     """Incremental CURATION admission (VERDICT r8 #8) — the streaming
     twin of the batch curation ladder's admission stages (RUNBOOK
@@ -654,7 +655,20 @@ def curation_admission_sink(
     hash-rank order ``cap_per_key`` uses, so sequential per-batch
     application equals one cap_per_key pass ranked by (arrival batch,
     hash, id) — the parity the test checks. Requires ``source_col`` in
-    the stream schema; the admitted state table then carries it."""
+    the stream schema; the admitted state table then carries it.
+
+    ``priority_col`` (round 11 — the streaming half of the batch
+    twin's keep-best mode, VERDICT r10 gap #3): when set (requires
+    ``max_per_source``), each batch fills its remaining quota by
+    ``cap_per_key``'s keep-best order (priority DESC nulls-last, then
+    hash, then id) instead of hash rank alone. Scope is per ARRIVAL
+    WINDOW by construction: an admission sink cannot evict, so standing
+    admissions are final and priority ranks only the docs competing
+    within one batch — sequential application equals cap_per_key with
+    ``priority_col`` run batch-by-batch against the standing counts
+    (the batch ladder's one-shot keep-best over the full corpus needs
+    the batch operator; the fold-forward/rank-over-everything asymmetry
+    is now limited to CROSS-batch ordering only)."""
     from pyspark.sql import Window as SW
     from pyspark.sql import functions as SF  # local alias for closures
 
@@ -674,10 +688,16 @@ def curation_admission_sink(
         .localCheckpoint(eager=False)
     )
 
+    if priority_col is not None and max_per_source is None:
+        raise ValueError("priority_col requires max_per_source")
+
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
-        batch = batch.select(
-            "doc_id", "text", *([source_col] if max_per_source is not None else [])
-        )
+        extra = []
+        if max_per_source is not None:
+            extra.append(source_col)
+        if priority_col is not None:
+            extra.append(priority_col)
+        batch = batch.select("doc_id", "text", *extra)
         # replay idempotence: drop any prior attempt of THIS batch
         for tname in ("verdicts", "bands", "tids", "admitted"):
             full = f"{prefix}_{tname}"
@@ -772,13 +792,21 @@ def curation_admission_sink(
                 SF.col(source_col).alias("_sc"), "_standing"
             )
             h = ((SF.col("doc_id") % CP) * CA + CB) % CP
+            # fill order: cap_per_key's — keep-best (priority DESC
+            # nulls-last) when configured, then the partition-invariant
+            # hash rank, then id
+            order_by = [h.asc(), SF.col("doc_id")]
+            rank_cols = ["doc_id", source_col]
+            if priority_col is not None:
+                order_by.insert(0, SF.col(priority_col).desc_nulls_last())
+                rank_cols.append(priority_col)
             over_quota = (
                 verdicts.filter(SF.col("stage") == "admitted")
-                .join(batch.select("doc_id", source_col), on="doc_id")
+                .join(batch.select(*rank_cols), on="doc_id")
                 .withColumn(
                     "_rk",
                     SF.row_number()
-                    .over(SW.partitionBy(source_col).orderBy(h.asc(), SF.col("doc_id")))
+                    .over(SW.partitionBy(source_col).orderBy(*order_by))
                     .cast("long"),
                 )
                 .join(

@@ -1664,3 +1664,85 @@ def test_curation_admission_per_source_cap(spark, tmp_dir):
     run("ckpt_cap_replay")
     after = sorted((r.doc_id, r.batch_id, r.stage) for r in cat.table("capc_verdicts").collect())
     assert after == before
+
+
+def test_curation_admission_per_source_cap_keep_best(spark, tmp_dir):
+    """Round 11 (VERDICT r10 gap #3): priority_col switches the in-batch
+    quota fill to cap_per_key's keep-best order — the two HIGHEST
+    priority docs of a 3-doc source win the quota regardless of hash
+    rank, NULL priority ranks last, and a later batch's higher-priority
+    doc is still capped (standing admissions are final — the documented
+    arrival-window scope)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import pytest
+
+    texts = {
+        1: "the quick brown fox jumps over a lazy dog near the old mill road today",
+        2: "a measured essay on the craft of writing and the slow value of revision",
+        3: "an unrelated report on the state of the harvest and the price of grain",
+        4: "the committee met on tuesday to review the annual budget for the parks",
+    }
+    # priorities deliberately anti-correlated with ids/hash order; doc 3
+    # carries NULL priority and must rank last
+    b1 = [
+        (1, texts[1], "A", 0.1),
+        (2, texts[2], "A", 0.9),
+        (3, texts[3], "A", None),
+        (4, texts[4], "A", 0.5),
+    ]
+    b2 = [
+        (10, "a fresh novel document about rivers and the bridges that cross them in spring", "A", 99.0),
+    ]
+    src = os.path.join(tmp_dir, "best_src")
+    os.makedirs(src)
+    for i, rows in enumerate([b1, b2]):
+        p = os.path.join(src, f"b{i}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": [r[0] for r in rows],
+                    "text": [r[1] for r in rows],
+                    "source": [r[2] for r in rows],
+                    "prio": pa.array([r[3] for r in rows], type=pa.float64()),
+                }
+            ),
+            p,
+        )
+        os.utime(p, (1_700_000_000 + 60 * i,) * 2)
+
+    benchmark = spark.createDataFrame(
+        [(900, "completely disjoint benchmark passage with eight special uncommon tokens arranged here")],
+        "doc_id long, text string",
+    )
+    cat = WarehouseCatalog(spark, os.path.join(tmp_dir, "best_wh"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string, source string, prio double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming.curation_admission_sink(
+        stream, cat, "best", checkpoint=os.path.join(tmp_dir, "ckpt_best"),
+        benchmark=benchmark, min_words=5, max_words=200, min_quality=0.0,
+        decontam_n=8, n_shingle=3, k=16, bands=8, rows=2, threshold=0.5,
+        max_per_source=2, priority_col="prio",
+    )
+    q.awaitTermination()
+    v = {r.doc_id: r.stage for r in cat.table("best_verdicts").collect()}
+    assert v == {
+        2: "admitted",        # priority 0.9 — best
+        4: "admitted",        # priority 0.5 — second best
+        1: "source_capped",   # 0.1 loses to both
+        3: "source_capped",   # NULL priority ranks last
+        10: "source_capped",  # later batch: standing quota already full
+    }
+    # the admitted state table carries the priority column
+    admitted = {r.doc_id: r.prio for r in cat.table("best_admitted").collect()}
+    assert admitted == {2: 0.9, 4: 0.5}
+    # misconfiguration fails fast
+    with pytest.raises(ValueError, match="requires max_per_source"):
+        streaming.curation_admission_sink(
+            stream, cat, "bad", checkpoint=os.path.join(tmp_dir, "ckpt_bad"),
+            benchmark=benchmark, priority_col="prio",
+        )
