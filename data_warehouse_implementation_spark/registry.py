@@ -67,88 +67,37 @@ def oracle_sql() -> dict[str, str]:
 
 
 # The correctness driver differentials the FIRST 50 registry entries per
-# round. Round-10 window (derived from tools/staleness.py --suggest-window;
-# enforced by tests/test_entry.py::test_driver_window_covers_stalest):
-# the flagship; the ENTIRE 40-query round-6 max-staleness cohort (last
-# checked round 6 — the staleness tail retires whole, never split across
-# rounds); then nine round-7-stale fills with the graph family promoted
-# (VERDICT r9 #6) and slots reserved for this round's additions/changes
-# (the embedding-LSH bucket cap, the per-source curation cap).
+# round. Round-11 window (the verbatim tools/staleness.py
+# --suggest-window order at rotation time; enforced by
+# tests/test_entry.py::test_driver_window_covers_stalest): the flagship;
+# the three round-11 additions (Gopher repetition census, unigram-LM
+# train + fertility — the never-deferred rule); the ENTIRE 45-query
+# round-7 max-staleness cohort (the staleness tail retires whole, never
+# split across rounds); and the round-8 staleness head in the one spare
+# slot. No round-11 code change altered any existing query's plan or
+# results (the pagerank guard change only affects the iterations=0
+# shape no registered query uses), so no impl-changed promotions.
 #
-# Position 51+ IS the round-11 rotation plan: the exact
-# tools/staleness.py --suggest-window order at rotation time (remaining
-# r7-stale rows first, then r8, then the just-checked r9 rows), so
-# round 11's rotation is again a mechanical promote-the-prefix edit.
+# Position 51+ IS the round-12 rotation plan: remaining r8-stale rows,
+# then r9, then the just-checked r10 rows — next round's rotation is
+# again a mechanical promote-the-prefix edit.
 # Same-round deferrals that are NOT new queries — the ONLY names the
 # window-integrity test allows to interleave with deferred new
-# additions at position 51+. Round 10 defers nothing: empty.
+# additions at position 51+. Round 11 defers nothing: empty.
 _WINDOW_DEFERRAL_INTERLEAVE: list[str] = []
 
 _DRIVER_WINDOW = [
     # flagship — always re-verified
     "timely_rank_report",
-    # the ENTIRE 40-query round-6 max-staleness cohort (tools/staleness.py
-    # --stale 3) — the staleness tail retires whole, never split across rounds
-    "bloom_prefilter_join",
-    "brand_mode_type",
-    "brand_price_percentiles",
-    "corpus_quality_filter",
-    "customer_running_totals",
-    "customer_set_ops",
-    "customer_spend_quartiles",
-    "dedup_keep_best",
-    "doc_bm25_topk",
-    "doc_chunks",
-    "doc_decontaminate",
-    "doc_fingerprint",
-    "doc_language_id",
-    "doc_language_ngram",
-    "doc_pii_redact",
-    "doc_quality_score",
-    "doc_repetition_ratio",
-    "doc_simhash",
-    "doc_span_corruption",
-    "doc_stratified_sample",
-    "doc_tfidf_top_terms",
-    "embedding_ann_ivf",
-    "embedding_ann_ivfpq",
-    "embedding_ann_kmeans",
-    "embedding_ann_multiprobe",
-    "embedding_ann_pq",
-    "embedding_cosine_topk",
-    "embedding_near_dup",
-    "event_user_distinct",
-    "event_value_band_join",
-    "events_props_variant",
-    "media_feature_extract",
-    "near_dup_capped",
-    "near_dup_incremental",
-    "order_rollup",
-    "recent_order_preview",
-    "segment_mode_fill",
-    "semantic_dedup_census",
-    "semantic_dedup_greedy",
-    "window_frames_sql",
-    # nine round-7-stale fills: the graph family promoted (VERDICT r9 #6 —
-    # the two most expensive bench rows; pagerank's impl also gains the
-    # dangling-node guard this round), then the r7 staleness head
-    "bpe_merges",
-    "purchase_graph_pagerank",
-    "purchase_graph_communities",
-    "containment_capped_join",
-    # round-10 changes on the driver gate: the LSH membership cap
-    # (impl-changed embedding_lsh_near_dup) and its new accounting row,
-    # plus the per-source frequency cap (new operator + engaged ladder
-    # stage with its funnel row + keep-best priority mode)
-    "embedding_lsh_near_dup",
-    "embedding_lsh_bucket_stats",
-    "corpus_cap_per_source",
-    "corpus_cap_per_source_best",
-    "corpus_curation_capped_funnel",
-    # position 51+ — the round-11 suggested window (tools/staleness.py
-    # --suggest-window at rotation time): remaining r7-stale rows, then
-    # r8, then the just-checked r9 rows — next round's rotation is again
-    # a mechanical promote-the-prefix edit
+    # round-11 additions (the never-deferred rule): the Gopher
+    # repetition census and the unigram-LM tokenizer pair (fertility
+    # directly after its shared trained-vocab cache mate)
+    "doc_repetition_census",
+    "unigram_fertility_by_lang",
+    "unigram_train",
+    # the ENTIRE 45-query round-7 max-staleness cohort
+    # (tools/staleness.py --stale 3) — the staleness tail retires
+    # whole, never split across rounds
     "containment_prefix_join",
     "containment_probe_skew",
     "doc_balanced_oversample",
@@ -194,7 +143,13 @@ _DRIVER_WINDOW = [
     "waiting_supplier_sql",
     "warehouse_dim_build",
     "warehouse_fact_build",
+    # one spare slot -> the round-8 staleness head
     "boilerplate_ngrams",
+    # position 51+ — the round-12 suggested window
+    # (tools/staleness.py --suggest-window at rotation time): the
+    # remaining r8-stale rows, then r9, then the just-checked r10
+    # rows — next round's rotation is again a mechanical
+    # promote-the-prefix edit
     "brand_band_revenue_sql",
     "brand_fuzzy_match",
     "brand_price_outliers",
@@ -242,12 +197,8 @@ _DRIVER_WINDOW = [
     "user_sketch_rollup",
     "window_funcs_sql",
     "avg_qty_gated_revenue_sql",
-    # BPE family adjacency (same reasoning as the round-9 window): the
-    # family head pays the shared bpe_trained_merges cache + expression
-    # JIT, so token_stats runs DIRECTLY BEFORE fertility — the r10 bench
-    # flagged fertility 1.7x purely because the rotation swapped them
-    "bpe_token_stats",
     "bpe_fertility_by_lang",
+    "bpe_token_stats",
     "brand_median_price",
     "calendar_dim",
     "companies_of_interest",
@@ -294,6 +245,55 @@ _DRIVER_WINDOW = [
     "top_orders_per_nation",
     "top_supplier_sql",
     "xml_scan_agg",
+    "bloom_prefilter_join",
+    "bpe_merges",
+    "brand_mode_type",
+    "brand_price_percentiles",
+    "containment_capped_join",
+    "corpus_cap_per_source",
+    "corpus_cap_per_source_best",
+    "corpus_curation_capped_funnel",
+    "corpus_quality_filter",
+    "customer_running_totals",
+    "customer_set_ops",
+    "customer_spend_quartiles",
+    "dedup_keep_best",
+    "doc_bm25_topk",
+    "doc_chunks",
+    "doc_decontaminate",
+    "doc_fingerprint",
+    "doc_language_id",
+    "doc_language_ngram",
+    "doc_pii_redact",
+    "doc_quality_score",
+    "doc_repetition_ratio",
+    "doc_simhash",
+    "doc_span_corruption",
+    "doc_stratified_sample",
+    "doc_tfidf_top_terms",
+    "embedding_ann_ivf",
+    "embedding_ann_ivfpq",
+    "embedding_ann_kmeans",
+    "embedding_ann_multiprobe",
+    "embedding_ann_pq",
+    "embedding_cosine_topk",
+    "embedding_lsh_bucket_stats",
+    "embedding_lsh_near_dup",
+    "embedding_near_dup",
+    "event_user_distinct",
+    "event_value_band_join",
+    "events_props_variant",
+    "media_feature_extract",
+    "near_dup_capped",
+    "near_dup_incremental",
+    "order_rollup",
+    "purchase_graph_communities",
+    "purchase_graph_pagerank",
+    "recent_order_preview",
+    "segment_mode_fill",
+    "semantic_dedup_census",
+    "semantic_dedup_greedy",
+    "window_frames_sql",
 ]
 
 

@@ -54,6 +54,12 @@ SCALE_SENSITIVE = [
     "doc_decontaminate_fuzzy",
     "doc_bm25_capped",
     "user_sketch_rollup",
+    # round 11: the unigram trainer's seed/prune argmaxes and the
+    # repetition census's top-gram ties see a 10x word table at sf0.1 —
+    # the scale where near-tie determinism would actually break
+    "unigram_train",
+    "unigram_fertility_by_lang",
+    "doc_repetition_census",
 ]
 
 SF_DIR = "/root/testdata/sf0.1"
