@@ -1776,3 +1776,58 @@ JOIN tops t3 ON t3.doc_id = s.doc_id AND t3.n = 3
 JOIN tops t4 ON t4.doc_id = s.doc_id AND t4.n = 4
 ORDER BY s.doc_id
 """
+
+
+UNIGRAM_TOP_TOKENS = 30
+
+
+def unigram_token_stats(t: dict[str, DataFrame]) -> DataFrame:
+    """Encode the corpus with the trained unigram vocabulary and report
+    the top tokens by occurrence — ``bpe_token_stats``'s mate for the
+    second tokenizer family. The histogram never touches documents:
+    each DISTINCT word is segmented once and its piece multiset is
+    weighted by the word's corpus count (token count = Σ word_cnt over
+    Viterbi occurrences), so the explode is vocab-scale at any corpus
+    size. Ties: (count desc, token asc) on both engines."""
+    from ..operators import unigram
+
+    docs = t["documents"]
+    wordtab = unigram.word_table(docs)
+    seg = unigram.viterbi_segment(
+        wordtab, _trained_unigram(docs), max_piece_len=UNIGRAM_MAX_PIECE
+    )
+    return (
+        seg.select(F.explode("pieces").alias("token"), "cnt")
+        .groupBy("token")
+        .agg(F.sum("cnt").cast("long").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(UNIGRAM_TOP_TOKENS)
+    )
+
+
+def _unigram_token_stats_oracle(
+    rounds: int, max_piece: int, seed_multi: int, keep_multi: int, top: int
+) -> str:
+    """Training CTEs + the final-vocab Viterbi pass (the
+    ``_unigram_fertility_oracle`` dpF chain), collapsed to the
+    word-count-weighted token histogram."""
+    base = _unigram_fertility_oracle(rounds, max_piece, seed_multi, keep_multi)
+    ctes = base[: base.rindex(",\nnp AS (")]
+    return (
+        ctes
+        + f"""
+SELECT token, CAST(SUM(cnt) AS BIGINT) AS n
+FROM (
+  SELECT cnt, unnest(best[len(word) + 1].path) AS token
+  FROM dpF WHERE i = len(word) + 1
+) GROUP BY token ORDER BY n DESC, token LIMIT {top}"""
+    )
+
+
+UNIGRAM_TOKEN_STATS_ORACLE = _unigram_token_stats_oracle(
+    UNIGRAM_EM_ROUNDS,
+    UNIGRAM_MAX_PIECE,
+    UNIGRAM_SEED_MULTI,
+    UNIGRAM_KEEP_MULTI,
+    UNIGRAM_TOP_TOKENS,
+)

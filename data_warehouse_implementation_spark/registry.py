@@ -70,11 +70,11 @@ def oracle_sql() -> dict[str, str]:
 # round. Round-11 window (the verbatim tools/staleness.py
 # --suggest-window order at rotation time; enforced by
 # tests/test_entry.py::test_driver_window_covers_stalest): the flagship;
-# the three round-11 additions (Gopher repetition census, unigram-LM
-# train + fertility — the never-deferred rule); the ENTIRE 45-query
-# round-7 max-staleness cohort (the staleness tail retires whole, never
-# split across rounds); and the round-8 staleness head in the one spare
-# slot. No round-11 code change altered any existing query's plan or
+# the four round-11 additions (Gopher repetition census, unigram-LM
+# train + fertility + token stats — the never-deferred rule); and the
+# ENTIRE 45-query round-7 max-staleness cohort (the staleness tail
+# retires whole, never split across rounds).
+# No round-11 code change altered any existing query's plan or
 # results (the pagerank guard change only affects the iterations=0
 # shape no registered query uses), so no impl-changed promotions.
 #
@@ -90,10 +90,12 @@ _DRIVER_WINDOW = [
     # flagship — always re-verified
     "timely_rank_report",
     # round-11 additions (the never-deferred rule): the Gopher
-    # repetition census and the unigram-LM tokenizer pair (fertility
-    # directly after its shared trained-vocab cache mate)
+    # repetition census and the unigram-LM tokenizer trio (fertility
+    # and token stats directly after their shared trained-vocab cache
+    # mate)
     "doc_repetition_census",
     "unigram_fertility_by_lang",
+    "unigram_token_stats",
     "unigram_train",
     # the ENTIRE 45-query round-7 max-staleness cohort
     # (tools/staleness.py --stale 3) — the staleness tail retires
@@ -143,13 +145,11 @@ _DRIVER_WINDOW = [
     "waiting_supplier_sql",
     "warehouse_dim_build",
     "warehouse_fact_build",
-    # one spare slot -> the round-8 staleness head
-    "boilerplate_ngrams",
     # position 51+ — the round-12 suggested window
     # (tools/staleness.py --suggest-window at rotation time): the
-    # remaining r8-stale rows, then r9, then the just-checked r10
-    # rows — next round's rotation is again a mechanical
-    # promote-the-prefix edit
+    # r8-stale rows, then r9, then the just-checked r10 rows — next
+    # round's rotation is again a mechanical promote-the-prefix edit
+    "boilerplate_ngrams",
     "brand_band_revenue_sql",
     "brand_fuzzy_match",
     "brand_price_outliers",
@@ -1076,6 +1076,12 @@ register(
     "unigram_fertility_by_lang",
     corpus_queries.unigram_fertility_by_lang,
     corpus_queries.UNIGRAM_FERTILITY_BY_LANG_ORACLE,
+)
+
+register(
+    "unigram_token_stats",
+    corpus_queries.unigram_token_stats,
+    corpus_queries.UNIGRAM_TOKEN_STATS_ORACLE,
 )
 
 register(

@@ -59,6 +59,7 @@ SCALE_SENSITIVE = [
     # the scale where near-tie determinism would actually break
     "unigram_train",
     "unigram_fertility_by_lang",
+    "unigram_token_stats",
     "doc_repetition_census",
 ]
 
