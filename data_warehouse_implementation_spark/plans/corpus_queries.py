@@ -1548,30 +1548,30 @@ def _unigram_train_ctes(rounds: int, max_piece: int, seed_multi: int, keep_multi
 
     def vm_cte(r: int) -> str:
         return (
-            f"vm{r} AS (\n  SELECT map_from_entries(list(struct_pack(k := piece,"
+            f"vm{r} AS MATERIALIZED (\n  SELECT map_from_entries(list(struct_pack(k := piece,"
             f" v := p) ORDER BY piece)) AS m FROM pv{r}\n)"
         )
 
     ctes = [
         _TOKS_SQL.strip().strip(","),
-        """wc AS (
+        """wc AS MATERIALIZED (
   SELECT token AS word, COUNT(*) AS cnt
   FROM (SELECT unnest(arr) AS token FROM toks) GROUP BY token
 )""",
-        f"""subs AS (
+        f"""subs AS MATERIALIZED (
   SELECT piece, CAST(SUM(cnt) AS BIGINT) AS freq FROM (
     SELECT cnt, unnest(flatten(list_transform(generate_series(1, len(word)),
       s -> list_transform(generate_series(s, least(s + {L} - 1, len(word))),
         e -> substring(word, s, e - s + 1))))) AS piece
     FROM wc) GROUP BY piece
 )""",
-        f"""v0 AS (
+        f"""v0 AS MATERIALIZED (
   SELECT piece, freq FROM subs WHERE len(piece) = 1
   UNION ALL
   SELECT piece, freq FROM (SELECT piece, freq FROM subs WHERE len(piece) >= 2
                            ORDER BY freq DESC, piece LIMIT {seed_multi})
 )""",
-        """pv0 AS (
+        """pv0 AS MATERIALIZED (
   SELECT piece, CAST(freq AS DOUBLE) / CAST((SELECT SUM(freq) FROM v0) AS DOUBLE) AS p FROM v0
 )""",
         vm_cte(0),
@@ -1579,18 +1579,18 @@ def _unigram_train_ctes(rounds: int, max_piece: int, seed_multi: int, keep_multi
     for r in range(rounds):
         ctes.append(dp_cte(r))
         ctes.append(
-            f"seg{r} AS (SELECT word, cnt, best[len(word) + 1].path AS pieces"
+            f"seg{r} AS MATERIALIZED (SELECT word, cnt, best[len(word) + 1].path AS pieces"
             f" FROM dp{r} WHERE i = len(word) + 1)"
         )
-        ctes.append(f"occ{r} AS (SELECT unnest(pieces) AS piece, cnt FROM seg{r})")
+        ctes.append(f"occ{r} AS MATERIALIZED (SELECT unnest(pieces) AS piece, cnt FROM seg{r})")
         ctes.append(
-            f"""use{r} AS (
+            f"""use{r} AS MATERIALIZED (
   SELECT p.piece, CAST(COALESCE(SUM(o.cnt), 0) AS BIGINT) AS usage
   FROM pv{r} p LEFT JOIN occ{r} o USING (piece) GROUP BY p.piece
 )"""
         )
         ctes.append(
-            f"""v{r + 1} AS (
+            f"""v{r + 1} AS MATERIALIZED (
   SELECT piece, usage FROM use{r} WHERE len(piece) = 1
   UNION ALL
   SELECT piece, usage FROM (SELECT piece, usage FROM use{r} WHERE len(piece) >= 2
@@ -1598,7 +1598,7 @@ def _unigram_train_ctes(rounds: int, max_piece: int, seed_multi: int, keep_multi
 )"""
         )
         ctes.append(
-            f"""pv{r + 1} AS (
+            f"""pv{r + 1} AS MATERIALIZED (
   SELECT piece, usage, CAST(usage + 1 AS DOUBLE)
          / CAST((SELECT SUM(usage) FROM v{r + 1}) + (SELECT COUNT(*) FROM v{r + 1}) AS DOUBLE) AS p
   FROM v{r + 1}
@@ -1672,11 +1672,11 @@ dpF AS (
           path := best[j].path || [substring(word, j, i - j + 1)])))[1]]
   FROM dpF, vm{rounds} WHERE i <= len(word)
 ),
-np AS (
+np AS MATERIALIZED (
   SELECT word, CAST(len(best[len(word) + 1].path) AS BIGINT) AS n_p
   FROM dpF WHERE i = len(word) + 1
 ),
-dwk AS (
+dwk AS MATERIALIZED (
   SELECT doc_id, word, COUNT(*) AS k
   FROM (SELECT doc_id, unnest(arr) AS word FROM toks) GROUP BY doc_id, word
 ),
@@ -1812,7 +1812,7 @@ def _unigram_token_stats_oracle(
     ``_unigram_fertility_oracle`` dpF chain), collapsed to the
     word-count-weighted token histogram."""
     base = _unigram_fertility_oracle(rounds, max_piece, seed_multi, keep_multi)
-    ctes = base[: base.rindex(",\nnp AS (")]
+    ctes = base[: base.rindex(",\nnp AS MATERIALIZED (")]
     return (
         ctes
         + f"""
