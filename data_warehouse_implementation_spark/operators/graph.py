@@ -46,6 +46,7 @@ def pagerank(
     weight: str = "weight",
     iter_partitions: int | None = None,
     dangling: str = "forbid",
+    precision: str = "exact",
 ) -> DataFrame:
     """Weighted PageRank over a directed edge list ``(src, dst,
     weight)`` — ``iterations`` synchronous power-iteration rounds with
@@ -93,6 +94,15 @@ def pagerank(
     redistribute term is a decimal-exact sum divided by N, added after
     the damped mass) — all bit-replayable cross-engine.
 
+    ``precision``: ``"exact"`` (default) decimal-casts every
+    contribution before the shuffle sum — bit-replayable cross-engine,
+    the mode every oracle-checked query uses; ``"fast"`` keeps plain
+    double sums — the production knob for graphs where ranking matters
+    and last-ulp replay does not (measured ~15% per call on the sf0.1
+    purchase graph, growing with edge volume since the decimal work is
+    per-contribution; agreement with exact mode is ~1e-12 relative,
+    pytest-pinned, because the damped iteration is a contraction).
+
     ``iter_partitions``: iteration-state parallelism. The rank/edge
     tables are NODE-scale, but without an explicit repartition every
     round inherits the session's fact-shuffle partition count — for a
@@ -136,6 +146,18 @@ def pagerank(
     )
     if dangling not in ("forbid", "redistribute", "ignore"):
         raise ValueError(f"dangling must be forbid|redistribute|ignore, got {dangling!r}")
+    if precision not in ("exact", "fast"):
+        raise ValueError(f"precision must be exact|fast, got {precision!r}")
+    # 'exact': decimal-cast contributions — bit-replayable cross-engine,
+    # what every oracle-checked query uses. 'fast': plain double sums —
+    # the production knob (~15% per call measured at sf0.1, more as
+    # edge volume grows); double sums are partition-order-dependent in
+    # the last ulps, but the damped iteration is a contraction, so
+    # fast-mode ranks agree with exact mode to ~1e-12 relative
+    # (pytest-pinned) — fine for ranking, wrong for a bit-exact replay
+    # gate.
+    term_t = PR_TERM_DECIMAL if precision == "exact" else "double"
+
     # out-degree-0 nodes, as a node-scale anti-join (out_tot holds every
     # node with at least one out-edge); only compiled into the plan for
     # the modes that need it
@@ -201,7 +223,7 @@ def pagerank(
             e.join(rank, e._esrc == rank.node)
             .select(
                 F.col("_edst").alias("node"),
-                (F.col("rank") * F.col("_frac")).cast(PR_TERM_DECIMAL).alias("_term"),
+                (F.col("rank") * F.col("_frac")).cast(term_t).alias("_term"),
             )
             .groupBy("node")
             .agg(F.sum("_term").alias("_mass"))
@@ -211,7 +233,7 @@ def pagerank(
             .crossJoin(F.broadcast(ncnt))
         )
         damped_mass = F.lit(damping) * F.coalesce(
-            F.col("_mass"), F.lit(0).cast(PR_TERM_DECIMAL)
+            F.col("_mass"), F.lit(0).cast(term_t)
         ).cast("double")
         if dangling == "redistribute":
             # decimal-exact 1-row sum of the round's dangling rank,
@@ -220,8 +242,8 @@ def pagerank(
                 rank.join(dangling_nodes, on="node", how="left_semi")
                 .agg(
                     F.coalesce(
-                        F.sum(F.col("rank").cast(PR_TERM_DECIMAL)),
-                        F.lit(0).cast(PR_TERM_DECIMAL),
+                        F.sum(F.col("rank").cast(term_t)),
+                        F.lit(0).cast(term_t),
                     ).alias("_dmass")
                 )
             )
