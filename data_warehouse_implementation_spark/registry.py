@@ -145,10 +145,15 @@ _DRIVER_WINDOW = [
     "waiting_supplier_sql",
     "warehouse_dim_build",
     "warehouse_fact_build",
-    # position 51+ — the round-12 suggested window
-    # (tools/staleness.py --suggest-window at rotation time): the
-    # r8-stale rows, then r9, then the just-checked r10 rows — next
-    # round's rotation is again a mechanical promote-the-prefix edit
+    # position 51+ — the round-12 suggested window. The one same-round
+    # DEFERRED addition leads the tail (the capacity escape hatch: the
+    # first 50 are all must-run — flagship + 4 additions + the whole
+    # 45-query r7 cohort — so the fifth addition defers to position 51,
+    # where the round-12 driver checks it first; meanwhile the full
+    # local oracle battery proves it with the driver's own differential)
+    "tokenizer_fertility_compare",
+    # then the r8-stale rows, then r9, then the just-checked r10 rows —
+    # next round's rotation is again a mechanical promote-the-prefix edit
     "boilerplate_ngrams",
     "brand_band_revenue_sql",
     "brand_fuzzy_match",
@@ -1076,6 +1081,12 @@ register(
     "unigram_fertility_by_lang",
     corpus_queries.unigram_fertility_by_lang,
     corpus_queries.UNIGRAM_FERTILITY_BY_LANG_ORACLE,
+)
+
+register(
+    "tokenizer_fertility_compare",
+    corpus_queries.tokenizer_fertility_compare,
+    corpus_queries.TOKENIZER_FERTILITY_COMPARE_ORACLE,
 )
 
 register(
