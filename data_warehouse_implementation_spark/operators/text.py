@@ -155,23 +155,42 @@ def _sum_len(arr: str) -> str:
     return f"aggregate({arr}, 0L, (acc, x) -> acc + length(x))"
 
 
+def _bind1(value: str, var: str, body: str) -> str:
+    """SQL fragment: evaluate ``value`` ONCE and use it as ``var``
+    inside ``body`` — the array+transform binding trick. The census
+    expressions are multi-kilobyte generated SQL; re-interpolating a
+    subexpression per use would lean on Spark's subexpression
+    elimination, which is not guaranteed outside whole-stage codegen
+    (round-11 review), so every helper binds its inputs explicitly."""
+    return f"element_at(transform(array({value}), {var} -> {body}), 1)"
+
+
 def _dup_frac(arr: str) -> str:
     """SQL fragment: fraction of occurrences beyond each element's
     first (``(size - distinct) / size``) — the exact identity
     ``Σ_{{e: cnt≥2}} (cnt-1) / total``, computed without any explode."""
-    return (
-        f"if(size({arr}) > 0, cast(size({arr}) - size(array_distinct({arr})) as double)"
-        f" / cast(size({arr}) as double), cast(0.0 as double))"
+    return _bind1(
+        arr,
+        "a",
+        "if(size(a) > 0, cast(size(a) - size(array_distinct(a)) as double)"
+        " / cast(size(a) as double), cast(0.0 as double))",
     )
 
 
 def _dup_char_frac(arr: str) -> str:
     """SQL fragment: character-mass fraction of duplicate occurrences
-    (``Σ (cnt-1)·len == sum_len(all) - sum_len(distinct)``)."""
-    s, d = _sum_len(arr), _sum_len(f"array_distinct({arr})")
-    return (
-        f"if({s} > 0, cast({s} - {d} as double) / cast({s} as double),"
-        " cast(0.0 as double))"
+    (``Σ (cnt-1)·len == sum_len(all) - sum_len(distinct)``); the array
+    and both character sums are each evaluated once."""
+    sums = f"struct({_sum_len('a')} as s, {_sum_len('array_distinct(a)')} as d)"
+    return _bind1(
+        arr,
+        "a",
+        _bind1(
+            sums,
+            "t",
+            "if(t.s > 0, cast(t.s - t.d as double) / cast(t.s as double),"
+            " cast(0.0 as double))",
+        ),
     )
 
 
@@ -196,12 +215,13 @@ def _top_ngram_share(n: int) -> str:
         f" if({run} > a.best, {run}, a.best) as best,"
         f" if({run} > a.best, x, a.bestg) as bestg))"
     )
-    return (
-        f"if(size(_arr) >= {n},"
-        f" cast({fold}.best * length({fold}.bestg) as double)"
-        " / cast(length(concat_ws(' ', _arr)) as double),"
-        " cast(0.0 as double))"
+    share = _bind1(
+        fold,
+        "f",
+        "cast(f.best * length(f.bestg) as double)"
+        " / cast(length(concat_ws(' ', _arr)) as double)",
     )
+    return f"if(size(_arr) >= {n}, {share}, cast(0.0 as double))"
 
 
 def _split_clean(text_col: str, sep: str) -> str:

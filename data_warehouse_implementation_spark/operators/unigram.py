@@ -198,7 +198,12 @@ def unigram_train(
     prob) — the final vocabulary with each piece's last-round Viterbi
     usage and smoothed probability. Per-round state is vocab-sized and
     ``localCheckpoint``-truncated like ``bpe_train``, so the plan stays
-    O(1) in the round count."""
+    O(1) in the round count. ``em_rounds`` must be >= 1: the usage
+    column IS an EM product (the seed vocabulary has only substring
+    frequencies), so a zero-round "training" has no result of the
+    promised shape."""
+    if em_rounds < 1:
+        raise ValueError(f"em_rounds must be >= 1, got {em_rounds}")
     wordtab = word_table(df, text_col).localCheckpoint(eager=True)
     seeds = seed_pieces(wordtab, max_piece_len, seed_multi)
     stot = seeds.agg(F.sum("freq").alias("_tot"))

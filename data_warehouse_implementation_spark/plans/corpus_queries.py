@@ -1521,6 +1521,27 @@ def unigram_train_report(t: dict[str, DataFrame]) -> DataFrame:
     return _trained_unigram(t["documents"]).orderBy(F.desc("usage"), "piece")
 
 
+def _unigram_dp_cte(name: str, vm: str, max_piece: int) -> str:
+    """One Viterbi pass as a recursive CTE over ``wc`` under the
+    vocabulary map CTE ``vm`` — the single source of the DP body shared
+    by every unigram oracle (train rounds, fertility, token stats)."""
+    L = max_piece
+    return f"""{name} AS (
+  SELECT word, cnt, 1 AS i,
+         [struct_pack(np := -1.0::DOUBLE, j := 0::BIGINT, path := []::VARCHAR[])] AS best
+  FROM wc
+  UNION ALL
+  SELECT word, cnt, i + 1,
+    best || [list_sort(
+      list_transform(generate_series(greatest(1, i - {L} + 1), i),
+        j -> struct_pack(
+          np := best[j].np * coalesce(map_extract({vm}.m, substring(word, j, i - j + 1))[1], 0.0::DOUBLE),
+          j := j,
+          path := best[j].path || [substring(word, j, i - j + 1)])))[1]]
+  FROM {name}, {vm} WHERE i <= len(word)
+)"""
+
+
 def _unigram_train_ctes(rounds: int, max_piece: int, seed_multi: int, keep_multi: int) -> str:
     """Shared CTE chain replaying unigram training round by round: the
     seeding is plain SQL, each E-step Viterbi a recursive CTE carrying
@@ -1531,20 +1552,7 @@ def _unigram_train_ctes(rounds: int, max_piece: int, seed_multi: int, keep_multi
     L = max_piece
 
     def dp_cte(r: int) -> str:
-        return f"""dp{r} AS (
-  SELECT word, cnt, 1 AS i,
-         [struct_pack(np := -1.0::DOUBLE, j := 0::BIGINT, path := []::VARCHAR[])] AS best
-  FROM wc
-  UNION ALL
-  SELECT word, cnt, i + 1,
-    best || [list_sort(
-      list_transform(generate_series(greatest(1, i - {L} + 1), i),
-        j -> struct_pack(
-          np := best[j].np * coalesce(map_extract(vm{r}.m, substring(word, j, i - j + 1))[1], 0.0::DOUBLE),
-          j := j,
-          path := best[j].path || [substring(word, j, i - j + 1)])))[1]]
-  FROM dp{r}, vm{r} WHERE i <= len(word)
-)"""
+        return _unigram_dp_cte(f"dp{r}", f"vm{r}", max_piece)
 
     def vm_cte(r: int) -> str:
         return (
@@ -1651,27 +1659,14 @@ def unigram_fertility_by_lang(t: dict[str, DataFrame]) -> DataFrame:
 
 def _unigram_fertility_oracle(rounds: int, max_piece: int, seed_multi: int, keep_multi: int) -> str:
     """Training CTEs + one more Viterbi pass under the FINAL vocabulary
-    (``dp{rounds}`` / ``vm{rounds}``), rolled up per doc then per lang
-    exactly like ``_bpe_fertility_oracle``."""
+    (``dpF`` via the shared DP generator against ``vm{rounds}``), rolled
+    up per doc then per lang exactly like ``_bpe_fertility_oracle``."""
     base = _unigram_train_ctes(rounds, max_piece, seed_multi, keep_multi)
-    L = max_piece
     return (
         base
-        + f""",
-dpF AS (
-  SELECT word, cnt, 1 AS i,
-         [struct_pack(np := -1.0::DOUBLE, j := 0::BIGINT, path := []::VARCHAR[])] AS best
-  FROM wc
-  UNION ALL
-  SELECT word, cnt, i + 1,
-    best || [list_sort(
-      list_transform(generate_series(greatest(1, i - {L} + 1), i),
-        j -> struct_pack(
-          np := best[j].np * coalesce(map_extract(vm{rounds}.m, substring(word, j, i - j + 1))[1], 0.0::DOUBLE),
-          j := j,
-          path := best[j].path || [substring(word, j, i - j + 1)])))[1]]
-  FROM dpF, vm{rounds} WHERE i <= len(word)
-),
+        + ",\n"
+        + _unigram_dp_cte("dpF", f"vm{rounds}", max_piece)
+        + """,
 np AS MATERIALIZED (
   SELECT word, CAST(len(best[len(word) + 1].path) AS BIGINT) AS n_p
   FROM dpF WHERE i = len(word) + 1
@@ -1721,10 +1716,9 @@ def doc_repetition_census(t: dict[str, DataFrame]) -> DataFrame:
 DOC_REPETITION_CENSUS_ORACLE = f"""
 WITH {_TOKS_SQL.strip()},
 base AS (
-  SELECT doc_id, text, arr FROM (SELECT doc_id, text, list_filter(
-           regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS arr
-         FROM documents)
-  WHERE len(arr) >= 5
+  SELECT d.doc_id, d.text, t.arr
+  FROM documents d JOIN toks t USING (doc_id)
+  WHERE len(t.arr) >= 5
 ),
 seps AS (
   SELECT doc_id,
@@ -1808,13 +1802,13 @@ def unigram_token_stats(t: dict[str, DataFrame]) -> DataFrame:
 def _unigram_token_stats_oracle(
     rounds: int, max_piece: int, seed_multi: int, keep_multi: int, top: int
 ) -> str:
-    """Training CTEs + the final-vocab Viterbi pass (the
-    ``_unigram_fertility_oracle`` dpF chain), collapsed to the
+    """Training CTEs + the final-vocab Viterbi pass (the same shared
+    ``dpF`` generator the fertility oracle uses), collapsed to the
     word-count-weighted token histogram."""
-    base = _unigram_fertility_oracle(rounds, max_piece, seed_multi, keep_multi)
-    ctes = base[: base.rindex(",\nnp AS MATERIALIZED (")]
     return (
-        ctes
+        _unigram_train_ctes(rounds, max_piece, seed_multi, keep_multi)
+        + ",\n"
+        + _unigram_dp_cte("dpF", f"vm{rounds}", max_piece)
         + f"""
 SELECT token, CAST(SUM(cnt) AS BIGINT) AS n
 FROM (

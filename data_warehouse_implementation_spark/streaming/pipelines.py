@@ -140,9 +140,13 @@ def sessionize_stateful(
     Parity is now UNCONDITIONAL (no ``watermark <= gap`` precondition):
     every event processed in the same micro-batch set produces exactly
     the batch twin's time-sorted fold over the events that survived the
-    watermark. The invariant: an event Spark lets through has ``ts >=
-    watermark >= emitted.last + gap`` for every already-emitted
-    session, so it can never retroactively merge with or precede one —
+    watermark. The invariant: Spark drops late rows with ``eventTime <=
+    watermark`` (STRICTLY-greater survivors — ``WatermarkSupport``'s
+    predicate, verified on Spark 4.1.2; the strictness matters because
+    the batch twin still MERGES at ``diff == gap``), so a surviving
+    event has ``ts > watermark >= emitted.last + gap`` for every
+    already-emitted session and can never retroactively merge with or
+    precede one —
     any surviving event lands in the pending list, where sessions are
     re-merged as intervals (a bridging late event that joins two
     pending sessions collapses them, matching the batch fold exactly).

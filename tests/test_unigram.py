@@ -147,3 +147,14 @@ def test_plan_shape_vocab_broadcast_no_word_shuffle(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     # the word side itself is never hash-shuffled
     assert "hashpartitioning(word" not in plan
+
+
+def test_train_rejects_zero_em_rounds(spark):
+    """Round-11 review: em_rounds=0 used to crash with an
+    unresolved-column error (the seed vocab has no usage column); the
+    degenerate config now fails fast with a clear message."""
+    import pytest
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="em_rounds must be >= 1"):
+        unigram.unigram_train(docs, em_rounds=0)
