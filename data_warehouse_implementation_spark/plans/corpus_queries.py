@@ -1111,16 +1111,33 @@ BPE_MERGES_ORACLE = _bpe_oracle(BPE_ROUNDS)
 BPE_TOP_TOKENS = 30
 
 
+def _bpe_encoded_tokens(docs: DataFrame) -> DataFrame:
+    """Session-cached encoded corpus (doc_id, token) under the trained
+    merges (S7): the broadcast-fold encode pass is the expensive half
+    of THREE queries (``bpe_token_stats``, ``bpe_fertility_by_lang``,
+    ``tokenizer_fertility_compare``) — built once per corpus, like the
+    training run itself. ``corpus_scale=True``: the token table grows
+    with the corpus, so the staged-parquet spill mode applies at 100 TB
+    (encode-once-materialize is exactly what a production tokenizer
+    pipeline does with its encode output)."""
+    from ..operators import bpe
+    from . import materialize
+
+    return materialize.get_or_build(
+        "bpe_encoded_tokens",
+        str(docs.semanticHash()),
+        lambda: bpe.bpe_encode(docs, _trained_merges(docs)),
+        corpus_scale=True,
+    )
+
+
 def bpe_token_stats(t: dict[str, DataFrame]) -> DataFrame:
     """Encode the corpus with the freshly trained merge table
     (``bpe.bpe_encode``: broadcast merge fold per word, no shuffle of
     the documents) and report the top tokens by count — the vocabulary
     histogram a tokenizer-training pipeline inspects. The oracle
     replays training AND encoding round by round."""
-    from ..operators import bpe
-
-    docs = t["documents"]
-    enc = bpe.bpe_encode(docs, _trained_merges(docs))
+    enc = _bpe_encoded_tokens(t["documents"])
     return (
         enc.groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -1424,11 +1441,10 @@ def bpe_fertility_by_lang(t: dict[str, DataFrame]) -> DataFrame:
     the double division of two exact integer sums — bit-identical
     across engines. The oracle replays training AND encoding round by
     round (same generated CTE chain as ``bpe_token_stats``)."""
-    from ..operators import bpe
     from ..operators.text import words
 
     docs = t["documents"]
-    enc = bpe.bpe_encode(docs, _trained_merges(docs))
+    enc = _bpe_encoded_tokens(docs)
     n_toks = enc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_toks"))
     # per-row array size — map-side, no explode/shuffle; zero-word docs
     # are still excluded by the inner join (they have no n_toks row)
