@@ -61,6 +61,7 @@ SCALE_SENSITIVE = [
     "unigram_fertility_by_lang",
     "unigram_token_stats",
     "doc_repetition_census",
+    "tokenizer_fertility_compare",
 ]
 
 SF_DIR = "/root/testdata/sf0.1"
