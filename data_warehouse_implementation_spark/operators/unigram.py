@@ -260,3 +260,35 @@ def unigram_word_fertility(
             F.sum(F.col("k") * F.col("n_pieces")).cast("long").alias("n_toks"),
         )
     )
+
+
+def unigram_encode(
+    df: DataFrame,
+    vocab: DataFrame,
+    max_piece_len: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize documents with a trained vocabulary: (id, token) rows
+    in document word order — the API twin of ``bpe.bpe_encode``. Each
+    DISTINCT word is Viterbi-segmented once (broadcast vocab map); the
+    per-word piece arrays join back to the document word stream and
+    explode in position order, so the corpus-scale work is one join on
+    the word plus the final explode — the segmentation DP itself never
+    runs per occurrence."""
+    seg = viterbi_segment(
+        df.select(F.explode(words(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt")),
+        vocab,
+        max_piece_len,
+    ).select("word", "pieces")
+    stream = df.select(
+        F.col(id_col), F.posexplode(words(text_col)).alias("pos", "word")
+    )
+    return (
+        stream.join(seg, "word")
+        .select(id_col, "pos", F.explode("pieces").alias("token"))
+        .orderBy(id_col, "pos")
+        .select(id_col, "token")
+    )

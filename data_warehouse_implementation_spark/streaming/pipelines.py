@@ -616,6 +616,7 @@ def curation_admission_sink(
     max_per_source: int | None = None,
     source_col: str = "source",
     priority_col: str | None = None,
+    repetition_rules: dict[str, float] | None = None,
 ):
     """Incremental CURATION admission (VERDICT r8 #8) — the streaming
     twin of the batch curation ladder's admission stages (RUNBOOK
@@ -660,6 +661,13 @@ def curation_admission_sink(
     application equals one cap_per_key pass ranked by (arrival batch,
     hash, id) — the parity the test checks. Requires ``source_col`` in
     the stream schema; the admitted state table then carries it.
+
+    ``repetition_rules`` (round 11) passes the Gopher repetition
+    battery straight through to the stage-1 ``quality_filter`` — the
+    same optional rules the batch ladder's stage 1 accepts, so the
+    streaming admission and the batch pass stay structurally identical
+    when both are configured (a breach rejects with stage ``quality``,
+    the same accounting bucket as every other stage-1 rule).
 
     ``priority_col`` (round 11 — the streaming half of the batch
     twin's keep-best mode, VERDICT r10 gap #3): when set (requires
@@ -710,7 +718,11 @@ def curation_admission_sink(
                 catalog.delete_where(full, f"batch_id = {int(batch_id)}")
 
         qf = text_ops.quality_filter(
-            batch, min_words=min_words, max_words=max_words, min_quality=min_quality
+            batch,
+            min_words=min_words,
+            max_words=max_words,
+            min_quality=min_quality,
+            repetition_rules=repetition_rules,
         )
         kept_q = qf.filter(SF.col("verdict") == "kept").select("doc_id")
         contaminated = (

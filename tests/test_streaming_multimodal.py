@@ -1746,3 +1746,40 @@ def test_curation_admission_per_source_cap_keep_best(spark, tmp_dir):
             stream, cat, "bad", checkpoint=os.path.join(tmp_dir, "ckpt_bad"),
             benchmark=benchmark, priority_col="prio",
         )
+
+
+def test_curation_admission_applies_repetition_rules(spark, tmp_dir):
+    """Round 11: repetition_rules pass through to the sink's stage-1
+    quality filter — a looping doc that every C4 rule accepts is
+    rejected at the quality stage when the Gopher battery is
+    configured, and admitted without it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    looping = ("the cat sat on the mat " * 5).strip()
+    clean = "the quick brown fox jumps over the lazy dog and then rests quietly at home"
+    src = os.path.join(tmp_dir, "rep_src")
+    os.makedirs(src)
+    pq.write_table(
+        pa.table({"doc_id": [1, 2], "text": [looping, clean]}),
+        os.path.join(src, "b0.parquet"),
+    )
+    benchmark = spark.createDataFrame(
+        [(900, "completely disjoint benchmark passage with eight special uncommon tokens arranged here")],
+        "doc_id long, text string",
+    )
+    cat = WarehouseCatalog(spark, os.path.join(tmp_dir, "rep_wh"))
+
+    def run(prefix, rules):
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = streaming.curation_admission_sink(
+            stream, cat, prefix, checkpoint=os.path.join(tmp_dir, f"ckpt_{prefix}"),
+            benchmark=benchmark, min_words=5, max_words=200, min_quality=0.0,
+            decontam_n=8, n_shingle=3, k=16, bands=8, rows=2, threshold=0.5,
+            repetition_rules=rules,
+        )
+        q.awaitTermination()
+        return {r.doc_id: r.stage for r in cat.table(f"{prefix}_verdicts").collect()}
+
+    assert run("norules", None) == {1: "admitted", 2: "admitted"}
+    assert run("gopher", {"dup_5gram_char_frac": 0.5}) == {1: "quality", 2: "admitted"}

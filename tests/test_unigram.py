@@ -158,3 +158,18 @@ def test_train_rejects_zero_em_rounds(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError, match="em_rounds must be >= 1"):
         unigram.unigram_train(docs, em_rounds=0)
+
+
+def test_unigram_encode_reconstructs_documents(spark):
+    """bpe_encode API parity: (doc_id, token) rows must reconstruct
+    each document's word stream when concatenated in order."""
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "cat cat mat")], "doc_id long, text string"
+    )
+    vocab = unigram.unigram_train(docs, em_rounds=1, seed_multi=8, keep_multi=4)
+    enc = unigram.unigram_encode(docs, vocab)
+    rows = enc.collect()
+    by_doc: dict[int, str] = {}
+    for r in rows:
+        by_doc[r.doc_id] = by_doc.get(r.doc_id, "") + r.token
+    assert by_doc == {1: "thecatsat", 2: "catcatmat"}
