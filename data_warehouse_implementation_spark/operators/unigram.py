@@ -204,7 +204,29 @@ def unigram_train(
     promised shape."""
     if em_rounds < 1:
         raise ValueError(f"em_rounds must be >= 1, got {em_rounds}")
-    wordtab = word_table(df, text_col).localCheckpoint(eager=True)
+    return unigram_train_from_words(
+        word_table(df, text_col),
+        em_rounds=em_rounds,
+        max_piece_len=max_piece_len,
+        seed_multi=seed_multi,
+        keep_multi=keep_multi,
+    )
+
+
+def unigram_train_from_words(
+    wordtab: DataFrame,
+    em_rounds: int = 2,
+    max_piece_len: int = 4,
+    seed_multi: int = 60,
+    keep_multi: int = 40,
+) -> DataFrame:
+    """Train from an existing (word, cnt) frequency table — the entry
+    point a streaming corpus collector uses (``word_count_sink`` keeps
+    the table as mergeable state; training never needs the raw text
+    again). ``unigram_train`` delegates here after its own word pass."""
+    if em_rounds < 1:
+        raise ValueError(f"em_rounds must be >= 1, got {em_rounds}")
+    wordtab = wordtab.localCheckpoint(eager=True)
     seeds = seed_pieces(wordtab, max_piece_len, seed_multi)
     stot = seeds.agg(F.sum("freq").alias("_tot"))
     vocab = (

@@ -30,4 +30,6 @@ from .pipelines import (  # noqa: F401
     substring_census_from_state,
     substring_gram_sink,
     tumbling_counts,
+    word_count_sink,
+    word_table_from_state,
 )

@@ -1449,3 +1449,57 @@ def rollup_month_from_state(catalog: WarehouseCatalog, prefix: str) -> DataFrame
         F.max("mx").alias("mx"),
     )
     return rollup_cascade_from_hours(merged)
+
+
+def word_count_sink(
+    stream: DataFrame,
+    catalog: WarehouseCatalog,
+    prefix: str,
+    checkpoint: str,
+    text_col: str = "text",
+):
+    """Streaming tokenizer-corpus collector (round 11): each
+    micro-batch collapses to its own (word, cnt) partials — word counts
+    merge by ADDITION, the same mergeable-partial shape as the CMS
+    cells and hour partials — appended to ``{prefix}_words`` with the
+    batch id. Per batch the work is one word explode + a
+    vocab-scale aggregate; state grows with distinct (batch, word)
+    pairs, never with raw token volume, so a tokenizer can be
+    (re)trained on demand from state without ever rescanning the
+    corpus (``word_table_from_state`` →
+    ``unigram.unigram_train_from_words``). Replay-idempotent per
+    ``batch_id`` exactly like ``rollup_hour_sink``."""
+    from ..operators.unigram import word_table
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        wc = word_table(batch, text_col).withColumn("batch_id", F.lit(batch_id))
+        tbl = f"{prefix}_words"
+        if catalog.exists(tbl):
+            catalog.delete_where(tbl, f"batch_id = {int(batch_id)}")
+            catalog.insert_into(tbl, wc)
+        else:
+            catalog.write(tbl, wc)
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def word_table_from_state(catalog: WarehouseCatalog, prefix: str) -> DataFrame:
+    """Merged (word, cnt) from the collector state — equals
+    ``unigram.word_table`` over the concatenated stream (parity test).
+    Defense in depth vs sink replays, same as
+    ``rollup_month_from_state``: partials first collapse to one row per
+    (batch_id, word) — batch content is deterministic, so duplicate
+    appends carry identical rows and max() restores the single-append
+    state — then cross-batch counts add."""
+    state = catalog.table(f"{prefix}_words")
+    return (
+        state.groupBy("batch_id", "word")
+        .agg(F.max("cnt").alias("cnt"))
+        .groupBy("word")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )

@@ -1783,3 +1783,66 @@ def test_curation_admission_applies_repetition_rules(spark, tmp_dir):
 
     assert run("norules", None) == {1: "admitted", 2: "admitted"}
     assert run("gopher", {"dup_5gram_char_frac": 0.5}) == {1: "quality", 2: "admitted"}
+
+
+def test_word_count_sink_state_trains_same_tokenizer(spark, tmp_dir):
+    """Round 11: the streaming tokenizer-corpus collector — two
+    micro-batches of word-count partials merged from state must equal
+    the one-shot word table, a unigram trained from state must equal
+    one trained on the full corpus, and a duplicate-append of a batch's
+    partials is absorbed by the (batch_id, word) collapse."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_warehouse_implementation_spark.operators import unigram
+
+    b0 = [(1, "the cat sat on the mat"), (2, "the thematic cat")]
+    b1 = [(3, "mat mat mat"), (4, "a cat on a mat sat still")]
+    src = os.path.join(tmp_dir, "wc_src")
+    os.makedirs(src)
+    for i, rows in enumerate([b0, b1]):
+        p = os.path.join(src, f"b{i}.parquet")
+        pq.write_table(
+            pa.table({"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]}), p
+        )
+        os.utime(p, (1_700_000_000 + 60 * i,) * 2)
+    cat = WarehouseCatalog(spark, os.path.join(tmp_dir, "wc_wh"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming.word_count_sink(
+        stream, cat, "tok", checkpoint=os.path.join(tmp_dir, "ckpt_wc")
+    )
+    q.awaitTermination()
+
+    docs = spark.createDataFrame(b0 + b1, "doc_id long, text string")
+    want_words = {
+        (r.word, r.cnt) for r in unigram.word_table(docs).collect()
+    }
+    got_words = {
+        (r.word, r.cnt)
+        for r in streaming.word_table_from_state(cat, "tok").collect()
+    }
+    assert got_words == want_words and len(got_words) > 5
+
+    def vocab_key(df):
+        return sorted((r.piece, r.usage, r.prob) for r in df.collect())
+
+    from_state = unigram.unigram_train_from_words(
+        streaming.word_table_from_state(cat, "tok"),
+        em_rounds=2, seed_multi=10, keep_multi=6,
+    )
+    one_shot = unigram.unigram_train(docs, em_rounds=2, seed_multi=10, keep_multi=6)
+    assert vocab_key(from_state) == vocab_key(one_shot)
+
+    # duplicate-append of batch 0's partials (a crash window leaving
+    # both copies) is absorbed by the per-(batch_id, word) collapse
+    state = cat.table("tok_words")
+    cat.insert_into("tok_words", state.filter("batch_id = 0"))
+    got_after = {
+        (r.word, r.cnt)
+        for r in streaming.word_table_from_state(cat, "tok").collect()
+    }
+    assert got_after == want_words
