@@ -45,13 +45,22 @@ def word_symbol_table(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(sym, cnt): the word-frequency table with each distinct word
     expanded to its initial character-symbol string."""
     tok = df.select(F.explode(words(text_col)).alias("word"))
-    wc = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    return symbol_table_from_words(
+        tok.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def symbol_table_from_words(wordtab: DataFrame) -> DataFrame:
+    """Symbol table from an existing (word, cnt) frequency table — the
+    entry point the streaming corpus collector uses
+    (``streaming.word_count_sink`` state serves BOTH tokenizer
+    families; see ``unigram.unigram_train_from_words``)."""
     sym = F.concat(
         F.lit(" "),
         F.concat_ws(" ", F.expr("regexp_extract_all(word, '.', 0)")),
         F.lit(f" {END_MARK} "),
     )
-    return wc.select(sym.alias("sym"), "cnt")
+    return wordtab.select(sym.alias("sym"), "cnt")
 
 
 def pair_counts(symbols: DataFrame) -> DataFrame:
@@ -93,7 +102,13 @@ def bpe_train(
     """Train ``n_merges`` BPE merges; returns (merge_rank, left_sym,
     right_sym, pair_count) in training order. Deterministic: arg-max by
     (count desc, l, r) binary order."""
-    cur = word_symbol_table(df, text_col).localCheckpoint(eager=True)
+    return bpe_train_from_symbols(word_symbol_table(df, text_col), n_merges)
+
+
+def bpe_train_from_symbols(symbols: DataFrame, n_merges: int = 8) -> DataFrame:
+    """Train from an existing symbol table (see
+    :func:`symbol_table_from_words`) — BPE's from-state entry point."""
+    cur = symbols.localCheckpoint(eager=True)
     out: list[DataFrame] = []
     for rank in range(1, n_merges + 1):
         top = (

@@ -1837,6 +1837,20 @@ def test_word_count_sink_state_trains_same_tokenizer(spark, tmp_dir):
     one_shot = unigram.unigram_train(docs, em_rounds=2, seed_multi=10, keep_multi=6)
     assert vocab_key(from_state) == vocab_key(one_shot)
 
+    # the SAME collector state serves the other tokenizer family: BPE
+    # merges trained from state equal the one-shot training run
+    from data_warehouse_implementation_spark.operators import bpe
+
+    merges_state = bpe.bpe_train_from_symbols(
+        bpe.symbol_table_from_words(streaming.word_table_from_state(cat, "tok")),
+        n_merges=4,
+    )
+    merges_full = bpe.bpe_train(docs, n_merges=4)
+    key = lambda df: sorted(  # noqa: E731
+        (r.merge_rank, r.left_sym, r.right_sym, r.pair_count) for r in df.collect()
+    )
+    assert key(merges_state) == key(merges_full)
+
     # duplicate-append of batch 0's partials (a crash window leaving
     # both copies) is absorbed by the per-(batch_id, word) collapse
     state = cat.table("tok_words")
