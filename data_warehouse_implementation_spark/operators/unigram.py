@@ -108,6 +108,29 @@ def _prob_map(vocab: DataFrame, prob_col: str = "prob") -> DataFrame:
     )
 
 
+def _dp_expr(word_ref: str, max_piece_len: int) -> str:
+    """The Viterbi DP as a SQL expression over the word referenced by
+    ``word_ref`` (a column name or lambda variable) and the broadcast
+    vocab map ``_vm`` — shared by :func:`viterbi_segment` (per distinct
+    word) and :func:`unigram_encode` (inline per word occurrence, the
+    ``bpe_encode`` shape)."""
+    L = int(max_piece_len)
+    w = word_ref
+    return f"""
+      aggregate(
+        sequence(1, length({w})),
+        array(struct(cast(-1.0 as double) as np, 0 as j, cast(array() as array<string>) as path)),
+        (acc, i) -> acc || array(
+          element_at(array_sort(
+            transform(sequence(greatest(1, i - {L} + 1), i),
+              j -> struct(
+                element_at(acc, j).np * coalesce(try_element_at(_vm, substring({w}, j, i - j + 1)), cast(0.0 as double)) as np,
+                j as j,
+                element_at(acc, j).path || array(substring({w}, j, i - j + 1)) as path))), 1)),
+        acc -> element_at(acc, length({w}) + 1))
+    """
+
+
 def viterbi_segment(
     wordtab: DataFrame, vocab: DataFrame, max_piece_len: int = 4
 ) -> DataFrame:
@@ -123,23 +146,9 @@ def viterbi_segment(
     (product desc, j asc) winner via one struct sort — bit-replayable
     on any engine because all arithmetic is IEEE double products of
     exact integer ratios in a fixed order."""
-    L = int(max_piece_len)
-    dp = f"""
-      aggregate(
-        sequence(1, length(word)),
-        array(struct(cast(-1.0 as double) as np, 0 as j, cast(array() as array<string>) as path)),
-        (acc, i) -> acc || array(
-          element_at(array_sort(
-            transform(sequence(greatest(1, i - {L} + 1), i),
-              j -> struct(
-                element_at(acc, j).np * coalesce(try_element_at(_vm, substring(word, j, i - j + 1)), cast(0.0 as double)) as np,
-                j as j,
-                element_at(acc, j).path || array(substring(word, j, i - j + 1)) as path))), 1)),
-        acc -> element_at(acc, length(word) + 1))
-    """
     return (
         wordtab.crossJoin(F.broadcast(_prob_map(vocab)))
-        .select("word", "cnt", F.expr(dp).alias("_best"))
+        .select("word", "cnt", F.expr(_dp_expr("word", max_piece_len)).alias("_best"))
         .select(
             "word",
             "cnt",
@@ -202,8 +211,6 @@ def unigram_train(
     column IS an EM product (the seed vocabulary has only substring
     frequencies), so a zero-round "training" has no result of the
     promised shape."""
-    if em_rounds < 1:
-        raise ValueError(f"em_rounds must be >= 1, got {em_rounds}")
     return unigram_train_from_words(
         word_table(df, text_col),
         em_rounds=em_rounds,
@@ -291,26 +298,22 @@ def unigram_encode(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Tokenize documents with a trained vocabulary: (id, token) rows
-    in document word order — the API twin of ``bpe.bpe_encode``. Each
-    DISTINCT word is Viterbi-segmented once (broadcast vocab map); the
-    per-word piece arrays join back to the document word stream and
-    explode in position order, so the corpus-scale work is one join on
-    the word plus the final explode — the segmentation DP itself never
-    runs per occurrence."""
-    seg = viterbi_segment(
-        df.select(F.explode(words(text_col)).alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("cnt")),
-        vocab,
-        max_piece_len,
-    ).select("word", "pieces")
-    stream = df.select(
-        F.col(id_col), F.posexplode(words(text_col)).alias("pos", "word")
+    """Tokenize documents with a trained vocabulary: (id, pos, token)
+    rows — the API twin of ``bpe.bpe_encode``, with an EXPLICIT token
+    position instead of relying on row-order stability (round-11
+    review). Exactly ``bpe_encode``'s execution shape: the vocabulary
+    map is broadcast and the Viterbi DP runs INLINE per word occurrence
+    inside one in-row flatten, so the document side is never joined,
+    shuffled, or sorted — the whole encode is a single map-side
+    projection plus the final explode, and the token sequence is
+    ordered by construction (``pos`` indexes the flattened pieces in
+    document word order)."""
+    tokens = (
+        f"flatten(transform(filter(split(lower({text_col}), '\\\\s+'),"
+        f" x -> x != ''), w -> ({_dp_expr('w', max_piece_len)}).path))"
     )
     return (
-        stream.join(seg, "word")
-        .select(id_col, "pos", F.explode("pieces").alias("token"))
-        .orderBy(id_col, "pos")
-        .select(id_col, "token")
+        df.crossJoin(F.broadcast(_prob_map(vocab)))
+        .select(F.col(id_col), F.posexplode(F.expr(tokens)).alias("pos", "token"))
+        .select(id_col, F.col("pos").cast("long").alias("pos"), "token")
     )

@@ -161,15 +161,20 @@ def test_train_rejects_zero_em_rounds(spark):
 
 
 def test_unigram_encode_reconstructs_documents(spark):
-    """bpe_encode API parity: (doc_id, token) rows must reconstruct
-    each document's word stream when concatenated in order."""
+    """bpe_encode API parity: (doc_id, pos, token) rows must
+    reconstruct each document's word stream when concatenated in the
+    EXPLICIT pos order (round-11 review: never rely on row-order
+    stability for within-word piece order), and the plan must stay a
+    pure map-side broadcast projection — no joins or sorts of the
+    document side."""
     docs = spark.createDataFrame(
         [(1, "the cat sat"), (2, "cat cat mat")], "doc_id long, text string"
     )
     vocab = unigram.unigram_train(docs, em_rounds=1, seed_multi=8, keep_multi=4)
     enc = unigram.unigram_encode(docs, vocab)
-    rows = enc.collect()
     by_doc: dict[int, str] = {}
-    for r in rows:
+    for r in sorted(enc.collect(), key=lambda r: (r.doc_id, r.pos)):
         by_doc[r.doc_id] = by_doc.get(r.doc_id, "") + r.token
     assert by_doc == {1: "thecatsat", 2: "catcatmat"}
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "Sort" not in plan and "hashpartitioning" not in plan
