@@ -25,8 +25,29 @@ EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is"]
 BPE_ISH_PATTERN = r"[a-z0-9]+|[^a-z0-9\s]"
 
 
+#: SQL-text twin of :func:`words` — the ONE definition of the word
+#: splitter for generated-SQL call sites (``{col}`` is the column
+#: SQL). ADVICE r11 #4: ``unigram.unigram_encode`` builds its encode
+#: expression as a string and used to re-implement this inline; any
+#: future change to the splitter (punctuation, unicode classes) must
+#: happen HERE so encode-time tokenization, the training word table,
+#: and fertility censuses can never desynchronize.
+#: ``tests/test_text.py::test_words_sql_fragment_matches_words`` pins
+#: the fragment equal to :func:`words` on adversarial inputs.
+WORDS_SQL = "filter(split(lower({col}), '\\\\s+'), x -> x != '')"
+
+
+def words_sql(col_sql: str) -> str:
+    """Render :data:`WORDS_SQL` for a column SQL expression."""
+    return WORDS_SQL.format(col=col_sql)
+
+
 def words(text_col: Column | str) -> Column:
-    """Whitespace word tokens (lowercased, empties dropped)."""
+    """Whitespace word tokens (lowercased, empties dropped).
+
+    Column twin of :func:`words_sql` (same splitter, pinned equal by
+    test) — generated-SQL call sites must use the fragment, never an
+    inline re-implementation."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     return F.filter(F.split(F.lower(c), r"\s+"), lambda x: x != "")
 

@@ -58,7 +58,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import words
+from .text import words, words_sql
 
 
 def word_table(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -309,8 +309,8 @@ def unigram_encode(
     ordered by construction (``pos`` indexes the flattened pieces in
     document word order)."""
     tokens = (
-        f"flatten(transform(filter(split(lower({text_col}), '\\\\s+'),"
-        f" x -> x != ''), w -> ({_dp_expr('w', max_piece_len)}).path))"
+        f"flatten(transform({words_sql(text_col)},"
+        f" w -> ({_dp_expr('w', max_piece_len)}).path))"
     )
     return (
         df.crossJoin(F.broadcast(_prob_map(vocab)))

@@ -67,93 +67,48 @@ def oracle_sql() -> dict[str, str]:
 
 
 # The correctness driver differentials the FIRST 50 registry entries per
-# round. Round-11 window (the verbatim tools/staleness.py
-# --suggest-window order at rotation time; enforced by
-# tests/test_entry.py::test_driver_window_covers_stalest): the flagship;
-# the four round-11 additions (Gopher repetition census, unigram-LM
-# train + fertility + token stats — the never-deferred rule); and the
-# ENTIRE 45-query round-7 max-staleness cohort (the staleness tail
-# retires whole, never split across rounds).
-# No round-11 code change altered any existing query's plan or
-# results (the pagerank guard change only affects the iterations=0
-# shape no registered query uses), so no impl-changed promotions.
+# round. Round-12 window (the verbatim tools/staleness.py
+# --suggest-window order at rotation time, with two documented edits
+# noted below; enforced by
+# tests/test_entry.py::test_driver_window_covers_stalest): the
+# flagship; ``tokenizer_fertility_compare`` (registered round 11,
+# deferred under the capacity escape hatch, never driver-checked —
+# leads per the deferral contract); the ENTIRE 47-query round-8
+# max-staleness cohort (the staleness tail retires whole, never split
+# across rounds); and one spare slot holding the first round-12
+# addition once it lands (``avg_qty_gated_revenue_sql``, the stalest
+# r9 row, keeps the seat warm until then).
 #
-# Position 51+ IS the round-12 rotation plan: remaining r8-stale rows,
-# then r9, then the just-checked r10 rows — next round's rotation is
-# again a mechanical promote-the-prefix edit.
+# Correction to the round-11 comment (ADVICE r11 #1): round 11 DID
+# change two existing queries' plans — ``bpe_token_stats`` and
+# ``bpe_fertility_by_lang`` now route through the shared
+# ``bpe_encoded_tokens`` materialized cache (their exchange budgets
+# were bumped in the same commit). Per the round-10 precedent
+# (``embedding_lsh_near_dup``) impl-changed queries are promoted for
+# re-verification: both lead position 51+ via
+# ``_WINDOW_DEFERRAL_INTERLEAVE`` below, so the driver re-checks them
+# immediately after the must-run rows (the 50 slots are fully
+# occupied by flagship + never-checked + the whole r8 cohort).
+#
+# Position 51+ IS the round-13 rotation plan: the two impl-changed
+# bpe rows, remaining r9-stale rows, then r10, then the just-checked
+# r11 rows — next round's rotation is again a mechanical
+# promote-the-prefix edit.
 # Same-round deferrals that are NOT new queries — the ONLY names the
 # window-integrity test allows to interleave with deferred new
-# additions at position 51+. Round 11 defers nothing: empty.
-_WINDOW_DEFERRAL_INTERLEAVE: list[str] = []
+# additions at position 51+. Round 12: the two bpe queries whose
+# plans changed in round 11 (see above).
+_WINDOW_DEFERRAL_INTERLEAVE: list[str] = [
+    "bpe_fertility_by_lang",
+    "bpe_token_stats",
+]
 
 _DRIVER_WINDOW = [
-    # flagship — always re-verified
+  # flagship — always re-verified
     "timely_rank_report",
-    # round-11 additions (the never-deferred rule): the Gopher
-    # repetition census and the unigram-LM tokenizer trio (fertility
-    # and token stats directly after their shared trained-vocab cache
-    # mate)
-    "doc_repetition_census",
-    "unigram_fertility_by_lang",
-    "unigram_token_stats",
-    "unigram_train",
-    # the ENTIRE 45-query round-7 max-staleness cohort
-    # (tools/staleness.py --stale 3) — the staleness tail retires
-    # whole, never split across rounds
-    "containment_prefix_join",
-    "containment_probe_skew",
-    "doc_balanced_oversample",
-    "doc_dsir_weights",
-    "doc_epoch_shuffle",
-    "doc_length_batches",
-    "doc_lm_backoff",
-    "doc_negative_pairs",
-    "doc_shard_assignment",
-    "doc_substring_dedup",
-    "doc_substring_dup",
-    "embedding_ann_recall",
-    "events_asof_join",
-    "events_daily_delta",
-    "events_keep_latest",
-    "events_sessionize",
-    "hybrid_rrf_fusion",
-    "incremental_agg_refresh",
-    "integrity_report",
-    "jsonl_scan_agg",
-    "late_order_exists_sql",
-    "local_supplier_volume_sql",
-    "market_share_sql",
-    "media_patchify",
-    "multikey_category_join",
-    "nation_revenue_share",
-    "nation_top_customer_list",
-    "near_dup_minhash",
-    "near_dup_prefix_join",
-    "order_cube",
-    "orders_profile",
-    "price_histogram",
-    "pricing_summary_sql",
-    "priority_status_sets_sql",
-    "salted_flag_join",
-    "salted_skew_agg",
-    "shipping_priority_sql",
-    "simhash_near_dup",
-    "small_qty_revenue_sql",
-    "training_sequences",
-    "user_sketch_distinct",
-    "vocab_top_terms",
-    "waiting_supplier_sql",
-    "warehouse_dim_build",
-    "warehouse_fact_build",
-    # position 51+ — the round-12 suggested window. The one same-round
-    # DEFERRED addition leads the tail (the capacity escape hatch: the
-    # first 50 are all must-run — flagship + 4 additions + the whole
-    # 45-query r7 cohort — so the fifth addition defers to position 51,
-    # where the round-12 driver checks it first; meanwhile the full
-    # local oracle battery proves it with the driver's own differential)
+  # never driver-checked (r11 deferral lead)
     "tokenizer_fertility_compare",
-    # then the r8-stale rows, then r9, then the just-checked r10 rows —
-    # next round's rotation is again a mechanical promote-the-prefix edit
+  # the ENTIRE 47-query round-8 max-staleness cohort
     "boilerplate_ngrams",
     "brand_band_revenue_sql",
     "brand_fuzzy_match",
@@ -201,7 +156,9 @@ _DRIVER_WINDOW = [
     "user_retention_cohorts",
     "user_sketch_rollup",
     "window_funcs_sql",
+  # spare slot (stalest r9 row) — swap for the first r12 addition
     "avg_qty_gated_revenue_sql",
+  # --- position 51+: impl-changed promotions, then refresh order ---
     "bpe_fertility_by_lang",
     "bpe_token_stats",
     "brand_median_price",
@@ -299,6 +256,55 @@ _DRIVER_WINDOW = [
     "semantic_dedup_census",
     "semantic_dedup_greedy",
     "window_frames_sql",
+    "containment_prefix_join",
+    "containment_probe_skew",
+    "doc_balanced_oversample",
+    "doc_dsir_weights",
+    "doc_epoch_shuffle",
+    "doc_length_batches",
+    "doc_lm_backoff",
+    "doc_negative_pairs",
+    "doc_repetition_census",
+    "doc_shard_assignment",
+    "doc_substring_dedup",
+    "doc_substring_dup",
+    "embedding_ann_recall",
+    "events_asof_join",
+    "events_daily_delta",
+    "events_keep_latest",
+    "events_sessionize",
+    "hybrid_rrf_fusion",
+    "incremental_agg_refresh",
+    "integrity_report",
+    "jsonl_scan_agg",
+    "late_order_exists_sql",
+    "local_supplier_volume_sql",
+    "market_share_sql",
+    "media_patchify",
+    "multikey_category_join",
+    "nation_revenue_share",
+    "nation_top_customer_list",
+    "near_dup_minhash",
+    "near_dup_prefix_join",
+    "order_cube",
+    "orders_profile",
+    "price_histogram",
+    "pricing_summary_sql",
+    "priority_status_sets_sql",
+    "salted_flag_join",
+    "salted_skew_agg",
+    "shipping_priority_sql",
+    "simhash_near_dup",
+    "small_qty_revenue_sql",
+    "training_sequences",
+    "unigram_fertility_by_lang",
+    "unigram_token_stats",
+    "unigram_train",
+    "user_sketch_distinct",
+    "vocab_top_terms",
+    "waiting_supplier_sql",
+    "warehouse_dim_build",
+    "warehouse_fact_build",
 ]
 
 

@@ -112,6 +112,14 @@ SESSION_OUT_SCHEMA = (
     "user_id long, session_seq long, n_events long,"
     " session_start string, session_value double"
 )
+# STATE-SCHEMA MIGRATION (ADVICE r11 #2): round 11 changed this
+# schema incompatibly (5 scalar longs -> long + 4 array<long> pending-
+# session columns). applyInPandasWithState state is NOT versioned: a
+# stream restarted from a pre-change checkpoint fails state-store
+# schema validation (or, on Spark builds without validation, decodes
+# garbage). Upgrading across the round-11 boundary requires DISCARDING
+# the old checkpoint and replaying the source from scratch — the
+# operator is deterministic, so a replay reproduces the same sessions.
 _SESSION_STATE_SCHEMA = (
     "session_seq long, starts array<long>, lasts array<long>,"
     " ns array<long>, cents array<long>"
@@ -158,6 +166,12 @@ def sessionize_stateful(
     emitted ``session_value`` is bit-identical to the batch twin's
     decimal sum; merging sessions adds their cents, which decimal
     addition makes order-independent.
+
+    MIGRATION: the round-11 deferred-emission rework changed
+    ``_SESSION_STATE_SCHEMA`` incompatibly (see the note at the
+    constant) — restarting a pre-change stream requires discarding its
+    checkpoint and replaying the source; determinism makes the replay
+    reproduce identical sessions.
     """
     import pandas as pd  # noqa: PLC0415 — worker-side import
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -327,6 +341,30 @@ def incremental_scd2_sink(
                 stored_fp = (
                     stored[0]["_batch_fp"] if "_batch_fp" in prev.columns else None
                 )
+                if stored_fp is None:
+                    # ADVICE r11 #3: a post table written before the
+                    # _batch_fp column exists can only do batch-id-only
+                    # redelivery detection — the fresh-checkpoint
+                    # content-collision hazard this fingerprint fixes
+                    # persists until a NEW batch rewrites the snapshot.
+                    # Be loud so operators know protection is not yet
+                    # active (the happy path below is still correct for
+                    # true at-least-once redelivery).
+                    import warnings
+
+                    warnings.warn(
+                        f"incremental_scd2_sink: post table '{post}' "
+                        f"predates content fingerprinting (_batch_fp "
+                        f"column absent) — batch_id {b} matched by id "
+                        "alone, so a fresh-checkpoint batch-id collision "
+                        "with different content would NOT be detected "
+                        "for this batch. Fingerprint protection engages "
+                        "once any new batch rewrites the snapshot; to "
+                        "engage it now, drop the post table together "
+                        "with the checkpoint and replay.",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
                 if stored_fp is not None and stored_fp != fp.first()["_batch_fp"]:
                     raise RuntimeError(
                         f"incremental_scd2_sink: batch_id {b} was already "

@@ -395,3 +395,54 @@ def test_streaming_scd2_batch_id_collision_with_new_data_raises(spark):
         assert {r.key for r in cat.table("dim2c").collect()} == {1}
     finally:
         shutil.rmtree(tmp_path, ignore_errors=True)
+
+
+def test_streaming_scd2_legacy_post_table_warns_on_id_only_match(spark):
+    """ADVICE r11 #3: a post table written BEFORE content
+    fingerprinting exists (no ``_batch_fp`` column) silently degrades
+    to batch-id-only redelivery detection — the exact
+    fresh-checkpoint collision hazard the fingerprint fixes persists
+    for upgraded deployments until a new batch rewrites the snapshot.
+    The sink must WARN on an id-only match so operators know
+    protection is not yet active (while still republishing
+    idempotently, which is correct for a true redelivery)."""
+    import os
+    import shutil
+    import tempfile
+    import warnings
+
+    from data_warehouse_implementation_spark import streaming
+    from data_warehouse_implementation_spark.sources.catalog import WarehouseCatalog
+
+    tmp_path = tempfile.mkdtemp(prefix="scd2_legacy_")
+    try:
+        cat = WarehouseCatalog(spark, os.path.join(tmp_path, "wh"))
+
+        def run(ckpt):
+            stream = spark.readStream.schema(
+                "key long, narrative string, seq long"
+            ).parquet(os.path.join(tmp_path, "src"))
+            q = streaming.incremental_scd2_sink(
+                stream, cat, "dim2l", ["key"], order_col="seq", as_of=AS_OF,
+                checkpoint=os.path.join(tmp_path, ckpt),
+            )
+            q.awaitTermination()
+
+        spark.createDataFrame(
+            [(1, "a", 1)], "key long, narrative string, seq long"
+        ).coalesce(1).write.parquet(os.path.join(tmp_path, "src"))
+        run("ckpt_a")
+        # simulate a pre-fingerprint deployment: strip _batch_fp from
+        # the recorded post snapshot
+        post = "dim2l__post"
+        assert "_batch_fp" in cat.table(post).columns
+        cat.replace(post, cat.table(post).drop("_batch_fp"), internal=True)
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            run("ckpt_b")  # same content, fresh checkpoint: id-only match
+        msgs = [str(w.message) for w in caught if issubclass(w.category, RuntimeWarning)]
+        assert any("_batch_fp" in m and "dim2l__post" in m for m in msgs), msgs
+        # the republish itself stays idempotent
+        assert {r.key for r in cat.table("dim2l").collect()} == {1}
+    finally:
+        shutil.rmtree(tmp_path, ignore_errors=True)
