@@ -133,17 +133,44 @@ def bpe_train_from_symbols(symbols: DataFrame, n_merges: int = 8) -> DataFrame:
     return merges
 
 
+def corpus_alphabet(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(char): the distinct single characters of the corpus's words —
+    the BPE training alphabet, against which :func:`bpe_encode`'s
+    ``alphabet`` byte-fallback checks encode-time characters. One
+    corpus-scale explode collapsing to alphabet-scale rows (at 100 TB
+    the output is a few thousand rows regardless of corpus size)."""
+    return (
+        df.select(F.explode(words(text_col)).alias("word"))
+        .select(F.explode(F.expr("regexp_extract_all(word, '.', 0)")).alias("char"))
+        .distinct()
+    )
+
+
 def bpe_encode(
     df: DataFrame,
     merges: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    alphabet: DataFrame | None = None,
 ) -> DataFrame:
     """Tokenize documents with a trained merge table: fold the merges
     in rank order over each word's symbol string (the standard greedy
     application), then explode to (id, token). The merge table is
     collapsed to ONE array row and broadcast — documents are never
-    shuffled."""
+    shuffled.
+
+    ``alphabet`` (a (char) frame, normally
+    :func:`corpus_alphabet` over the TRAINING corpus) switches on
+    byte fallback (VERDICT r11 #5, the GPT-2 byte-level discipline
+    adapted to char-seeded BPE): after the merge fold, any
+    single-character token outside the training alphabet is emitted as
+    its UTF-8 byte tokens ``<0xNN>`` instead of a raw unknown symbol —
+    no input is ever out-of-vocabulary. Only single characters can be
+    unknown by construction: every multi-character token is some
+    merge's output (the fold only ever concatenates ``' l r '`` into
+    ``' lr '``), and the end mark is ``</w>`` — both always known. The
+    alphabet rides the encode as one broadcast map row, same as the
+    merge table."""
     # array_sort on the struct (rank leads) — collect_list order is not
     # guaranteed by an upstream orderBy
     table = merges.agg(
@@ -174,6 +201,22 @@ def bpe_encode(
             ),
         )
     )
-    return folded.select(
-        id_col, F.explode(F.split(F.trim(F.col("_sym")), " ")).alias("token")
+    if alphabet is None:
+        return folded.select(
+            id_col, F.explode(F.split(F.trim(F.col("_sym")), " ")).alias("token")
+        )
+    from .unigram import byte_tokens_sql
+
+    amap = alphabet.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("char"), F.lit(True).alias("v")))
+        ).alias("_alpha")
+    )
+    toks = (
+        "flatten(transform(split(trim(_sym), ' '), tk ->"
+        " CASE WHEN length(tk) > 1 OR try_element_at(_alpha, tk) IS NOT NULL"
+        f" THEN array(tk) ELSE {byte_tokens_sql('tk')} END))"
+    )
+    return folded.crossJoin(F.broadcast(amap)).select(
+        id_col, F.explode(F.expr(toks)).alias("token")
     )

@@ -108,14 +108,34 @@ def _prob_map(vocab: DataFrame, prob_col: str = "prob") -> DataFrame:
     )
 
 
-def _dp_expr(word_ref: str, max_piece_len: int) -> str:
+def _dp_expr(word_ref: str, max_piece_len: int, byte_fallback: bool = False) -> str:
     """The Viterbi DP as a SQL expression over the word referenced by
     ``word_ref`` (a column name or lambda variable) and the broadcast
     vocab map ``_vm`` — shared by :func:`viterbi_segment` (per distinct
     word) and :func:`unigram_encode` (inline per word occurrence, the
-    ``bpe_encode`` shape)."""
+    ``bpe_encode`` shape).
+
+    ``byte_fallback`` changes the out-of-vocabulary floor from 0.0 to
+    1.0 for SINGLE-character pieces only (multi-character unknown
+    pieces stay 0). Why 1.0 is both safe and optimal: a character
+    unseen in training appears in NO vocabulary piece, so every
+    segmentation of the word must cover it either as an isolated
+    single (the floor) or inside a longer zero-probability piece —
+    every nonzero path therefore pays the floor exactly once per
+    unseen character, making the floor's VALUE ordering-invariant
+    among nonzero paths; 1.0 keeps products in the normal IEEE range
+    at any word length (an epsilon floor would gradually underflow on
+    unseen-character runs). The result: unseen characters are isolated
+    into single-char pieces (nonzero beats zero) while the known
+    remainder segments exactly as without fallback — the SentencePiece
+    byte-fallback segmentation discipline."""
     L = int(max_piece_len)
     w = word_ref
+    floor = (
+        "if(j = i, cast(1.0 as double), cast(0.0 as double))"
+        if byte_fallback
+        else "cast(0.0 as double)"
+    )
     return f"""
       aggregate(
         sequence(1, length({w})),
@@ -124,7 +144,7 @@ def _dp_expr(word_ref: str, max_piece_len: int) -> str:
           element_at(array_sort(
             transform(sequence(greatest(1, i - {L} + 1), i),
               j -> struct(
-                element_at(acc, j).np * coalesce(try_element_at(_vm, substring({w}, j, i - j + 1)), cast(0.0 as double)) as np,
+                element_at(acc, j).np * coalesce(try_element_at(_vm, substring({w}, j, i - j + 1)), {floor}) as np,
                 j as j,
                 element_at(acc, j).path || array(substring({w}, j, i - j + 1)) as path))), 1)),
         acc -> element_at(acc, length({w}) + 1))
@@ -291,12 +311,26 @@ def unigram_word_fertility(
     )
 
 
+def byte_tokens_sql(piece_ref: str) -> str:
+    """SQL fragment expanding the string referenced by ``piece_ref``
+    into its SentencePiece-style UTF-8 byte tokens ``<0xNN>``
+    (uppercase hex, one token per byte) as ``array<string>``. The hex
+    string is bound once via the one-element-transform trick (see
+    ``text._bind1``) so the encode runs once per piece."""
+    return (
+        f"element_at(transform(array(hex(encode({piece_ref}, 'UTF-8'))), hx ->"
+        " transform(sequence(1, length(hx) div 2),"
+        " b -> concat('<0x', substring(hx, 2 * b - 1, 2), '>'))), 1)"
+    )
+
+
 def unigram_encode(
     df: DataFrame,
     vocab: DataFrame,
     max_piece_len: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    byte_fallback: bool = False,
 ) -> DataFrame:
     """Tokenize documents with a trained vocabulary: (id, pos, token)
     rows — the API twin of ``bpe.bpe_encode``, with an EXPLICIT token
@@ -307,11 +341,30 @@ def unigram_encode(
     shuffled, or sorted — the whole encode is a single map-side
     projection plus the final explode, and the token sequence is
     ordered by construction (``pos`` indexes the flattened pieces in
-    document word order)."""
+    document word order).
+
+    ``byte_fallback=True`` makes the encoder total — no input is ever
+    out-of-vocabulary (VERDICT r11 #5, the SentencePiece
+    ``byte_fallback`` discipline): the Viterbi floor isolates each
+    character unseen in training into its own single-char piece (see
+    :func:`_dp_expr` — the floor value is ordering-invariant, so known
+    spans segment exactly as without fallback), and a post-DP
+    transform emits every out-of-vocabulary piece as its UTF-8 byte
+    tokens ``<0xNN>``. Coverage never depends on the floor: the byte
+    transform catches EVERY piece absent from the vocabulary, so even
+    degenerate tie-broken paths decode losslessly. The default stays
+    the strict mode (unknown pieces pass through untagged) because the
+    registered encode queries predate the knob and pin those results."""
     tokens = (
         f"flatten(transform({words_sql(text_col)},"
-        f" w -> ({_dp_expr('w', max_piece_len)}).path))"
+        f" w -> ({_dp_expr('w', max_piece_len, byte_fallback)}).path))"
     )
+    if byte_fallback:
+        tokens = (
+            f"flatten(transform({tokens}, pc ->"
+            " CASE WHEN try_element_at(_vm, pc) IS NOT NULL THEN array(pc)"
+            f" ELSE {byte_tokens_sql('pc')} END))"
+        )
     return (
         df.crossJoin(F.broadcast(_prob_map(vocab)))
         .select(F.col(id_col), F.posexplode(F.expr(tokens)).alias("pos", "token"))

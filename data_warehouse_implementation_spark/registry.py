@@ -75,9 +75,10 @@ def oracle_sql() -> dict[str, str]:
 # deferred under the capacity escape hatch, never driver-checked —
 # leads per the deferral contract); the ENTIRE 47-query round-8
 # max-staleness cohort (the staleness tail retires whole, never split
-# across rounds); and one spare slot holding the first round-12
-# addition once it lands (``avg_qty_gated_revenue_sql``, the stalest
-# r9 row, keeps the seat warm until then).
+# across rounds); and the first round-12 addition
+# (``unigram_encode_byte_fallback``) in the one remaining slot. Later
+# round-12 additions defer under the capacity escape hatch and lead
+# position 51+, interleaved with the impl-changed bpe promotions.
 #
 # Correction to the round-11 comment (ADVICE r11 #1): round 11 DID
 # change two existing queries' plans — ``bpe_token_stats`` and
@@ -156,11 +157,16 @@ _DRIVER_WINDOW = [
     "user_retention_cohorts",
     "user_sketch_rollup",
     "window_funcs_sql",
-  # spare slot (stalest r9 row) — swap for the first r12 addition
-    "avg_qty_gated_revenue_sql",
-  # --- position 51+: impl-changed promotions, then refresh order ---
+  # round-12 addition #1 (the never-deferred rule; unigram
+  # byte-fallback encode — VERDICT r11 #5)
+    "unigram_encode_byte_fallback",
+  # --- position 51+: deferred round-12 additions lead (the window is
+  # full of must-run rows), interleaved with the impl-changed bpe
+  # promotions; refresh order follows ---
+    "bpe_encode_byte_fallback",
     "bpe_fertility_by_lang",
     "bpe_token_stats",
+    "avg_qty_gated_revenue_sql",
     "brand_median_price",
     "calendar_dim",
     "companies_of_interest",
@@ -1099,6 +1105,18 @@ register(
     "unigram_token_stats",
     corpus_queries.unigram_token_stats,
     corpus_queries.UNIGRAM_TOKEN_STATS_ORACLE,
+)
+
+register(
+    "unigram_encode_byte_fallback",
+    corpus_queries.unigram_encode_byte_fallback,
+    corpus_queries.UNIGRAM_ENCODE_BYTE_FALLBACK_ORACLE,
+)
+
+register(
+    "bpe_encode_byte_fallback",
+    corpus_queries.bpe_encode_byte_fallback,
+    corpus_queries.BPE_ENCODE_BYTE_FALLBACK_ORACLE,
 )
 
 register(

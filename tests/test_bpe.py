@@ -88,3 +88,30 @@ def test_bpe_merge_application_is_exact(spark):
     assert (m[0].left_sym, m[0].right_sym, m[0].pair_count) == ("a", "b", 6)
     # round 2: 'ab' + '</w>' (6) beats 'c d' (2)
     assert (m[1].left_sym, m[1].right_sym) == ("ab", "</w>")
+
+
+def test_bpe_byte_fallback_unseen_chars_become_bytes(spark):
+    """VERDICT r11 #5 (BPE side): with a training ``alphabet``, encode
+    is total — single characters outside the alphabet come out as
+    UTF-8 byte tokens; merged symbols and the end mark are always
+    known; alphabet characters pass through; and on fully-known text
+    the output equals the strict encoder's."""
+    from data_warehouse_implementation_spark.operators import bpe
+
+    train = spark.createDataFrame(
+        [(1, "the cat sat on the mat the cat"), (2, "the hat on the cat")],
+        "doc_id long, text string",
+    )
+    merges = bpe.bpe_train(train, n_merges=4)
+    alpha = bpe.corpus_alphabet(train)
+    probe = spark.createDataFrame([(9, "the züx cat")], "doc_id long, text string")
+    toks = [r.token for r in bpe.bpe_encode(probe, merges, alphabet=alpha).collect()]
+    assert "<0x7A>" in toks and "<0xC3>" in toks and "<0xBC>" in toks and "<0x78>" in toks
+    assert not any(t in ("z", "ü", "x") for t in toks)
+    assert toks.count("</w>") >= 1  # end mark survives the byte pass
+    known = spark.createDataFrame([(3, "the cat hat")], "doc_id long, text string")
+    strict = sorted((r.doc_id, r.token) for r in bpe.bpe_encode(known, merges).collect())
+    fb = sorted(
+        (r.doc_id, r.token) for r in bpe.bpe_encode(known, merges, alphabet=alpha).collect()
+    )
+    assert strict == fb

@@ -178,3 +178,51 @@ def test_unigram_encode_reconstructs_documents(spark):
     assert by_doc == {1: "thecatsat", 2: "catcatmat"}
     plan = enc._jdf.queryExecution().executedPlan().toString()
     assert "Sort" not in plan and "hashpartitioning" not in plan
+
+
+def test_byte_fallback_encode_isolates_unseen_chars_and_roundtrips(spark):
+    """VERDICT r11 #5: with ``byte_fallback=True`` no input is ever
+    OOV — characters unseen in training come out as UTF-8 byte tokens
+    ``<0xNN>`` (multi-byte chars as multiple tokens), each isolated
+    into its own piece (the ordering-invariant 1.0 floor), while known
+    spans segment EXACTLY as the strict encoder does; decoding the
+    byte tokens reconstructs the original text losslessly."""
+    train = spark.createDataFrame(
+        [(1, "the cat sat on the mat the cat"), (2, "the hat on the cat")],
+        "doc_id long, text string",
+    )
+    vocab = unigram.unigram_train(train, em_rounds=1, max_piece_len=3, seed_multi=10, keep_multi=8)
+    probe = spark.createDataFrame([(9, "the zügxq cat")], "doc_id long, text string")
+    toks = [
+        r.token
+        for r in unigram.unigram_encode(probe, vocab, max_piece_len=3, byte_fallback=True)
+        .orderBy("pos")
+        .collect()
+    ]
+    # z, ü (2 bytes), x are unseen; g, q are also unseen in this toy
+    # corpus — every one isolated as byte tokens; 'the'/'cat' segment
+    # normally
+    assert toks[0] == "the" and toks[-1] == "cat"
+    assert toks[1:-1] == ["<0x7A>", "<0xC3>", "<0xBC>", "<0x67>", "<0x78>", "<0x71>"]
+    # lossless decode: byte tokens -> bytes, others -> their UTF-8
+    out = b""
+    for t in toks:
+        if t.startswith("<0x"):
+            out += bytes([int(t[3:5], 16)])
+        else:
+            out += t.encode()
+    assert out.decode() == "thezügxqcat"
+
+
+def test_byte_fallback_known_text_matches_strict_encoder(spark):
+    """The fallback floor is ordering-invariant: on text whose every
+    character was seen in training, byte_fallback=True produces
+    byte-for-byte the strict encoder's segmentation."""
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "cat cat mat")], "doc_id long, text string"
+    )
+    vocab = unigram.unigram_train(docs, em_rounds=1, seed_multi=8, keep_multi=4)
+    strict = unigram.unigram_encode(docs, vocab).collect()
+    fb = unigram.unigram_encode(docs, vocab, byte_fallback=True).collect()
+    key = lambda r: (r.doc_id, r.pos, r.token)  # noqa: E731
+    assert sorted(map(key, strict)) == sorted(map(key, fb))
