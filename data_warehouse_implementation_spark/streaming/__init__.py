@@ -4,6 +4,7 @@ reference parity): incremental versions of the batch operators via
 maintenance."""
 
 from .pipelines import (  # noqa: F401
+    clusters_from_state,
     cms_estimate,
     cms_sketch_sink,
     curation_admission_sink,

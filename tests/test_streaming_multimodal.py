@@ -1860,3 +1860,106 @@ def test_word_count_sink_state_trains_same_tokenizer(spark, tmp_dir):
         for r in streaming.word_table_from_state(cat, "tok").collect()
     }
     assert got_after == want_words
+
+
+def test_clusters_from_state_parity_and_replay_idempotence(spark, tmp_dir):
+    """VERDICT r11 #4: ``clusters_from_state`` replays
+    ``connected_components`` over the admission sink's standing pair
+    evidence so streaming users get the batch ``near_dup_clusters``
+    labels — parity vs one-shot batch clustering over the same docs,
+    including a CROSS-BATCH cluster merge (two later-batch rejects
+    joining an earlier batch's admitted doc), and unchanged labels
+    after a fresh-checkpoint replay of the whole source."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_warehouse_implementation_spark.operators import dedup
+
+    base = (
+        "the quick brown fox jumps over a lazy dog and the cat sits "
+        "in the warm sun of a quiet afternoon to rest and dream"
+    )
+    base2 = (
+        "a measured essay about the craft of writing and the value of "
+        "revision in the long slow work of thought and expression"
+    )
+    b1 = [(1, base), (2, base2)]                      # both admitted
+    b2 = [
+        (10, base.replace("fox", "wolf")),            # dup of 1
+        (11, base2.replace("craft", "art")),          # dup of 2
+        (12, (
+            "an unrelated report on the state of the harvest and the "
+            "price of grain in the markets of the eastern provinces"
+        )),                                           # admitted singleton
+    ]
+    b3 = [(20, base.replace("fox", "hound"))]         # dup of 1 again: the
+    #                                                   cluster {1,10,20} now
+    #                                                   spans three batches
+    src = os.path.join(tmp_dir, "ccs_src")
+    os.makedirs(src)
+    for i, rows in enumerate([b1, b2, b3]):
+        p = os.path.join(src, f"b{i}.parquet")
+        pq.write_table(
+            pa.table({"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]}), p
+        )
+        os.utime(p, (1_700_000_000 + 60 * i, 1_700_000_000 + 60 * i))
+
+    benchmark = spark.createDataFrame(
+        [(900, "completely disjoint benchmark passage nothing shared")],
+        "doc_id long, text string",
+    )
+    cat = WarehouseCatalog(spark, os.path.join(tmp_dir, "ccs_wh"))
+    params = dict(
+        benchmark=benchmark, min_words=5, max_words=200, min_quality=0.0,
+        decontam_n=8, n_shingle=3, k=16, bands=8, rows=2, threshold=0.5,
+    )
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = streaming.curation_admission_sink(
+            stream, cat, "ccs", checkpoint=os.path.join(tmp_dir, ckpt), **params
+        )
+        q.awaitTermination()
+
+    run("ckpt_ccs")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in streaming.clusters_from_state(cat, "ccs").collect()
+    }
+    assert got == {1: 1, 10: 1, 20: 1, 2: 2, 11: 2}  # 12 is a singleton: absent
+
+    # one-shot batch clustering over the SAME documents, full pair
+    # graph (not just doc-vs-admitted edges): must agree here because
+    # every near-dup relation is witnessed by an admitted match
+    all_docs = spark.createDataFrame(b1 + b2 + b3, "doc_id long, text string")
+    tids = dedup.shingle_ids(dedup.word_shingles(all_docs, n=3), hashed=True)
+    bands_t = dedup.lsh_bands(dedup.minhash_signatures(tids, k=16), bands=8, rows=2)
+    cands = (
+        bands_t.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
+        .join(
+            bands_t.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key"),
+            on=["band_id", "band_key"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+    )
+    pairs = dedup.pairwise_jaccard(cands, tids).filter(F.col("jaccard") >= 0.5)
+    batch = {
+        r.id: r.cluster_id
+        for r in dedup.connected_components(pairs.select("doc_a", "doc_b")).collect()
+    }
+    assert batch == got
+
+    # replay idempotence: a fresh checkpoint re-delivers every batch;
+    # the per-batch delete-before-insert keeps the evidence (and so
+    # the clusters) identical
+    run("ckpt_ccs_replay")
+    again = {
+        r.doc_id: r.cluster_id
+        for r in streaming.clusters_from_state(cat, "ccs").collect()
+    }
+    assert again == got
