@@ -32,3 +32,32 @@ from oracle_sf01 import SCALE_SENSITIVE  # noqa: E402
 @pytest.mark.parametrize("name", SCALE_SENSITIVE)
 def test_scale_sensitive_query_matches_oracle_at_sf01(spark, name):
     compare_to_oracle(spark, name, sf_dir="/root/testdata/sf0.1")
+
+
+from oracle_sf01 import STREAMING_STATE  # noqa: E402
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_SF01_ORACLE"),
+    reason="sf0.1 oracle differential is opt-in (SPARK_GRAFT_SF01_ORACLE=1)",
+)
+@pytest.mark.parametrize("name", sorted(STREAMING_STATE))
+def test_train_from_stream_state_matches_full_corpus_oracle_at_sf01(spark, name):
+    """VERDICT r11 #6: a tokenizer (re)trained from the streaming
+    word-count STATE must equal the full-corpus DuckDB training replay
+    at 10x driver scale — the state path and the one-shot path derive
+    the bit-identical vocabulary."""
+    import pandas as pd
+
+    from data_warehouse_implementation_spark import registry
+
+    from .oracle_utils import duckdb_conn, normalize
+
+    builder, oracle_key = STREAMING_STATE[name]
+    got = normalize(builder(spark, "/root/testdata/sf0.1"))
+    con = duckdb_conn("/root/testdata/sf0.1")
+    try:
+        want = normalize(con.execute(registry.oracle_sql()[oracle_key]).fetchdf())
+    finally:
+        con.close()
+    pd.testing.assert_frame_equal(got, want, check_exact=True, check_dtype=False)

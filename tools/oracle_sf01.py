@@ -67,6 +67,91 @@ SCALE_SENSITIVE = [
 SF_DIR = "/root/testdata/sf0.1"
 
 
+def _train_from_stream_state(spark, sf_dir: str, family: str):
+    """VERDICT r11 #6: re-train-from-state must equal full-corpus
+    training at 10x driver scale. Streams the REAL sf0.1 documents
+    through ``word_count_sink`` in two micro-batches (split by doc_id
+    parity), merges the standing (word, cnt) state, trains the
+    requested tokenizer family from it, and returns the result — which
+    the caller differentials against the FULL-CORPUS DuckDB training
+    oracle (``UNIGRAM_TRAIN_ORACLE`` / ``BPE_MERGES_ORACLE``), the
+    strongest form: state-collected counts must reproduce the
+    bit-exact vocabulary the one-shot replay derives."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from data_warehouse_implementation_spark import streaming
+    from data_warehouse_implementation_spark.operators import bpe, unigram
+    from data_warehouse_implementation_spark.plans.corpus_queries import (
+        BPE_ROUNDS,
+        UNIGRAM_EM_ROUNDS,
+        UNIGRAM_KEEP_MULTI,
+        UNIGRAM_MAX_PIECE,
+        UNIGRAM_SEED_MULTI,
+    )
+    from data_warehouse_implementation_spark.sources.catalog import WarehouseCatalog
+
+    tmp = tempfile.mkdtemp(prefix=f"wcstate_{family}_")
+    try:
+        tab = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        import pyarrow.compute as pc
+
+        for i in (0, 1):
+            p = os.path.join(src, f"b{i}.parquet")
+            pq.write_table(
+                tab.filter(pc.equal(pc.bit_wise_and(tab["doc_id"], 1), i)), p
+            )
+            os.utime(p, (1_700_000_000 + 60 * i, 1_700_000_000 + 60 * i))
+        cat = WarehouseCatalog(spark, os.path.join(tmp, "wh"))
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = streaming.word_count_sink(
+            stream, cat, "wc", checkpoint=os.path.join(tmp, "ckpt")
+        )
+        q.awaitTermination()
+        words = streaming.word_table_from_state(cat, "wc")
+        if family == "unigram":
+            out = unigram.unigram_train_from_words(
+                words,
+                em_rounds=UNIGRAM_EM_ROUNDS,
+                max_piece_len=UNIGRAM_MAX_PIECE,
+                seed_multi=UNIGRAM_SEED_MULTI,
+                keep_multi=UNIGRAM_KEEP_MULTI,
+            )
+        else:
+            out = bpe.bpe_train_from_symbols(
+                bpe.symbol_table_from_words(words), n_merges=BPE_ROUNDS
+            )
+        return out.toPandas()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# Streaming-state differentials (VERDICT r11 #6): name -> (builder,
+# oracle registry key). Each builder returns a pandas frame compared
+# against the named query's FULL-CORPUS DuckDB oracle at sf0.1.
+STREAMING_STATE = {
+    "unigram_train_from_stream_state": (
+        lambda spark, sf: _train_from_stream_state(spark, sf, "unigram"),
+        "unigram_train",
+    ),
+    "bpe_train_from_stream_state": (
+        lambda spark, sf: _train_from_stream_state(spark, sf, "bpe"),
+        "bpe_merges",
+    ),
+}
+
+
 def _next_round() -> int:
     rounds = [
         int(m.group(1))
@@ -92,8 +177,12 @@ def main() -> int:
 
     spark = get_spark()
     queries, oracles = registry.queries(), registry.oracle_sql()
-    results: dict[str, dict] = {"_meta": {"sf_dir": SF_DIR, "queries": len(SCALE_SENSITIVE)}}
-    for name in SCALE_SENSITIVE:
+    n_total = len(SCALE_SENSITIVE) + len(STREAMING_STATE)
+    results: dict[str, dict] = {"_meta": {"sf_dir": SF_DIR, "queries": n_total}}
+    plans = [(n, None) for n in SCALE_SENSITIVE] + [
+        (n, spec) for n, spec in STREAMING_STATE.items()
+    ]
+    for name, spec in plans:
         rec: dict = {
             "rows_match": False,
             "schema_match": False,
@@ -103,10 +192,16 @@ def main() -> int:
             "err": None,
         }
         try:
-            got = normalize(queries[name](spark, SF_DIR).toPandas())
+            if spec is None:
+                got = normalize(queries[name](spark, SF_DIR).toPandas())
+                oracle = oracles[name]
+            else:
+                builder, oracle_key = spec
+                got = normalize(builder(spark, SF_DIR))
+                oracle = oracles[oracle_key]
             con = duckdb_conn(SF_DIR)
             try:
-                want = normalize(con.execute(oracles[name]).fetchdf())
+                want = normalize(con.execute(oracle).fetchdf())
             finally:
                 con.close()
             rec["spark_rows"], rec["oracle_rows"] = len(got), len(want)
@@ -130,8 +225,8 @@ def main() -> int:
 
     out.write_text(json.dumps(results, indent=1) + "\n")
     n_ok = sum(1 for k, v in results.items() if k != "_meta" and v["hash_match"])
-    print(f"{out.name}: {n_ok}/{len(SCALE_SENSITIVE)} green", file=sys.stderr)
-    return 0 if n_ok == len(SCALE_SENSITIVE) else 1
+    print(f"{out.name}: {n_ok}/{n_total} green", file=sys.stderr)
+    return 0 if n_ok == n_total else 1
 
 
 if __name__ == "__main__":
