@@ -241,6 +241,109 @@ def pack_sequences(
     )
 
 
+def pack_sequences_bfd(
+    df: DataFrame,
+    seq_budget: int = 512,
+    chunk_size: int = 32,
+    chunk_stride: int = 32,
+    group_size: int = 128,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Best-fit-decreasing sequence packing (VERDICT r11 #7) — the
+    padding-minimizing alternative to :func:`pack_sequences`'s
+    contiguous cut, the greedy bin packing real trainers (T5, fairseq)
+    use: chunks are taken LONGEST FIRST and each is placed into the
+    open sequence whose remaining capacity is smallest-but-sufficient
+    (classic BFD, never above 11/9·OPT + 6/9 bins), opening a new
+    sequence only when none fits. Unlike the contiguous cut, no
+    sequence ever exceeds ``seq_budget``.
+
+    Distribution contract (exact global BFD is an inherently
+    sequential fold): the deterministic variant runs BFD WITHIN
+    contiguous global-rank groups of ``group_size`` chunks — rank by
+    (length desc, doc, chunk) via the two-phase
+    ``relational.global_rank`` (bucketed by (length, derived doc-id
+    range) so no single-task sort at any scale), then one IN-ROW
+    fold per group (the ``unigram._dp_expr`` discipline: fixed
+    evaluation order, integer arithmetic, bit-replayable by any
+    engine). Groups are independent — a 10^12-chunk corpus is
+    group_count-way parallel with O(group_size²) work per row — and
+    because ranks are globally length-sorted, each group's length
+    profile is near-uniform, so the packing quality loss vs one
+    global BFD is the boundary effect of at most one bin per group.
+    ``seq_id = group · group_size + local_bin`` (bins per group never
+    exceed group_size), deterministic on any cluster layout.
+
+    Returns (doc_id, chunk_id, n_chunk_tokens, seq_id)."""
+    from . import relational
+
+    chunks = chunk_documents(
+        df, size=chunk_size, stride=chunk_stride, text_col=text_col, id_col=id_col
+    )
+    base = chunks.withColumn("_neglen", (-F.col("n_chunk_tokens")).cast("long"))
+    base = relational.derived_width_bucket(base, F.col(id_col), "_dbkt")
+    ranked = relational.global_rank(
+        base,
+        ["_neglen", id_col, "chunk_id"],
+        "_rk",
+        bucket=F.struct(F.col("_neglen"), F.col("_dbkt")),
+    )
+    grp = ranked.withColumn(
+        "_grp", ((F.col("_rk") - 1) / F.lit(int(group_size))).cast("long")
+    )
+    items = grp.groupBy("_grp").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("_rk").alias("rk"),
+                    F.col(id_col).cast("long").alias("doc"),
+                    F.col("chunk_id").cast("long").alias("ck"),
+                    F.col("n_chunk_tokens").cast("long").alias("len"),
+                )
+            )
+        ).alias("_items")
+    )
+    B = int(seq_budget)
+    fold = f"""
+      aggregate(
+        _items,
+        struct(
+          cast(array() as array<bigint>) as loads,
+          cast(array() as array<struct<doc: bigint, ck: bigint, len: bigint, bin: bigint>>) as outs),
+        (acc, it) -> element_at(transform(array(
+            try_element_at(array_sort(CASE WHEN size(acc.loads) = 0
+                THEN cast(array() as array<struct<negnl: bigint, i: int>>)
+                ELSE filter(transform(sequence(1, size(acc.loads)),
+                       i -> struct(-(element_at(acc.loads, i) + it.len) as negnl, i as i)),
+                     c -> -c.negnl <= {B})
+              END), 1)),
+          bst -> CASE WHEN bst IS NULL THEN struct(
+              acc.loads || array(it.len) as loads,
+              acc.outs || array(struct(it.doc as doc, it.ck as ck, it.len as len,
+                                       cast(size(acc.loads) + 1 as bigint) as bin)) as outs)
+            ELSE struct(
+              transform(sequence(1, size(acc.loads)),
+                i -> if(i = bst.i, element_at(acc.loads, i) + it.len,
+                        element_at(acc.loads, i))) as loads,
+              acc.outs || array(struct(it.doc as doc, it.ck as ck, it.len as len,
+                                       cast(bst.i as bigint) as bin)) as outs)
+            END), 1),
+        acc -> acc.outs)
+    """
+    return (
+        items.select("_grp", F.explode(F.expr(fold)).alias("_o"))
+        .select(
+            F.col("_o.doc").alias(id_col),
+            F.col("_o.ck").alias("chunk_id"),
+            F.col("_o.len").alias("n_chunk_tokens"),
+            (F.col("_grp") * F.lit(int(group_size)) + F.col("_o.bin") - 1).alias(
+                "seq_id"
+            ),
+        )
+    )
+
+
 def mix_sources(
     df: DataFrame,
     weights: dict[str, int],

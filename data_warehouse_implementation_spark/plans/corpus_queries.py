@@ -569,6 +569,194 @@ FROM cum ORDER BY doc_id, chunk_id
 
 
 # ---------------------------------------------------------------------------
+# Best-fit-decreasing packing (VERDICT r11 #7) + padding-efficiency census
+
+BFD_GROUP = 128
+
+
+def doc_pack_bfd(t: dict[str, DataFrame]) -> DataFrame:
+    """Best-fit-decreasing sequence packing over the chunked corpus
+    (``corpus.pack_sequences_bfd``): chunks longest-first into the
+    tightest open sequence that fits, new sequence only when none
+    does — no sequence ever exceeds the budget, unlike the contiguous
+    cut. Deterministic distributed variant: BFD runs inside
+    contiguous global-rank groups of :data:`BFD_GROUP` chunks (rank =
+    two-phase (length desc, doc, chunk) — no single-task sort), one
+    in-row fold per group. The oracle replays rank, grouping, and the
+    greedy fold step by step as a recursive CTE."""
+    return corpus.pack_sequences_bfd(
+        t["documents"],
+        seq_budget=SEQ_BUDGET,
+        chunk_size=SEQ_CHUNK,
+        chunk_stride=SEQ_CHUNK,
+        group_size=BFD_GROUP,
+    ).orderBy("doc_id", "chunk_id")
+
+
+def _bfd_pack_sql(budget: int, chunk: int, group: int) -> str:
+    """Full DuckDB replay of :func:`corpus.pack_sequences_bfd` —
+    chunking, the (length desc, doc, chunk) rank, contiguous groups,
+    and the per-group best-fit fold as a recursive CTE stepping one
+    chunk at a time (the ``_unigram_dp_cte`` discipline). Returns a
+    complete SELECT of (doc_id, chunk_id, n_chunk_tokens, seq_id)."""
+    return rf"""
+WITH RECURSIVE {_TOKS_SQL.strip().strip(",")},
+st AS (
+  SELECT doc_id, arr, unnest(generate_series(1, len(arr), {chunk})) AS s
+  FROM toks WHERE len(arr) > 0
+),
+c AS (
+  SELECT doc_id,
+         CAST((s - 1) / {chunk} AS BIGINT) AS chunk_id,
+         CAST(least({chunk}, len(arr) - s + 1) AS BIGINT) AS n_chunk_tokens
+  FROM st
+),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY n_chunk_tokens DESC, doc_id, chunk_id) AS rnk
+  FROM c
+),
+gi AS MATERIALIZED (
+  SELECT CAST((rnk - 1) // {group} AS BIGINT) AS grp,
+         list(struct_pack(rnk := rnk, doc := doc_id, ck := chunk_id,
+                          len := n_chunk_tokens) ORDER BY rnk) AS items
+  FROM rk GROUP BY 1
+),
+bfd AS (
+  SELECT grp, 0 AS i, []::BIGINT[] AS loads,
+         []::STRUCT(doc BIGINT, ck BIGINT, len BIGINT, bin BIGINT)[] AS outs
+  FROM gi
+  UNION ALL
+  SELECT grp, i + 1,
+    CASE WHEN bsti IS NULL
+      THEN loads || [itlen]
+      ELSE list_transform(generate_series(1, len(loads)),
+             x -> CASE WHEN x = bsti THEN loads[x] + itlen ELSE loads[x] END)
+    END,
+    outs || [struct_pack(doc := itdoc, ck := itck, len := itlen,
+                         bin := coalesce(bsti, len(loads) + 1))]
+  FROM (
+    SELECT b.grp, b.i, b.loads, b.outs,
+           g.items[b.i + 1].doc AS itdoc,
+           g.items[b.i + 1].ck AS itck,
+           g.items[b.i + 1].len AS itlen,
+           list_sort(list_filter(list_transform(generate_series(1, len(b.loads)),
+               x -> struct_pack(negnl := -(b.loads[x] + g.items[b.i + 1].len),
+                                i := CAST(x AS BIGINT))),
+             cc -> -cc.negnl <= {budget}))[1].i AS bsti
+    FROM bfd b JOIN gi g USING (grp) WHERE b.i < len(g.items)
+  )
+),
+fin AS (
+  SELECT b.grp, unnest(b.outs) AS o
+  FROM bfd b JOIN gi g USING (grp) WHERE b.i = len(g.items)
+)
+SELECT o.doc AS doc_id, o.ck AS chunk_id, o.len AS n_chunk_tokens,
+       grp * {group} + o.bin - 1 AS seq_id
+FROM fin"""
+
+
+DOC_PACK_BFD_ORACLE = (
+    _bfd_pack_sql(SEQ_BUDGET, SEQ_CHUNK, BFD_GROUP) + "\nORDER BY doc_id, chunk_id"
+)
+
+
+def doc_packing_efficiency(t: dict[str, DataFrame]) -> DataFrame:
+    """Padding-efficiency census: the contiguous cut vs BFD at the
+    SAME budget/chunking over the same corpus — per method, sequence
+    count, token mass, padding (budget minus fill, floored at 0),
+    overflow (fill above budget — only the contiguous cut can
+    overflow, a chunk straddling the boundary counts into its start
+    sequence), and the padding fraction of total capacity. The row a
+    pipeline owner reads to decide whether BFD's extra rank is worth
+    the padding it saves."""
+    docs = t["documents"]
+    cont = corpus.pack_sequences(
+        docs, seq_budget=SEQ_BUDGET, chunk_size=SEQ_CHUNK, chunk_stride=SEQ_CHUNK
+    )
+    bfd = corpus.pack_sequences_bfd(
+        docs,
+        seq_budget=SEQ_BUDGET,
+        chunk_size=SEQ_CHUNK,
+        chunk_stride=SEQ_CHUNK,
+        group_size=BFD_GROUP,
+    )
+
+    def census(df: DataFrame, method: str) -> DataFrame:
+        per_seq = df.groupBy("seq_id").agg(
+            F.sum("n_chunk_tokens").alias("_fill")
+        )
+        b = F.lit(int(SEQ_BUDGET))
+        return per_seq.agg(
+            F.lit(method).alias("method"),
+            F.count(F.lit(1)).cast("long").alias("n_seqs"),
+            F.sum("_fill").cast("long").alias("n_tokens"),
+            F.sum(F.greatest(F.lit(0), b - F.col("_fill")))
+            .cast("long")
+            .alias("padding_tokens"),
+            F.sum(F.greatest(F.lit(0), F.col("_fill") - b))
+            .cast("long")
+            .alias("overflow_tokens"),
+        ).withColumn(
+            "padding_pct",
+            F.col("padding_tokens").cast("double")
+            / (F.col("n_seqs") * b).cast("double"),
+        )
+
+    return census(cont, "contiguous").unionByName(census(bfd, "bfd")).orderBy("method")
+
+
+def _packing_efficiency_oracle(budget: int, chunk: int, group: int) -> str:
+    contig = rf"""
+WITH {_TOKS_SQL.strip().strip(",")},
+st AS (
+  SELECT doc_id, arr, unnest(generate_series(1, len(arr), {chunk})) AS s
+  FROM toks WHERE len(arr) > 0
+),
+c AS (
+  SELECT doc_id,
+         CAST((s - 1) / {chunk} AS BIGINT) AS chunk_id,
+         CAST(least({chunk}, len(arr) - s + 1) AS BIGINT) AS n_chunk_tokens
+  FROM st
+),
+cum AS (
+  SELECT *, CAST(SUM(n_chunk_tokens) OVER (
+    ORDER BY doc_id, chunk_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) - n_chunk_tokens AS BIGINT) AS token_start
+  FROM c
+)
+SELECT CAST(FLOOR(CAST(token_start AS DOUBLE) / {budget}.0) AS BIGINT) AS seq_id,
+       n_chunk_tokens
+FROM cum"""
+    bfd = _bfd_pack_sql(budget, chunk, group)
+    return rf"""
+SELECT method, n_seqs, n_tokens, padding_tokens, overflow_tokens,
+       CAST(padding_tokens AS DOUBLE) / CAST(n_seqs * {budget} AS DOUBLE) AS padding_pct
+FROM (
+  SELECT 'contiguous' AS method,
+         CAST(COUNT(*) AS BIGINT) AS n_seqs,
+         CAST(SUM(fill) AS BIGINT) AS n_tokens,
+         CAST(SUM(greatest(0, {budget} - fill)) AS BIGINT) AS padding_tokens,
+         CAST(SUM(greatest(0, fill - {budget})) AS BIGINT) AS overflow_tokens
+  FROM (SELECT seq_id, CAST(SUM(n_chunk_tokens) AS BIGINT) AS fill
+        FROM ({contig}) GROUP BY seq_id)
+  UNION ALL
+  SELECT 'bfd',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(fill) AS BIGINT),
+         CAST(SUM(greatest(0, {budget} - fill)) AS BIGINT),
+         CAST(SUM(greatest(0, fill - {budget})) AS BIGINT)
+  FROM (SELECT seq_id, CAST(SUM(n_chunk_tokens) AS BIGINT) AS fill
+        FROM ({bfd}) GROUP BY seq_id)
+)
+ORDER BY method"""
+
+
+DOC_PACKING_EFFICIENCY_ORACLE = _packing_efficiency_oracle(
+    SEQ_BUDGET, SEQ_CHUNK, BFD_GROUP
+)
+
+
+# ---------------------------------------------------------------------------
 # C4-style quality filter (per-reason rejection accounting)
 
 FILTER_MIN_WORDS = 15

@@ -164,6 +164,8 @@ _DRIVER_WINDOW = [
   # full of must-run rows), interleaved with the impl-changed bpe
   # promotions; refresh order follows ---
     "bpe_encode_byte_fallback",
+    "doc_pack_bfd",
+    "doc_packing_efficiency",
     "bpe_fertility_by_lang",
     "bpe_token_stats",
     "avg_qty_gated_revenue_sql",
@@ -629,6 +631,16 @@ register(
     "training_sequences",
     corpus_queries.training_sequences,
     corpus_queries.TRAINING_SEQUENCES_ORACLE,
+)
+register(
+    "doc_pack_bfd",
+    corpus_queries.doc_pack_bfd,
+    corpus_queries.DOC_PACK_BFD_ORACLE,
+)
+register(
+    "doc_packing_efficiency",
+    corpus_queries.doc_packing_efficiency,
+    corpus_queries.DOC_PACKING_EFFICIENCY_ORACLE,
 )
 register(
     "embedding_ann_ivfpq",

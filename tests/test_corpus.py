@@ -1192,3 +1192,78 @@ def test_cap_per_key_hypothesis_matches_direct_window(spark, rows, cap):
         .collect()
     }
     assert got_best == want_best
+
+
+def test_pack_sequences_bfd_invariants_and_reference_equality(spark):
+    """VERDICT r11 #7: the distributed best-fit-decreasing packer must
+    (a) never fill a sequence past the budget (the property the
+    contiguous cut lacks), (b) assign every chunk exactly once, and
+    (c) reproduce the sequential reference greedy (longest-first,
+    tightest-fitting-bin, new bin last) within each contiguous
+    rank group, bit for bit."""
+    from data_warehouse_implementation_spark.operators import corpus
+
+    lens = [50, 33, 64, 10, 31, 32, 5, 70, 18, 27, 64, 3, 3, 3, 41]
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate(lens)],
+        "doc_id long, text string",
+    )
+    budget, size, group = 64, 32, 6
+    out = corpus.pack_sequences_bfd(
+        docs, seq_budget=budget, chunk_size=size, chunk_stride=size, group_size=group
+    )
+    rows = [(r.doc_id, r.chunk_id, r.n_chunk_tokens, r.seq_id) for r in out.collect()]
+
+    # (a) no sequence over budget
+    fills: dict[int, int] = {}
+    for _, _, n, s in rows:
+        fills[s] = fills.get(s, 0) + n
+    assert all(f <= budget for f in fills.values()), fills
+
+    # (b) exact partition of the chunk set
+    chunks = []
+    for d, n in enumerate(lens):
+        s, cid = 1, 0
+        while s <= n:
+            chunks.append((d, cid, min(size, n - s + 1)))
+            s += size
+            cid += 1
+    assert sorted((d, c) for d, c, _ in chunks) == sorted((d, c) for d, c, _, _ in rows)
+
+    # (c) sequential reference replay
+    order = sorted(chunks, key=lambda c: (-c[2], c[0], c[1]))
+    ref = {}
+    for g in range((len(order) + group - 1) // group):
+        bins: list[int] = []
+        for it in order[g * group : (g + 1) * group]:
+            cands = [
+                (-(bins[i] + it[2]), i)
+                for i in range(len(bins))
+                if bins[i] + it[2] <= budget
+            ]
+            if cands:
+                _, i = min(cands)
+                bins[i] += it[2]
+                ref[(it[0], it[1])] = g * group + i
+            else:
+                bins.append(it[2])
+                ref[(it[0], it[1])] = g * group + len(bins) - 1
+    assert sorted(rows) == sorted((d, c, n, ref[(d, c)]) for d, c, n in chunks)
+
+
+def test_pack_sequences_bfd_plan_no_global_sort(spark):
+    """Scale invariant: the BFD rank is the two-phase global_rank —
+    the executed plan must not contain a single-partition global Sort
+    (rangepartitioning over the whole frame) feeding a window."""
+    from data_warehouse_implementation_spark.operators import corpus
+
+    docs = spark.createDataFrame(
+        [(i, "w " * 40) for i in range(50)], "doc_id long, text string"
+    )
+    plan = (
+        corpus.pack_sequences_bfd(docs, seq_budget=64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" not in plan.lower().replace("(1)", ""), plan
