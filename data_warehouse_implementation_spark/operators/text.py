@@ -10,7 +10,7 @@ bit-reproducible by the DuckDB oracles.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 HASH_P = 2_147_483_647
@@ -96,23 +96,37 @@ EN_TRIGRAMS = [
 ]
 
 
+def char_trigrams(text_col: str = "text") -> Column:
+    """Boundary-marked char-trigram array: 3-char windows over the
+    lowercased text with whitespace runs collapsed to ``_`` and a
+    ``_`` sentinel at each end (empty array for empty text — the
+    sequence endpoint is guarded because Spark's ``sequence(1, 0)``
+    counts DOWN). The ONE trigram definition shared by the heuristic
+    profile features (:func:`char_trigram_features`) and the trained
+    per-language model (:func:`train_language_profiles` /
+    :func:`language_model_scores`) — the :data:`WORDS_SQL` lesson: a
+    drift between train-time and score-time featurization would
+    silently break the model."""
+    txt = F.concat(
+        F.lit("_"),
+        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", "_"),
+        F.lit("_"),
+    )
+    n = F.greatest(F.length(txt) - 2, F.lit(0))
+    return F.when(n > 0, F.transform(
+        F.sequence(F.lit(1), n), lambda i: txt.substr(i, F.lit(3))
+    )).otherwise(F.expr("cast(array() as array<string>)"))
+
+
 def char_trigram_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """N-gram language-ID: slide a 3-char window over the lowercased,
     boundary-marked text ('_' for whitespace runs) and score the share
     of trigrams that hit the language profile. Pure column algebra
     (sequence -> transform -> filter), no explode — the trigram array
     never leaves the row, so the operator is a single map-side pass."""
-    txt = F.concat(
-        F.lit("_"),
-        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", "_"),
-        F.lit("_"),
-    )
-    tri = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(txt) - 2, F.lit(0))),
-        lambda i: txt.substr(i, F.lit(3)),
-    )
+    tri = char_trigrams(text_col)
     hits = F.size(F.filter(tri, lambda x: x.isin(EN_TRIGRAMS)))
-    n_tri = F.greatest(F.length(txt) - 2, F.lit(0))
+    n_tri = F.size(tri)
     return (
         df.withColumn("n_trigrams", n_tri.cast("long"))
         .withColumn("trigram_hits", hits.cast("long"))
@@ -126,6 +140,137 @@ def char_trigram_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn(
             "ngram_lang_pred",
             F.when(F.col("ngram_score") >= 0.04, "en").otherwise("unknown"),
+        )
+    )
+
+
+def train_language_profiles(
+    df: DataFrame, lang_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Trained per-language char-trigram profile (VERDICT r11 #8 —
+    the production upgrade over the fixed English trigram list):
+    (lang, gram, c) counts over the labeled training slice, one
+    explode + one model-scale aggregate. The model is
+    alphabet³ × languages rows — broadcastable at any corpus size."""
+    return (
+        df.select(F.col(lang_col).alias("lang"), F.explode(char_trigrams(text_col)).alias("gram"))
+        .groupBy("lang", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def language_model_scores(
+    df: DataFrame,
+    profiles: DataFrame,
+    priors: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score every document against every language profile by the
+    ln-free rational likelihood ratio (the :func:`corpus.dsir_importance`
+    discipline): per trigram occurrence the add-one-smoothed ratio
+
+        p_l(g) / q(g) = [(c_lg + 1) / (T_l + V)] / [(c_g + 1) / (T + V)]
+
+    against the POOLED model q, and per (doc, lang) the MEAN ratio over
+    the doc's occurrences — arithmetic instead of geometric pooling, so
+    no logarithm and no underflow anywhere; terms are decimal-cast so
+    the sums are order-independent and the scores replay bit-for-bit.
+
+    Shuffle shape: the per-lang term decomposes as
+    ``(c_lg + 1)/(c_g + 1) = c_lg/(c_g + 1) + 1/(c_g + 1)`` — the
+    second part is language-INDEPENDENT, so the doc side joins the
+    per-language counts only where ``c_lg > 0`` (an inner join against
+    the model) plus ONE per-doc base sum; the (doc × language) grid is
+    a constant-key broadcast hash join against the #languages-row
+    totals frame, never a nested loop. Returns one row per (doc,
+    lang): ``(id_col, lang, n_trigrams, score)``; predict with
+    :func:`language_model_predict`. Documents with no trigram (empty
+    text) are absent.
+
+    ``priors`` (a (lang, n_docs) frame — normally training-slice doc
+    counts) switches to MAP scoring: the mean ratio is multiplied by
+    the class prior ``n_l / N`` — the term that lets the model express
+    "mostly-en corpus" evidence the likelihood alone cannot. Omitted,
+    the prior is uniform (pure likelihood, right for balanced eval
+    sets)."""
+    pooled = profiles.groupBy("gram").agg(F.sum("c").alias("cg"))
+    ltot = profiles.groupBy("lang").agg(F.sum("c").alias("Tl"))
+    gtot = pooled.agg(
+        F.sum("cg").alias("T"), F.count(F.lit(1)).alias("V")
+    )
+    occ = (
+        df.select(F.col(id_col), F.explode(char_trigrams(text_col)).alias("gram"))
+        .join(pooled, "gram", "left")
+        .select(id_col, "gram", F.coalesce("cg", F.lit(0)).alias("cg"))
+    )
+    dec = "decimal(28,12)"
+    base = occ.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.sum(
+            (F.lit(1.0) / (F.col("cg") + 1).cast("double")).cast(dec)
+        ).alias("_sbase"),
+    )
+    part = (
+        occ.join(profiles.select("gram", "lang", F.col("c").alias("clg")), "gram")
+        .groupBy(id_col, "lang")
+        .agg(
+            F.sum(
+                (F.col("clg").cast("double") / (F.col("cg") + 1).cast("double")).cast(dec)
+            ).alias("_spart")
+        )
+    )
+    if priors is not None:
+        ptot = priors.agg(F.sum("n_docs").alias("ND"))
+        ltot = ltot.join(F.broadcast(priors), "lang").crossJoin(F.broadcast(ptot))
+        prior_factor = F.col("n_docs").cast("double") / F.col("ND").cast("double")
+    else:
+        prior_factor = F.lit(1.0)
+    grid = base.withColumn("_k", F.lit(1)).join(
+        F.broadcast(ltot.withColumn("_k", F.lit(1))), "_k"
+    )
+    return (
+        grid.join(part, [id_col, "lang"], "left")
+        .crossJoin(F.broadcast(gtot))
+        .select(
+            id_col,
+            "lang",
+            F.col("n_trigrams").cast("long").alias("n_trigrams"),
+            (
+                (
+                    (
+                        (
+                            F.coalesce(F.col("_spart"), F.lit(0).cast(dec))
+                            + F.col("_sbase")
+                        ).cast("double")
+                        * (
+                            (F.col("T") + F.col("V")).cast("double")
+                            / (F.col("Tl") + F.col("V")).cast("double")
+                        )
+                    )
+                    / F.col("n_trigrams").cast("double")
+                )
+                * prior_factor
+            ).alias("score"),
+        )
+    )
+
+
+def language_model_predict(
+    scores: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document argmax over :func:`language_model_scores` rows:
+    (id, lang_pred_model, model_score, n_trigrams), tie-broken
+    (score desc, lang asc) — a per-doc window over #languages rows."""
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), "lang")
+    return (
+        scores.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            id_col,
+            F.col("lang").alias("lang_pred_model"),
+            F.col("score").alias("model_score"),
+            "n_trigrams",
         )
     )
 

@@ -166,6 +166,8 @@ _DRIVER_WINDOW = [
     "bpe_encode_byte_fallback",
     "doc_pack_bfd",
     "doc_packing_efficiency",
+    "doc_language_model",
+    "doc_language_confusion",
     "bpe_fertility_by_lang",
     "bpe_token_stats",
     "avg_qty_gated_revenue_sql",
@@ -412,6 +414,16 @@ register(
 register("doc_language_id", llm_queries.doc_language_id, llm_queries.DOC_LANGUAGE_ID_ORACLE)
 register(
     "doc_language_ngram", llm_queries.doc_language_ngram, llm_queries.DOC_LANGUAGE_NGRAM_ORACLE
+)
+register(
+    "doc_language_model",
+    llm_queries.doc_language_model,
+    llm_queries.DOC_LANGUAGE_MODEL_ORACLE,
+)
+register(
+    "doc_language_confusion",
+    llm_queries.doc_language_confusion,
+    llm_queries.DOC_LANGUAGE_CONFUSION_ORACLE,
 )
 register(
     "doc_quality_score", llm_queries.doc_quality_score, llm_queries.DOC_QUALITY_SCORE_ORACLE

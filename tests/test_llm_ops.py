@@ -1150,3 +1150,81 @@ def test_lsh_capped_bands_hash_threshold_replay(spark):
     plan = lq._lsh_capped_bands(bands, cap)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_trained_language_model_separates_real_languages(spark):
+    """VERDICT r11 #8: on a corpus where language actually determines
+    the text (unlike the label-independent synthetic corpus), the
+    trained per-language trigram model must classify HOLDOUT docs
+    correctly across all three languages — strictly fewer confusions
+    than the en-only stopword heuristic, which cannot name de/fr at
+    all. Also pins the uniform-prior path (balanced classes)."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_implementation_spark.operators import text as text_ops
+
+    en = ["the cat sat on the mat with the dog and the bird",
+          "this is the house that jack built in the town today",
+          "she sells sea shells by the shore all day long",
+          "a quick brown fox jumps over the lazy dog again"]
+    de = ["der hund sitzt auf der matte mit der katze und dem vogel",
+          "dies ist das haus welches heute in der stadt gebaut wurde",
+          "sie verkauft muscheln am ufer den ganzen langen tag",
+          "ein schneller brauner fuchs springt wieder ueber den faulen hund"]
+    fr = ["le chat est assis sur le tapis avec le chien et un oiseau",
+          "ceci est la maison qui fut construite dans la ville",
+          "elle vend des coquillages au bord de la mer toute la journee",
+          "un renard brun rapide saute encore par dessus le chien paresseux"]
+    rows = [
+        (i, t, l)
+        for i, (t, l) in enumerate(
+            (t, l) for l, ts in [("en", en), ("de", de), ("fr", fr)] for t in ts
+        )
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    profiles = text_ops.train_language_profiles(train)
+    pred = text_ops.language_model_predict(
+        text_ops.language_model_scores(docs, profiles)
+    ).join(docs.select("doc_id", "lang"), "doc_id")
+    hold = [r for r in pred.collect() if r.doc_id % 2 == 1]
+    model_errors = sum(r.lang_pred_model != r.lang for r in hold)
+    # the heuristic can only ever be right on en docs
+    heur = text_ops.language_features(docs.filter(F.col("doc_id") % 2 == 1))
+    heur_errors = sum(r.lang_pred != r.lang for r in heur.collect())
+    assert model_errors < heur_errors, (model_errors, heur_errors)
+    assert model_errors == 0, [
+        (r.doc_id, r.lang, r.lang_pred_model) for r in hold if r.lang_pred_model != r.lang
+    ]
+    # every language is actually named, not just the majority class
+    assert {r.lang_pred_model for r in hold} == {"en", "de", "fr"}
+
+
+def test_language_model_map_prior_shifts_skewed_corpus(spark):
+    """The priors frame is MAP evidence: with a 3:1 en-skewed training
+    slice and a text whose trigram evidence is neutral (unseen
+    everywhere), the prior must decide the argmax; with uniform priors
+    the tie falls to the (score desc, lang asc) tie-break."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_implementation_spark.operators import text as text_ops
+
+    train = spark.createDataFrame(
+        [(0, "the cat sat", "en"), (1, "the dog ran", "en"), (2, "the owl flew", "en"),
+         (3, "der hund lief", "de")],
+        "doc_id long, text string, lang string",
+    )
+    probe = spark.createDataFrame([(9, "zzz qqq xxx")], "doc_id long, text string")
+    profiles = text_ops.train_language_profiles(train)
+    priors = train.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    with_prior = text_ops.language_model_predict(
+        text_ops.language_model_scores(probe, profiles, priors=priors)
+    ).collect()[0]
+    assert with_prior.lang_pred_model == "en"
+    # uniform prior: all-unseen trigrams give every lang the same
+    # numerator; the smaller model (de) has the larger 1/(T_l+V)
+    # factor, so pure likelihood prefers it
+    no_prior = text_ops.language_model_predict(
+        text_ops.language_model_scores(probe, profiles)
+    ).collect()[0]
+    assert no_prior.lang_pred_model == "de"
