@@ -199,10 +199,16 @@ def language_model_scores(
     gtot = pooled.agg(
         F.sum("cg").alias("T"), F.count(F.lit(1)).alias("V")
     )
+    # the corpus-character-scale subtree (trigram explode + pooled
+    # join) feeds BOTH the base sum and the per-lang part sum —
+    # materialize it once (shared-subtree/exchange reuse is not
+    # guaranteed across plan branches; see global_rank's docstring),
+    # or the dominant map-side stage runs twice per query
     occ = (
         df.select(F.col(id_col), F.explode(char_trigrams(text_col)).alias("gram"))
         .join(pooled, "gram", "left")
         .select(id_col, "gram", F.coalesce("cg", F.lit(0)).alias("cg"))
+        .localCheckpoint(eager=True)
     )
     dec = "decimal(28,12)"
     base = occ.groupBy(id_col).agg(
@@ -239,10 +245,19 @@ def language_model_scores(
             (
                 (
                     (
+                        # cast EACH decimal sum to double BEFORE adding:
+                        # Spark demotes decimal(38,12)+decimal(38,12) to
+                        # decimal(38,11) (one fractional digit lost) while
+                        # DuckDB keeps scale 12 — adding in decimal would
+                        # diverge from the oracle in the last ulps
+                        # (round-12 review). decimal->double casts and
+                        # double addition are bit-identical cross-engine.
                         (
-                            F.coalesce(F.col("_spart"), F.lit(0).cast(dec))
-                            + F.col("_sbase")
-                        ).cast("double")
+                            F.coalesce(F.col("_spart"), F.lit(0).cast(dec)).cast(
+                                "double"
+                            )
+                            + F.col("_sbase").cast("double")
+                        )
                         * (
                             (F.col("T") + F.col("V")).cast("double")
                             / (F.col("Tl") + F.col("V")).cast("double")

@@ -574,6 +574,30 @@ FROM tri ORDER BY doc_id
 LANGID_TRAIN_MOD = 2  # train on doc_id % 2 = 0, hold out the rest
 
 
+def _langid_pred(docs: DataFrame) -> DataFrame:
+    """Session-cached trained-model predictions (S7): the train +
+    profile + score pipeline is the expensive half of BOTH
+    ``doc_language_model`` and ``doc_language_confusion`` — built once
+    per corpus like the other trained artifacts (``bpe_trained_merges``,
+    ``unigram_trained_vocab``). Scoring is per-doc independent, so the
+    confusion census filters this table to the holdout instead of
+    rescoring."""
+    from ..operators import text as text_ops
+    from . import materialize
+
+    def build() -> DataFrame:
+        train = docs.filter(F.col("doc_id") % LANGID_TRAIN_MOD == 0)
+        profiles = text_ops.train_language_profiles(train)
+        priors = train.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+        return text_ops.language_model_predict(
+            text_ops.language_model_scores(docs, profiles, priors=priors)
+        )
+
+    return materialize.get_or_build(
+        "langid_model_pred", str(docs.semanticHash()), build, corpus_scale=True
+    )
+
+
 def doc_language_model(t: dict[str, DataFrame]) -> DataFrame:
     """TRAINED language-ID (text.train_language_profiles /
     language_model_scores): per-language char-trigram profiles learned
@@ -596,15 +620,8 @@ def doc_language_model(t: dict[str, DataFrame]) -> DataFrame:
     model still beat the en-only stopword heuristic's confusion count
     on this corpus (the heuristic misses every under-threshold en doc;
     the prior does not)."""
-    from ..operators import text as text_ops
-
     docs = t["documents"]
-    train = docs.filter(F.col("doc_id") % LANGID_TRAIN_MOD == 0)
-    profiles = text_ops.train_language_profiles(train)
-    priors = train.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
-    pred = text_ops.language_model_predict(
-        text_ops.language_model_scores(docs, profiles, priors=priors)
-    )
+    pred = _langid_pred(docs)
     return (
         pred.join(docs.select("doc_id", F.col("lang").alias("lang_true")), "doc_id")
         .select(
@@ -661,7 +678,8 @@ lmpart AS MATERIALIZED (
 ),
 lmscore AS MATERIALIZED (
   SELECT b.doc_id, l.lang, b.n_trigrams,
-         CAST(COALESCE(p.spart, CAST(0 AS DECIMAL(28,12))) + b.sbase AS DOUBLE)
+         (CAST(COALESCE(p.spart, CAST(0 AS DECIMAL(28,12))) AS DOUBLE)
+            + CAST(b.sbase AS DOUBLE))
            * (CAST(g.T + g.V AS DOUBLE) / CAST(l.Tl + g.V AS DOUBLE))
            / CAST(b.n_trigrams AS DOUBLE)
            * (CAST(pri.nd AS DOUBLE) / CAST(ndtot.ND AS DOUBLE)) AS score
@@ -701,14 +719,10 @@ def doc_language_confusion(t: dict[str, DataFrame]) -> DataFrame:
     from ..operators import text as text_ops
 
     docs = t["documents"]
-    train = docs.filter(F.col("doc_id") % LANGID_TRAIN_MOD == 0)
     hold = docs.filter(F.col("doc_id") % LANGID_TRAIN_MOD != 0)
-    profiles = text_ops.train_language_profiles(train)
-    priors = train.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
     model = (
-        text_ops.language_model_predict(
-            text_ops.language_model_scores(hold, profiles, priors=priors)
-        )
+        _langid_pred(docs)
+        .filter(F.col("doc_id") % LANGID_TRAIN_MOD != 0)
         .join(hold.select("doc_id", "lang"), "doc_id")
         .agg(
             F.lit("trained_trigram").alias("classifier"),

@@ -338,24 +338,34 @@ def incremental_scd2_sink(
             prev = catalog.table(post)
             stored = prev.filter(SF.col("_batch_id") == b).limit(1).collect()
             if stored:
-                stored_fp = (
-                    stored[0]["_batch_fp"] if "_batch_fp" in prev.columns else None
-                )
+                has_fp_col = "_batch_fp" in prev.columns
+                stored_fp = stored[0]["_batch_fp"] if has_fp_col else None
                 if stored_fp is None:
-                    # ADVICE r11 #3: a post table written before the
-                    # _batch_fp column exists can only do batch-id-only
-                    # redelivery detection — the fresh-checkpoint
-                    # content-collision hazard this fingerprint fixes
-                    # persists until a NEW batch rewrites the snapshot.
-                    # Be loud so operators know protection is not yet
-                    # active (the happy path below is still correct for
-                    # true at-least-once redelivery).
+                    # ADVICE r11 #3: a post table without a usable
+                    # fingerprint can only do batch-id-only redelivery
+                    # detection — the fresh-checkpoint content-collision
+                    # hazard this fingerprint fixes persists until a NEW
+                    # batch rewrites the snapshot. Be loud so operators
+                    # know protection is not yet active (the happy path
+                    # below is still correct for true at-least-once
+                    # redelivery). Diagnose the RIGHT condition
+                    # (round-12 review): a pre-fingerprint table lacks
+                    # the column; a NULL value in an existing column is
+                    # a different (hand-repaired / partially-migrated)
+                    # state with the same degraded behavior.
                     import warnings
 
+                    why = (
+                        "predates content fingerprinting (_batch_fp "
+                        "column absent)"
+                        if not has_fp_col
+                        else "has a NULL _batch_fp for this batch (the "
+                        "column exists — a partially migrated or "
+                        "hand-repaired snapshot?)"
+                    )
                     warnings.warn(
                         f"incremental_scd2_sink: post table '{post}' "
-                        f"predates content fingerprinting (_batch_fp "
-                        f"column absent) — batch_id {b} matched by id "
+                        f"{why} — batch_id {b} matched by id "
                         "alone, so a fresh-checkpoint batch-id collision "
                         "with different content would NOT be detected "
                         "for this batch. Fingerprint protection engages "
