@@ -145,18 +145,28 @@ def char_trigram_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def train_language_profiles(
-    df: DataFrame, lang_col: str = "lang", text_col: str = "text"
+    df: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    hashed_buckets: int | None = None,
 ) -> DataFrame:
     """Trained per-language char-trigram profile (VERDICT r11 #8 —
     the production upgrade over the fixed English trigram list):
     (lang, gram, c) counts over the labeled training slice, one
     explode + one model-scale aggregate. The model is
-    alphabet³ × languages rows — broadcastable at any corpus size."""
-    return (
-        df.select(F.col(lang_col).alias("lang"), F.explode(char_trigrams(text_col)).alias("gram"))
-        .groupBy("lang", "gram")
-        .agg(F.count(F.lit(1)).alias("c"))
+    alphabet³ × languages rows — broadcastable at any corpus size.
+    ``hashed_buckets`` (production mode for unbounded alphabets, e.g.
+    CJK): features become ``pmod(xxhash64(gram), buckets)`` so the
+    model is a fixed ``buckets × languages`` table regardless of
+    script — pass the SAME value to :func:`language_model_scores`
+    (engine-specific hash: pytest-proven, not oracle-replayable —
+    the ``shingle_ids(hashed=True)`` trade)."""
+    occ = df.select(
+        F.col(lang_col).alias("lang"), F.explode(char_trigrams(text_col)).alias("gram")
     )
+    if hashed_buckets is not None:
+        occ = occ.withColumn("gram", F.pmod(F.xxhash64("gram"), F.lit(int(hashed_buckets))))
+    return occ.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("c"))
 
 
 def language_model_scores(
@@ -165,6 +175,7 @@ def language_model_scores(
     priors: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hashed_buckets: int | None = None,
 ) -> DataFrame:
     """Score every document against every language profile by the
     ln-free rational likelihood ratio (the :func:`corpus.dsir_importance`
@@ -193,7 +204,24 @@ def language_model_scores(
     the class prior ``n_l / N`` — the term that lets the model express
     "mostly-en corpus" evidence the likelihood alone cannot. Omitted,
     the prior is uniform (pure likelihood, right for balanced eval
-    sets)."""
+    sets).
+
+    ``hashed_buckets`` MUST equal the value the profiles were trained
+    with (see :func:`train_language_profiles`) — a hashed/exact
+    mismatch is checked eagerly against the profiles' gram type
+    (Spark would otherwise coerce the string↔bigint equi-join and
+    silently match nothing)."""
+    from pyspark.sql.types import LongType, StringType
+
+    expected = LongType() if hashed_buckets is not None else StringType()
+    actual = profiles.schema["gram"].dataType
+    if actual != expected:
+        raise ValueError(
+            "language_model_scores: profiles' gram column is "
+            f"{actual.simpleString()} but hashed_buckets="
+            f"{hashed_buckets!r} expects {expected.simpleString()} — "
+            "train and score must use the same hashed_buckets value"
+        )
     pooled = profiles.groupBy("gram").agg(F.sum("c").alias("cg"))
     ltot = profiles.groupBy("lang").agg(F.sum("c").alias("Tl"))
     gtot = pooled.agg(
@@ -204,9 +232,13 @@ def language_model_scores(
     # materialize it once (shared-subtree/exchange reuse is not
     # guaranteed across plan branches; see global_rank's docstring),
     # or the dominant map-side stage runs twice per query
+    raw = df.select(F.col(id_col), F.explode(char_trigrams(text_col)).alias("gram"))
+    if hashed_buckets is not None:
+        raw = raw.withColumn(
+            "gram", F.pmod(F.xxhash64("gram"), F.lit(int(hashed_buckets)))
+        )
     occ = (
-        df.select(F.col(id_col), F.explode(char_trigrams(text_col)).alias("gram"))
-        .join(pooled, "gram", "left")
+        raw.join(pooled, "gram", "left")
         .select(id_col, "gram", F.coalesce("cg", F.lit(0)).alias("cg"))
         .localCheckpoint(eager=True)
     )

@@ -929,24 +929,34 @@ def curation_sequences_from_state(
     seq_budget: int,
     chunk_size: int,
     chunk_stride: int | None = None,
+    method: str = "contiguous",
 ) -> DataFrame:
     """Pack training sequences from the continuously-admitted curation
     corpus — the analysis-side reader that completes the streaming
     ladder (crawl → :func:`curation_admission_sink` admission →
-    training sequences): one ``pack_sequences`` pass (the two-phase
-    distributed cumsum, no global window) over the ``{prefix}_admitted``
-    state table. Results are IDENTICAL to batch packing over the same
-    admitted set (parity-tested) because packing is a pure function of
-    the set — the same batch/stream sharing contract as
-    ``rollup_month_from_state`` and ``substring_census_from_state``."""
+    training sequences): one packing pass over the
+    ``{prefix}_admitted`` state table. Results are IDENTICAL to batch
+    packing over the same admitted set (parity-tested) because packing
+    is a pure function of the set — the same batch/stream sharing
+    contract as ``rollup_month_from_state`` and
+    ``substring_census_from_state``.
+
+    ``method``: ``"contiguous"`` (``corpus.pack_sequences`` — the
+    order-preserving cumsum cut) or ``"bfd"``
+    (``corpus.pack_sequences_bfd`` — best-fit-decreasing, never over
+    budget; see RUNBOOK §4 "Packer choice")."""
     from ..operators import corpus as corpus_ops
 
     admitted = catalog.table(f"{prefix}_admitted").select("doc_id", "text")
+    stride = chunk_stride if chunk_stride is not None else chunk_size
+    if method == "bfd":
+        return corpus_ops.pack_sequences_bfd(
+            admitted, seq_budget=seq_budget, chunk_size=chunk_size, chunk_stride=stride
+        )
+    if method != "contiguous":
+        raise ValueError(f"unknown packing method {method!r}")
     return corpus_ops.pack_sequences(
-        admitted,
-        seq_budget=seq_budget,
-        chunk_size=chunk_size,
-        chunk_stride=chunk_stride if chunk_stride is not None else chunk_size,
+        admitted, seq_budget=seq_budget, chunk_size=chunk_size, chunk_stride=stride
     )
 
 

@@ -1228,3 +1228,42 @@ def test_language_model_map_prior_shifts_skewed_corpus(spark):
         text_ops.language_model_scores(probe, profiles)
     ).collect()[0]
     assert no_prior.lang_pred_model == "de"
+
+
+def test_language_model_hashed_mode_matches_exact_and_guards_mismatch(spark):
+    """Production hashed-feature mode (DSIR's fixed-size-model trick):
+    with enough buckets that no trigram collides in this corpus, the
+    hashed model must predict exactly what the exact model predicts;
+    and a train/score hashed_buckets mismatch must raise eagerly
+    instead of silently joining nothing."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_warehouse_implementation_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(0, "the cat sat on the mat", "en"), (1, "der hund lief zum haus", "de"),
+         (2, "the dog ran to the house", "en"), (3, "die katze sass auf der matte", "de")],
+        "doc_id long, text string, lang string",
+    )
+    train = docs.filter(F.col("doc_id") < 2)
+    exact_prof = text_ops.train_language_profiles(train)
+    hashed_prof = text_ops.train_language_profiles(train, hashed_buckets=1 << 20)
+    exact = {
+        r.doc_id: r.lang_pred_model
+        for r in text_ops.language_model_predict(
+            text_ops.language_model_scores(docs, exact_prof)
+        ).collect()
+    }
+    hashed = {
+        r.doc_id: r.lang_pred_model
+        for r in text_ops.language_model_predict(
+            text_ops.language_model_scores(docs, hashed_prof, hashed_buckets=1 << 20)
+        ).collect()
+    }
+    assert hashed == exact and set(exact) == {0, 1, 2, 3}
+
+    with pytest.raises(ValueError, match="hashed_buckets"):
+        text_ops.language_model_scores(docs, hashed_prof)  # trained hashed, scored exact
+    with pytest.raises(ValueError, match="hashed_buckets"):
+        text_ops.language_model_scores(docs, exact_prof, hashed_buckets=64)

@@ -749,6 +749,22 @@ def test_curation_admission_sink_parity_with_batch(spark, tmp_dir):
     )
     assert got_seq == want_seq and len(got_seq) > 0
 
+    # and the BFD packer reads the same state (round 12: method="bfd")
+    got_bfd = sorted(
+        tuple(r)
+        for r in streaming.curation_sequences_from_state(
+            cat, "cur", seq_budget=16, chunk_size=8, method="bfd"
+        ).collect()
+    )
+    want_bfd = sorted(
+        tuple(r)
+        for r in corpus_ops.pack_sequences_bfd(
+            all_docs.filter(F.col("doc_id").isin(sorted(admitted))),
+            seq_budget=16, chunk_size=8, chunk_stride=8,
+        ).collect()
+    )
+    assert got_bfd == want_bfd and len(got_bfd) > 0
+
 
 def test_dedup_sink_migrates_legacy_state_without_batch_id(spark, tmp_dir):
     """State tables written by the pre-idempotence sink layout carry no
