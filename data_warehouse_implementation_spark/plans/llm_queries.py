@@ -3796,6 +3796,54 @@ FROM ranked WHERE rank <= {RRF_TOP_K} ORDER BY query_doc, rank
 from .corpus_queries import BENCHMARK_MAX_ID as _FUZZY_BENCH_MAX_ID
 
 
+EMBED_DECONTAM_BENCH = 50  # benchmark vectors: vec_id < 50
+EMBED_DECONTAM_TAU = 0.40
+
+
+def embedding_decontaminate(t: dict[str, DataFrame]) -> DataFrame:
+    """Embedding-space benchmark decontamination
+    (``similarity.decontaminate_embeddings``) — the SEMANTIC layer of
+    the decontamination ladder: exact n-gram overlap
+    (``doc_decontaminate``), fuzzy n-gram overlap
+    (``doc_decontaminate_fuzzy``), and this screen for paraphrased
+    eval leakage that shares no n-gram at all. Per corpus vector, the
+    best-matching benchmark vector, its cosine, and the verdict at
+    tau=0.40 (non-vacuous at every SF: 11/450 contaminated at sf0.01).
+    One broadcast array row of benchmark vectors + an in-row argmax —
+    a single corpus map pass, no shuffle, no join."""
+    emb = t["embeddings"]
+    return similarity.decontaminate_embeddings(
+        emb.filter(F.col("vec_id") >= EMBED_DECONTAM_BENCH),
+        emb.filter(F.col("vec_id") < EMBED_DECONTAM_BENCH),
+        threshold=EMBED_DECONTAM_TAU,
+    ).orderBy("vec_id")
+
+
+EMBEDDING_DECONTAMINATE_ORACLE = f"""
+WITH b AS (
+  SELECT vec_id AS bid, embedding::DOUBLE[] AS bv
+  FROM embeddings WHERE vec_id < {EMBED_DECONTAM_BENCH}
+),
+c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id >= {EMBED_DECONTAM_BENCH}
+),
+scored AS (
+  SELECT c.vec_id, b.bid,
+         list_dot_product(cv, bv)
+           / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(bv, bv))) AS cos
+  FROM c CROSS JOIN b
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, bid ASC) AS rn
+  FROM scored
+)
+SELECT vec_id, bid AS matched_benchmark_id, cos AS best_cosine,
+       cos >= {EMBED_DECONTAM_TAU} AS contaminated
+FROM ranked WHERE rn = 1 ORDER BY vec_id
+"""
+
+
 def doc_decontaminate_fuzzy(t: dict[str, DataFrame]) -> DataFrame:
     """Near-duplicate contamination pairs (corpus doc x benchmark doc,
     verified jaccard >= threshold) via the family's shared banded-LSH

@@ -168,6 +168,7 @@ _DRIVER_WINDOW = [
     "doc_packing_efficiency",
     "doc_language_model",
     "doc_language_confusion",
+    "embedding_decontaminate",
     "bpe_fertility_by_lang",
     "bpe_token_stats",
     "avg_qty_gated_revenue_sql",
@@ -1055,6 +1056,11 @@ register(
     "doc_decontaminate_fuzzy",
     llm_queries.doc_decontaminate_fuzzy,
     llm_queries.DOC_DECONTAMINATE_FUZZY_ORACLE,
+)
+register(
+    "embedding_decontaminate",
+    llm_queries.embedding_decontaminate,
+    llm_queries.EMBEDDING_DECONTAMINATE_ORACLE,
 )
 register(
     "media_vision_pack",
