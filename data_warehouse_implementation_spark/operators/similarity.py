@@ -89,7 +89,10 @@ def decontaminate_embeddings(
             )
         ).alias("_bench")
     )
-    best = F.element_at(
+    # try_element_at: an EMPTY benchmark set yields NULL match/cosine
+    # and contaminated=false (element_at would raise the ANSI
+    # out-of-bounds error at runtime)
+    best = F.try_element_at(
         F.array_sort(
             F.transform(
                 F.col("_bench"),
@@ -101,7 +104,7 @@ def decontaminate_embeddings(
                 ),
             )
         ),
-        1,
+        F.lit(1),
     )
     return (
         corpus.select(
@@ -115,7 +118,9 @@ def decontaminate_embeddings(
             id_col,
             F.col("_best.bid").alias("matched_benchmark_id"),
             (-F.col("_best.negc")).alias("best_cosine"),
-            (-F.col("_best.negc") >= F.lit(float(threshold))).alias("contaminated"),
+            F.coalesce(
+                -F.col("_best.negc") >= F.lit(float(threshold)), F.lit(False)
+            ).alias("contaminated"),
         )
     )
 

@@ -1267,3 +1267,36 @@ def test_language_model_hashed_mode_matches_exact_and_guards_mismatch(spark):
         text_ops.language_model_scores(docs, hashed_prof)  # trained hashed, scored exact
     with pytest.raises(ValueError, match="hashed_buckets"):
         text_ops.language_model_scores(docs, exact_prof, hashed_buckets=64)
+
+
+def test_decontaminate_embeddings_verdicts_ties_and_empty_benchmark(spark):
+    """Embedding decontamination invariants: threshold boundary is
+    inclusive, equal-cosine ties name the smallest benchmark id, and
+    an EMPTY benchmark set yields null match/cosine with
+    contaminated=false instead of an ANSI array error."""
+    from data_warehouse_implementation_spark.operators import similarity
+
+    corpus = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 1.0]), (12, [1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    # bench 1 and 2 are the SAME direction: ties must pick bid 1
+    bench = spark.createDataFrame(
+        [(1, [2.0, 0.0]), (2, [4.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r.vec_id: r
+        for r in similarity.decontaminate_embeddings(corpus, bench, 1.0).collect()
+    }
+    assert out[10].matched_benchmark_id == 1 and out[10].contaminated  # cos=1.0 inclusive
+    assert out[11].matched_benchmark_id == 3 and out[11].contaminated
+    assert out[12].contaminated is False and 0.70 < out[12].best_cosine < 0.71
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    got = {r.vec_id: r for r in similarity.decontaminate_embeddings(corpus, empty, 0.5).collect()}
+    assert set(got) == {10, 11, 12}
+    assert all(
+        r.matched_benchmark_id is None and r.best_cosine is None and r.contaminated is False
+        for r in got.values()
+    )
