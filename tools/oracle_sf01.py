@@ -72,6 +72,8 @@ SCALE_SENSITIVE = [
     "doc_packing_efficiency",
     "unigram_encode_byte_fallback",
     "bpe_encode_byte_fallback",
+    # threshold verdicts against a 4x-larger corpus-side cosine field
+    "embedding_decontaminate",
 ]
 
 SF_DIR = "/root/testdata/sf0.1"
