@@ -74,10 +74,17 @@ def decontaminate_embeddings(
     corpus — it collapses to ONE broadcast array row (entries sorted by
     id, norms precomputed once) and the argmax runs IN-ROW per corpus
     vector via one struct-sort over the array — a single corpus map
-    pass, zero shuffles, zero joins (not even a nested loop). Ties at
+    pass: one single-ROW broadcast cross join, zero shuffles. Ties at
     identical cosines break to the smallest benchmark id, so the
     verdict replays bit-for-bit (the dot fold is sequential in array
-    order, matching DuckDB's ``list_dot_product`` on DOUBLE[])."""
+    order, matching DuckDB's ``list_dot_product`` on DOUBLE[]).
+
+    Totality (round-12 review): an empty benchmark set and zero-norm
+    vectors on either side all yield verdicts instead of ANSI runtime
+    errors — a zero-norm cosine is NULL (``try_divide``), sorts after
+    every real candidate, and can never mark a row contaminated. The
+    data contract (and the oracle, which assumes it) is nonzero
+    embeddings; the guards are engine totality, not new semantics."""
     bench = benchmark.agg(
         F.array_sort(
             F.collect_list(
@@ -91,20 +98,23 @@ def decontaminate_embeddings(
     )
     # try_element_at: an EMPTY benchmark set yields NULL match/cosine
     # and contaminated=false (element_at would raise the ANSI
-    # out-of-bounds error at runtime)
+    # out-of-bounds error at runtime). try_divide: a zero-norm vector
+    # on either side yields NULL cosine instead of DIVIDE_BY_ZERO —
+    # and because struct comparison puts NULL fields FIRST ascending,
+    # the sort key coalesces NULL to +inf so degenerate entries lose
+    # to every real candidate instead of winning the argmax.
+    def _cand(b):
+        negc = -F.try_divide(
+            dot(F.col("_v"), b["bv"]), F.col("_vnorm") * b["bnorm"]
+        )
+        return F.struct(
+            F.coalesce(negc, F.lit(float("inf"))).alias("sortc"),
+            b["bid"].alias("bid"),
+            negc.alias("negc"),
+        )
+
     best = F.try_element_at(
-        F.array_sort(
-            F.transform(
-                F.col("_bench"),
-                lambda b: F.struct(
-                    (-(dot(F.col("_v"), b["bv"]) / (F.col("_vnorm") * b["bnorm"]))).alias(
-                        "negc"
-                    ),
-                    b["bid"].alias("bid"),
-                ),
-            )
-        ),
-        F.lit(1),
+        F.array_sort(F.transform(F.col("_bench"), _cand)), F.lit(1)
     )
     return (
         corpus.select(

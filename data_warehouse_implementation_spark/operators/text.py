@@ -166,7 +166,15 @@ def train_language_profiles(
     )
     if hashed_buckets is not None:
         occ = occ.withColumn("gram", F.pmod(F.xxhash64("gram"), F.lit(int(hashed_buckets))))
-    return occ.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("c"))
+    prof = occ.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("c"))
+    if hashed_buckets is not None:
+        # the bucket count rides the model as a constant column so
+        # :func:`language_model_scores` can verify it — two DIFFERENT
+        # hashed bucket counts share the gram type, and the resulting
+        # join would be silently, systematically wrong (round-12
+        # review)
+        prof = prof.withColumn("_buckets", F.lit(int(hashed_buckets)))
+    return prof
 
 
 def language_model_scores(
@@ -207,10 +215,13 @@ def language_model_scores(
     sets).
 
     ``hashed_buckets`` MUST equal the value the profiles were trained
-    with (see :func:`train_language_profiles`) — a hashed/exact
-    mismatch is checked eagerly against the profiles' gram type
-    (Spark would otherwise coerce the string↔bigint equi-join and
-    silently match nothing)."""
+    with (see :func:`train_language_profiles`) — checked eagerly BOTH
+    ways: hashed-vs-exact by the profiles' gram type (Spark would
+    otherwise coerce the string↔bigint equi-join and silently match
+    nothing), and hashed-vs-differently-hashed by the ``_buckets``
+    constant the trainer stamps on the model (two bucket counts share
+    the gram type, and the resulting join would be silently,
+    systematically wrong)."""
     from pyspark.sql.types import LongType, StringType
 
     expected = LongType() if hashed_buckets is not None else StringType()
@@ -222,6 +233,23 @@ def language_model_scores(
             f"{hashed_buckets!r} expects {expected.simpleString()} — "
             "train and score must use the same hashed_buckets value"
         )
+    if hashed_buckets is not None:
+        if "_buckets" not in profiles.columns:
+            raise ValueError(
+                "language_model_scores: hashed profiles carry no _buckets "
+                "column — retrain with train_language_profiles("
+                "hashed_buckets=...) so the bucket count is verifiable"
+            )
+        lo, hi = profiles.agg(F.min("_buckets"), F.max("_buckets")).first()
+        if lo != hi or lo != int(hashed_buckets):
+            raise ValueError(
+                f"language_model_scores: profiles were trained with "
+                f"hashed_buckets={lo!r}"
+                + ("" if lo == hi else f"..{hi!r} (inconsistent model)")
+                + f" but scoring requested {int(hashed_buckets)} — "
+                "train and score must use the same hashed_buckets value"
+            )
+        profiles = profiles.drop("_buckets")
     pooled = profiles.groupBy("gram").agg(F.sum("c").alias("cg"))
     ltot = profiles.groupBy("lang").agg(F.sum("c").alias("Tl"))
     gtot = pooled.agg(

@@ -3829,17 +3829,23 @@ c AS (
   FROM embeddings WHERE vec_id >= {EMBED_DECONTAM_BENCH}
 ),
 scored AS (
+  -- LEFT JOIN, not CROSS JOIN: the implementation is TOTAL — an empty
+  -- benchmark set still yields one verdict row per corpus vector
+  -- (null match/cosine, contaminated=false), and the oracle is the
+  -- executable spec of that contract
   SELECT c.vec_id, b.bid,
          list_dot_product(cv, bv)
            / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(bv, bv))) AS cos
-  FROM c CROSS JOIN b
+  FROM c LEFT JOIN b ON true
 ),
 ranked AS (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, bid ASC) AS rn
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY vec_id ORDER BY cos DESC NULLS LAST, bid ASC NULLS LAST
+  ) AS rn
   FROM scored
 )
 SELECT vec_id, bid AS matched_benchmark_id, cos AS best_cosine,
-       cos >= {EMBED_DECONTAM_TAU} AS contaminated
+       COALESCE(cos >= {EMBED_DECONTAM_TAU}, false) AS contaminated
 FROM ranked WHERE rn = 1 ORDER BY vec_id
 """
 

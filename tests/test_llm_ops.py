@@ -1267,6 +1267,10 @@ def test_language_model_hashed_mode_matches_exact_and_guards_mismatch(spark):
         text_ops.language_model_scores(docs, hashed_prof)  # trained hashed, scored exact
     with pytest.raises(ValueError, match="hashed_buckets"):
         text_ops.language_model_scores(docs, exact_prof, hashed_buckets=64)
+    # round-12 review: two DIFFERENT bucket counts share the gram type —
+    # the _buckets constant stamped on the model must catch it
+    with pytest.raises(ValueError, match="hashed_buckets=1048576"):
+        text_ops.language_model_scores(docs, hashed_prof, hashed_buckets=4096)
 
 
 def test_decontaminate_embeddings_verdicts_ties_and_empty_benchmark(spark):
@@ -1292,6 +1296,19 @@ def test_decontaminate_embeddings_verdicts_ties_and_empty_benchmark(spark):
     assert out[10].matched_benchmark_id == 1 and out[10].contaminated  # cos=1.0 inclusive
     assert out[11].matched_benchmark_id == 3 and out[11].contaminated
     assert out[12].contaminated is False and 0.70 < out[12].best_cosine < 0.71
+
+    # zero-norm vectors on either side: NULL cosine, never contaminated,
+    # and a degenerate benchmark entry must LOSE the argmax to any real
+    # candidate (struct comparison would otherwise put its NULL first)
+    zb = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [2.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    zc = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    z = {r.vec_id: r for r in similarity.decontaminate_embeddings(zc, zb, 0.9).collect()}
+    assert z[10].matched_benchmark_id == 2 and z[10].contaminated
+    assert z[11].best_cosine is None and z[11].contaminated is False
 
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     got = {r.vec_id: r for r in similarity.decontaminate_embeddings(corpus, empty, 0.5).collect()}
