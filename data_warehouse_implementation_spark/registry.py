@@ -91,10 +91,14 @@ def oracle_sql() -> dict[str, str]:
 # immediately after the must-run rows (the 50 slots are fully
 # occupied by flagship + never-checked + the whole r8 cohort).
 #
-# Position 51+ IS the round-13 rotation plan: the two impl-changed
-# bpe rows, remaining r9-stale rows, then r10, then the just-checked
-# r11 rows — next round's rotation is again a mechanical
-# promote-the-prefix edit.
+# Position 51+ holds, in order: the SEVEN deferred round-12 additions
+# (never driver-checked — still "new" by the integrity test, so they
+# stay must-run), the two impl-changed bpe promotions, then the
+# refresh order (remaining r9-stale rows, r10, r11). Round-13 note:
+# the r9 cohort is 49 queries, so flagship + cohort fills all 50
+# slots — the deferred additions must KEEP leading position 51+ there
+# too (the escape hatch applies two rounds running; the local oracle
+# battery covers them each round meanwhile).
 # Same-round deferrals that are NOT new queries — the ONLY names the
 # window-integrity test allows to interleave with deferred new
 # additions at position 51+. Round 12: the two bpe queries whose
