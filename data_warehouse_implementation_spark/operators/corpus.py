@@ -344,6 +344,73 @@ def pack_sequences_bfd(
     )
 
 
+def sequences_text(
+    df: DataFrame,
+    seq_budget: int = 512,
+    chunk_size: int = 32,
+    chunk_stride: int = 32,
+    method: str = "contiguous",
+    group_size: int = 128,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MATERIALIZE packed training sequences as text — the artifact a
+    trainer actually reads, completing the packing story (chunk →
+    assignment → sequence file): (seq_id, n_chunks, n_tokens, text),
+    with each sequence's chunks concatenated in (doc, chunk) order.
+
+    ``method`` picks the assignment: ``"contiguous"``
+    (:func:`pack_sequences` — (doc, chunk) order IS the packing
+    order) or ``"bfd"`` (:func:`pack_sequences_bfd` — placement order
+    is length-desc, but the text is still emitted in (doc, chunk)
+    order: a deterministic, documented choice; trainers that pack
+    heterogeneous documents attention-mask per segment, so
+    within-sequence segment order is a free variable).
+
+    Scale shape: the chunking runs twice (inside the packer and here
+    for the text) — both map-side, no shuffle; the materialization
+    itself pays exactly two shuffles, the (doc, chunk) equi-join of
+    assignment to text and the seq_id aggregate, both inherent
+    (sequences cross document boundaries). Per-sequence state is
+    bounded by budget/min-chunk, so the collect_list never exceeds a
+    constant."""
+    chunks = chunk_documents(
+        df, size=chunk_size, stride=chunk_stride, text_col=text_col, id_col=id_col
+    )
+    if method == "bfd":
+        asn = pack_sequences_bfd(
+            df,
+            seq_budget=seq_budget,
+            chunk_size=chunk_size,
+            chunk_stride=chunk_stride,
+            group_size=group_size,
+            text_col=text_col,
+            id_col=id_col,
+        )
+    elif method == "contiguous":
+        asn = pack_sequences(
+            df,
+            seq_budget=seq_budget,
+            chunk_size=chunk_size,
+            chunk_stride=chunk_stride,
+            text_col=text_col,
+            id_col=id_col,
+        )
+    else:
+        raise ValueError(f"unknown packing method {method!r}")
+    joined = asn.select(id_col, "chunk_id", "n_chunk_tokens", "seq_id").join(
+        chunks.select(id_col, "chunk_id", "chunk_text"), [id_col, "chunk_id"]
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col(id_col), F.col("chunk_id"), F.col("chunk_text")))
+    )
+    return joined.groupBy("seq_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum("n_chunk_tokens").cast("long").alias("n_tokens"),
+        F.concat_ws(" ", F.transform(ordered, lambda s: s["chunk_text"])).alias("text"),
+    )
+
+
 def mix_sources(
     df: DataFrame,
     weights: dict[str, int],

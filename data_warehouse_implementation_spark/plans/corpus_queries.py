@@ -568,6 +568,45 @@ FROM cum ORDER BY doc_id, chunk_id
 """
 
 
+def training_sequences_text(t: dict[str, DataFrame]) -> DataFrame:
+    """The packed sequences MATERIALIZED as text
+    (``corpus.sequences_text``, contiguous assignment) — the training
+    file a consumer actually reads: per sequence, chunk count, token
+    count, and the chunks concatenated in (doc, chunk) order. The
+    oracle replays the contiguous assignment and rebuilds the text
+    with an ordered ``string_agg``."""
+    return corpus.sequences_text(
+        t["documents"], seq_budget=SEQ_BUDGET, chunk_size=SEQ_CHUNK, chunk_stride=SEQ_CHUNK
+    ).orderBy("seq_id")
+
+
+TRAINING_SEQUENCES_TEXT_ORACLE = f"""
+WITH {_TOKS_SQL.strip()},
+st AS (
+  SELECT doc_id, arr, unnest(generate_series(1, len(arr), {SEQ_CHUNK})) AS s
+  FROM toks WHERE len(arr) > 0
+),
+c AS (
+  SELECT doc_id,
+         CAST((s - 1) / {SEQ_CHUNK} AS BIGINT) AS chunk_id,
+         CAST(least({SEQ_CHUNK}, len(arr) - s + 1) AS BIGINT) AS n_chunk_tokens,
+         array_to_string(list_slice(arr, s, s + {SEQ_CHUNK} - 1), ' ') AS chunk_text
+  FROM st
+),
+cum AS (
+  SELECT *, CAST(SUM(n_chunk_tokens) OVER (
+    ORDER BY doc_id, chunk_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) - n_chunk_tokens AS BIGINT) AS token_start
+  FROM c
+)
+SELECT CAST(FLOOR(CAST(token_start AS DOUBLE) / {SEQ_BUDGET}.0) AS BIGINT) AS seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(n_chunk_tokens) AS BIGINT) AS n_tokens,
+       string_agg(chunk_text, ' ' ORDER BY doc_id, chunk_id) AS text
+FROM cum GROUP BY 1 ORDER BY seq_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Best-fit-decreasing packing (VERDICT r11 #7) + padding-efficiency census
 

@@ -91,7 +91,7 @@ def oracle_sql() -> dict[str, str]:
 # immediately after the must-run rows (the 50 slots are fully
 # occupied by flagship + never-checked + the whole r8 cohort).
 #
-# Position 51+ holds, in order: the SEVEN deferred round-12 additions
+# Position 51+ holds, in order: the EIGHT deferred round-12 additions
 # (never driver-checked — still "new" by the integrity test, so they
 # stay must-run), the two impl-changed bpe promotions, then the
 # refresh order (remaining r9-stale rows, r10, r11). Round-13 note:
@@ -173,6 +173,7 @@ _DRIVER_WINDOW = [
     "doc_language_model",
     "doc_language_confusion",
     "embedding_decontaminate",
+    "training_sequences_text",
     "bpe_fertility_by_lang",
     "bpe_token_stats",
     "avg_qty_gated_revenue_sql",
@@ -658,6 +659,11 @@ register(
     "doc_packing_efficiency",
     corpus_queries.doc_packing_efficiency,
     corpus_queries.DOC_PACKING_EFFICIENCY_ORACLE,
+)
+register(
+    "training_sequences_text",
+    corpus_queries.training_sequences_text,
+    corpus_queries.TRAINING_SEQUENCES_TEXT_ORACLE,
 )
 register(
     "embedding_ann_ivfpq",

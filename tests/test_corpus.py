@@ -1267,3 +1267,32 @@ def test_pack_sequences_bfd_plan_no_global_sort(spark):
         .toString()
     )
     assert "rangepartitioning" not in plan.lower().replace("(1)", ""), plan
+
+
+def test_sequences_text_materializes_every_chunk_exactly_once(spark):
+    """sequences_text invariants for BOTH packers: the concatenated
+    sequence texts partition the chunk stream exactly (every chunk's
+    words appear exactly once across all sequences), per-sequence
+    n_tokens equals the text's word count, and the BFD variant never
+    exceeds the budget."""
+    from data_warehouse_implementation_spark.operators import corpus
+
+    lens = [50, 33, 64, 10, 31, 32, 5]
+    docs = spark.createDataFrame(
+        [(i, " ".join([f"w{i}x{j}" for j in range(n)])) for i, n in enumerate(lens)],
+        "doc_id long, text string",
+    )
+    for method in ("contiguous", "bfd"):
+        out = corpus.sequences_text(
+            docs, seq_budget=64, chunk_size=32, chunk_stride=32,
+            method=method, group_size=4,
+        ).collect()
+        all_words: list[str] = []
+        for r in out:
+            words = r.text.split()
+            assert len(words) == r.n_tokens, (method, r.seq_id)
+            all_words.extend(words)
+            if method == "bfd":
+                assert r.n_tokens <= 64
+        want = [w for i, n in enumerate(lens) for w in (f"w{i}x{j}" for j in range(n))]
+        assert sorted(all_words) == sorted(want), method
