@@ -91,7 +91,7 @@ def oracle_sql() -> dict[str, str]:
 # immediately after the must-run rows (the 50 slots are fully
 # occupied by flagship + never-checked + the whole r8 cohort).
 #
-# Position 51+ holds, in order: the EIGHT deferred round-12 additions
+# Position 51+ holds, in order: the SEVEN deferred round-12 additions
 # (never driver-checked — still "new" by the integrity test, so they
 # stay must-run), the two impl-changed bpe promotions, then the
 # refresh order (remaining r9-stale rows, r10, r11). Round-13 note:
