@@ -102,7 +102,13 @@ def decontaminate_embeddings(
     # on either side yields NULL cosine instead of DIVIDE_BY_ZERO —
     # and because struct comparison puts NULL fields FIRST ascending,
     # the sort key coalesces NULL to +inf so degenerate entries lose
-    # to every real candidate instead of winning the argmax.
+    # to every real candidate instead of winning the argmax. The
+    # struct holds ONLY (sortc, bid) — the O(dim) cosine fold is
+    # evaluated once per candidate (higher-order-function lambdas are
+    # interpreted, no common-subexpression elimination to lean on) and
+    # best_cosine is recovered from sortc afterwards: a real cosine
+    # lives in [-1, 1], so sortc = +inf identifies "no real candidate"
+    # unambiguously.
     def _cand(b):
         negc = -F.try_divide(
             dot(F.col("_v"), b["bv"]), F.col("_vnorm") * b["bnorm"]
@@ -110,7 +116,6 @@ def decontaminate_embeddings(
         return F.struct(
             F.coalesce(negc, F.lit(float("inf"))).alias("sortc"),
             b["bid"].alias("bid"),
-            negc.alias("negc"),
         )
 
     best = F.try_element_at(
@@ -124,12 +129,24 @@ def decontaminate_embeddings(
         )
         .crossJoin(F.broadcast(bench))
         .withColumn("_best", best)
+        # a degenerate argmax (every candidate zero-norm, sortc = +inf)
+        # yields NULL match AND NULL cosine — naming a benchmark id the
+        # row was never actually scored against would be dishonest
+        # (round-12 pass-3 review)
+        .withColumn(
+            "_cos",
+            F.when(
+                F.col("_best.sortc") != F.lit(float("inf")), -F.col("_best.sortc")
+            ),
+        )
         .select(
             id_col,
-            F.col("_best.bid").alias("matched_benchmark_id"),
-            (-F.col("_best.negc")).alias("best_cosine"),
+            F.when(F.col("_cos").isNotNull(), F.col("_best.bid")).alias(
+                "matched_benchmark_id"
+            ),
+            F.col("_cos").alias("best_cosine"),
             F.coalesce(
-                -F.col("_best.negc") >= F.lit(float(threshold)), F.lit(False)
+                F.col("_cos") >= F.lit(float(threshold)), F.lit(False)
             ).alias("contaminated"),
         )
     )

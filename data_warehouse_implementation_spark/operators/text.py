@@ -168,12 +168,19 @@ def train_language_profiles(
         occ = occ.withColumn("gram", F.pmod(F.xxhash64("gram"), F.lit(int(hashed_buckets))))
     prof = occ.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("c"))
     if hashed_buckets is not None:
-        # the bucket count rides the model as a constant column so
-        # :func:`language_model_scores` can verify it — two DIFFERENT
-        # hashed bucket counts share the gram type, and the resulting
-        # join would be silently, systematically wrong (round-12
-        # review)
-        prof = prof.withColumn("_buckets", F.lit(int(hashed_buckets)))
+        # the bucket count rides the model as a constant column PLUS
+        # schema metadata so :func:`language_model_scores` can verify
+        # it WITHOUT running a job — two DIFFERENT hashed bucket
+        # counts share the gram type, and the resulting join would be
+        # silently, systematically wrong (round-12 review; the
+        # metadata read replaced an eager min/max aggregate that
+        # re-executed the whole training pipeline per scoring call)
+        prof = prof.select(
+            "*",
+            F.lit(int(hashed_buckets)).alias(
+                "_buckets", metadata={"hashed_buckets": int(hashed_buckets)}
+            ),
+        )
     return prof
 
 
@@ -240,14 +247,22 @@ def language_model_scores(
                 "column — retrain with train_language_profiles("
                 "hashed_buckets=...) so the bucket count is verifiable"
             )
-        lo, hi = profiles.agg(F.min("_buckets"), F.max("_buckets")).first()
-        if lo != hi or lo != int(hashed_buckets):
+        # verified from SCHEMA METADATA — no Spark action, so the
+        # check never re-executes the training pipeline (round-12
+        # pass-3 review)
+        trained = (profiles.schema["_buckets"].metadata or {}).get("hashed_buckets")
+        if trained is None:
+            raise ValueError(
+                "language_model_scores: the _buckets column carries no "
+                "hashed_buckets schema metadata — retrain with this "
+                "version's train_language_profiles(hashed_buckets=...)"
+            )
+        if int(trained) != int(hashed_buckets):
             raise ValueError(
                 f"language_model_scores: profiles were trained with "
-                f"hashed_buckets={lo!r}"
-                + ("" if lo == hi else f"..{hi!r} (inconsistent model)")
-                + f" but scoring requested {int(hashed_buckets)} — "
-                "train and score must use the same hashed_buckets value"
+                f"hashed_buckets={int(trained)} but scoring requested "
+                f"{int(hashed_buckets)} — train and score must use the "
+                "same hashed_buckets value"
             )
         profiles = profiles.drop("_buckets")
     pooled = profiles.groupBy("gram").agg(F.sum("c").alias("cg"))

@@ -3810,7 +3810,8 @@ def embedding_decontaminate(t: dict[str, DataFrame]) -> DataFrame:
     best-matching benchmark vector, its cosine, and the verdict at
     tau=0.40 (non-vacuous at every SF: 11/450 contaminated at sf0.01).
     One broadcast array row of benchmark vectors + an in-row argmax —
-    a single corpus map pass, no shuffle, no join."""
+    a single corpus map pass over one single-ROW broadcast cross join,
+    zero shuffles on the corpus side."""
     emb = t["embeddings"]
     return similarity.decontaminate_embeddings(
         emb.filter(F.col("vec_id") >= EMBED_DECONTAM_BENCH),

@@ -1308,6 +1308,9 @@ def test_decontaminate_embeddings_verdicts_ties_and_empty_benchmark(spark):
     )
     z = {r.vec_id: r for r in similarity.decontaminate_embeddings(zc, zb, 0.9).collect()}
     assert z[10].matched_benchmark_id == 2 and z[10].contaminated
+    # an all-degenerate argmax names NO match (a bid the row was never
+    # scored against would be dishonest) — null across the board
+    assert z[11].matched_benchmark_id is None
     assert z[11].best_cosine is None and z[11].contaminated is False
 
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
