@@ -105,3 +105,50 @@ def zorder_key(cols: list[Column | str], bits: int = 16) -> Column:
                 * F.lit(1 << (i * (n - 1) + j))
             )
     return key
+
+
+def isqrt(col: Column | str) -> Column:
+    """EXACT integer square root ``floor(sqrt(n))`` for non-negative
+    int64 ``n`` — the building block that lets α=0.5 "temperature"
+    weights (``corpus.mix_sources_temperature``) stay inside the
+    engine's exact-arithmetic oracle discipline.
+
+    ``sqrt`` on IEEE doubles is correctly rounded, so
+    ``floor(sqrt(double(n)))`` is within ±1 of the true isqrt for any
+    ``n`` below 2^52 (token totals are far below that); one CASE pass
+    snaps it exactly: bump up while ``(r+1)² <= n``, bump down while
+    ``r² > n``. Identical expression replays bit-for-bit in DuckDB
+    (see ``ISQRT_SQL``) — no library isqrt needed on either side."""
+    c = (F.col(col) if isinstance(col, str) else col).cast("long")
+    r0 = F.floor(F.sqrt(c.cast("double"))).cast("long")
+    return (
+        F.when((r0 + 1) * (r0 + 1) <= c, r0 + 1)
+        .when(r0 * r0 > c, r0 - 1)
+        .otherwise(r0)
+    )
+
+
+def isqrt_sql(expr: str) -> str:
+    """The DuckDB replay of :func:`isqrt` over SQL expression ``expr``
+    (oracles interpolate this so both engines run the SAME snap)."""
+    r0 = f"CAST(FLOOR(SQRT(CAST(({expr}) AS DOUBLE))) AS BIGINT)"
+    return (
+        f"(CASE WHEN ({r0} + 1) * ({r0} + 1) <= ({expr}) THEN {r0} + 1 "
+        f"WHEN {r0} * {r0} > ({expr}) THEN {r0} - 1 ELSE {r0} END)"
+    )
+
+
+def zorder_key_sql(exprs: list[str], bits: int = 16) -> str:
+    """The DuckDB replay of :func:`zorder_key` — the same mask/
+    interleave bit algebra emitted as a SQL expression, so layout
+    oracles cluster by the IDENTICAL Morton key."""
+    n = len(exprs)
+    assert 1 <= n <= 4
+    bits = min(bits, 62 // n)
+    mask = (1 << bits) - 1
+    terms = []
+    for j, e in enumerate(exprs):
+        v = f"(CAST(({e}) AS BIGINT) & {mask})"
+        for i in range(bits):
+            terms.append(f"(({v} & {1 << i}) * {1 << (i * (n - 1) + j)})")
+    return "(" + " | ".join(terms) + ")"

@@ -462,6 +462,57 @@ def mix_sources(
     )
 
 
+def mix_sources_temperature(
+    df: DataFrame,
+    token_budget: int,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """α=0.5 temperature ("square-root") source mixing — the
+    multilingual sampling scheme of mBERT/XLM-R/mT5: instead of
+    hand-set weights (:func:`mix_sources`), each source's weight is
+    ``sqrt(its token total)``, which flattens the mixture toward the
+    small sources (a source 100× larger gets only 10× the share)
+    without drowning the large ones.
+
+    Exact-arithmetic discipline: the weight is the EXACT integer
+    square root (``functions.scalar.isqrt`` — correctly-rounded double
+    sqrt snapped by one integer CASE), so rates stay pure int64 and
+    the DuckDB oracle replays the whole mixture bit-for-bit; no
+    floating-point weight ever enters a keep decision.
+
+    Same plan shape as :func:`mix_sources`: per-source totals joined
+    back by broadcast (no collect), keep decision by the
+    partition-invariant id hash — the same documents are kept on any
+    cluster layout and every backfill. A source whose target exceeds
+    its actual tokens keeps everything (rate caps at 100%).
+
+    Returns kept documents with ``n_tokens``, the integer ``weight``,
+    and the applied ``rate_pct``."""
+    from ..functions.scalar import isqrt
+
+    base = df.withColumn("n_tokens", F.size(words(text_col)).cast("long"))
+    totals = base.groupBy(strata_col).agg(F.sum("n_tokens").alias("_tot"))
+    totals = totals.withColumn("weight", isqrt(F.col("_tot")))
+    wsum = totals.agg(F.sum("weight").alias("_wsum"))
+    h = ((F.col(id_col) % HASH_P) * SPLIT_A + SPLIT_B) % HASH_P
+    return (
+        base.join(F.broadcast(totals), on=strata_col)
+        .crossJoin(F.broadcast(wsum))
+        .withColumn(
+            "rate_pct",
+            F.expr(
+                f"least(cast(100 as bigint), "
+                f"(cast({int(token_budget)} as bigint) * 100 * weight) "
+                f"div (_wsum * _tot))"
+            ),
+        )
+        .filter((h % 100) < F.col("rate_pct"))
+        .drop("_tot", "_wsum")
+    )
+
+
 def cap_per_key(
     df: DataFrame,
     key_col: str,

@@ -453,6 +453,67 @@ FROM kept GROUP BY source, rate_pct ORDER BY source
 
 
 # ---------------------------------------------------------------------------
+# α=0.5 temperature source mixing (square-root weights, round 12)
+
+MIX_TEMPERATURE_BUDGET = 5000
+
+
+def corpus_mix_temperature(t: dict[str, DataFrame]) -> DataFrame:
+    """Temperature-mixture census: α=0.5 ("square-root") source
+    weighting — the mBERT/XLM-R multilingual sampling scheme — with
+    EXACT integer-sqrt weights (corpus.mix_sources_temperature), so
+    the whole mixture replays bit-for-bit in the oracle. Reports the
+    derived per-source weight, applied rate, and kept docs/tokens —
+    the table that shows the flattening (a source 100× larger gets
+    only 10× the share)."""
+    kept = corpus.mix_sources_temperature(
+        t["documents"], token_budget=MIX_TEMPERATURE_BUDGET
+    )
+    return (
+        kept.groupBy("source", "weight", "rate_pct")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def _mix_temperature_oracle() -> str:
+    from ..functions.scalar import isqrt_sql
+
+    return f"""
+WITH base AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+tot AS (SELECT source, SUM(n_tokens) AS tt FROM base GROUP BY source),
+w AS (SELECT source, tt, CAST({isqrt_sql("tt")} AS BIGINT) AS wt FROM tot),
+wsum AS (SELECT SUM(wt) AS ws FROM w),
+rated AS (
+  SELECT b.doc_id, b.source, b.n_tokens, w.wt,
+         CAST(least(CAST(100 AS BIGINT),
+               (CAST({MIX_TEMPERATURE_BUDGET} AS BIGINT) * 100 * w.wt)
+                 // (wsum.ws * w.tt))
+           AS BIGINT) AS rate_pct
+  FROM base b JOIN w USING (source) CROSS JOIN wsum
+),
+kept AS (
+  SELECT * FROM rated
+  WHERE ((doc_id % {HASH_P}) * {SPLIT_A} + {SPLIT_B}) % {HASH_P} % 100 < rate_pct
+)
+SELECT source, wt AS weight, rate_pct,
+       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+FROM kept GROUP BY source, wt, rate_pct ORDER BY source
+"""
+
+
+CORPUS_MIX_TEMPERATURE_ORACLE = _mix_temperature_oracle()
+
+
+# ---------------------------------------------------------------------------
 # Per-source frequency cap (top-domain dominance guard, VERDICT r9 #5)
 
 CAP_MAX_DOCS_PER_SOURCE = 20  # engages at sf0.01 (25 docs/source raw)

@@ -1,0 +1,237 @@
+"""Physical-layout CORRECTNESS queries: Z-order data-skipping census
+and best-fit-decreasing small-file compaction planning (see
+operators/layout.py for the scale design notes; no reference analog —
+the reference's only layout lever is its btree indexes, S10).
+
+Both oracles replay the FULL pipeline in DuckDB — the Morton key is
+the identical bit-interleave expression (``scalar.zorder_key_sql``),
+file assignment is rank arithmetic, and the BFD fold is a recursive
+CTE stepping one file at a time — so the differential checks layout
+decisions end to end, not just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import scalar
+from ..operators import layout
+
+# ---------------------------------------------------------------------------
+# Z-order vs linear layout: min/max data-skipping census
+
+ZORDER_N_FILES = 64
+ZORDER_BITS = 16
+ZORDER_EPOCH = "1995-01-01"  # orders date floor at every SF
+ZORDER_DAY_LO = 400
+ZORDER_DAY_HI = 800
+
+
+def zorder_skipping_census(t: dict[str, DataFrame]) -> DataFrame:
+    """THE layout decision, measured: write ``orders`` as
+    ``ZORDER_N_FILES`` files either linearly (time-sorted — the
+    layout an append-only pipeline gets for free) or Z-ordered on
+    (custkey, order day), then count the files a footer min/max
+    pruning reader opens for a box predicate on BOTH columns
+    (custkey in [max/8, max/4], day in [400, 800]).
+
+    The Morton interleave makes per-file min/max selective on EVERY
+    participating column, so the z layout scans a small neighborhood
+    of the box while the linear layout must open every file in the
+    day range regardless of custkey. One row per layout:
+    (layout, n_files, files_scanned, rows_total, rows_scanned,
+    rows_matched, scan_pct) — all int64 rank/bit arithmetic, replayed
+    exactly by the oracle.
+
+    At 100×: file assignment is the two-phase global rank (no
+    single-task sort), the census shuffles once on file_id (file
+    count, not row count), and the custkey box bounds derive from a
+    broadcast one-row aggregate. Columns wider than ``ZORDER_BITS``
+    bits should be rank-compressed before interleaving (the mask
+    otherwise aliases distant values into the same cell — hurts
+    clustering, never correctness)."""
+    o = t["orders"].select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("ck"),
+        F.datediff(F.to_date("o_orderdate"), F.to_date(F.lit(ZORDER_EPOCH)))
+        .cast("long")
+        .alias("day_n"),
+    )
+    bounds = o.agg(F.max("ck").alias("_ckmax"))
+    o2 = (
+        o.crossJoin(F.broadcast(bounds))
+        .withColumn("_ck_lo", F.expr("_ckmax div 8"))
+        .withColumn("_ck_hi", F.expr("_ckmax div 4"))
+        .drop("_ckmax")
+    )
+    z = scalar.zorder_key([F.col("ck"), F.col("day_n")], bits=ZORDER_BITS)
+    zdf = layout.assign_files(
+        o2.withColumn("_z", z), ["_z", "o_orderkey"], ZORDER_N_FILES
+    )
+    ldf = layout.assign_files(o2, ["day_n", "o_orderkey"], ZORDER_N_FILES)
+    preds = [
+        ("ck", F.col("_ck_lo"), F.col("_ck_hi")),
+        ("day_n", F.lit(ZORDER_DAY_LO).cast("long"), F.lit(ZORDER_DAY_HI).cast("long")),
+    ]
+    zc = layout.skipping_census(zdf, "file_id", preds, "zorder")
+    lc = layout.skipping_census(ldf, "file_id", preds, "linear")
+    return zc.unionByName(lc).orderBy("layout")
+
+
+def _zorder_census_oracle() -> str:
+    zexpr = scalar.zorder_key_sql(["ck", "day_n"], bits=ZORDER_BITS)
+    n = ZORDER_N_FILES
+
+    def census(src: str, order_by: str, name: str) -> str:
+        return f"""
+SELECT '{name}' AS layout,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(sc) AS BIGINT) AS files_scanned,
+       CAST(SUM(rows_) AS BIGINT) AS rows_total,
+       CAST(SUM(sc * rows_) AS BIGINT) AS rows_scanned,
+       CAST(SUM(sc * mt) AS BIGINT) AS rows_matched,
+       CAST((100 * SUM(sc * rows_)) // SUM(rows_) AS BIGINT) AS scan_pct
+FROM (
+  SELECT file_id, COUNT(*) AS rows_,
+         CASE WHEN MAX(ck) >= MIN(ck_lo) AND MIN(ck) <= MIN(ck_hi)
+               AND MAX(day_n) >= {ZORDER_DAY_LO} AND MIN(day_n) <= {ZORDER_DAY_HI}
+              THEN 1 ELSE 0 END AS sc,
+         SUM(CASE WHEN ck BETWEEN ck_lo AND ck_hi
+                   AND day_n BETWEEN {ZORDER_DAY_LO} AND {ZORDER_DAY_HI}
+                  THEN 1 ELSE 0 END) AS mt
+  FROM (
+    SELECT s.*, (ROW_NUMBER() OVER (ORDER BY {order_by}) - 1)
+                  // ((b.n_rows + {n} - 1) // {n}) AS file_id
+    FROM {src} s CROSS JOIN b
+  ) GROUP BY file_id
+)"""
+
+    return f"""
+WITH o AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+         CAST(o_custkey AS BIGINT) AS ck,
+         CAST(date_diff('day', DATE '{ZORDER_EPOCH}', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_n
+  FROM orders
+),
+b AS (SELECT MAX(ck) // 8 AS g_ck_lo, MAX(ck) // 4 AS g_ck_hi, COUNT(*) AS n_rows FROM o),
+ob AS (
+  SELECT o.*, b.g_ck_lo AS ck_lo, b.g_ck_hi AS ck_hi, {zexpr} AS zk
+  FROM o CROSS JOIN b
+)
+SELECT * FROM (
+{census("ob", "zk, o_orderkey", "zorder")}
+UNION ALL
+{census("ob", "day_n, o_orderkey", "linear")}
+) ORDER BY layout
+"""
+
+
+ZORDER_SKIPPING_CENSUS_ORACLE = _zorder_census_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction plan (best-fit-decreasing to a derived target)
+
+COMPACT_FILE_BUCKETS = 4
+COMPACT_GROUP = 128
+
+
+def compaction_plan(t: dict[str, DataFrame]) -> DataFrame:
+    """Small-file compaction planning (Delta OPTIMIZE / Iceberg
+    rewrite_data_files, as a plan you can read): the per-(source,
+    lang, id-bucket) file census of ``documents`` is BFD-packed into
+    merge bins of capacity ``2 × max(file_bytes)`` — a DATA-DERIVED
+    target, so the planner engages identically at any SF instead of
+    degenerating when files outgrow a fixed constant.
+
+    Returns the full witness — every file with its assigned
+    ``bin_id`` — not just bin totals, so the differential checks the
+    exact greedy placement. The file's OWN key columns (source, lang,
+    bkt) are the BFD tiebreak and ride inside the fold — no surrogate
+    file id and no join-back against the ranked frame (a join-back
+    re-evaluates the whole two-phase rank subtree once per branch;
+    the oracle keeps its fid purely as SQL bookkeeping — ROW_NUMBER
+    over (file_bytes, source, lang, bkt) makes (file_bytes DESC, fid)
+    the same total order as (file_bytes DESC, source, lang, bkt))."""
+    files = (
+        t["documents"]
+        .groupBy(
+            "source",
+            "lang",
+            F.pmod(F.col("doc_id"), F.lit(COMPACT_FILE_BUCKETS))
+            .cast("long")
+            .alias("bkt"),
+        )
+        .agg(F.sum("n_chars").cast("long").alias("file_bytes"))
+    )
+    cap = files.agg((F.lit(2) * F.max("file_bytes")).cast("long").alias("_capc"))
+    packed = layout.bfd_bins(
+        files.crossJoin(F.broadcast(cap)),
+        size_col="file_bytes",
+        capacity="_capc",
+        tiebreak=["source", "lang", "bkt"],
+        group_size=COMPACT_GROUP,
+    )
+    return packed.select("source", "lang", "bkt", "file_bytes", "bin_id").orderBy(
+        "source", "lang", "bkt"
+    )
+
+
+def _compaction_plan_oracle() -> str:
+    g = COMPACT_GROUP
+    return f"""
+WITH RECURSIVE files AS (
+  SELECT source, lang, CAST(doc_id % {COMPACT_FILE_BUCKETS} AS BIGINT) AS bkt,
+         CAST(SUM(n_chars) AS BIGINT) AS file_bytes
+  FROM documents GROUP BY source, lang, doc_id % {COMPACT_FILE_BUCKETS}
+),
+cap AS (SELECT 2 * MAX(file_bytes) AS c FROM files),
+rid AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY file_bytes, source, lang, bkt) AS fid
+  FROM files
+),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY file_bytes DESC, fid) AS rnk FROM rid
+),
+gi AS MATERIALIZED (
+  SELECT CAST((rnk - 1) // {g} AS BIGINT) AS grp,
+         list(struct_pack(rnk := rnk, id := fid, sz := file_bytes) ORDER BY rnk) AS items
+  FROM rk GROUP BY 1
+),
+bfd AS (
+  SELECT grp, 0 AS i, []::BIGINT[] AS loads,
+         []::STRUCT(id BIGINT, sz BIGINT, bin BIGINT)[] AS outs
+  FROM gi
+  UNION ALL
+  SELECT grp, i + 1,
+    CASE WHEN bsti IS NULL
+      THEN loads || [itsz]
+      ELSE list_transform(generate_series(1, len(loads)),
+             x -> CASE WHEN x = bsti THEN loads[x] + itsz ELSE loads[x] END)
+    END,
+    outs || [struct_pack(id := itid, sz := itsz,
+                         bin := coalesce(bsti, len(loads) + 1))]
+  FROM (
+    SELECT b.grp, b.i, b.loads, b.outs,
+           g.items[b.i + 1].id AS itid,
+           g.items[b.i + 1].sz AS itsz,
+           list_sort(list_filter(list_transform(generate_series(1, len(b.loads)),
+               x -> struct_pack(negnl := -(b.loads[x] + g.items[b.i + 1].sz),
+                                i := CAST(x AS BIGINT))),
+             cc -> -cc.negnl <= cap.c))[1].i AS bsti
+    FROM bfd b JOIN gi g USING (grp) CROSS JOIN cap WHERE b.i < len(g.items)
+  )
+),
+fin AS (
+  SELECT b.grp, unnest(b.outs) AS o
+  FROM bfd b JOIN gi g USING (grp) WHERE b.i = len(g.items)
+)
+SELECT r.source, r.lang, r.bkt, r.file_bytes,
+       CAST(grp * {g} + o.bin - 1 AS BIGINT) AS bin_id
+FROM fin JOIN rid r ON o.id = r.fid
+ORDER BY source, lang, bkt
+"""
+
+
+COMPACTION_PLAN_ORACLE = _compaction_plan_oracle()

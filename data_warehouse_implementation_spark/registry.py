@@ -27,6 +27,7 @@ from .plans import (
     etl,
     graph_queries,
     ingest_queries,
+    layout_queries,
     llm_queries,
     quality_queries,
     scale_queries,
@@ -91,7 +92,7 @@ def oracle_sql() -> dict[str, str]:
 # immediately after the must-run rows (the 50 slots are fully
 # occupied by flagship + never-checked + the whole r8 cohort).
 #
-# Position 51+ holds, in order: the SEVEN deferred round-12 additions
+# Position 51+ holds, in order: the TEN deferred round-12 additions
 # (never driver-checked — still "new" by the integrity test, so they
 # stay must-run), the two impl-changed bpe promotions, then the
 # refresh order (remaining r9-stale rows, r10, r11). Round-13 note:
@@ -174,6 +175,9 @@ _DRIVER_WINDOW = [
     "doc_language_confusion",
     "embedding_decontaminate",
     "training_sequences_text",
+    "corpus_mix_temperature",
+    "zorder_skipping_census",
+    "compaction_plan",
     "bpe_fertility_by_lang",
     "bpe_token_stats",
     "avg_qty_gated_revenue_sql",
@@ -1163,4 +1167,22 @@ register(
     "xml_scan_agg",
     ingest_queries.xml_scan_agg,
     ingest_queries.XML_SCAN_AGG_ORACLE,
+)
+
+register(
+    "corpus_mix_temperature",
+    corpus_queries.corpus_mix_temperature,
+    corpus_queries.CORPUS_MIX_TEMPERATURE_ORACLE,
+)
+
+register(
+    "zorder_skipping_census",
+    layout_queries.zorder_skipping_census,
+    layout_queries.ZORDER_SKIPPING_CENSUS_ORACLE,
+)
+
+register(
+    "compaction_plan",
+    layout_queries.compaction_plan,
+    layout_queries.COMPACTION_PLAN_ORACLE,
 )
