@@ -822,3 +822,97 @@ def prefix_hot_token_stats(
         F.sum(F.when(hot, 0).otherwise(F.col("dfreq"))).cast("long").alias("cand_bound_capped"),
         F.max("dfreq").cast("long").alias("max_probe_df"),
     )
+
+
+def split_lines(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Explode a document into its trimmed, non-empty lines with
+    1-based positions: ``(id_col, line_no, line)``. The shared line
+    definition for every line-grain operator (:func:`dedup_lines`,
+    ``text.c4_line_clean`` keeps its lines in-row but applies the
+    identical split-trim-drop-empties semantics) — change it in one
+    place or nowhere. ``trim`` strips SPACES only, deliberately:
+    Spark's and DuckDB's ``trim`` share that default, so oracles
+    replay the identical line set with the identical builtin.
+    Map-side only."""
+    arr = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(arr).alias("_p0", "line")
+    ).select(id_col, (F.col("_p0") + 1).cast("long").alias("line_no"), "line")
+
+
+def dedup_lines(
+    df: DataFrame,
+    min_occurrences: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hashed: bool = False,
+) -> DataFrame:
+    """CCNet/Dolma-style corpus-wide duplicate LINE removal — the
+    paragraph-grain dedup layer between document-level near-dup and
+    token-level exact-substring dedup: boilerplate lines (cookie
+    banners, navigation chrome, shared footers) repeat across MANY
+    documents while each host document is unique, so no document-grain
+    method can touch them.
+
+    Policy (deterministic, engine-replayable): lines compare by their
+    LOWERCASED text; a line occurring ``min_occurrences``-or-more
+    times corpus-wide survives only at its canonical occurrence — the
+    corpus-wide minimum ``(doc_id, line_no)``, the same
+    first-occurrence discipline as ``corpus.substring_dedup``. Unique
+    lines always survive. Returns one row per document that has at
+    least one line: ``(id_col, n_lines, n_kept, n_dropped_dup,
+    cleaned_text)`` with kept lines rejoined by newline in original
+    order (a fully-deduped document comes back with ``n_kept = 0`` and
+    an empty ``cleaned_text``).
+
+    Scale shape: one line explode (map-side), one aggregate on the
+    line key carrying ``(count, min(doc, line_no))`` — mergeable
+    partials, so AQE map-side combine applies — one equi-join back,
+    and per-doc reassembly via ``array_sort`` on collected
+    ``(line_no, line)`` structs, never an ordered shuffle. No windows.
+    ``hashed=True`` replaces the line-text join key with
+    ``xxhash64(lower(line))`` so the census and join shuffle 8-byte
+    keys instead of line strings — the production mode at corpus
+    scale, same trade as ``shingle_ids(hashed=True)``; the default
+    exact mode exists for bit-exact cross-engine oracle replay
+    (pytest pins the two modes equal)."""
+    lines = split_lines(df, text_col=text_col, id_col=id_col)
+    key = (
+        F.xxhash64(F.lower(F.col("line")))
+        if hashed
+        else F.lower(F.col("line"))
+    )
+    keyed = lines.withColumn("_k", key)
+    census = keyed.groupBy("_k").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.min(F.struct(F.col(id_col), F.col("line_no"))).alias("_canon"),
+    )
+    kept = keyed.join(census, on="_k").withColumn(
+        "_keep",
+        (F.col("_cnt") < F.lit(int(min_occurrences)))
+        | (F.struct(F.col(id_col), F.col("line_no")) == F.col("_canon")),
+    )
+    return kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.col("_keep").cast("long")).cast("long").alias("n_kept"),
+        F.sum((~F.col("_keep")).cast("long")).cast("long").alias("n_dropped_dup"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_keep"),
+                            F.struct(F.col("line_no"), F.col("line")),
+                        )
+                    )
+                ),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("cleaned_text"),
+    )

@@ -2337,3 +2337,180 @@ ORDER BY doc_id, token"""
 
 
 BPE_ENCODE_BYTE_FALLBACK_ORACLE = _bpe_byte_fallback_oracle(BPE_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# Line-grain cleaning (round 12): CCNet/Dolma duplicate-line removal and
+# the real line-by-line C4 algorithm. The synthetic corpus has no
+# newlines (the repetition tests already document this), so — exactly
+# like the byte-fallback probes — both queries run on a DETERMINISTIC
+# lined probe built in SQL from the corpus itself, constructed so every
+# rule engages at every SF: an 8-word terminated line (clean), a 2-word
+# unterminated fragment, a constant boilerplate line carrying the word
+# 'javascript' (corpus-wide duplicate AND a C4 line reject), the
+# block-head's 6-word line shared by each block of ten documents
+# (cross-document duplicate), plus sparse 'lorem ipsum' / curly-brace
+# lines and a lines-removed variant so every document gate fires too.
+
+LINED_BLOCK = 10
+LINED_BOILER = "enable javascript to view this page."
+LINED_LOREM_MOD = 97
+LINED_CURLY_MOD = 89
+LINED_SPARSE_MOD = 101
+C4_MIN_KEPT_LINES = 2
+
+
+def _lined_probe(docs: DataFrame) -> DataFrame:
+    from ..operators import text as text_ops
+
+    warr = docs.select("doc_id", text_ops.words("text").alias("_arr"))
+    heads = warr.filter(F.col("doc_id") % LINED_BLOCK == 0).select(
+        F.col("doc_id").alias("_hk"),
+        F.concat(F.array_join(F.slice("_arr", 1, 6), " "), F.lit(".")).alias(
+            "_l4"
+        ),
+    )
+    w = (
+        warr.withColumn("_hk", F.col("doc_id") - F.col("doc_id") % LINED_BLOCK)
+        .join(heads, on="_hk", how="left")
+        .select(
+            "doc_id",
+            F.concat(F.array_join(F.slice("_arr", 1, 8), " "), F.lit(".")).alias(
+                "_l1"
+            ),
+            F.array_join(F.slice("_arr", 9, 2), " ").alias("_l2"),
+            F.lit(LINED_BOILER).alias("_l3"),
+            F.coalesce("_l4", F.lit("")).alias("_l4"),
+        )
+    )
+    parts = F.when(
+        F.col("doc_id") % LINED_SPARSE_MOD == 0,
+        F.array("_l2", "_l3"),
+    ).otherwise(F.array("_l1", "_l2", "_l3", "_l4"))
+    parts = F.concat(
+        parts,
+        F.when(
+            F.col("doc_id") % LINED_LOREM_MOD == 0,
+            F.array(F.lit("lorem ipsum dolor sit amet.")),
+        ).otherwise(F.array().cast("array<string>")),
+        F.when(
+            F.col("doc_id") % LINED_CURLY_MOD == 0,
+            F.array(F.lit("config { debug }")),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    return w.select("doc_id", F.array_join(parts, "\n").alias("text"))
+
+
+_LINED_PROBE_SQL = rf"""
+warr AS MATERIALIZED (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS arr
+  FROM documents
+),
+probe AS MATERIALIZED (
+  SELECT w.doc_id,
+         array_to_string(
+           CASE WHEN w.doc_id % {LINED_SPARSE_MOD} = 0
+                THEN [w.l2, w.l3]
+                ELSE [w.l1, w.l2, w.l3, coalesce(h.l4, '')] END
+           || CASE WHEN w.doc_id % {LINED_LOREM_MOD} = 0
+                THEN ['lorem ipsum dolor sit amet.'] ELSE []::VARCHAR[] END
+           || CASE WHEN w.doc_id % {LINED_CURLY_MOD} = 0
+                THEN ['config {{ debug }}'] ELSE []::VARCHAR[] END,
+           chr(10)) AS text
+  FROM (
+    SELECT doc_id,
+           array_to_string(arr[1:8], ' ') || '.' AS l1,
+           array_to_string(arr[9:10], ' ') AS l2,
+           '{LINED_BOILER}' AS l3
+    FROM warr
+  ) w
+  LEFT JOIN (
+    SELECT doc_id AS hk, array_to_string(arr[1:6], ' ') || '.' AS l4
+    FROM warr WHERE doc_id % {LINED_BLOCK} = 0
+  ) h ON h.hk = w.doc_id - w.doc_id % {LINED_BLOCK}
+),
+plines AS MATERIALIZED (
+  SELECT doc_id, CAST(t.i AS BIGINT) AS line_no, larr[CAST(t.i AS INT)] AS line
+  FROM (
+    SELECT doc_id,
+           list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                       x -> x <> '') AS larr
+    FROM probe
+  ), UNNEST(range(1, len(larr) + 1)) AS t(i)
+)"""
+
+
+def doc_line_dedup(t: dict[str, DataFrame]) -> DataFrame:
+    """Corpus-wide duplicate-line removal over the lined probe
+    (``dedup.dedup_lines``, CCNet/Dolma paragraph dedup): the constant
+    boilerplate line survives only at its corpus-wide first
+    ``(doc_id, line_no)``, each block-head line survives once per
+    corpus (not per block — any corpus-wide repeat counts), unique
+    lines pass through. Full witness: per document line counts and
+    the rejoined cleaned text."""
+    from ..operators import dedup
+
+    return dedup.dedup_lines(_lined_probe(t["documents"])).orderBy("doc_id")
+
+
+DOC_LINE_DEDUP_ORACLE = rf"""
+WITH {_LINED_PROBE_SQL.strip()},
+marked AS (
+  SELECT doc_id, line_no, line,
+         COUNT(*) OVER (PARTITION BY lower(line)) AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY lower(line) ORDER BY doc_id, line_no) AS rn
+  FROM plines
+),
+kept AS (SELECT *, (cnt < 2 OR rn = 1) AS keep FROM marked)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped_dup,
+       coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY line_no), '')
+         AS cleaned_text
+FROM kept GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def doc_c4_line_clean(t: dict[str, DataFrame]) -> DataFrame:
+    """The line-by-line C4 algorithm over the lined probe
+    (``text.c4_line_clean``): terminal-punctuation / min-words /
+    javascript line rules, then the lorem-ipsum, curly-brace, and
+    too-few-kept-lines document gates (``min_kept_lines=2`` — the
+    probe builds two clean lines per ordinary document, so both
+    sides of the gate appear at every SF). Full witness per document:
+    line accounting, verdict, and the cleaned text."""
+    from ..operators import text as text_ops
+
+    return text_ops.c4_line_clean(
+        _lined_probe(t["documents"]), min_kept_lines=C4_MIN_KEPT_LINES
+    ).orderBy("doc_id")
+
+
+DOC_C4_LINE_CLEAN_ORACLE = rf"""
+WITH {_LINED_PROBE_SQL.strip()},
+judged AS (
+  SELECT doc_id, line_no, line,
+         (right(line, 1) IN ('.', '!', '?', '"')
+          AND len(list_filter(regexp_split_to_array(lower(line), '\s+'), w -> w <> '')) >= 3
+          AND NOT list_contains(
+                list_filter(regexp_split_to_array(lower(line), '\s+'), w -> w <> ''),
+                'javascript')) AS ok
+  FROM plines
+),
+per AS (
+  SELECT j.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_lines,
+         coalesce(string_agg(CASE WHEN ok THEN line END, chr(10) ORDER BY line_no), '')
+           AS cleaned_text
+  FROM judged j GROUP BY j.doc_id
+)
+SELECT p.doc_id, p.n_lines, p.n_kept_lines,
+       CASE WHEN contains(lower(pr.text), 'lorem ipsum') THEN 'lorem_ipsum'
+            WHEN contains(lower(pr.text), '{{') THEN 'curly_brace'
+            WHEN p.n_kept_lines < {C4_MIN_KEPT_LINES} THEN 'too_few_lines'
+            ELSE 'kept' END AS verdict,
+       p.cleaned_text
+FROM per p JOIN probe pr USING (doc_id) ORDER BY p.doc_id
+"""

@@ -235,3 +235,144 @@ ORDER BY source, lang, bkt
 
 
 COMPACTION_PLAN_ORACLE = _compaction_plan_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Layout advisor: rank candidate sort orders by measured skipping
+
+ADVISOR_ZORDER_COARSE_BITS = 8
+
+
+def layout_advisor_report(t: dict[str, DataFrame]) -> DataFrame:
+    """The sort-order DECISION, made by measurement instead of folklore:
+    four candidate layouts for ``orders`` — the two single-column
+    linear orders, the 16-bit Morton interleave, and a deliberately
+    coarse 8-bit interleave (the classic over-quantization mistake:
+    masking a key wider than the bit budget aliases distant values
+    into the same cell) — each written as ``ZORDER_N_FILES`` files and
+    scored by the SAME box-predicate skipping census as
+    :func:`zorder_skipping_census`. Output: one row per candidate
+    with its census and its rank by files scanned (ties break by
+    name), ``rank 1`` = the layout a table owner should declare.
+
+    Scale: each candidate costs one two-phase rank + one file-grain
+    aggregate over the same cached scan; candidates are independent
+    branches of one plan, so a 100-TB advisor run is exactly four
+    layout passes — embarrassingly parallel, no cross-candidate
+    shuffle. The final rank is a window over four rows."""
+    o = t["orders"].select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("ck"),
+        F.datediff(F.to_date("o_orderdate"), F.to_date(F.lit(ZORDER_EPOCH)))
+        .cast("long")
+        .alias("day_n"),
+    )
+    bounds = o.agg(F.max("ck").alias("_ckmax"))
+    o2 = (
+        o.crossJoin(F.broadcast(bounds))
+        .withColumn("_ck_lo", F.expr("_ckmax div 8"))
+        .withColumn("_ck_hi", F.expr("_ckmax div 4"))
+        .drop("_ckmax")
+    )
+    preds = [
+        ("ck", F.col("_ck_lo"), F.col("_ck_hi")),
+        ("day_n", F.lit(ZORDER_DAY_LO).cast("long"), F.lit(ZORDER_DAY_HI).cast("long")),
+    ]
+    zf = scalar.zorder_key([F.col("ck"), F.col("day_n")], bits=ZORDER_BITS)
+    zc = scalar.zorder_key(
+        [F.col("ck"), F.col("day_n")], bits=ADVISOR_ZORDER_COARSE_BITS
+    )
+    candidates = {
+        "linear_day": o2.withColumn("_o", F.col("day_n")),
+        "linear_custkey": o2.withColumn("_o", F.col("ck")),
+        "zorder16_ck_day": o2.withColumn("_o", zf),
+        "zorder8_ck_day": o2.withColumn("_o", zc),
+    }
+    censuses = [
+        layout.skipping_census(
+            layout.assign_files(df, ["_o", "o_orderkey"], ZORDER_N_FILES),
+            "file_id",
+            preds,
+            name,
+        )
+        for name, df in candidates.items()
+    ]
+    u = censuses[0]
+    for c in censuses[1:]:
+        u = u.unionByName(c)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("files_scanned", "layout")  # four rows — trivially tiny
+    return (
+        u.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select(
+            "rank",
+            "layout",
+            "n_files",
+            "files_scanned",
+            "rows_scanned",
+            "rows_matched",
+            "scan_pct",
+        )
+        .orderBy("rank")
+    )
+
+
+def _layout_advisor_oracle() -> str:
+    zf = scalar.zorder_key_sql(["ck", "day_n"], bits=ZORDER_BITS)
+    zc = scalar.zorder_key_sql(
+        ["ck", "day_n"], bits=ADVISOR_ZORDER_COARSE_BITS
+    )
+    n = ZORDER_N_FILES
+
+    def census(order_by: str, name: str) -> str:
+        return f"""
+SELECT '{name}' AS layout,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(sc) AS BIGINT) AS files_scanned,
+       CAST(SUM(sc * rows_) AS BIGINT) AS rows_scanned,
+       CAST(SUM(sc * mt) AS BIGINT) AS rows_matched,
+       CAST((100 * SUM(sc * rows_)) // SUM(rows_) AS BIGINT) AS scan_pct
+FROM (
+  SELECT file_id, COUNT(*) AS rows_,
+         CASE WHEN MAX(ck) >= MIN(ck_lo) AND MIN(ck) <= MIN(ck_hi)
+               AND MAX(day_n) >= {ZORDER_DAY_LO} AND MIN(day_n) <= {ZORDER_DAY_HI}
+              THEN 1 ELSE 0 END AS sc,
+         SUM(CASE WHEN ck BETWEEN ck_lo AND ck_hi
+                   AND day_n BETWEEN {ZORDER_DAY_LO} AND {ZORDER_DAY_HI}
+                  THEN 1 ELSE 0 END) AS mt
+  FROM (
+    SELECT s.*, (ROW_NUMBER() OVER (ORDER BY {order_by}) - 1)
+                  // ((b.n_rows + {n} - 1) // {n}) AS file_id
+    FROM ob s CROSS JOIN b
+  ) GROUP BY file_id
+)"""
+
+    return f"""
+WITH o AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+         CAST(o_custkey AS BIGINT) AS ck,
+         CAST(date_diff('day', DATE '{ZORDER_EPOCH}', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_n
+  FROM orders
+),
+b AS (SELECT MAX(ck) // 8 AS g_ck_lo, MAX(ck) // 4 AS g_ck_hi, COUNT(*) AS n_rows FROM o),
+ob AS (
+  SELECT o.*, b.g_ck_lo AS ck_lo, b.g_ck_hi AS ck_hi
+  FROM o CROSS JOIN b
+),
+cen AS (
+{census("day_n, o_orderkey", "linear_day")}
+UNION ALL
+{census("ck, o_orderkey", "linear_custkey")}
+UNION ALL
+{census(zf + ", o_orderkey", "zorder16_ck_day")}
+UNION ALL
+{census(zc + ", o_orderkey", "zorder8_ck_day")}
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY files_scanned, layout) AS BIGINT) AS rank,
+       layout, n_files, files_scanned, rows_scanned, rows_matched, scan_pct
+FROM cen ORDER BY rank
+"""
+
+
+LAYOUT_ADVISOR_REPORT_ORACLE = _layout_advisor_oracle()

@@ -92,7 +92,7 @@ def oracle_sql() -> dict[str, str]:
 # immediately after the must-run rows (the 50 slots are fully
 # occupied by flagship + never-checked + the whole r8 cohort).
 #
-# Position 51+ holds, in order: the TEN deferred round-12 additions
+# Position 51+ holds, in order: the THIRTEEN deferred round-12 additions
 # (never driver-checked — still "new" by the integrity test, so they
 # stay must-run), the two impl-changed bpe promotions, then the
 # refresh order (remaining r9-stale rows, r10, r11). Round-13 note:
@@ -178,6 +178,9 @@ _DRIVER_WINDOW = [
     "corpus_mix_temperature",
     "zorder_skipping_census",
     "compaction_plan",
+    "doc_line_dedup",
+    "doc_c4_line_clean",
+    "layout_advisor_report",
     "bpe_fertility_by_lang",
     "bpe_token_stats",
     "avg_qty_gated_revenue_sql",
@@ -1185,4 +1188,22 @@ register(
     "compaction_plan",
     layout_queries.compaction_plan,
     layout_queries.COMPACTION_PLAN_ORACLE,
+)
+
+register(
+    "doc_line_dedup",
+    corpus_queries.doc_line_dedup,
+    corpus_queries.DOC_LINE_DEDUP_ORACLE,
+)
+
+register(
+    "doc_c4_line_clean",
+    corpus_queries.doc_c4_line_clean,
+    corpus_queries.DOC_C4_LINE_CLEAN_ORACLE,
+)
+
+register(
+    "layout_advisor_report",
+    layout_queries.layout_advisor_report,
+    layout_queries.LAYOUT_ADVISOR_REPORT_ORACLE,
 )

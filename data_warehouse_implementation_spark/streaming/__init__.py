@@ -21,6 +21,9 @@ from .pipelines import (  # noqa: F401
     interval_join_stream,
     ivf_admission_sink,
     ivf_state_topk,
+    line_census_from_state,
+    line_census_sink,
+    dedup_lines_against_state,
     normalize_event_ts,
     quantiles_from_state,
     rollup_hour_sink,

@@ -1605,3 +1605,138 @@ def word_table_from_state(catalog: WarehouseCatalog, prefix: str) -> DataFrame:
         .groupBy("word")
         .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
+
+
+def line_census_sink(
+    stream: DataFrame,
+    catalog: WarehouseCatalog,
+    prefix: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Streaming duplicate-line census collector (round 12, the
+    streaming twin of ``dedup.dedup_lines``): each micro-batch
+    collapses to per-line-key partials — ``(key, cnt,
+    canon_doc, canon_line)`` where the canonical is the batch-local
+    minimum ``(doc_id, line_no)`` — appended to ``{prefix}_lines``
+    with the batch id. Counts merge by ADDITION and canonicals by MIN,
+    the same mergeable-partial discipline as the CMS cells / hour
+    partials / word counts, so the corpus-wide dedup decision for ANY
+    document set can be replayed on demand from state
+    (:func:`dedup_lines_against_state`) without rescanning the
+    ingested corpus. Per batch: one line explode + a line-vocab-scale
+    aggregate; state grows with distinct (batch, line) pairs.
+    Replay-idempotent per ``batch_id`` exactly like
+    ``word_count_sink``."""
+    from ..operators.dedup import split_lines
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        partial = (
+            split_lines(batch, text_col=text_col, id_col=id_col)
+            .withColumn("key", F.lower(F.col("line")))
+            .groupBy("key")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("cnt"),
+                F.min(F.struct(F.col(id_col), F.col("line_no"))).alias("_c"),
+            )
+            .select(
+                "key",
+                "cnt",
+                F.col(f"_c.{id_col}").alias("canon_doc"),
+                F.col("_c.line_no").alias("canon_line"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        tbl = f"{prefix}_lines"
+        if catalog.exists(tbl):
+            catalog.delete_where(tbl, f"batch_id = {int(batch_id)}")
+            catalog.insert_into(tbl, partial)
+        else:
+            catalog.write(tbl, partial)
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def line_census_from_state(catalog: WarehouseCatalog, prefix: str) -> DataFrame:
+    """Merged ``(key, cnt, canon_doc, canon_line)`` from the line
+    collector state. Defense in depth vs sink replays as everywhere:
+    partials first collapse to one row per (batch_id, key) by max —
+    batch content is deterministic, so a duplicate append restores the
+    single-append state — then counts add and canonicals take the
+    cross-batch MIN (the corpus-wide first occurrence regardless of
+    which batch carried it)."""
+    state = catalog.table(f"{prefix}_lines")
+    return (
+        state.groupBy("batch_id", "key")
+        .agg(
+            F.max("cnt").alias("cnt"),
+            F.min(F.struct("canon_doc", "canon_line")).alias("_c"),
+        )
+        .groupBy("key")
+        .agg(
+            F.sum("cnt").cast("long").alias("cnt"),
+            F.min("_c").alias("_c"),
+        )
+        .select(
+            "key",
+            "cnt",
+            F.col("_c.canon_doc").alias("canon_doc"),
+            F.col("_c.canon_line").alias("canon_line"),
+        )
+    )
+
+
+def dedup_lines_against_state(
+    docs: DataFrame,
+    census: DataFrame,
+    min_occurrences: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Replay ``dedup.dedup_lines`` decisions for ``docs`` against a
+    corpus-wide census (:func:`line_census_from_state`): a line drops
+    iff it reaches ``min_occurrences`` corpus-wide AND this occurrence
+    is not the corpus-wide canonical. Applied to the full ingested
+    corpus this EQUALS the one-shot batch ``dedup_lines`` (parity
+    test, including duplicates that cross batch boundaries); applied
+    to a fresh slice it makes the same keep/drop calls the full batch
+    job would, without rescanning history. Same output contract as
+    the batch operator."""
+    from ..operators.dedup import split_lines
+
+    lines = split_lines(docs, text_col=text_col, id_col=id_col).withColumn(
+        "key", F.lower(F.col("line"))
+    )
+    kept = lines.join(census, on="key", how="left").withColumn(
+        "_keep",
+        (F.coalesce(F.col("cnt"), F.lit(0)) < F.lit(int(min_occurrences)))
+        | (
+            (F.col(id_col) == F.col("canon_doc"))
+            & (F.col("line_no") == F.col("canon_line"))
+        ),
+    )
+    return kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.col("_keep").cast("long")).cast("long").alias("n_kept"),
+        F.sum((~F.col("_keep")).cast("long")).cast("long").alias("n_dropped_dup"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_keep"),
+                            F.struct(F.col("line_no"), F.col("line")),
+                        )
+                    )
+                ),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("cleaned_text"),
+    )

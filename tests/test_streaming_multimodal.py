@@ -1979,3 +1979,71 @@ def test_clusters_from_state_parity_and_replay_idempotence(spark, tmp_dir):
         for r in streaming.clusters_from_state(cat, "ccs").collect()
     }
     assert again == got
+
+
+def test_line_census_sink_parity_and_replay(spark, tmp_dir):
+    """Round 12: the streaming duplicate-line census — dedup decisions
+    replayed from two-batch state must equal the one-shot batch
+    dedup_lines on the concatenated stream, INCLUDING a duplicate that
+    only exists across the batch boundary (neither batch sees both
+    copies); a duplicate-append of a batch's partials is absorbed by
+    the (batch_id, key) collapse; and the cross-batch canonical is the
+    corpus-wide minimum even when the later batch carries the smaller
+    (doc_id, line_no)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_warehouse_implementation_spark.operators import dedup
+
+    # doc 9 arrives in batch 0 but doc 1 (batch 1) is the canonical
+    # owner of "cross batch dup"; "shared footer" repeats within and
+    # across batches; "only here" stays unique.
+    b0 = [
+        (9, "cross batch dup\nshared footer"),
+        (10, "shared footer\nonly here"),
+    ]
+    b1 = [
+        (1, "cross batch dup\nunique tail"),
+        (12, "shared footer"),
+    ]
+    src = os.path.join(tmp_dir, "lc_src")
+    os.makedirs(src)
+    for i, rows in enumerate([b0, b1]):
+        p = os.path.join(src, f"b{i}.parquet")
+        pq.write_table(
+            pa.table({"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]}), p
+        )
+        os.utime(p, (1_700_000_000 + 60 * i,) * 2)
+    cat = WarehouseCatalog(spark, os.path.join(tmp_dir, "lc_wh"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming.line_census_sink(
+        stream, cat, "lc", checkpoint=os.path.join(tmp_dir, "ckpt_lc")
+    )
+    q.awaitTermination()
+
+    docs = spark.createDataFrame(b0 + b1, "doc_id long, text string")
+    census = streaming.line_census_from_state(cat, "lc")
+    got = {
+        r.doc_id: tuple(r)[1:]
+        for r in streaming.dedup_lines_against_state(docs, census).collect()
+    }
+    want = {r.doc_id: tuple(r)[1:] for r in dedup.dedup_lines(docs).collect()}
+    assert got == want
+    # the cross-batch dup dropped from doc 9 (batch 0) because doc 1
+    # (batch 1) owns the corpus-wide canonical
+    assert want[9][3] == "shared footer" and want[1][3].startswith("cross batch dup")
+
+    # duplicate-append of batch 0's partials is absorbed
+    state = cat.table("lc_lines")
+    cat.insert_into("lc_lines", state.filter("batch_id = 0"))
+    again = {
+        r.doc_id: tuple(r)[1:]
+        for r in streaming.dedup_lines_against_state(
+            docs, streaming.line_census_from_state(cat, "lc")
+        ).collect()
+    }
+    assert again == want

@@ -74,6 +74,16 @@ SCALE_SENSITIVE = [
     "bpe_encode_byte_fallback",
     # threshold verdicts against a 4x-larger corpus-side cosine field
     "embedding_decontaminate",
+    # round 12 layout/line additions: rank-block file boundaries, BFD
+    # bin layouts, and the advisor's ranking all shift with row count;
+    # line-dedup collisions and the temperature rates are driven by
+    # corpus-wide frequencies that grow 10x
+    "zorder_skipping_census",
+    "compaction_plan",
+    "layout_advisor_report",
+    "corpus_mix_temperature",
+    "doc_line_dedup",
+    "doc_c4_line_clean",
 ]
 
 SF_DIR = "/root/testdata/sf0.1"
