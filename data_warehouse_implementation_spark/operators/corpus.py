@@ -1666,3 +1666,138 @@ def length_bucketed_batches(
         )
         .select(id_col, "n_tokens", "len_bucket", "batch_idx")
     )
+
+
+def quantile_buckets(
+    df: DataFrame,
+    key_col: str,
+    score_col: str,
+    n_buckets: int = 3,
+    id_col: str = "doc_id",
+    labels: list[str] | None = None,
+) -> DataFrame:
+    """Per-key score-quantile bucketing — CCNet's head/middle/tail
+    selection (Wenzek et al. 2020 cut each language's corpus into
+    perplexity terciles and train on the head): within every
+    ``key_col`` group, rank by ``score_col`` DESC and assign
+    ``bucket_ix = ((rank - 1) * n_buckets) div group_size`` — exact
+    integer arithmetic, so the cuts are replayed bit-for-bit and every
+    group splits into ``n_buckets`` contiguous score bands whose sizes
+    differ by at most one.
+
+    Ranking delegates to :func:`cap_per_key` in priority mode with an
+    unreachable cap — the engine's ONE per-key rank implementation
+    (two-phase: hash-bucketed within-group windows + per-key offset
+    fold), so a 10^8-document language parallelizes instead of
+    serializing on a single partition window. Ties in ``score_col``
+    break by the same partition-invariant id hash as every keep/drop
+    decision in this module. Group sizes join back as a broadcast
+    (#keys rows).
+
+    Returns the input rows plus ``key_rank``, ``bucket_ix`` and — when
+    ``labels`` is given (len == n_buckets) — a ``bucket`` name
+    column."""
+    ranked = cap_per_key(
+        df, key_col, max_docs=1 << 62, id_col=id_col, priority_col=score_col
+    )
+    totals = df.groupBy(key_col).agg(F.count(F.lit(1)).cast("long").alias("_kn"))
+    out = ranked.join(F.broadcast(totals), on=key_col).withColumn(
+        "bucket_ix",
+        F.expr(f"((key_rank - 1) * {int(n_buckets)}) div _kn").cast("long"),
+    )
+    if labels is not None:
+        if len(labels) != int(n_buckets):
+            raise ValueError(
+                f"labels must have n_buckets={n_buckets} entries, got {len(labels)}"
+            )
+        out = out.withColumn(
+            "bucket",
+            F.element_at(
+                F.array(*[F.lit(x) for x in labels]), F.col("bucket_ix").cast("int") + 1
+            ),
+        )
+    return out.drop("_kn")
+
+
+def mixture_schedule(
+    df: DataFrame,
+    epochs: int,
+    start_weights: dict[str, int],
+    end_weights: dict[str, int],
+    token_budget: int,
+    default_weight: int = 1,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Multi-phase pretraining mixture SCHEDULE — the two-recipe
+    annealing real curricula run (e.g. a web-heavy early phase fading
+    into a curated-heavy final phase): per epoch ``e`` of ``epochs``,
+    each source's unnormalized weight is the exact integer
+    interpolation
+
+        w_e = start · (E−1−e) + end · e            (E = epochs)
+
+    — at ``e=0`` the start recipe times (E−1), at ``e=E−1`` the end
+    recipe times (E−1), linear in between; the common (E−1) factor
+    cancels through the weight-sum normalization, so rates are pure
+    int64 ratios and the whole schedule replays bit-for-bit.
+
+    Per epoch the keep decision is the module's hash acceptance with
+    an EPOCH-SALTED multiplier (``SPLIT_A + 2·e`` — still a universal
+    hash for every epoch since the multiplier never hits 0 mod P), so
+    epochs draw independent samples the way a per-epoch reshuffle
+    would, instead of nesting (a doc kept at 20% would otherwise be a
+    strict subset of the 30% epoch's keeps). Same scale shape as
+    :func:`mix_sources`: per-source totals once, the per-(epoch,
+    source) rate grid is #sources × epochs rows joined back by
+    broadcast, one corpus pass per epoch via one explode of the epoch
+    sequence. Returns kept (epoch, doc) rows with ``n_tokens``,
+    ``weight_num``, ``rate_pct``."""
+    E = int(epochs)
+    if E < 2:
+        raise ValueError("mixture_schedule needs epochs >= 2 (one recipe: use mix_sources)")
+    base = df.withColumn("n_tokens", F.size(words(text_col)).cast("long"))
+    totals = base.groupBy(strata_col).agg(F.sum("n_tokens").alias("_tot"))
+    def weight_of(weights: dict[str, int]) -> Column:
+        # an empty recipe means "uniform at default_weight" — and an
+        # empty create_map() is VOID-typed, so special-case it
+        if not weights:
+            return F.lit(int(default_weight))
+        m = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+        return F.coalesce(m[F.col(strata_col)], F.lit(int(default_weight)))
+
+    grid = (
+        totals.select(
+            strata_col,
+            "_tot",
+            weight_of(start_weights).cast("long").alias("_ws"),
+            weight_of(end_weights).cast("long").alias("_we"),
+        )
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.lit(E - 1))))
+        .withColumn(
+            "weight_num",
+            (F.col("_ws") * (E - 1 - F.col("epoch")) + F.col("_we") * F.col("epoch"))
+            .cast("long"),
+        )
+    )
+    wsum = grid.groupBy("epoch").agg(F.sum("weight_num").alias("_wsum"))
+    grid = (
+        grid.join(F.broadcast(wsum), on="epoch")
+        .withColumn(
+            "rate_pct",
+            F.expr(
+                f"least(cast(100 as bigint), "
+                f"(cast({int(token_budget)} as bigint) * 100 * weight_num)"
+                f" div (_wsum * _tot))"
+            ),
+        )
+        .select(strata_col, "epoch", "weight_num", "rate_pct")
+    )
+    h = (
+        (F.col(id_col) % HASH_P) * (F.lit(SPLIT_A) + 2 * F.col("epoch")) + SPLIT_B
+    ) % HASH_P
+    return (
+        base.join(F.broadcast(grid), on=strata_col)
+        .filter((h % 100) < F.col("rate_pct"))
+    )

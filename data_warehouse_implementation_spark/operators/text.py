@@ -651,3 +651,151 @@ def c4_line_clean(
         .alias("verdict"),
         F.array_join("_kept", "\n").alias("cleaned_text"),
     )
+
+
+#: Luhn checksum over a 16-character digit string ``{c}`` (SQL fragment
+#: shared by the operator and interpolated — with DuckDB spellings — by
+#: the oracles): positions are 1-based left-to-right, doubling applies
+#: to odd positions (= every second digit from the right for length 16),
+#: two-digit doubles fold by subtracting 9. Pure int32 arithmetic.
+LUHN16_SQL = (
+    "aggregate(sequence(1, 16), 0, (s, i) -> s + (CASE WHEN i % 2 = 1"
+    " THEN if(2 * cast(substring({c}, i, 1) as int) > 9,"
+    " 2 * cast(substring({c}, i, 1) as int) - 9,"
+    " 2 * cast(substring({c}, i, 1) as int))"
+    " ELSE cast(substring({c}, i, 1) as int) END)) % 10 = 0"
+)
+
+
+def luhn_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    placeholder: str = "<CARD>",
+) -> DataFrame:
+    """Checksum-VALIDATED card-number scrubbing — the PII layer naive
+    regex redaction cannot express: a 16-digit run is only redacted
+    when its Luhn checksum passes (ISO/IEC 7812 — every real PAN
+    validates), so order ids, timestamps packed as digits, and other
+    16-digit noise survive while actual card-shaped PII is removed.
+    This checksum gate is what production PII taggers (e.g. Dolma's)
+    add over plain pattern lists to kill the false-positive flood.
+
+    Per document: extract every 16-digit candidate run, validate each
+    with the shared :data:`LUHN16_SQL` fold, and fold the VALID ones
+    over the text with plain string replacement. Returns
+    ``(id_col, n_candidates, n_valid, redacted_text)`` — candidates
+    that fail the checksum are counted but left untouched, the
+    accounting a pipeline owner audits.
+
+    ONE map-side pass: candidates, checksums, and the replacement fold
+    all run in-row on arrays (``regexp_extract_all`` → ``filter`` →
+    ``aggregate``); nothing explodes, nothing shuffles. Scope is
+    deliberately exact-16 (the dominant PAN length); extending to
+    13-19 digits is a candidate-regex change, not an algorithm
+    change."""
+    cands = F.expr(f"regexp_extract_all({text_col}, '[0-9]{{16}}', 0)")
+    base = df.withColumn("_cands", cands).withColumn(
+        "_valid", F.expr("filter(_cands, c -> " + LUHN16_SQL.format(c="c") + ")")
+    )
+    return base.select(
+        F.col(id_col),
+        F.size("_cands").cast("long").alias("n_candidates"),
+        F.size("_valid").cast("long").alias("n_valid"),
+        F.expr(
+            f"aggregate(_valid, {text_col}, (acc, c) -> replace(acc, c, '{placeholder}'))"
+        ).alias("redacted_text"),
+    )
+
+
+WINNOW_CHAR_MULT = 131
+WINNOW_GRAM_MULT = 1009
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 4,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS local fingerprinting scheme): hash every word
+    k-gram, slide a window of ``window`` consecutive gram hashes, and
+    select each window's MINIMUM (rightmost on ties — the paper's
+    robust-winnowing rule, which also makes selection deterministic).
+    The guarantee: any shared token run of length >= window + k - 1
+    between two documents shares at least one selected fingerprint, at
+    an expected density of 2/(window+1) — sub-document overlap
+    detection with a tunable, bounded sketch, where the whole-doc
+    :func:`fingerprint` only answers exact-equality.
+
+    Portable arithmetic end to end: token hash = character fold
+    ``h -> (h*131 + codepoint) % HASH_P``, gram hash = token-hash fold
+    with multiplier 1009, all int64 mod 2^31-1 — the DuckDB oracle
+    replays every hash, window argmin, and tie-break bit-for-bit (no
+    xxhash64, which the oracle engine lacks).
+
+    ONE map-side pass and ONE expression: the token-hash, gram-hash,
+    and selection stages chain through :func:`_bind1` lambda bindings,
+    never through projection aliases — Catalyst's CollapseProject
+    inlines an alias that a downstream higher-order lambda references,
+    and an inlined array expression is RE-EVALUATED on every lambda
+    element access, turning the O(grams x window) scan cubic
+    (measured on this exact operator at sf0.1: 78s aliased vs ~2s
+    bound). Nothing explodes, nothing shuffles. Returns one row per
+    document with at least ``window + k - 1`` tokens (the shortest
+    run that fills one window): ``(id_col, n_tokens, n_grams,
+    fingerprints)`` where ``fingerprints`` is the array of DISTINCT
+    selected ``(pos, hash)`` structs in position order."""
+    P = 2_147_483_647
+    th_of = (
+        f"transform(arr, t -> aggregate(sequence(1, length(t)), cast(0 as bigint),"
+        f" (h, i) -> (h * {WINNOW_CHAR_MULT} + ascii(substring(t, i, 1))) % {P}))"
+    )
+    gh_of = (
+        f"transform(sequence(1, size(th) - {k} + 1), s ->"
+        f" aggregate(slice(th, s, {k}), cast(0 as bigint),"
+        f" (g, x) -> (g * {WINNOW_GRAM_MULT} + x) % {P}))"
+    )
+    # rightmost min per window: fold over structs (hash asc, -pos asc);
+    # gh is a BOUND lambda variable, so element_at is O(1) array access
+    sel = (
+        f"transform(sequence(1, size(gh) - {window} + 1), s ->"
+        f" aggregate(sequence(s, s + {window} - 1),"
+        f" cast(null as struct<h: bigint, negp: bigint>),"
+        f" (best, j) -> CASE WHEN best IS NULL"
+        f"   OR element_at(gh, j) < best.h"
+        f"   OR (element_at(gh, j) = best.h AND -j < best.negp)"
+        f"  THEN struct(element_at(gh, j) as h, cast(-j as bigint) as negp)"
+        f"  ELSE best END))"
+    )
+    fps = _bind1(
+        words_sql(text_col),
+        "arr",
+        _bind1(
+            th_of,
+            "th",
+            _bind1(
+                gh_of,
+                "gh",
+                f"transform(array_sort(array_distinct(transform({sel},"
+                f" x -> cast(-x.negp as bigint) * 2147483648 + x.h))),"
+                f" p -> struct(p div 2147483648 as pos, p % 2147483648 as hash))",
+            ),
+        ),
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.size(words(text_col)).cast("long").alias("n_tokens"),
+            F.expr(fps).alias("fingerprints"),
+        )
+        .filter(F.col("n_tokens") >= int(k) + int(window) - 1)
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("n_tokens") - int(k) + 1).cast("long").alias("n_grams"),
+            "fingerprints",
+        )
+    )

@@ -2514,3 +2514,380 @@ SELECT p.doc_id, p.n_lines, p.n_kept_lines,
        p.cleaned_text
 FROM per p JOIN probe pr USING (doc_id) ORDER BY p.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Luhn-validated card scrubbing (round 12): checksum-gated PII removal
+
+LUHN_PROBE_MULT = 7919
+LUHN_PROBE_ADD = 12345
+
+
+def _luhn15_partial(b: str, engine: str) -> str:
+    """Checksum partial sum over the first 15 digits of a 16-digit
+    number under construction (doubling pattern for final length 16:
+    odd 1-based positions double). ``engine``: 'spark' | 'duck'."""
+    d = f"CAST(substring({b}, i, 1) AS INT)"
+    term = (
+        f"CASE WHEN i % 2 = 1 THEN CASE WHEN 2 * {d} > 9"
+        f" THEN 2 * {d} - 9 ELSE 2 * {d} END ELSE {d} END"
+    )
+    if engine == "spark":
+        return f"aggregate(sequence(1, 15), 0, (s, i) -> s + ({term}))"
+    return f"list_sum(list_transform(generate_series(1, 15), i -> {term}))"
+
+
+def _luhn_probe(docs: DataFrame) -> DataFrame:
+    """The probe text: append one Luhn-VALID and one Luhn-INVALID
+    16-digit number per document — the check digit is COMPUTED by the
+    engine itself from a deterministic 15-digit base, so the probe
+    exercises the checksum formula on both sides before the scrubber
+    ever runs; the invalid twin differs only in its last digit (any
+    digit other than the true check digit fails the checksum)."""
+    b = F.expr(
+        f"lpad(CAST((doc_id * {LUHN_PROBE_MULT} + {LUHN_PROBE_ADD})"
+        f" % 1000000000000000 AS STRING), 15, '0')"
+    )
+    chk = F.expr(f"(10 - ({_luhn15_partial('_b', 'spark')} % 10)) % 10")
+    return (
+        docs.select("doc_id", "text", b.alias("_b"))
+        .withColumn("_chk", chk)
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" card "),
+                F.col("_b"),
+                F.col("_chk").cast("string"),
+                F.lit(" ref "),
+                F.col("_b"),
+                ((F.col("_chk") + 1) % 10).cast("string"),
+            ).alias("text"),
+        )
+    )
+
+
+def doc_pii_luhn(t: dict[str, DataFrame]) -> DataFrame:
+    """Checksum-validated card scrubbing (``text.luhn_scrub``) over the
+    Luhn probe: exactly two 16-digit candidates per document, one
+    valid and one failing the checksum — the scrubber must redact the
+    valid one, count both, and leave the invalid one in the text (the
+    false-positive class a naive always-redact regex would destroy).
+    The oracle recomputes the check digit, the candidate extraction,
+    the per-candidate checksum, and the replacement fold."""
+    from ..operators import text as text_ops
+
+    return text_ops.luhn_scrub(_luhn_probe(t["documents"])).orderBy("doc_id")
+
+
+def _luhn_oracle() -> str:
+    d16 = "CAST(substring(c, i, 1) AS INT)"
+    term16 = (
+        f"CASE WHEN i % 2 = 1 THEN CASE WHEN 2 * {d16} > 9"
+        f" THEN 2 * {d16} - 9 ELSE 2 * {d16} END ELSE {d16} END"
+    )
+    luhn16 = (
+        f"list_sum(list_transform(generate_series(1, 16), i -> {term16})) % 10 = 0"
+    )
+    return f"""
+WITH based AS (
+  SELECT doc_id, text,
+         lpad(CAST((doc_id * {LUHN_PROBE_MULT} + {LUHN_PROBE_ADD})
+              % 1000000000000000 AS VARCHAR), 15, '0') AS b
+  FROM documents
+),
+probe AS (
+  SELECT doc_id,
+         text || ' card ' || b || CAST(chk AS VARCHAR)
+              || ' ref ' || b || CAST((chk + 1) % 10 AS VARCHAR) AS t
+  FROM (SELECT doc_id, text, b,
+               (10 - ({_luhn15_partial("b", "duck")} % 10)) % 10 AS chk
+        FROM based)
+),
+scr AS (
+  SELECT doc_id, t,
+         regexp_extract_all(t, '[0-9]{{16}}') AS cands,
+         list_filter(regexp_extract_all(t, '[0-9]{{16}}'), c -> {luhn16}) AS valid
+  FROM probe
+)
+SELECT doc_id,
+       CAST(len(cands) AS BIGINT) AS n_candidates,
+       CAST(len(valid) AS BIGINT) AS n_valid,
+       list_reduce(list_prepend(t, valid),
+                   (acc, c) -> replace(acc, c, '<CARD>')) AS redacted_text
+FROM scr ORDER BY doc_id
+"""
+
+
+DOC_PII_LUHN_ORACLE = _luhn_oracle()
+
+
+# ---------------------------------------------------------------------------
+# CCNet head/middle/tail perplexity bucketing (round 12)
+
+
+def doc_ccnet_buckets(t: dict[str, DataFrame]) -> DataFrame:
+    """CCNet's quality-selection step end to end (Wenzek et al. 2020):
+    score every document with the Stupid-Backoff LM
+    (``corpus.lm_backoff_score`` — same config as ``doc_lm_backoff``),
+    then cut EACH LANGUAGE into score terciles
+    (``corpus.quantile_buckets``): head = the best third a pipeline
+    keeps, tail = the third it drops. Witness: the per-(lang, bucket)
+    census with the bucket's score band — docs, transitions, and the
+    lo/hi scores whose boundaries ARE the cut decision."""
+    from . import materialize
+
+    docs = t["documents"]
+    # the per-key rank's three branches (within-window, bucket counts,
+    # group totals) would each re-derive the LM-score subtree (~3x the
+    # scoring cost, measured); cache the doc-scale scored frame once
+    # (S7 pattern — #docs rows of four scalars)
+    j = materialize.get_or_build(
+        "ccnet_scored_docs",
+        str(docs.semanticHash()),
+        lambda: docs.select("doc_id", "lang").join(
+            corpus.lm_backoff_score(docs, min_count=LM_MIN_COUNT), "doc_id"
+        ),
+    )
+    b = corpus.quantile_buckets(
+        j,
+        key_col="lang",
+        score_col="lm_score",
+        n_buckets=3,
+        labels=["head", "middle", "tail"],
+    )
+    return (
+        b.groupBy("lang", "bucket_ix", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_transitions").cast("long").alias("sum_transitions"),
+            F.min("lm_score").alias("lo_score"),
+            F.max("lm_score").alias("hi_score"),
+        )
+        .orderBy("lang", "bucket_ix")
+    )
+
+
+DOC_CCNET_BUCKETS_ORACLE = rf"""
+WITH {_TOKS_SQL.strip().rstrip()},
+tok AS (SELECT doc_id, unnest(arr) AS token FROM toks),
+c1 AS (SELECT token, COUNT(*) AS c1 FROM tok GROUP BY token),
+tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS T FROM c1),
+big AS (
+  SELECT doc_id, arr[i] AS w1, arr[i+1] AS w2
+  FROM toks, UNNEST(range(1, len(arr))) AS t(i)
+  WHERE len(arr) >= 2
+),
+c2 AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2
+  HAVING COUNT(*) >= {LM_MIN_COUNT}
+),
+scored AS (
+  SELECT big.doc_id,
+         CAST(CASE WHEN c2.c2 IS NOT NULL
+              THEN CAST(c2.c2 AS DOUBLE) / CAST(u1.c1 AS DOUBLE)
+              ELSE CAST(2 * u2.c1 AS DOUBLE) / CAST(5 * tot.T AS DOUBLE)
+              END AS DECIMAL(28,12)) AS term
+  FROM big
+  LEFT JOIN c2 ON c2.w1 = big.w1 AND c2.w2 = big.w2
+  JOIN c1 u1 ON u1.token = big.w1
+  JOIN c1 u2 ON u2.token = big.w2
+  CROSS JOIN tot
+),
+docscore AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_transitions,
+         CAST(SUM(term) AS DOUBLE) / COUNT(*) AS lm_score
+  FROM scored GROUP BY doc_id
+),
+j AS (
+  SELECT d.lang, s.doc_id, s.n_transitions, s.lm_score
+  FROM docscore s JOIN documents d USING (doc_id)
+),
+r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY lm_score DESC,
+                    ((doc_id % {HASH_P}) * {SPLIT_A} + {SPLIT_B}) % {HASH_P},
+                    doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY lang) AS kn
+  FROM j
+),
+b AS (SELECT lang, n_transitions, lm_score, ((rk - 1) * 3) // kn AS bix FROM r)
+SELECT lang, CAST(bix AS BIGINT) AS bucket_ix,
+       CASE bix WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_transitions) AS BIGINT) AS sum_transitions,
+       MIN(lm_score) AS lo_score,
+       MAX(lm_score) AS hi_score
+FROM b GROUP BY lang, bix ORDER BY lang, bix
+"""
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (round 12): MOSS-style local fingerprint census
+
+WINNOW_K = 4
+WINNOW_WINDOW = 4
+
+
+def doc_winnow_census(t: dict[str, DataFrame]) -> DataFrame:
+    """Winnowing fingerprint census (``text.winnow_fingerprints``,
+    Schleimer et al. 2003): per document the k-gram count, the number
+    of DISTINCT selected fingerprints, the integer selection density
+    (guaranteed expectation 2/(window+1) ≈ 40% at window 4), and the
+    first selected (pos, hash) pair — a value-level witness that the
+    window argmin and the rightmost-tie rule picked the same grams on
+    both engines, not just the same count."""
+    from ..operators import text as text_ops
+
+    fp = text_ops.winnow_fingerprints(
+        t["documents"], k=WINNOW_K, window=WINNOW_WINDOW
+    )
+    return fp.select(
+        "doc_id",
+        "n_tokens",
+        "n_grams",
+        F.size("fingerprints").cast("long").alias("n_fingerprints"),
+        F.expr("(100 * size(fingerprints)) div n_grams").alias("density_pct"),
+        F.expr("fingerprints[0].pos").alias("first_pos"),
+        F.expr("fingerprints[0].hash").alias("first_hash"),
+    ).orderBy("doc_id")
+
+
+def _winnow_oracle() -> str:
+    from ..operators.text import WINNOW_CHAR_MULT, WINNOW_GRAM_MULT
+
+    P = 2_147_483_647
+    k, w = WINNOW_K, WINNOW_WINDOW
+    th = (
+        "list_transform(arr, t -> list_reduce("
+        "list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, length(t)),"
+        " i -> CAST(ascii(substring(t, CAST(i AS INT), 1)) AS BIGINT))),"
+        f" (h, c) -> (h * {WINNOW_CHAR_MULT} + c) % {P}))"
+    )
+    gh = (
+        f"list_transform(generate_series(1, len(arr) - {k} + 1), s -> list_reduce("
+        f"list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(s, s + {k} - 1),"
+        " j -> th[CAST(j AS INT)])),"
+        f" (g, x) -> (g * {WINNOW_GRAM_MULT} + x) % {P}))"
+    )
+    sel = (
+        f"list_transform(generate_series(1, len(gh) - {w} + 1), s -> list_reduce("
+        f"list_transform(generate_series(s, s + {w} - 1),"
+        " j -> struct_pack(h := gh[CAST(j AS INT)], negp := -j)),"
+        " (b, x) -> CASE WHEN x.h < b.h OR (x.h = b.h AND x.negp < b.negp)"
+        " THEN x ELSE b END))"
+    )
+    return f"""
+WITH toksw AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS arr
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, arr, {th} AS th
+  FROM toksw WHERE len(arr) >= {k}
+),
+grams AS (
+  SELECT doc_id, CAST(len(arr) AS BIGINT) AS n_tokens, {gh} AS gh
+  FROM hashed
+),
+selw AS (
+  -- (pos, hash) packed injectively as pos * 2^31 + hash (hash < 2^31),
+  -- because DuckDB's list_distinct is unimplemented for struct lists;
+  -- packed order == (pos, hash) lexicographic order
+  SELECT doc_id, n_tokens, CAST(len(gh) AS BIGINT) AS n_grams,
+         list_sort(list_distinct(list_transform({sel},
+           x -> CAST(-x.negp AS BIGINT) * 2147483648 + x.h))) AS fps
+  FROM grams WHERE len(gh) >= {w}
+)
+SELECT doc_id, n_tokens, n_grams,
+       CAST(len(fps) AS BIGINT) AS n_fingerprints,
+       CAST((100 * len(fps)) // n_grams AS BIGINT) AS density_pct,
+       fps[1] // 2147483648 AS first_pos,
+       fps[1] % 2147483648 AS first_hash
+FROM selw ORDER BY doc_id
+"""
+
+
+DOC_WINNOW_CENSUS_ORACLE = _winnow_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Mixture schedule (round 12): two-recipe annealed data curriculum
+
+SCHED_EPOCHS = 3
+SCHED_START = {"src0": 5, "src1": 3}
+SCHED_END: dict[str, int] = {}
+SCHED_BUDGET = 5000
+
+
+def corpus_mixture_schedule(t: dict[str, DataFrame]) -> DataFrame:
+    """Annealed mixture census (``corpus.mixture_schedule``): epoch 0
+    runs the weighted recipe ``src0:5, src1:3, rest 1`` (the same
+    recipe as ``corpus_mix_sources``), the final epoch runs uniform
+    weights, the middle epoch the exact integer midpoint. Witness: the
+    per-(epoch, source) grid — interpolated weight numerator, applied
+    rate, kept docs and tokens — the table that shows the web-heavy
+    shares FADING toward uniform as the schedule advances."""
+    kept = corpus.mixture_schedule(
+        t["documents"],
+        epochs=SCHED_EPOCHS,
+        start_weights=SCHED_START,
+        end_weights=SCHED_END,
+        token_budget=SCHED_BUDGET,
+    )
+    return (
+        kept.groupBy("epoch", "source", "weight_num", "rate_pct")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        .orderBy("epoch", "source")
+    )
+
+
+def _mixture_schedule_oracle() -> str:
+    E = SCHED_EPOCHS
+    sw = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in SCHED_START.items()
+    )
+    sw_case = f"CASE source {sw} ELSE 1 END" if SCHED_START else "1"
+    ew = " ".join(f"WHEN '{k}' THEN {v}" for k, v in SCHED_END.items())
+    ew_case = f"CASE source {ew} ELSE 1 END" if SCHED_END else "1"
+    return f"""
+WITH base AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+tot AS (SELECT source, SUM(n_tokens) AS tt FROM base GROUP BY source),
+grid AS (
+  SELECT source, tt, e.epoch,
+         CAST(({sw_case}) * ({E} - 1 - e.epoch)
+              + ({ew_case}) * e.epoch AS BIGINT) AS weight_num
+  FROM tot, (SELECT unnest(generate_series(0, {E} - 1)) AS epoch) e
+),
+ws AS (SELECT epoch, SUM(weight_num) AS wsum FROM grid GROUP BY epoch),
+rated AS (
+  SELECT g.source, g.epoch, g.weight_num,
+         CAST(least(CAST(100 AS BIGINT),
+               (CAST({SCHED_BUDGET} AS BIGINT) * 100 * g.weight_num)
+                 // (w.wsum * g.tt)) AS BIGINT) AS rate_pct
+  FROM grid g JOIN ws w USING (epoch)
+),
+kept AS (
+  SELECT b.doc_id, b.n_tokens, r.source, r.epoch, r.weight_num, r.rate_pct
+  FROM base b JOIN rated r ON b.source = r.source
+  WHERE ((b.doc_id % {HASH_P}) * ({SPLIT_A} + 2 * r.epoch) + {SPLIT_B})
+          % {HASH_P} % 100 < r.rate_pct
+)
+SELECT epoch, source, weight_num, rate_pct,
+       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+FROM kept GROUP BY epoch, source, weight_num, rate_pct
+ORDER BY epoch, source
+"""
+
+
+CORPUS_MIXTURE_SCHEDULE_ORACLE = _mixture_schedule_oracle()

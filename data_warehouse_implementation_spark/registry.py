@@ -92,7 +92,7 @@ def oracle_sql() -> dict[str, str]:
 # immediately after the must-run rows (the 50 slots are fully
 # occupied by flagship + never-checked + the whole r8 cohort).
 #
-# Position 51+ holds, in order: the THIRTEEN deferred round-12 additions
+# Position 51+ holds, in order: the SEVENTEEN deferred round-12 additions
 # (never driver-checked — still "new" by the integrity test, so they
 # stay must-run), the two impl-changed bpe promotions, then the
 # refresh order (remaining r9-stale rows, r10, r11). Round-13 note:
@@ -181,6 +181,10 @@ _DRIVER_WINDOW = [
     "doc_line_dedup",
     "doc_c4_line_clean",
     "layout_advisor_report",
+    "doc_pii_luhn",
+    "doc_ccnet_buckets",
+    "doc_winnow_census",
+    "corpus_mixture_schedule",
     "bpe_fertility_by_lang",
     "bpe_token_stats",
     "avg_qty_gated_revenue_sql",
@@ -1206,4 +1210,28 @@ register(
     "layout_advisor_report",
     layout_queries.layout_advisor_report,
     layout_queries.LAYOUT_ADVISOR_REPORT_ORACLE,
+)
+
+register(
+    "doc_pii_luhn",
+    corpus_queries.doc_pii_luhn,
+    corpus_queries.DOC_PII_LUHN_ORACLE,
+)
+
+register(
+    "doc_ccnet_buckets",
+    corpus_queries.doc_ccnet_buckets,
+    corpus_queries.DOC_CCNET_BUCKETS_ORACLE,
+)
+
+register(
+    "doc_winnow_census",
+    corpus_queries.doc_winnow_census,
+    corpus_queries.DOC_WINNOW_CENSUS_ORACLE,
+)
+
+register(
+    "corpus_mixture_schedule",
+    corpus_queries.corpus_mixture_schedule,
+    corpus_queries.CORPUS_MIXTURE_SCHEDULE_ORACLE,
 )

@@ -1740,3 +1740,79 @@ def dedup_lines_against_state(
             "\n",
         ).alias("cleaned_text"),
     )
+
+
+def file_census_sink(
+    stream: DataFrame,
+    catalog: WarehouseCatalog,
+    prefix: str,
+    checkpoint: str,
+    key_cols: list[str] | None = None,
+    bytes_col: str = "n_chars",
+):
+    """Streaming small-file census collector (round 12, the streaming
+    twin of the ``compaction_plan`` input): each micro-batch collapses
+    to per-file-key byte partials — ``(key_cols..., file_bytes)``
+    merging by ADDITION, the same mergeable-partial discipline as the
+    CMS cells / hour / word / line partials — appended to
+    ``{prefix}_files`` with the batch id. A continuously-ingesting
+    table can then plan compaction ON DEMAND from the standing census
+    (:func:`compaction_plan_from_state` → ``layout.bfd_bins``) without
+    re-listing or re-scanning ingested data — the lakehouse OPTIMIZE
+    loop. Replay-idempotent per ``batch_id``."""
+    keys = key_cols if key_cols is not None else ["source", "lang"]
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        partial = (
+            batch.groupBy(*keys)
+            .agg(F.sum(bytes_col).cast("long").alias("file_bytes"))
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        tbl = f"{prefix}_files"
+        if catalog.exists(tbl):
+            catalog.delete_where(tbl, f"batch_id = {int(batch_id)}")
+            catalog.insert_into(tbl, partial)
+        else:
+            catalog.write(tbl, partial)
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def compaction_plan_from_state(
+    catalog: WarehouseCatalog,
+    prefix: str,
+    key_cols: list[str] | None = None,
+    group_size: int = 128,
+):
+    """BFD compaction plan over the standing streaming file census:
+    merge the per-batch byte partials (collapse per (batch_id, key) by
+    max for replay defense, then add across batches — identical
+    discipline to ``word_table_from_state``), derive the
+    ``2 × max(file_bytes)`` capacity from the merged census, and run
+    the SAME ``layout.bfd_bins`` fold the batch ``compaction_plan``
+    query runs. Parity: over a fully-ingested stream this EQUALS the
+    one-shot plan on the concatenated input (pytest, including a file
+    key whose bytes arrive split across batches)."""
+    from ..operators import layout
+
+    keys = key_cols if key_cols is not None else ["source", "lang"]
+    state = catalog.table(f"{prefix}_files")
+    census = (
+        state.groupBy("batch_id", *keys)
+        .agg(F.max("file_bytes").alias("file_bytes"))
+        .groupBy(*keys)
+        .agg(F.sum("file_bytes").cast("long").alias("file_bytes"))
+    )
+    cap = census.agg((F.lit(2) * F.max("file_bytes")).cast("long").alias("_capc"))
+    return layout.bfd_bins(
+        census.crossJoin(F.broadcast(cap)),
+        size_col="file_bytes",
+        capacity="_capc",
+        tiebreak=keys,
+        group_size=group_size,
+    )

@@ -1296,3 +1296,107 @@ def test_sequences_text_materializes_every_chunk_exactly_once(spark):
                 assert r.n_tokens <= 64
         want = [w for i, n in enumerate(lens) for w in (f"w{i}x{j}" for j in range(n))]
         assert sorted(all_words) == sorted(want), method
+
+
+def test_quantile_buckets_matches_direct_window(spark):
+    """CCNet tercile bucketing (corpus.quantile_buckets) must equal the
+    direct single-window formulation — per-key rank by (score DESC,
+    id-hash, id), bucket = ((rank-1)*n) div group_size — and split
+    every group into bands whose sizes differ by at most one."""
+    rows = [
+        (i, ["a", "b", "c"][i % 3], float((i * 37) % 11) / 7.0) for i in range(83)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, k string, s double")
+    got = {
+        r.doc_id: (r.key_rank, r.bucket_ix, r.bucket)
+        for r in corpus.quantile_buckets(
+            df.repartition(7),
+            key_col="k",
+            score_col="s",
+            n_buckets=3,
+            labels=["head", "middle", "tail"],
+        ).collect()
+    }
+    from pyspark.sql.window import Window as W
+
+    h = ((F.col("doc_id") % corpus.HASH_P) * corpus.SPLIT_A + corpus.SPLIT_B) % corpus.HASH_P
+    direct = df.withColumn(
+        "rk",
+        F.row_number().over(W.partitionBy("k").orderBy(F.desc("s"), h, "doc_id")),
+    ).withColumn("kn", F.count(F.lit(1)).over(W.partitionBy("k")))
+    want = {}
+    for r in direct.collect():
+        bix = ((r.rk - 1) * 3) // r.kn
+        want[r.doc_id] = (r.rk, bix, ["head", "middle", "tail"][bix])
+    assert got == want
+    # band sizes differ by at most one within every key
+    from collections import Counter
+
+    sizes = Counter((rows[i][1], got[i][1]) for i in range(83))
+    for k in "abc":
+        ns = [sizes[(k, b)] for b in range(3)]
+        assert max(ns) - min(ns) <= 1, (k, ns)
+
+
+def test_quantile_buckets_label_arity_checked(spark):
+    df = spark.createDataFrame([(1, "a", 1.0)], "doc_id long, k string, s double")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="labels"):
+        corpus.quantile_buckets(
+            df, key_col="k", score_col="s", n_buckets=3, labels=["only", "two"]
+        )
+
+
+def test_mixture_schedule_interpolation_and_independence(spark):
+    """Weights interpolate exactly between the recipes, the final epoch
+    is uniform, rates cap at 100, and the epoch-salted hash draws
+    INDEPENDENT samples (not nested subsets) across epochs."""
+    rows = [(i, "web", "w " * 10) for i in range(300)] + [
+        (1000 + i, "books", "w " * 10) for i in range(15)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    kept = corpus.mixture_schedule(
+        df,
+        epochs=3,
+        start_weights={"web": 9},
+        end_weights={},
+        token_budget=2000,
+    )
+    grid = {
+        (r.epoch, r.source): (r.weight_num, r.rate_pct)
+        for r in kept.select("epoch", "source", "weight_num", "rate_pct")
+        .distinct()
+        .collect()
+    }
+    # E=3: epoch 0 = start*2, epoch 1 = start+end, epoch 2 = end*2
+    assert grid[(0, "web")][0] == 18 and grid[(0, "books")][0] == 2
+    assert grid[(1, "web")][0] == 10 and grid[(1, "books")][0] == 2
+    assert grid[(2, "web")][0] == 2 and grid[(2, "books")][0] == 2
+    # web: 300 docs x 10 tokens; books: 15 x 10. epoch0 rates:
+    # web = 2000*100*18 // (20*3000) = 60; books = 2000*100*2 // (20*150) = 133 -> cap 100
+    assert grid[(0, "web")][1] == 60 and grid[(0, "books")][1] == 100
+    # independence: epoch keep-sets must not be nested even where the
+    # later epoch's rate is lower (web: 60 -> 41 -> 16)
+    webs = {
+        e: {r.doc_id for r in kept.filter(f"epoch = {e} and source = 'web'").collect()}
+        for e in range(3)
+    }
+    assert grid[(1, "web")][1] < grid[(0, "web")][1]
+    assert webs[1] - webs[0], "epoch-1 keeps are a subset of epoch-0 — hash not salted"
+    # partition invariance
+    again = corpus.mixture_schedule(
+        df.repartition(11), epochs=3, start_weights={"web": 9},
+        end_weights={}, token_budget=2000,
+    )
+    got1 = sorted((r.epoch, r.doc_id) for r in kept.select("epoch", "doc_id").collect())
+    got2 = sorted((r.epoch, r.doc_id) for r in again.select("epoch", "doc_id").collect())
+    assert got1 == got2
+
+
+def test_mixture_schedule_rejects_single_epoch(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "a", "w")], "doc_id long, source string, text string")
+    with _pytest.raises(ValueError, match="epochs"):
+        corpus.mixture_schedule(df, epochs=1, start_weights={}, end_weights={}, token_budget=10)

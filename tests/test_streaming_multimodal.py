@@ -2047,3 +2047,78 @@ def test_line_census_sink_parity_and_replay(spark, tmp_dir):
         ).collect()
     }
     assert again == want
+
+
+def test_file_census_sink_compaction_parity(spark, tmp_dir):
+    """Round 12: the streaming small-file census — a BFD compaction
+    plan from two-batch state must equal the one-shot plan on the
+    concatenated stream, INCLUDING a file key whose bytes arrive split
+    across the batch boundary; duplicate-append absorbed by the
+    (batch_id, key) collapse."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_warehouse_implementation_spark.operators import layout
+
+    # key ('a','en') spans both batches; sizes chosen so BFD packs
+    # multiple bins under the derived 2*max capacity
+    b0 = [(1, "a", "en", 50), (2, "a", "de", 80), (3, "b", "en", 30)]
+    b1 = [(4, "a", "en", 40), (5, "b", "de", 120), (6, "c", "en", 10)]
+    src = os.path.join(tmp_dir, "fc_src")
+    os.makedirs(src)
+    for i, rows in enumerate([b0, b1]):
+        p = os.path.join(src, f"b{i}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": [r[0] for r in rows],
+                    "source": [r[1] for r in rows],
+                    "lang": [r[2] for r in rows],
+                    "n_chars": [r[3] for r in rows],
+                }
+            ),
+            p,
+        )
+        os.utime(p, (1_700_000_000 + 60 * i,) * 2)
+    cat = WarehouseCatalog(spark, os.path.join(tmp_dir, "fc_wh"))
+    stream = (
+        spark.readStream.schema("doc_id long, source string, lang string, n_chars long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming.file_census_sink(
+        stream, cat, "fc", checkpoint=os.path.join(tmp_dir, "ckpt_fc")
+    )
+    q.awaitTermination()
+
+    docs = spark.createDataFrame(
+        b0 + b1, "doc_id long, source string, lang string, n_chars long"
+    )
+    census = docs.groupBy("source", "lang").agg(
+        F.sum("n_chars").cast("long").alias("file_bytes")
+    )
+    cap = census.agg((F.lit(2) * F.max("file_bytes")).cast("long").alias("_capc"))
+    want = {
+        (r.source, r.lang): (r.file_bytes, r.bin_id)
+        for r in layout.bfd_bins(
+            census.crossJoin(F.broadcast(cap)),
+            size_col="file_bytes",
+            capacity="_capc",
+            tiebreak=["source", "lang"],
+        ).collect()
+    }
+    got = {
+        (r.source, r.lang): (r.file_bytes, r.bin_id)
+        for r in streaming.compaction_plan_from_state(cat, "fc").collect()
+    }
+    assert got == want
+    # the split key merged: ('a','en') = 50 + 40
+    assert want[("a", "en")][0] == 90
+    # duplicate-append of batch 0's partials is absorbed
+    state = cat.table("fc_files")
+    cat.insert_into("fc_files", state.filter("batch_id = 0"))
+    again = {
+        (r.source, r.lang): (r.file_bytes, r.bin_id)
+        for r in streaming.compaction_plan_from_state(cat, "fc").collect()
+    }
+    assert again == want

@@ -84,6 +84,14 @@ SCALE_SENSITIVE = [
     "corpus_mix_temperature",
     "doc_line_dedup",
     "doc_c4_line_clean",
+    # tercile cut points move with every score in the language at 10x;
+    # the Luhn probe grows 10x (and with it the candidate field)
+    "doc_ccnet_buckets",
+    "doc_pii_luhn",
+    # hash-collision and tie exposure grows with a 10x gram population
+    "doc_winnow_census",
+    # every epoch's rate grid rescales with the 10x per-source totals
+    "corpus_mixture_schedule",
 ]
 
 SF_DIR = "/root/testdata/sf0.1"
