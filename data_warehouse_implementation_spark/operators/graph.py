@@ -327,3 +327,190 @@ def label_propagation(
             .localCheckpoint(eager=False)
         )
     return labels
+
+
+def cooccurrence_edges(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    max_items_per_group: int | None = None,
+) -> DataFrame:
+    """Weighted item-item co-occurrence projection of a bipartite
+    (group, item) relation — the standard unipartite graph builder
+    (suppliers sharing a part, terms sharing a document, users sharing
+    a session): one undirected edge ``(s1 < s2, weight = #groups both
+    appear in)``.
+
+    Scale shape: ONE self-equi-join on the group key + one aggregate on
+    the pair — per-group work is C(k,2) for group size k, so the build
+    parallelizes across groups and only a pathological hot group hurts.
+    ``max_items_per_group`` is that guard: groups beyond the cap keep
+    only their ``cap`` smallest item ids (deterministic, replayable —
+    same discipline as the prefix-join df caps; pair truncation is a
+    recall trade the caller accounts for, never silent corruption of
+    surviving weights... except that a capped group DOES undercount
+    pairs touching its dropped items — which is why the cap defaults
+    OFF and the census query documents the natural bound instead)."""
+    pairs = df.select(F.col(group_col).alias("_g"), F.col(item_col).alias("_i")).distinct()
+    if max_items_per_group is not None:
+        from .relational import top_k_per_group
+
+        pairs = top_k_per_group(
+            pairs, ["_g"], [F.col("_i")], int(max_items_per_group)
+        )
+    a = pairs.select(F.col("_g"), F.col("_i").alias("s1"))
+    b = pairs.select(F.col("_g"), F.col("_i").alias("s2"))
+    return (
+        a.join(b, on="_g")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+    )
+
+
+def top_decile_edges(edges: DataFrame) -> DataFrame:
+    """Keep the strongest tenth of a weighted edge list — the standard
+    sparsification of a co-occurrence projection (raw co-occurrence
+    graphs are near-complete; analytics run on the strong-tie tail).
+    Exact integer rank arithmetic: edge rank r of n under the total
+    order (weight DESC, s1, s2) survives iff ``r * 10 <= n`` — a
+    deterministic, engine-replayable quantile cut via the two-phase
+    :func:`relational.global_rank` (never a single-task sort)."""
+    from .relational import global_rank
+
+    ranked = global_rank(
+        edges.withColumn("_negw", (-F.col("weight")).cast("long")),
+        ["_negw", "s1", "s2"],
+        "_rk",
+    )
+    n = edges.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .filter(F.col("_rk") * 10 <= F.col("_n"))
+        .drop("_negw", "_rk", "_n")
+    )
+
+
+def count_triangles(
+    edges: DataFrame, src: str = "s1", dst: str = "s2"
+) -> DataFrame:
+    """Exact per-node triangle counts over an undirected edge list
+    (``src < dst``, one row per edge) — the degree-ORIENTED algorithm
+    (Cohen 2009 / Suri-Vassilvitskii 2011 "MR node-iterator++"): orient
+    every edge from its (degree, id)-smaller endpoint, generate wedges
+    only from ORIENTED out-neighbor pairs, and close them against the
+    oriented edge list. Orientation bounds every out-degree by
+    O(sqrt(m)) regardless of hubs — the wedge volume a naive
+    neighbor-pair join would blow up on — and counts each triangle
+    exactly once (its (deg, id)-minimum apex generates the wedge).
+
+    Three joins + one aggregate, all on edge/wedge keys: degrees (one
+    aggregate, node-scale, broadcast), orientation (map-side after the
+    broadcast), the wedge self-join on the apex, and the closing
+    semi-join. The edge list and the oriented list are each consumed
+    by MULTIPLE downstream branches (degrees + orientation; wedge
+    sides + closure), so both take deferred ``localCheckpoint``
+    barriers — the pagerank discipline: without them each branch
+    recompiles the whole upstream projection subtree (measured: the
+    co-supply query compiled 327 exchanges instead of ~40). Returns
+    ``(node, n_triangles)`` for every node in at least one triangle;
+    the global count is ``sum / 3``."""
+    edges = edges.localCheckpoint(eager=False)
+    deg = (
+        edges.select(F.col(src).alias("node"))
+        .unionAll(edges.select(F.col(dst).alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    e = (
+        edges.select(src, dst)
+        .join(F.broadcast(deg.withColumnRenamed("node", src).withColumnRenamed("deg", "_d1")), on=src)
+        .join(F.broadcast(deg.withColumnRenamed("node", dst).withColumnRenamed("deg", "_d2")), on=dst)
+    )
+    fwd = F.struct(F.col("_d1"), F.col(src)) < F.struct(F.col("_d2"), F.col(dst))
+    oriented = e.select(
+        F.when(fwd, F.col(src)).otherwise(F.col(dst)).alias("u"),
+        F.when(fwd, F.col(dst)).otherwise(F.col(src)).alias("v"),
+        F.when(fwd, F.col("_d2")).otherwise(F.col("_d1")).alias("_dv"),
+    ).localCheckpoint(eager=False)
+    a = oriented.select(F.col("u"), F.col("v").alias("x"), F.col("_dv").alias("_dx"))
+    b = oriented.select(F.col("u"), F.col("v").alias("y"), F.col("_dv").alias("_dy"))
+    lo_first = F.struct(F.col("_dx"), F.col("x")) < F.struct(F.col("_dy"), F.col("y"))
+    wedges = (
+        a.join(b, on="u")
+        .filter(F.col("x") < F.col("y"))
+        .select(
+            "u",
+            F.when(lo_first, F.col("x")).otherwise(F.col("y")).alias("wu"),
+            F.when(lo_first, F.col("y")).otherwise(F.col("x")).alias("wv"),
+        )
+    )
+    tri = wedges.join(
+        oriented.select(F.col("u").alias("wu"), F.col("v").alias("wv")),
+        on=["wu", "wv"],
+        how="left_semi",
+    ).select("u", "wu", "wv")
+    return (
+        tri.select(F.explode(F.array("u", "wu", "wv")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+
+
+def core_numbers(
+    edges: DataFrame,
+    rounds: int = 8,
+    src: str = "s1",
+    dst: str = "s2",
+    iter_partitions: int | None = None,
+) -> DataFrame:
+    """k-core decomposition of an undirected edge list (``src < dst``)
+    by the h-index fixpoint iteration (Lü et al. 2016, "The H-index of
+    a network node"): start every node at its degree and repeatedly
+    replace each node's value with the H-INDEX of its neighbors'
+    values (the largest h with >= h neighbors valued >= h). The
+    sequence is pointwise non-increasing, bounded below by the true
+    core number, and converges to it exactly — the classic
+    coreness-peeling result without peeling's sequential dependency,
+    so every round is ONE join (values onto neighbor lists) + ONE
+    aggregate, the same synchronous-iteration shape as
+    :func:`pagerank` / label propagation, with the same deferred
+    ``localCheckpoint`` discipline between rounds.
+
+    ``rounds`` is FIXED (oracle-unrollable; the caller pins
+    convergence — on small-world co-occurrence graphs a handful of
+    rounds suffices, and a converged state is a fixpoint, so extra
+    rounds are idempotent, never wrong). The per-node h-index runs
+    in-row over the collected neighbor values — bound via
+    ``text._bind1``, NOT a projection alias (RUNBOOK §9: CollapseProject
+    re-evaluates aliased arrays per lambda element). Returns
+    ``(node, core)``."""
+    from .text import _bind1
+
+    und = (
+        _sized(
+            edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionAll(
+                edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+            ),
+            iter_partitions,
+        )
+        .localCheckpoint(eager=False)
+    )
+    core = und.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("val"))
+    h_expr = _bind1(
+        "array_sort(transform(_vs, x -> -x))",
+        "sd",
+        "cast(size(filter(transform(sequence(1, size(sd)),"
+        " i -> -element_at(sd, i) >= i), b -> b)) as bigint)",
+    )
+    for _ in range(int(rounds)):
+        nb = und.join(
+            core.select(F.col("u").alias("v"), F.col("val")), on="v"
+        ).select("u", "val")
+        core = (
+            nb.groupBy("u")
+            .agg(F.collect_list("val").alias("_vs"))
+            .select("u", F.expr(h_expr).alias("val"))
+            .localCheckpoint(eager=False)
+        )
+    return core.select(F.col("u").alias("node"), F.col("val").alias("core"))

@@ -226,3 +226,159 @@ GROUP BY label ORDER BY n_members DESC, community LIMIT {topk}
 
 
 PURCHASE_GRAPH_COMMUNITIES_ORACLE = _lpa_oracle(LPA_ITERATIONS, LPA_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Supplier co-supply triangles (round 12): bipartite projection ->
+# strong-tie sparsification -> degree-oriented exact triangle count
+
+
+def supplier_cosupply_triangles(t: dict[str, DataFrame]) -> DataFrame:
+    """Exact per-supplier triangle counts over the STRONG co-supply
+    graph: project (part, supplier) to weighted supplier-supplier
+    co-occurrence edges (``graph.cooccurrence_edges`` — the raw
+    projection is near-complete on this data, as every raw
+    co-occurrence graph is), keep the strongest decile
+    (``graph.top_decile_edges`` — exact integer rank cut), and count
+    triangles with the degree-oriented algorithm
+    (``graph.count_triangles`` — wedge volume bounded by O(sqrt(m))
+    out-degrees, each triangle counted once at its (deg, id)-minimum
+    apex). Non-vacuous at every SF (577 triangles at sf0.01, ~242k at
+    sf0.1). The oracle replays projection, rank cut, orientation,
+    wedge join, and closure."""
+    return (
+        graph.count_triangles(_strong_cosupply_edges(t))
+        .withColumnRenamed("node", "suppkey")
+        .orderBy("suppkey")
+    )
+
+
+def _strong_cosupply_edges(t: dict[str, DataFrame]) -> DataFrame:
+    """Session-cached strong co-supply edge list (S7 two-consumer rule
+    — both graph analytics, triangles and k-core, consume the same
+    sparsified projection; the projection self-join is the expensive
+    half). Edge rows are a tenth of the supplier-pair space — node
+    scale, not fact scale, so the default memory cache is right."""
+    li = t["lineitem"]
+
+    def build() -> DataFrame:
+        ps = li.select(
+            F.col("l_partkey").cast("long").alias("pk"),
+            F.col("l_suppkey").cast("long").alias("sk"),
+        )
+        return graph.top_decile_edges(graph.cooccurrence_edges(ps, "pk", "sk"))
+
+    return materialize.get_or_build(
+        "strong_cosupply_edges", str(li.semanticHash()), build
+    )
+
+
+SUPPLIER_COSUPPLY_TRIANGLES_ORACLE = """
+WITH ps AS (SELECT DISTINCT CAST(l_partkey AS BIGINT) AS g, CAST(l_suppkey AS BIGINT) AS i FROM lineitem),
+w AS (
+  SELECT a.i AS s1, b.i AS s2, CAST(COUNT(*) AS BIGINT) AS weight
+  FROM ps a JOIN ps b USING (g) WHERE a.i < b.i GROUP BY 1, 2
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY weight DESC, s1, s2) AS rk,
+         COUNT(*) OVER () AS n
+  FROM w
+),
+e AS (SELECT s1, s2 FROM r WHERE rk * 10 <= n),
+d AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM (SELECT s1 AS node FROM e UNION ALL SELECT s2 FROM e) GROUP BY node
+),
+o AS (
+  SELECT CASE WHEN (d1.deg, e.s1) < (d2.deg, e.s2) THEN e.s1 ELSE e.s2 END AS u,
+         CASE WHEN (d1.deg, e.s1) < (d2.deg, e.s2) THEN e.s2 ELSE e.s1 END AS v,
+         CASE WHEN (d1.deg, e.s1) < (d2.deg, e.s2) THEN d2.deg ELSE d1.deg END AS dv
+  FROM e JOIN d d1 ON d1.node = e.s1 JOIN d d2 ON d2.node = e.s2
+),
+wd AS (
+  SELECT a.u,
+         CASE WHEN (a.dv, a.v) < (b.dv, b.v) THEN a.v ELSE b.v END AS wu,
+         CASE WHEN (a.dv, a.v) < (b.dv, b.v) THEN b.v ELSE a.v END AS wv
+  FROM o a JOIN o b ON a.u = b.u AND a.v < b.v
+),
+tri AS (SELECT wd.u, wd.wu, wd.wv FROM wd JOIN o ON o.u = wd.wu AND o.v = wd.wv)
+SELECT node AS suppkey, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM (SELECT u AS node FROM tri UNION ALL SELECT wu FROM tri UNION ALL SELECT wv FROM tri)
+GROUP BY node ORDER BY suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition over the same strong co-supply graph
+
+KCORE_ROUNDS = 24
+
+
+def supplier_cosupply_kcore(t: dict[str, DataFrame]) -> DataFrame:
+    """Core numbers on the strong co-supply graph
+    (``graph.core_numbers`` — the h-index fixpoint iteration, sharing
+    the session-cached edge list with the triangle census). Witness:
+    the per-coreness census ``(core, n_nodes)`` plus the minimum and
+    maximum supplier id per core — value-level evidence that the SAME
+    nodes landed in the same cores on both engines without shipping
+    all per-node rows. ``KCORE_ROUNDS = 24`` is a measured fixpoint on
+    BOTH driver corpora (sf0.1 converges between 20 and 24 rounds —
+    24 == 32 == 40 == 48 verified; sf0.01 far earlier); the oracle
+    unrolls exactly the same rounds, so the differential stays valid
+    at ANY convergence state, and extra rounds past the fixpoint are
+    idempotent by the h-operator's monotonicity."""
+    # iter_partitions=4: node-scale state, same knob as the other walks
+    cores = graph.core_numbers(
+        _strong_cosupply_edges(t), rounds=KCORE_ROUNDS, iter_partitions=4
+    )
+    return (
+        cores.groupBy("core")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.min("node").cast("long").alias("min_supp"),
+            F.max("node").cast("long").alias("max_supp"),
+        )
+        .orderBy("core")
+    )
+
+
+def _kcore_oracle(rounds: int) -> str:
+    h = (
+        "CAST(len(list_filter(list_transform(generate_series(1, len(ls)),"
+        " i -> ls[CAST(i AS INT)] >= i), b -> b)) AS BIGINT)"
+    )
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT u AS node, {h} AS val
+  FROM (
+    SELECT und.u, list_sort(list(l.val), 'DESC') AS ls
+    FROM und JOIN c{i - 1} l ON l.node = und.v GROUP BY und.u
+  )
+)"""
+        )
+    chained = ",\n".join(steps)
+    return f"""
+WITH ps AS (SELECT DISTINCT CAST(l_partkey AS BIGINT) AS g, CAST(l_suppkey AS BIGINT) AS i FROM lineitem),
+w AS (
+  SELECT a.i AS s1, b.i AS s2, CAST(COUNT(*) AS BIGINT) AS weight
+  FROM ps a JOIN ps b USING (g) WHERE a.i < b.i GROUP BY 1, 2
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY weight DESC, s1, s2) AS rk,
+         COUNT(*) OVER () AS n
+  FROM w
+),
+e AS MATERIALIZED (SELECT s1, s2 FROM r WHERE rk * 10 <= n),
+und AS MATERIALIZED (SELECT s1 AS u, s2 AS v FROM e UNION ALL SELECT s2, s1 FROM e),
+c0 AS MATERIALIZED (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS val FROM und GROUP BY u),
+{chained}
+SELECT val AS core, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(MIN(node) AS BIGINT) AS min_supp,
+       CAST(MAX(node) AS BIGINT) AS max_supp
+FROM c{rounds} GROUP BY val ORDER BY core
+"""
+
+
+SUPPLIER_COSUPPLY_KCORE_ORACLE = _kcore_oracle(KCORE_ROUNDS)

@@ -92,7 +92,7 @@ def oracle_sql() -> dict[str, str]:
 # immediately after the must-run rows (the 50 slots are fully
 # occupied by flagship + never-checked + the whole r8 cohort).
 #
-# Position 51+ holds, in order: the SEVENTEEN deferred round-12 additions
+# Position 51+ holds, in order: the NINETEEN deferred round-12 additions
 # (never driver-checked — still "new" by the integrity test, so they
 # stay must-run), the two impl-changed bpe promotions, then the
 # refresh order (remaining r9-stale rows, r10, r11). Round-13 note:
@@ -185,6 +185,8 @@ _DRIVER_WINDOW = [
     "doc_ccnet_buckets",
     "doc_winnow_census",
     "corpus_mixture_schedule",
+    "supplier_cosupply_triangles",
+    "supplier_cosupply_kcore",
     "bpe_fertility_by_lang",
     "bpe_token_stats",
     "avg_qty_gated_revenue_sql",
@@ -1234,4 +1236,16 @@ register(
     "corpus_mixture_schedule",
     corpus_queries.corpus_mixture_schedule,
     corpus_queries.CORPUS_MIXTURE_SCHEDULE_ORACLE,
+)
+
+register(
+    "supplier_cosupply_triangles",
+    graph_queries.supplier_cosupply_triangles,
+    graph_queries.SUPPLIER_COSUPPLY_TRIANGLES_ORACLE,
+)
+
+register(
+    "supplier_cosupply_kcore",
+    graph_queries.supplier_cosupply_kcore,
+    graph_queries.SUPPLIER_COSUPPLY_KCORE_ORACLE,
 )

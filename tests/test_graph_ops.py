@@ -110,3 +110,128 @@ def test_label_propagation_no_in_edges_keeps_label(spark):
     )
     got = {r.node: r.label for r in graph.label_propagation(edges, iterations=3).collect()}
     assert got["lonely"] == "lonely"
+
+
+def test_cooccurrence_edges_weights_and_cap(spark):
+    rows = [("g1", 1), ("g1", 2), ("g1", 3), ("g2", 1), ("g2", 2), ("g2", 2)]
+    df = spark.createDataFrame(rows, "g string, i long")
+    got = {
+        (r.s1, r.s2): r.weight
+        for r in graph.cooccurrence_edges(df, "g", "i").collect()
+    }
+    # duplicate (g2, 2) collapses; (1,2) co-occur in both groups
+    assert got == {(1, 2): 2, (1, 3): 1, (2, 3): 1}
+    capped = {
+        (r.s1, r.s2): r.weight
+        for r in graph.cooccurrence_edges(df, "g", "i", max_items_per_group=2).collect()
+    }
+    # cap keeps the 2 smallest ids per group: g1 -> {1,2}, g2 -> {1,2}
+    assert capped == {(1, 2): 2}
+
+
+def test_top_decile_edges_exact_cut(spark):
+    rows = [(i, i + 100, 1000 - i) for i in range(20)]  # unique weights
+    df = spark.createDataFrame(rows, "s1 long, s2 long, weight long")
+    got = sorted(
+        (r.s1, r.s2) for r in graph.top_decile_edges(df).collect()
+    )
+    # 20 edges -> rank*10 <= 20 keeps exactly the top 2 by weight
+    assert got == [(0, 100), (1, 101)]
+
+
+def _brute_triangles(edges):
+    from collections import defaultdict
+
+    nbr = defaultdict(set)
+    for u, v in edges:
+        nbr[u].add(v)
+        nbr[v].add(u)
+    per = defaultdict(int)
+    nodes = sorted(nbr)
+    tri = 0
+    for i, x in enumerate(nodes):
+        for y in [n for n in nbr[x] if n > x]:
+            for z in [n for n in nbr[x] if n > y]:
+                if z in nbr[y]:
+                    tri += 1
+                    per[x] += 1
+                    per[y] += 1
+                    per[z] += 1
+    return tri, dict(per)
+
+
+def test_count_triangles_matches_brute_force(spark):
+    """Degree orientation must count each triangle exactly once on a
+    graph with hubs, bridges, and disjoint components — compared
+    against a brute-force reference; node-iterator K4 sanity too."""
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    got = {
+        r.node: r.n_triangles
+        for r in graph.count_triangles(
+            spark.createDataFrame(k4, "s1 long, s2 long")
+        ).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}  # K4: 4 triangles, 3 per node
+
+    # hub (0) fanning to 1..8, ring among 1..4, pendant component
+    messy = (
+        [(0, i) for i in range(1, 9)]
+        + [(1, 2), (2, 3), (3, 4), (1, 4), (1, 3)]
+        + [(20, 21)]
+    )
+    want_total, want_per = _brute_triangles(messy)
+    got = {
+        r.node: r.n_triangles
+        for r in graph.count_triangles(
+            spark.createDataFrame(messy, "s1 long, s2 long")
+        ).collect()
+    }
+    assert got == want_per
+    assert sum(got.values()) == 3 * want_total
+
+
+def _brute_core_numbers(edges):
+    """Reference k-core by literal peeling."""
+    from collections import defaultdict
+
+    nbr = defaultdict(set)
+    for u, v in edges:
+        nbr[u].add(v)
+        nbr[v].add(u)
+    core = {}
+    alive = dict(nbr)
+    k = 0
+    while alive:
+        k += 1
+        while True:
+            peel = [n for n, ns in alive.items() if len(ns) < k]
+            if not peel:
+                break
+            for n in peel:
+                core[n] = k - 1
+                for m in alive[n]:
+                    alive[m].discard(n)
+                del alive[n]
+    return core
+
+
+def test_core_numbers_matches_peeling_reference(spark):
+    """The h-index fixpoint must equal literal peeling on a graph with
+    a K4 (core 3) hanging off a ring (core 2) with pendant chains
+    (core 1) and a disjoint edge; one extra round is idempotent."""
+    edges = (
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]  # K4
+        + [(4, 5), (5, 6), (6, 7), (7, 5)]  # triangle ring off node 4
+        + [(7, 8), (8, 9)]  # chain
+        + [(30, 31)]  # disjoint edge
+    )
+    want = _brute_core_numbers(edges)
+    df = spark.createDataFrame(edges, "s1 long, s2 long")
+    got = {
+        r.node: r.core for r in graph.core_numbers(df, rounds=10).collect()
+    }
+    assert got == want
+    again = {
+        r.node: r.core for r in graph.core_numbers(df, rounds=11).collect()
+    }
+    assert again == got  # fixpoint: extra rounds are idempotent

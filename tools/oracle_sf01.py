@@ -92,6 +92,11 @@ SCALE_SENSITIVE = [
     "doc_winnow_census",
     # every epoch's rate grid rescales with the 10x per-source totals
     "corpus_mixture_schedule",
+    # the decile cut, orientation, and wedge volume all shift on the
+    # 100x-denser sf0.1 projection (~242k triangles vs 577); the
+    # k-core fixpoint needs ~24 rounds only at sf0.1 density
+    "supplier_cosupply_triangles",
+    "supplier_cosupply_kcore",
 ]
 
 SF_DIR = "/root/testdata/sf0.1"
