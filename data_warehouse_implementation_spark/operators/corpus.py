@@ -290,7 +290,7 @@ def pack_sequences_bfd(
         bucket=F.struct(F.col("_neglen"), F.col("_dbkt")),
     )
     grp = ranked.withColumn(
-        "_grp", ((F.col("_rk") - 1) / F.lit(int(group_size))).cast("long")
+        "_grp", F.expr(f"(_rk - 1) div {int(group_size)}").cast("long")
     )
     items = grp.groupBy("_grp").agg(
         F.array_sort(
@@ -453,8 +453,8 @@ def mix_sources(
         .withColumn(
             "rate_pct",
             F.expr(
-                f"least(cast(100 as bigint), "
-                f"(cast({token_budget} as bigint) * 100 * _w) div (_wsum * _tot))"
+                f"if(_tot = 0, cast(100 as bigint), least(cast(100 as bigint), "
+                f"(cast({token_budget} as bigint) * 100 * _w) div (_wsum * _tot)))"
             ),
         )
         .filter((h % 100) < F.col("rate_pct"))
@@ -503,9 +503,9 @@ def mix_sources_temperature(
         .withColumn(
             "rate_pct",
             F.expr(
-                f"least(cast(100 as bigint), "
+                f"if(_tot = 0, cast(100 as bigint), least(cast(100 as bigint), "
                 f"(cast({int(token_budget)} as bigint) * 100 * weight) "
-                f"div (_wsum * _tot))"
+                f"div (_wsum * _tot)))"
             ),
         )
         .filter((h % 100) < F.col("rate_pct"))
@@ -1701,9 +1701,19 @@ def quantile_buckets(
         df, key_col, max_docs=1 << 62, id_col=id_col, priority_col=score_col
     )
     totals = df.groupBy(key_col).agg(F.count(F.lit(1)).cast("long").alias("_kn"))
-    out = ranked.join(F.broadcast(totals), on=key_col).withColumn(
-        "bucket_ix",
-        F.expr(f"((key_rank - 1) * {int(n_buckets)}) div _kn").cast("long"),
+    # NULL-SAFE totals join: cap_per_key deliberately ranks NULL-key
+    # rows as their own group — a plain equi-join here would silently
+    # drop them one line downstream (they must form their own buckets)
+    out = (
+        ranked.join(
+            F.broadcast(totals.withColumnRenamed(key_col, "_tk")),
+            F.col(key_col).eqNullSafe(F.col("_tk")),
+        )
+        .drop("_tk")
+        .withColumn(
+            "bucket_ix",
+            F.expr(f"((key_rank - 1) * {int(n_buckets)}) div _kn").cast("long"),
+        )
     )
     if labels is not None:
         if len(labels) != int(n_buckets):
@@ -1787,9 +1797,9 @@ def mixture_schedule(
         .withColumn(
             "rate_pct",
             F.expr(
-                f"least(cast(100 as bigint), "
+                f"if(_tot = 0, cast(100 as bigint), least(cast(100 as bigint), "
                 f"(cast({int(token_budget)} as bigint) * 100 * weight_num)"
-                f" div (_wsum * _tot))"
+                f" div (_wsum * _tot)))"
             ),
         )
         .select(strata_col, "epoch", "weight_num", "rate_pct")

@@ -897,6 +897,15 @@ def dedup_lines(
         (F.col("_cnt") < F.lit(int(min_occurrences)))
         | (F.struct(F.col(id_col), F.col("line_no")) == F.col("_canon")),
     )
+    return reassemble_lines(kept, id_col)
+
+
+def reassemble_lines(kept: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-document line accounting + rejoined cleaned text from a
+    marked line frame ``(id_col, line_no, line, _keep)`` — the ONE
+    reassembly shared by :func:`dedup_lines` and the streaming
+    ``pipelines.dedup_lines_against_state`` (their parity test pins
+    the two outputs equal, so the aggregate must not fork)."""
     return kept.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_lines"),
         F.sum(F.col("_keep").cast("long")).cast("long").alias("n_kept"),

@@ -350,14 +350,22 @@ def cooccurrence_edges(
     recall trade the caller accounts for, never silent corruption of
     surviving weights... except that a capped group DOES undercount
     pairs touching its dropped items — which is why the cap defaults
-    OFF and the census query documents the natural bound instead)."""
+    OFF and the census query documents the natural bound instead).
+    The cap itself runs on ``corpus.cap_per_key``'s TWO-PHASE per-key
+    rank (priority = negated item id, so the smallest ids win) — a
+    single member-scale window per group would serialize on exactly
+    the hot group the cap exists to guard."""
     pairs = df.select(F.col(group_col).alias("_g"), F.col(item_col).alias("_i")).distinct()
     if max_items_per_group is not None:
-        from .relational import top_k_per_group
+        from .corpus import cap_per_key
 
-        pairs = top_k_per_group(
-            pairs, ["_g"], [F.col("_i")], int(max_items_per_group)
-        )
+        pairs = cap_per_key(
+            pairs.withColumn("_negi", (-F.col("_i")).cast("long")),
+            key_col="_g",
+            max_docs=int(max_items_per_group),
+            id_col="_i",
+            priority_col="_negi",
+        ).drop("_negi", "key_rank")
     a = pairs.select(F.col("_g"), F.col("_i").alias("s1"))
     b = pairs.select(F.col("_g"), F.col("_i").alias("s2"))
     return (
@@ -375,9 +383,15 @@ def top_decile_edges(edges: DataFrame) -> DataFrame:
     Exact integer rank arithmetic: edge rank r of n under the total
     order (weight DESC, s1, s2) survives iff ``r * 10 <= n`` — a
     deterministic, engine-replayable quantile cut via the two-phase
-    :func:`relational.global_rank` (never a single-task sort)."""
+    :func:`relational.global_rank` (never a single-task sort). The
+    input takes a deferred ``localCheckpoint`` barrier first: the
+    bucket min/max aggregate, the rank's two phases, and the count
+    branch would otherwise each re-evaluate the caller's (typically
+    expensive projection) subtree — the same multi-branch trap
+    documented at :func:`count_triangles`."""
     from .relational import global_rank
 
+    edges = edges.localCheckpoint(eager=False)
     ranked = global_rank(
         edges.withColumn("_negw", (-F.col("weight")).cast("long")),
         ["_negw", "s1", "s2"],

@@ -178,7 +178,7 @@ def bfd_bins(
     base = df.withColumn("_negsz", (-F.col(size_col)).cast("long"))
     ranked = relational.global_rank(base, ["_negsz", *tiebreak], "_rk", bucket=bucket)
     grp = ranked.withColumn(
-        "_grp", ((F.col("_rk") - 1) / F.lit(int(group_size))).cast("long")
+        "_grp", F.expr(f"(_rk - 1) div {int(group_size)}").cast("long")
     )
     cap_aggs = [
         F.array_sort(

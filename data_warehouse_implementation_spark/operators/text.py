@@ -753,22 +753,30 @@ def winnow_fingerprints(
         f"transform(arr, t -> aggregate(sequence(1, length(t)), cast(0 as bigint),"
         f" (h, i) -> (h * {WINNOW_CHAR_MULT} + ascii(substring(t, i, 1))) % {P}))"
     )
+    # both stage expressions are TOTAL: Spark's sequence(1, n) DESCENDS
+    # when n < 1 (sequence(1, -2) = [1, 0, -1, -2]) and would then hit
+    # slice(start=0) / element_at(0) errors — the row filter happens to
+    # be pushed below this projection today, but the expression must
+    # not rely on an optimizer rule for its own well-definedness
     gh_of = (
-        f"transform(sequence(1, size(th) - {k} + 1), s ->"
+        f"if(size(th) < {k}, cast(array() as array<bigint>),"
+        f" transform(sequence(1, size(th) - {k} + 1), s ->"
         f" aggregate(slice(th, s, {k}), cast(0 as bigint),"
-        f" (g, x) -> (g * {WINNOW_GRAM_MULT} + x) % {P}))"
+        f" (g, x) -> (g * {WINNOW_GRAM_MULT} + x) % {P})))"
     )
     # rightmost min per window: fold over structs (hash asc, -pos asc);
     # gh is a BOUND lambda variable, so element_at is O(1) array access
     sel = (
-        f"transform(sequence(1, size(gh) - {window} + 1), s ->"
+        f"if(size(gh) < {window},"
+        f" cast(array() as array<struct<h: bigint, negp: bigint>>),"
+        f" transform(sequence(1, size(gh) - {window} + 1), s ->"
         f" aggregate(sequence(s, s + {window} - 1),"
         f" cast(null as struct<h: bigint, negp: bigint>),"
         f" (best, j) -> CASE WHEN best IS NULL"
         f"   OR element_at(gh, j) < best.h"
         f"   OR (element_at(gh, j) = best.h AND -j < best.negp)"
         f"  THEN struct(element_at(gh, j) as h, cast(-j as bigint) as negp)"
-        f"  ELSE best END))"
+        f"  ELSE best END)))"
     )
     fps = _bind1(
         words_sql(text_col),

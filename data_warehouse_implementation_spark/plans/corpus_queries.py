@@ -438,8 +438,8 @@ wsum AS (SELECT SUM(wt) AS ws FROM w),
 tot AS (SELECT source, SUM(n_tokens) AS tt FROM base GROUP BY source),
 rated AS (
   SELECT b.doc_id, b.source, b.n_tokens,
-         CAST(least(CAST(100 AS BIGINT),
-               (CAST({MIX_TOKEN_BUDGET} AS BIGINT) * 100 * w.wt) // (wsum.ws * tot.tt))
+         CAST(CASE WHEN tot.tt = 0 THEN 100 ELSE least(CAST(100 AS BIGINT),
+               (CAST({MIX_TOKEN_BUDGET} AS BIGINT) * 100 * w.wt) // (wsum.ws * tot.tt)) END
            AS BIGINT) AS rate_pct
   FROM base b JOIN w USING (source) JOIN tot USING (source) CROSS JOIN wsum
 ),
@@ -494,9 +494,9 @@ w AS (SELECT source, tt, CAST({isqrt_sql("tt")} AS BIGINT) AS wt FROM tot),
 wsum AS (SELECT SUM(wt) AS ws FROM w),
 rated AS (
   SELECT b.doc_id, b.source, b.n_tokens, w.wt,
-         CAST(least(CAST(100 AS BIGINT),
+         CAST(CASE WHEN w.tt = 0 THEN 100 ELSE least(CAST(100 AS BIGINT),
                (CAST({MIX_TEMPERATURE_BUDGET} AS BIGINT) * 100 * w.wt)
-                 // (wsum.ws * w.tt))
+                 // (wsum.ws * w.tt)) END
            AS BIGINT) AS rate_pct
   FROM base b JOIN w USING (source) CROSS JOIN wsum
 ),
@@ -2872,9 +2872,9 @@ grid AS (
 ws AS (SELECT epoch, SUM(weight_num) AS wsum FROM grid GROUP BY epoch),
 rated AS (
   SELECT g.source, g.epoch, g.weight_num,
-         CAST(least(CAST(100 AS BIGINT),
+         CAST(CASE WHEN g.tt = 0 THEN 100 ELSE least(CAST(100 AS BIGINT),
                (CAST({SCHED_BUDGET} AS BIGINT) * 100 * g.weight_num)
-                 // (w.wsum * g.tt)) AS BIGINT) AS rate_pct
+                 // (w.wsum * g.tt)) END AS BIGINT) AS rate_pct
   FROM grid g JOIN ws w USING (epoch)
 ),
 kept AS (

@@ -28,6 +28,33 @@ ZORDER_DAY_LO = 400
 ZORDER_DAY_HI = 800
 
 
+def _orders_probe(t: dict[str, DataFrame]) -> tuple[DataFrame, list]:
+    """Shared probe frame + box predicate for the two layout queries
+    (one definition — the census/advisor pair must judge the SAME box
+    on the SAME projected columns or their comparison is meaningless):
+    orders projected to (o_orderkey, ck, day_n) with the custkey box
+    bounds attached from a broadcast one-row aggregate."""
+    o = t["orders"].select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("ck"),
+        F.datediff(F.to_date("o_orderdate"), F.to_date(F.lit(ZORDER_EPOCH)))
+        .cast("long")
+        .alias("day_n"),
+    )
+    bounds = o.agg(F.max("ck").alias("_ckmax"))
+    o2 = (
+        o.crossJoin(F.broadcast(bounds))
+        .withColumn("_ck_lo", F.expr("_ckmax div 8"))
+        .withColumn("_ck_hi", F.expr("_ckmax div 4"))
+        .drop("_ckmax")
+    )
+    preds = [
+        ("ck", F.col("_ck_lo"), F.col("_ck_hi")),
+        ("day_n", F.lit(ZORDER_DAY_LO).cast("long"), F.lit(ZORDER_DAY_HI).cast("long")),
+    ]
+    return o2, preds
+
+
 def zorder_skipping_census(t: dict[str, DataFrame]) -> DataFrame:
     """THE layout decision, measured: write ``orders`` as
     ``ZORDER_N_FILES`` files either linearly (time-sorted — the
@@ -51,29 +78,12 @@ def zorder_skipping_census(t: dict[str, DataFrame]) -> DataFrame:
     bits should be rank-compressed before interleaving (the mask
     otherwise aliases distant values into the same cell — hurts
     clustering, never correctness)."""
-    o = t["orders"].select(
-        F.col("o_orderkey").cast("long").alias("o_orderkey"),
-        F.col("o_custkey").cast("long").alias("ck"),
-        F.datediff(F.to_date("o_orderdate"), F.to_date(F.lit(ZORDER_EPOCH)))
-        .cast("long")
-        .alias("day_n"),
-    )
-    bounds = o.agg(F.max("ck").alias("_ckmax"))
-    o2 = (
-        o.crossJoin(F.broadcast(bounds))
-        .withColumn("_ck_lo", F.expr("_ckmax div 8"))
-        .withColumn("_ck_hi", F.expr("_ckmax div 4"))
-        .drop("_ckmax")
-    )
+    o2, preds = _orders_probe(t)
     z = scalar.zorder_key([F.col("ck"), F.col("day_n")], bits=ZORDER_BITS)
     zdf = layout.assign_files(
         o2.withColumn("_z", z), ["_z", "o_orderkey"], ZORDER_N_FILES
     )
     ldf = layout.assign_files(o2, ["day_n", "o_orderkey"], ZORDER_N_FILES)
-    preds = [
-        ("ck", F.col("_ck_lo"), F.col("_ck_hi")),
-        ("day_n", F.lit(ZORDER_DAY_LO).cast("long"), F.lit(ZORDER_DAY_HI).cast("long")),
-    ]
     zc = layout.skipping_census(zdf, "file_id", preds, "zorder")
     lc = layout.skipping_census(ldf, "file_id", preds, "linear")
     return zc.unionByName(lc).orderBy("layout")
@@ -260,24 +270,7 @@ def layout_advisor_report(t: dict[str, DataFrame]) -> DataFrame:
     branches of one plan, so a 100-TB advisor run is exactly four
     layout passes — embarrassingly parallel, no cross-candidate
     shuffle. The final rank is a window over four rows."""
-    o = t["orders"].select(
-        F.col("o_orderkey").cast("long").alias("o_orderkey"),
-        F.col("o_custkey").cast("long").alias("ck"),
-        F.datediff(F.to_date("o_orderdate"), F.to_date(F.lit(ZORDER_EPOCH)))
-        .cast("long")
-        .alias("day_n"),
-    )
-    bounds = o.agg(F.max("ck").alias("_ckmax"))
-    o2 = (
-        o.crossJoin(F.broadcast(bounds))
-        .withColumn("_ck_lo", F.expr("_ckmax div 8"))
-        .withColumn("_ck_hi", F.expr("_ckmax div 4"))
-        .drop("_ckmax")
-    )
-    preds = [
-        ("ck", F.col("_ck_lo"), F.col("_ck_hi")),
-        ("day_n", F.lit(ZORDER_DAY_LO).cast("long"), F.lit(ZORDER_DAY_HI).cast("long")),
-    ]
+    o2, preds = _orders_probe(t)
     zf = scalar.zorder_key([F.col("ck"), F.col("day_n")], bits=ZORDER_BITS)
     zc = scalar.zorder_key(
         [F.col("ck"), F.col("day_n")], bits=ADVISOR_ZORDER_COARSE_BITS

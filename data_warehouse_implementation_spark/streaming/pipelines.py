@@ -1721,25 +1721,9 @@ def dedup_lines_against_state(
             & (F.col("line_no") == F.col("canon_line"))
         ),
     )
-    return kept.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_lines"),
-        F.sum(F.col("_keep").cast("long")).cast("long").alias("n_kept"),
-        F.sum((~F.col("_keep")).cast("long")).cast("long").alias("n_dropped_dup"),
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(
-                            F.col("_keep"),
-                            F.struct(F.col("line_no"), F.col("line")),
-                        )
-                    )
-                ),
-                lambda x: x["line"],
-            ),
-            "\n",
-        ).alias("cleaned_text"),
-    )
+    from ..operators.dedup import reassemble_lines
+
+    return reassemble_lines(kept, id_col)
 
 
 def file_census_sink(

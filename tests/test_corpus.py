@@ -1400,3 +1400,22 @@ def test_mixture_schedule_rejects_single_epoch(spark):
     df = spark.createDataFrame([(1, "a", "w")], "doc_id long, source string, text string")
     with _pytest.raises(ValueError, match="epochs"):
         corpus.mixture_schedule(df, epochs=1, start_weights={}, end_weights={}, token_budget=10)
+
+
+def test_temperature_and_schedule_keep_zero_token_sources(spark):
+    """Review fix: a source whose documents are all empty has token
+    total 0 — its rate must cap at 100 (target > actual, keep all),
+    not silently NULL out of the keep filter via division by zero."""
+    rows = [(1, "big", "w " * 10)] * 1 + [(2, "big", "w " * 10)] + [
+        (3, "empty", "   "),
+        (4, "empty", ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    kept = corpus.mix_sources_temperature(df, token_budget=100)
+    got = {r.doc_id: r.rate_pct for r in kept.collect()}
+    assert got.get(3) == 100 and got.get(4) == 100
+    sched = corpus.mixture_schedule(
+        df, epochs=2, start_weights={}, end_weights={}, token_budget=100
+    )
+    g2 = {(r.epoch, r.doc_id) for r in sched.select("epoch", "doc_id").collect()}
+    assert (0, 3) in g2 and (1, 4) in g2

@@ -86,3 +86,25 @@ def test_winnow_plan_is_map_side(spark):
         .toString()
     )
     assert "Exchange" not in plan and "CartesianProduct" not in plan
+
+
+def test_winnow_expression_total_without_filter_pushdown(spark):
+    """Review fix: the fps expression must be well-defined for short
+    documents ON ITS OWN — Spark's sequence(1, n) DESCENDS when n < 1,
+    so an unguarded expression only survived because PushDownPredicate
+    moved the row filter below the projection. Excluding that rule
+    forces the projection to evaluate on short docs first."""
+    rule = "org.apache.spark.sql.catalyst.optimizer.PushDownPredicate"
+    prev = spark.conf.get("spark.sql.optimizer.excludedRules", None)
+    spark.conf.set("spark.sql.optimizer.excludedRules", rule)
+    try:
+        rows = [(1, "a b"), (2, "one two three four five"), (3, "x " * 10)]
+        got = winnow_fingerprints(
+            _df(spark, rows), k=4, window=4
+        ).collect()  # doc 1 (< k tokens) and doc 2 (< k+w-1) must not crash
+        assert sorted(r.doc_id for r in got) == [3]
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.optimizer.excludedRules")
+        else:
+            spark.conf.set("spark.sql.optimizer.excludedRules", prev)
