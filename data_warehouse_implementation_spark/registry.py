@@ -68,128 +68,58 @@ def oracle_sql() -> dict[str, str]:
 
 
 # The correctness driver differentials the FIRST 50 registry entries per
-# round. Round-12 window (the verbatim tools/staleness.py
-# --suggest-window order at rotation time, with two documented edits
-# noted below; enforced by
-# tests/test_entry.py::test_driver_window_covers_stalest): the
-# flagship; ``tokenizer_fertility_compare`` (registered round 11,
-# deferred under the capacity escape hatch, never driver-checked —
-# leads per the deferral contract); the ENTIRE 47-query round-8
-# max-staleness cohort (the staleness tail retires whole, never split
-# across rounds); and the first round-12 addition
-# (``unigram_encode_byte_fallback``) in the one remaining slot. Later
-# round-12 additions defer under the capacity escape hatch and lead
-# position 51+, interleaved with the impl-changed bpe promotions.
-#
-# Correction to the round-11 comment (ADVICE r11 #1): round 11 DID
-# change two existing queries' plans — ``bpe_token_stats`` and
-# ``bpe_fertility_by_lang`` now route through the shared
-# ``bpe_encoded_tokens`` materialized cache (their exchange budgets
-# were bumped in the same commit). Per the round-10 precedent
-# (``embedding_lsh_near_dup``) impl-changed queries are promoted for
-# re-verification: both lead position 51+ via
-# ``_WINDOW_DEFERRAL_INTERLEAVE`` below, so the driver re-checks them
-# immediately after the must-run rows (the 50 slots are fully
-# occupied by flagship + never-checked + the whole r8 cohort).
-#
-# Position 51+ holds, in order: the NINETEEN deferred round-12 additions
-# (never driver-checked — still "new" by the integrity test, so they
-# stay must-run), the two impl-changed bpe promotions, then the
-# refresh order (remaining r9-stale rows, r10, r11). Round-13 note:
-# the r9 cohort is 49 queries, so flagship + cohort fills all 50
-# slots — the deferred additions must KEEP leading position 51+ there
-# too (the escape hatch applies two rounds running; the local oracle
-# battery covers them each round meanwhile).
+# round. Round-13 window (the verbatim tools/staleness.py
+# --suggest-window order at rotation time; enforced by
+# tests/test_entry.py::test_driver_window_integrity and
+# ::test_driver_window_covers_stalest): the flagship; the NINETEEN
+# round-12 additions the r12 window had to defer (never
+# driver-checked — the never-deferred rule makes them lead); then the
+# first 30 (by name) of the 49-query round-9 max-staleness cohort.
+# 19 never-checked + 49 max-stale + flagship = 69 must-run rows for
+# 50 slots, so the cohort cannot retire whole this round: the
+# capacity rule (mirrored in both window meta-tests) requires every
+# first-50 slot to hold a must-run row and the overflow to lead
+# position 51+ in refresh order, which the layout below satisfies.
+# The two impl-changed bpe promotions from round 12
+# (``bpe_fertility_by_lang``, ``bpe_token_stats``) are in the r9
+# cohort and land inside the first 50 alphabetically, so the
+# interleave list empties this round.
 # Same-round deferrals that are NOT new queries — the ONLY names the
 # window-integrity test allows to interleave with deferred new
-# additions at position 51+. Round 12: the two bpe queries whose
-# plans changed in round 11 (see above).
-_WINDOW_DEFERRAL_INTERLEAVE: list[str] = [
-    "bpe_fertility_by_lang",
-    "bpe_token_stats",
-]
+# additions at position 51+. Round 13: none (the r12 interleave pair
+# sits in the first 50 via the max-staleness cohort).
+_WINDOW_DEFERRAL_INTERLEAVE: list[str] = []
 
 _DRIVER_WINDOW = [
   # flagship — always re-verified
     "timely_rank_report",
-  # never driver-checked (r11 deferral lead)
-    "tokenizer_fertility_compare",
-  # the ENTIRE 47-query round-8 max-staleness cohort
-    "boilerplate_ngrams",
-    "brand_band_revenue_sql",
-    "brand_fuzzy_match",
-    "brand_price_outliers",
-    "corpus_curation_e2e",
-    "corpus_curation_funnel",
-    "corpus_mix_sources",
-    "customer_order_reconcile",
-    "doc_bm25_capped",
-    "doc_bm25_term_stats",
-    "doc_decontaminate_fuzzy",
-    "doc_eval_sample",
-    "doc_hash_split",
-    "doc_priority_sample",
-    "doc_rarity_score",
-    "doc_split_dedup_aware",
-    "documents_profile",
-    "dormant_balance_sql",
-    "embedding_ann_recall_matrix",
-    "embedding_kmeans_refine",
-    "event_transitions",
-    "events_cdc_apply",
-    "events_funnel",
-    "events_gap_fill",
-    "events_heavy_hitters_cms",
-    "events_quantile_rollup",
-    "events_skew_census",
-    "events_volume_anomaly",
-    "exact_dedup_by_fingerprint",
-    "forecast_revenue_sql",
-    "large_orders_sql",
-    "media_audio_roundtrip",
-    "media_decode_roundtrip",
-    "media_video_roundtrip",
-    "media_vision_pack",
-    "nation_volume_sql",
-    "orc_scan_agg",
-    "order_lifecycle_fact",
-    "orders_constraint_gate",
-    "promo_revenue_sql",
-    "region_nation_revenue_share",
-    "returned_item_sql",
-    "session_conversion",
-    "top_balance_lateral_sql",
-    "user_retention_cohorts",
-    "user_sketch_rollup",
-    "window_funcs_sql",
-  # round-12 addition #1 (the never-deferred rule; unigram
-  # byte-fallback encode — VERDICT r11 #5)
-    "unigram_encode_byte_fallback",
-  # --- position 51+: deferred round-12 additions lead (the window is
-  # full of must-run rows), interleaved with the impl-changed bpe
-  # promotions; refresh order follows ---
+  # the 19 never-driver-checked round-12 additions (never-deferred
+  # rule: deferred past the r12 window, they lead round 13)
     "bpe_encode_byte_fallback",
+    "compaction_plan",
+    "corpus_mix_temperature",
+    "corpus_mixture_schedule",
+    "doc_c4_line_clean",
+    "doc_ccnet_buckets",
+    "doc_language_confusion",
+    "doc_language_model",
+    "doc_line_dedup",
     "doc_pack_bfd",
     "doc_packing_efficiency",
-    "doc_language_model",
-    "doc_language_confusion",
-    "embedding_decontaminate",
-    "training_sequences_text",
-    "corpus_mix_temperature",
-    "zorder_skipping_census",
-    "compaction_plan",
-    "doc_line_dedup",
-    "doc_c4_line_clean",
-    "layout_advisor_report",
     "doc_pii_luhn",
-    "doc_ccnet_buckets",
     "doc_winnow_census",
-    "corpus_mixture_schedule",
-    "supplier_cosupply_triangles",
+    "embedding_decontaminate",
+    "layout_advisor_report",
     "supplier_cosupply_kcore",
+    "supplier_cosupply_triangles",
+    "training_sequences_text",
+    "zorder_skipping_census",
+  # max-staleness cohort (last checked r9): first 30 by name; the
+  # remaining cohort leads position 51+ (capacity escape hatch —
+  # 19 never-checked + 49 max-stale exceed the 50 slots)
+    "avg_qty_gated_revenue_sql",
     "bpe_fertility_by_lang",
     "bpe_token_stats",
-    "avg_qty_gated_revenue_sql",
     "brand_median_price",
     "calendar_dim",
     "companies_of_interest",
@@ -217,6 +147,8 @@ _DRIVER_WINDOW = [
     "near_dup_containment",
     "near_dup_minhash_hashed",
     "near_dup_source_matrix",
+  # --- position 51+: rest of the r9 cohort, then r10/r11/r12
+  # cohorts, stalest-first (ties by name) — tools/staleness.py ---
     "null_canonical_dedup",
     "null_canonical_join",
     "part_melt",
@@ -334,6 +266,55 @@ _DRIVER_WINDOW = [
     "waiting_supplier_sql",
     "warehouse_dim_build",
     "warehouse_fact_build",
+    "boilerplate_ngrams",
+    "brand_band_revenue_sql",
+    "brand_fuzzy_match",
+    "brand_price_outliers",
+    "corpus_curation_e2e",
+    "corpus_curation_funnel",
+    "corpus_mix_sources",
+    "customer_order_reconcile",
+    "doc_bm25_capped",
+    "doc_bm25_term_stats",
+    "doc_decontaminate_fuzzy",
+    "doc_eval_sample",
+    "doc_hash_split",
+    "doc_priority_sample",
+    "doc_rarity_score",
+    "doc_split_dedup_aware",
+    "documents_profile",
+    "dormant_balance_sql",
+    "embedding_ann_recall_matrix",
+    "embedding_kmeans_refine",
+    "event_transitions",
+    "events_cdc_apply",
+    "events_funnel",
+    "events_gap_fill",
+    "events_heavy_hitters_cms",
+    "events_quantile_rollup",
+    "events_skew_census",
+    "events_volume_anomaly",
+    "exact_dedup_by_fingerprint",
+    "forecast_revenue_sql",
+    "large_orders_sql",
+    "media_audio_roundtrip",
+    "media_decode_roundtrip",
+    "media_video_roundtrip",
+    "media_vision_pack",
+    "nation_volume_sql",
+    "orc_scan_agg",
+    "order_lifecycle_fact",
+    "orders_constraint_gate",
+    "promo_revenue_sql",
+    "region_nation_revenue_share",
+    "returned_item_sql",
+    "session_conversion",
+    "tokenizer_fertility_compare",
+    "top_balance_lateral_sql",
+    "unigram_encode_byte_fallback",
+    "user_retention_cohorts",
+    "user_sketch_rollup",
+    "window_funcs_sql",
 ]
 
 

@@ -125,12 +125,38 @@ def test_driver_window_covers_stalest():
     assert checked, "no staleness data"
     worst = max(s for _, _, s, _ in checked)
     stalest = {n for n, _, s, _ in checked if s == worst}
+    never = {n for n, rnd, _, _ in rows if rnd == 0}
     first50 = [n for n in registry._DRIVER_WINDOW if n in registry._QUERIES][:50]
     missing = stalest - set(first50)
-    assert not missing, (
-        f"max-staleness ({worst} rounds) queries missing from the "
-        f"50-query driver window: {sorted(missing)}"
-    )
+    if missing:
+        # Capacity rule (mirrors the integrity test's escape hatch):
+        # when flagship + never-checked + max-stale exceed 50 slots the
+        # cohort cannot retire whole. Overflow is legal ONLY when (a)
+        # every first-50 slot holds a must-run row (no fresher query is
+        # squatting on a slot an overflow member should have) and (b)
+        # the overflowed max-stale rows lead position 51+ (interleaved
+        # at most with documented same-round deferrals / deferred new
+        # additions, which hold the same must-run rank) so next round's
+        # driver reaches them first.
+        must_run = {"timely_rank_report"} | stalest | never
+        squatters = [n for n in first50 if n not in must_run]
+        assert not squatters, (
+            f"max-staleness queries overflow the window ({sorted(missing)}) "
+            f"while non-must-run rows hold first-50 slots: {squatters}"
+        )
+        window_names = [n for n in registry._DRIVER_WINDOW if n in registry._QUERIES]
+        interleave = set(getattr(registry, "_WINDOW_DEFERRAL_INTERLEAVE", []))
+        lead_block: list[str] = []
+        for n in window_names[50:]:
+            if n in missing or n in never or n in interleave:
+                lead_block.append(n)
+            else:
+                break
+        not_leading = missing - set(lead_block)
+        assert not not_leading, (
+            f"overflowed max-staleness ({worst} rounds) queries must lead "
+            f"position 51+: {sorted(not_leading)}"
+        )
     # every query must appear somewhere in the window ordering so the
     # round-over-round rotation never silently orphans one
     orphans = set(registry._QUERIES) - set(registry._DRIVER_WINDOW)
