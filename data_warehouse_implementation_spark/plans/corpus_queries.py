@@ -921,6 +921,226 @@ FROM scored ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Trained quality classifier (VERDICT r12 #4 — the GPT-3/LLaMA-style
+# classifier gate: a cheap trained model distilled from the expensive
+# rule gate, scoring every document)
+
+QC_TRAIN_MOD = 2  # train on doc_id % 2 = 0, hold out the rest
+QC_POS = "hq"
+QC_NEG = "lq"
+
+
+def _rule_labeled(docs: DataFrame) -> DataFrame:
+    """(doc_id, text, label, verdict): the C4 rule gate's verdict
+    collapsed to the binary quality label the classifier trains on —
+    'hq' for kept documents, 'lq' for every rejection reason. The
+    GPT-3 recipe labels with a curated-vs-crawl contrast; with one
+    corpus on hand the supervision is the rule gate itself
+    (distillation), which keeps the labels deterministic and the
+    oracle replayable."""
+    from ..operators import text as text_ops
+
+    out = text_ops.quality_filter(
+        docs,
+        min_words=FILTER_MIN_WORDS,
+        max_words=FILTER_MAX_WORDS,
+        min_quality=FILTER_MIN_QUALITY,
+    )
+    return out.select(
+        "doc_id",
+        "text",
+        "verdict",
+        F.when(F.col("verdict") == "kept", QC_POS).otherwise(QC_NEG).alias("label"),
+    )
+
+
+def _qc_pred(docs: DataFrame) -> DataFrame:
+    """Session-cached classifier predictions (S7, the ``_langid_pred``
+    discipline): Naive-Bayes word-unigram profiles trained on the
+    labeled slice (doc_id % QC_TRAIN_MOD = 0), every document scored
+    by the ln-free MAP mean-likelihood-ratio
+    (text.language_model_scores with feature_fn=words — class prior ×
+    mean over word occurrences of p_c(w)/q(w), add-one smoothed
+    against the pooled model; no logarithm, decimal-cast term sums).
+    Scale shape: the model is vocabulary × 2 rows (hashed-feature
+    production mode available via train_language_profiles
+    hashed_buckets — pytest-pinned), the doc×class grid a 2-row
+    broadcast join; one corpus-scale explode feeds one aggregate."""
+    from ..operators import text as text_ops
+    from . import materialize
+
+    def build() -> DataFrame:
+        labeled = _rule_labeled(docs)
+        train = labeled.filter(F.col("doc_id") % QC_TRAIN_MOD == 0)
+        profiles = text_ops.train_language_profiles(
+            train, lang_col="label", feature_fn=text_ops.words
+        )
+        priors = train.groupBy(F.col("label").alias("lang")).agg(
+            F.count(F.lit(1)).alias("n_docs")
+        )
+        pred = text_ops.language_model_predict(
+            text_ops.language_model_scores(
+                docs, profiles, priors=priors, feature_fn=text_ops.words
+            )
+        )
+        return pred.join(labeled.drop("text"), "doc_id").select(
+            "doc_id",
+            "verdict",
+            F.col("label").alias("label_rule"),
+            F.col("lang_pred_model").alias("label_pred"),
+            F.col("model_score"),
+            F.col("n_trigrams").alias("n_word_occurrences"),
+            (F.col("doc_id") % QC_TRAIN_MOD != 0).alias("is_holdout"),
+        )
+
+    return materialize.get_or_build(
+        "qc_model_pred", str(docs.semanticHash()), build, corpus_scale=True
+    )
+
+
+def doc_quality_classifier(t: dict[str, DataFrame]) -> DataFrame:
+    """TRAINED document-quality classifier (VERDICT r12 #4): per doc
+    the rule gate's verdict and binary label, the trained model's
+    prediction and score, and the holdout flag. Documents with zero
+    words are unscorable (no feature occurrences) and absent — the
+    rule gate already rejects them as too_short, so the classifier
+    never gates them in practice."""
+    return _qc_pred(t["documents"]).orderBy("doc_id")
+
+
+def doc_quality_confusion(t: dict[str, DataFrame]) -> DataFrame:
+    """Confusion census on the HOLDOUT slice: classifier prediction vs
+    rule label, one row per (label_rule, label_pred) cell with the
+    cell count and its share of the true-label row — recall on the
+    diagonal, leakage off it (the `doc_language_confusion` discipline
+    for the binary gate)."""
+    pred = _qc_pred(t["documents"]).filter(F.col("is_holdout"))
+    cells = pred.groupBy("label_rule", "label_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    tot = Window.partitionBy("label_rule")
+    return (
+        cells.withColumn(
+            "share_of_true",
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(tot).cast("double"),
+        )
+        .orderBy("label_rule", "label_pred")
+    )
+
+
+def _qc_ctes() -> str:
+    """CTE chain replaying label + NB train + MAP score + argmax over
+    WORD features: ``qcpred`` holds (doc_id, verdict, label_rule,
+    label_pred, model_score, n_word_occurrences, is_holdout). The
+    scoring arithmetic mirrors ``llm_queries._lang_model_ctes`` —
+    decimal(28,12) term sums, each cast to double BEFORE adding (Spark
+    demotes decimal+decimal to scale 11; DuckDB keeps 12)."""
+    return rf"""{_TOKS_SQL.strip()},
+qfeat AS MATERIALIZED (
+  SELECT d.doc_id, t.arr,
+         CAST(len(t.arr) AS BIGINT) AS n_words,
+         CASE WHEN len(t.arr) > 0
+              THEN CAST(length(regexp_replace(lower(d.text), '\s+', '', 'g')) AS DOUBLE)
+                   / CAST(len(t.arr) AS DOUBLE)
+              ELSE 0.0 END AS mean_word_len,
+         CASE WHEN len(t.arr) > 0
+              THEN CAST(len(list_filter(t.arr, x -> list_contains([{_QF_STOPLIST}], x))) AS DOUBLE)
+                   / CAST(len(t.arr) AS DOUBLE)
+              ELSE 0.0 END AS stop_ratio
+  FROM toks t JOIN documents d USING (doc_id)
+),
+qlab AS MATERIALIZED (
+  SELECT doc_id, arr, verdict,
+         CASE WHEN verdict = 'kept' THEN '{QC_POS}' ELSE '{QC_NEG}' END AS label
+  FROM (
+    SELECT doc_id, arr,
+           CASE WHEN n_words < {FILTER_MIN_WORDS} THEN 'too_short'
+                WHEN n_words > {FILTER_MAX_WORDS} THEN 'too_long'
+                WHEN stop_ratio < 0.05 THEN 'non_target_lang'
+                WHEN 0.4 * least(greatest(CAST(n_words AS DOUBLE) / 100.0, 0.0), 1.0)
+                   + 0.3 * least(greatest((mean_word_len - 2.0) / 6.0, 0.0), 1.0)
+                   + 0.3 * least(greatest(stop_ratio * 5.0, 0.0), 1.0)
+                   < {FILTER_MIN_QUALITY} THEN 'low_quality'
+                ELSE 'kept' END AS verdict
+    FROM qfeat
+  )
+),
+wocc AS MATERIALIZED (SELECT doc_id, unnest(arr) AS gram FROM toks),
+qprof AS MATERIALIZED (
+  SELECT l.label, w.gram, CAST(COUNT(*) AS BIGINT) AS c
+  FROM wocc w JOIN qlab l USING (doc_id)
+  WHERE w.doc_id % {QC_TRAIN_MOD} = 0 GROUP BY l.label, w.gram
+),
+qpooled AS MATERIALIZED (SELECT gram, CAST(SUM(c) AS BIGINT) AS cg FROM qprof GROUP BY gram),
+qltot AS MATERIALIZED (SELECT label, CAST(SUM(c) AS BIGINT) AS Tl FROM qprof GROUP BY label),
+qgtot AS MATERIALIZED (SELECT CAST(SUM(cg) AS BIGINT) AS T, COUNT(*) AS V FROM qpooled),
+qpri AS MATERIALIZED (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS nd FROM qlab
+  WHERE doc_id % {QC_TRAIN_MOD} = 0 GROUP BY label
+),
+qndtot AS MATERIALIZED (SELECT CAST(SUM(nd) AS BIGINT) AS ND FROM qpri),
+qocc AS MATERIALIZED (
+  SELECT w.doc_id, w.gram, COALESCE(p.cg, 0) AS cg
+  FROM wocc w LEFT JOIN qpooled p USING (gram)
+),
+qbase AS MATERIALIZED (
+  SELECT doc_id, COUNT(*) AS n_occ,
+         SUM(CAST(1.0 / CAST(cg + 1 AS DOUBLE) AS DECIMAL(28,12))) AS sbase
+  FROM qocc GROUP BY doc_id
+),
+qpart AS MATERIALIZED (
+  SELECT o.doc_id, pr.label,
+         SUM(CAST(CAST(pr.c AS DOUBLE) / CAST(o.cg + 1 AS DOUBLE) AS DECIMAL(28,12))) AS spart
+  FROM qocc o JOIN qprof pr USING (gram) GROUP BY o.doc_id, pr.label
+),
+qscore AS MATERIALIZED (
+  SELECT b.doc_id, l.label, b.n_occ,
+         (CAST(COALESCE(p.spart, CAST(0 AS DECIMAL(28,12))) AS DOUBLE)
+            + CAST(b.sbase AS DOUBLE))
+           * (CAST(g.T + g.V AS DOUBLE) / CAST(l.Tl + g.V AS DOUBLE))
+           / CAST(b.n_occ AS DOUBLE)
+           * (CAST(qpri.nd AS DOUBLE) / CAST(qndtot.ND AS DOUBLE)) AS score
+  FROM qbase b
+  CROSS JOIN qltot l
+  LEFT JOIN qpart p ON p.doc_id = b.doc_id AND p.label = l.label
+  JOIN qpri ON qpri.label = l.label
+  CROSS JOIN qgtot g CROSS JOIN qndtot
+),
+qcpred AS MATERIALIZED (
+  SELECT s.doc_id, ql.verdict, ql.label AS label_rule,
+         s.label AS label_pred, s.score AS model_score,
+         CAST(s.n_occ AS BIGINT) AS n_word_occurrences,
+         (s.doc_id % {QC_TRAIN_MOD} <> 0) AS is_holdout
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS rn
+        FROM qscore) s
+  JOIN qlab ql USING (doc_id)
+  WHERE s.rn = 1
+)"""
+
+
+DOC_QUALITY_CLASSIFIER_ORACLE = rf"""
+WITH {_qc_ctes()}
+SELECT doc_id, verdict, label_rule, label_pred, model_score,
+       n_word_occurrences, is_holdout
+FROM qcpred ORDER BY doc_id
+"""
+
+
+DOC_QUALITY_CONFUSION_ORACLE = rf"""
+WITH {_qc_ctes()},
+cells AS (
+  SELECT label_rule, label_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM qcpred WHERE is_holdout GROUP BY label_rule, label_pred
+)
+SELECT label_rule, label_pred, n_docs,
+       CAST(n_docs AS DOUBLE)
+         / CAST(SUM(n_docs) OVER (PARTITION BY label_rule) AS DOUBLE) AS share_of_true
+FROM cells ORDER BY label_rule, label_pred
+"""
+
+
+# ---------------------------------------------------------------------------
 # Deterministic k-per-source eval sample
 
 EVAL_K = 5

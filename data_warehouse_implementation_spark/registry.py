@@ -114,7 +114,11 @@ _DRIVER_WINDOW = [
     "supplier_cosupply_triangles",
     "training_sequences_text",
     "zorder_skipping_census",
-  # max-staleness cohort (last checked r9): first 30 by name; the
+  # round-13 additions (never-deferred rule: same-round additions
+  # sit inside the first 50)
+    "doc_quality_classifier",
+    "doc_quality_confusion",
+  # max-staleness cohort (last checked r9): first 28 by name; the
   # remaining cohort leads position 51+ (capacity escape hatch —
   # 19 never-checked + 49 max-stale exceed the 50 slots)
     "avg_qty_gated_revenue_sql",
@@ -145,10 +149,11 @@ _DRIVER_WINDOW = [
     "nation_value_concentration_sql",
     "near_dup_clusters",
     "near_dup_containment",
+  # --- position 51+: rest of the r9 cohort (incl. the two displaced
+  # by the round-13 additions), then r10/r11/r12
+  # cohorts, stalest-first (ties by name) — tools/staleness.py ---
     "near_dup_minhash_hashed",
     "near_dup_source_matrix",
-  # --- position 51+: rest of the r9 cohort, then r10/r11/r12
-  # cohorts, stalest-first (ties by name) — tools/staleness.py ---
     "null_canonical_dedup",
     "null_canonical_join",
     "part_melt",
@@ -691,6 +696,16 @@ register(
     "corpus_quality_filter",
     corpus_queries.corpus_quality_filter,
     corpus_queries.CORPUS_QUALITY_FILTER_ORACLE,
+)
+register(
+    "doc_quality_classifier",
+    corpus_queries.doc_quality_classifier,
+    corpus_queries.DOC_QUALITY_CLASSIFIER_ORACLE,
+)
+register(
+    "doc_quality_confusion",
+    corpus_queries.doc_quality_confusion,
+    corpus_queries.DOC_QUALITY_CONFUSION_ORACLE,
 )
 register(
     "doc_eval_sample", corpus_queries.doc_eval_sample, corpus_queries.DOC_EVAL_SAMPLE_ORACLE

@@ -1320,3 +1320,113 @@ def test_decontaminate_embeddings_verdicts_ties_and_empty_benchmark(spark):
         r.matched_benchmark_id is None and r.best_cosine is None and r.contaminated is False
         for r in got.values()
     )
+
+
+def test_quality_classifier_separates_on_separable_corpus(spark):
+    """VERDICT r12 #4: on a corpus where the hq/lq vocabulary actually
+    differs (unlike the near-label-independent synthetic corpus), the
+    word-feature Naive-Bayes model trained on rule labels must
+    classify HOLDOUT docs into the rule's own classes correctly —
+    the distilled gate generalizes off the training slice."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_implementation_spark.operators import text as text_ops
+
+    hq = ["the detailed analysis shows the method works across domains",
+          "the careful study presents the results with thorough context",
+          "the report explains the system design and the evaluation",
+          "the article reviews the approach and the measured outcomes"]
+    lq = ["buy cheap pills now click here win prizes fast",
+          "zzz qqq spam spam spam click click buy buy",
+          "free money win now cheap cheap click spam",
+          "click here buy now win free cheap pills zzz"]
+    rows = [
+        (i, t, lab)
+        for i, (t, lab) in enumerate(
+            (t, lab) for lab, ts in [("hq", hq), ("lq", lq)] for t in ts
+        )
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, label string")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    profiles = text_ops.train_language_profiles(
+        train, lang_col="label", feature_fn=text_ops.words
+    )
+    priors = train.groupBy(F.col("label").alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    pred = text_ops.language_model_predict(
+        text_ops.language_model_scores(
+            docs, profiles, priors=priors, feature_fn=text_ops.words
+        )
+    ).join(docs.select("doc_id", "label"), "doc_id")
+    hold = [r for r in pred.collect() if r.doc_id % 2 == 1]
+    assert hold, "holdout empty"
+    wrong = [(r.doc_id, r.label, r.lang_pred_model) for r in hold
+             if r.lang_pred_model != r.label]
+    assert not wrong, wrong
+    # both classes actually named on the holdout
+    assert {r.lang_pred_model for r in hold} == {"hq", "lq"}
+
+
+def test_quality_classifier_hashed_mode_matches_exact(spark):
+    """Hashed-feature production mode for WORD features (open
+    vocabulary — the case hashed_buckets exists for): with enough
+    buckets that no word collides here, hashed predictions must equal
+    exact predictions; the feature_fn must ride through both paths."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_implementation_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(0, "the detailed report explains the design", "hq"),
+         (1, "buy cheap pills click spam now", "lq"),
+         (2, "the study presents thorough measured results", "hq"),
+         (3, "win free money click here zzz", "lq")],
+        "doc_id long, text string, label string",
+    )
+    train = docs.filter(F.col("doc_id") < 2)
+    exact_prof = text_ops.train_language_profiles(
+        train, lang_col="label", feature_fn=text_ops.words
+    )
+    hashed_prof = text_ops.train_language_profiles(
+        train, lang_col="label", feature_fn=text_ops.words, hashed_buckets=1 << 20
+    )
+    exact = {
+        r.doc_id: r.lang_pred_model
+        for r in text_ops.language_model_predict(
+            text_ops.language_model_scores(docs, exact_prof, feature_fn=text_ops.words)
+        ).collect()
+    }
+    hashed = {
+        r.doc_id: r.lang_pred_model
+        for r in text_ops.language_model_predict(
+            text_ops.language_model_scores(
+                docs, hashed_prof, feature_fn=text_ops.words,
+                hashed_buckets=1 << 20,
+            )
+        ).collect()
+    }
+    assert exact == hashed and set(exact) == {0, 1, 2, 3}
+
+
+def test_quality_classifier_query_shape(spark):
+    """doc_quality_classifier over the real sf0.001 corpus: one row
+    per scoreable doc, binary labels/preds, holdout flag = odd ids,
+    and the confusion census's cells sum to the holdout row count."""
+    from data_warehouse_implementation_spark.plans import corpus_queries as cq
+    from data_warehouse_implementation_spark.session import load_tables
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    out = cq.doc_quality_classifier(t).collect()
+    assert out, "no rows"
+    assert {r.label_rule for r in out} <= {"hq", "lq"}
+    assert {r.label_pred for r in out} <= {"hq", "lq"}
+    for r in out[:50]:
+        assert r.is_holdout == (r.doc_id % cq.QC_TRAIN_MOD != 0)
+        assert (r.label_rule == "hq") == (r.verdict == "kept")
+    cells = cq.doc_quality_confusion(t).collect()
+    n_hold = sum(1 for r in out if r.is_holdout)
+    assert sum(r.n_docs for r in cells) == n_hold
+    for lab in {r.label_rule for r in cells}:
+        tot = sum(r.share_of_true for r in cells if r.label_rule == lab)
+        assert abs(tot - 1.0) < 1e-12
