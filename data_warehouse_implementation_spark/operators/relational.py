@@ -150,7 +150,13 @@ def global_rank(
         StringType,
     )
 
-    reserved = {"_b", "_rn", "_off", "_kmin", "_kmax", out_col}
+    scratch = {"_b", "_rn", "_off", "_kmin", "_kmax"}
+    if out_col in scratch:
+        # an out_col named like an internal scratch column is silently
+        # dropped by the final projection (found by the suffix-array
+        # operator requesting "_rn") — reject eagerly
+        raise ValueError(f"global_rank out_col {out_col!r} collides with a scratch column")
+    reserved = scratch | {out_col}
     clash = reserved & set(df.columns)
     if clash:
         raise ValueError(f"global_rank scratch/output columns already present: {sorted(clash)}")

@@ -1537,6 +1537,136 @@ FROM kept GROUP BY doc_id ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Suffix-array exact-substring analysis (VERDICT r12 #8 — the full
+# Lee et al. formulation over the fixed-k census; operators/suffix.py)
+
+SA_ROUNDS = 7  # 2^7 = 128 >= the 100-token max doc on every driver corpus
+SA_L = DUP_GRAM_K  # census threshold == the k-gram census's k (cross-check)
+
+
+def doc_substring_sa(t: dict[str, DataFrame]) -> DataFrame:
+    """Suffix-array exact-substring census (``suffix.suffix_dup_lengths``
+    via prefix doubling + LCP descent): per doc the EXACT longest
+    duplicated-substring length (any length — the answer the fixed-k
+    census structurally cannot give) plus the coverage census at
+    threshold SA_L, which by the maximal-substring identity equals
+    ``doc_substring_dup``'s coverage (pinned in pytest). The oracle
+    unrolls the identical doubling rounds and descent in DuckDB."""
+    from ..operators import suffix
+
+    return suffix.suffix_dup_census(
+        suffix.suffix_dup_lengths(t["documents"], rounds=SA_ROUNDS),
+        threshold=SA_L,
+    ).orderBy("doc_id")
+
+
+def _sa_oracle(rounds: int, threshold: int) -> str:
+    """Unrolled prefix-doubling + LCP-descent replay: ``r0..r{rounds}``
+    rank CTEs (dense_rank over half-prefix rank pairs, sentinel 0 past
+    the document end), suffix order + adjacency, then the binary
+    descent ``l{rounds}..l0`` accumulating 2^t on round-t rank
+    agreement at the running offset — the same arithmetic as the Spark
+    operator, engine-portable because only integer equality classes
+    and ASCII token order enter."""
+    ctes = [
+        _TOKS_SQL.strip().rstrip(),
+        """pos AS MATERIALIZED (
+  SELECT doc_id AS d, CAST(len(arr) AS BIGINT) AS n,
+         CAST(unnest(generate_series(1, len(arr))) AS BIGINT) AS p,
+         unnest(arr) AS tok
+  FROM toks WHERE len(arr) >= 1
+)""",
+        "r0 AS MATERIALIZED (SELECT d, n, p, CAST(dense_rank() OVER (ORDER BY tok) AS BIGINT) AS r FROM pos)",
+    ]
+    for t_ in range(1, rounds + 1):
+        half = 1 << (t_ - 1)
+        ctes.append(
+            f"""r{t_} AS MATERIALIZED (
+  SELECT a.d, a.n, a.p,
+         CAST(dense_rank() OVER (ORDER BY a.r, COALESCE(b.r, 0)) AS BIGINT) AS r
+  FROM r{t_ - 1} a LEFT JOIN r{t_ - 1} b ON b.d = a.d AND b.p = a.p + {half}
+)"""
+        )
+    ctes.append(
+        f"""ordr AS MATERIALIZED (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY r, d, p) AS s FROM r{rounds}
+)"""
+    )
+    ctes.append(
+        """adj AS MATERIALIZED (
+  SELECT a.d, a.p, a.n, b.d AS d2, b.p AS p2, b.n AS n2,
+         CAST(0 AS BIGINT) AS acc
+  FROM ordr a JOIN ordr b ON b.s = a.s + 1
+)"""
+    )
+    prev = "adj"
+    for t_ in range(rounds, -1, -1):
+        span = 1 << t_
+        cur = f"l{t_}"
+        ctes.append(
+            f"""{cur} AS MATERIALIZED (
+  SELECT q.d, q.p, q.n, q.d2, q.p2, q.n2,
+         q.acc + CASE WHEN x.r IS NOT NULL AND y.r IS NOT NULL AND x.r = y.r
+                      THEN {span} ELSE 0 END AS acc
+  FROM {prev} q
+  LEFT JOIN r{t_} x ON x.d = q.d AND x.p = q.p + q.acc
+  LEFT JOIN r{t_} y ON y.d = q.d2 AND y.p = q.p2 + q.acc
+)"""
+        )
+        prev = cur
+    ctes.append(
+        f"""lcp AS MATERIALIZED (
+  SELECT d, p, d2, p2,
+         least(acc, n - p + 1, n2 - p2 + 1) AS lcp
+  FROM {prev}
+)"""
+    )
+    ctes.append(
+        """best AS MATERIALIZED (
+  SELECT d, p, CAST(MAX(dl) AS BIGINT) AS dup_len
+  FROM (SELECT d, p, lcp AS dl FROM lcp
+        UNION ALL SELECT d2, p2, lcp FROM lcp)
+  GROUP BY d, p
+)"""
+    )
+    ctes.append(
+        """dl AS MATERIALIZED (
+  SELECT pos.d, pos.p, pos.n, COALESCE(best.dup_len, 0) AS dup_len
+  FROM pos LEFT JOIN best ON best.d = pos.d AND best.p = pos.p
+)"""
+    )
+    ctes.append(
+        f"""dup AS (SELECT d, p, p + {threshold} AS e FROM dl WHERE dup_len >= {threshold}),
+cov0 AS (
+  SELECT d, GREATEST(0, e - GREATEST(COALESCE(
+    MAX(e) OVER (PARTITION BY d ORDER BY p
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), p)) AS c
+  FROM dup
+),
+cov AS (SELECT d, CAST(SUM(c) AS BIGINT) AS dup_tokens FROM cov0 GROUP BY d),
+perdoc AS (
+  SELECT d, CAST(MAX(n) AS BIGINT) AS n_tokens,
+         CAST(MAX(dup_len) AS BIGINT) AS max_dup_len
+  FROM dl GROUP BY d
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT perdoc.d AS doc_id, n_tokens, max_dup_len,
+       COALESCE(cov.dup_tokens, 0) AS dup_tokens,
+       CAST(COALESCE(cov.dup_tokens, 0) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS dup_fraction
+FROM perdoc LEFT JOIN cov ON cov.d = perdoc.d
+ORDER BY doc_id
+"""
+    )
+
+
+DOC_SUBSTRING_SA_ORACLE = _sa_oracle(SA_ROUNDS, SA_L)
+
+
+# ---------------------------------------------------------------------------
 # BPE tokenizer training (operators/bpe.py)
 
 BPE_ROUNDS = 8

@@ -118,7 +118,8 @@ _DRIVER_WINDOW = [
   # sit inside the first 50)
     "doc_quality_classifier",
     "doc_quality_confusion",
-  # max-staleness cohort (last checked r9): first 28 by name; the
+    "doc_substring_sa",
+  # max-staleness cohort (last checked r9): first 27 by name; the
   # remaining cohort leads position 51+ (capacity escape hatch —
   # 19 never-checked + 49 max-stale exceed the 50 slots)
     "avg_qty_gated_revenue_sql",
@@ -148,10 +149,10 @@ _DRIVER_WINDOW = [
     "min_cost_supplier_sql",
     "nation_value_concentration_sql",
     "near_dup_clusters",
-    "near_dup_containment",
   # --- position 51+: rest of the r9 cohort (incl. the two displaced
   # by the round-13 additions), then r10/r11/r12
   # cohorts, stalest-first (ties by name) — tools/staleness.py ---
+    "near_dup_containment",
     "near_dup_minhash_hashed",
     "near_dup_source_matrix",
     "null_canonical_dedup",
@@ -706,6 +707,11 @@ register(
     "doc_quality_confusion",
     corpus_queries.doc_quality_confusion,
     corpus_queries.DOC_QUALITY_CONFUSION_ORACLE,
+)
+register(
+    "doc_substring_sa",
+    corpus_queries.doc_substring_sa,
+    corpus_queries.DOC_SUBSTRING_SA_ORACLE,
 )
 register(
     "doc_eval_sample", corpus_queries.doc_eval_sample, corpus_queries.DOC_EVAL_SAMPLE_ORACLE

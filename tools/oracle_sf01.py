@@ -70,6 +70,19 @@ SCALE_SENSITIVE = [
     "doc_language_confusion",
     "doc_pack_bfd",
     "doc_packing_efficiency",
+    # packed-text materialization inherits every BFD bin boundary
+    # shift at 10x (round-13 promotion: the one r12 addition the
+    # battery missed — VERDICT r12 #6)
+    "training_sequences_text",
+    # round 13: the quality classifier's MAP argmax is the same
+    # float-score near-tie class as doc_language_model, against a
+    # 10x word vocabulary; the confusion cells move with every flip
+    "doc_quality_classifier",
+    "doc_quality_confusion",
+    # round 13: suffix order and LCP adjacency reshuffle completely on
+    # a 10x position table (and the 100-token max doc lives at sf0.1 —
+    # the exactness bound is only exercised there)
+    "doc_substring_sa",
     "unigram_encode_byte_fallback",
     "bpe_encode_byte_fallback",
     # threshold verdicts against a 4x-larger corpus-side cosine field
