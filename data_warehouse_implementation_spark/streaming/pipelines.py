@@ -1932,3 +1932,85 @@ def kcore_from_state(
     if strong:
         edges = graph.top_decile_edges(edges)
     return graph.core_numbers(edges, rounds=rounds)
+
+
+def labeled_word_count_sink(
+    stream: DataFrame,
+    catalog: WarehouseCatalog,
+    prefix: str,
+    checkpoint: str,
+    text_col: str = "text",
+):
+    """Streaming TRAINING-STATE collector for the quality classifier
+    (round 13 — the per-class face of ``word_count_sink``, completing
+    the train-from-stream-state family alongside the BPE/unigram
+    collectors): each micro-batch is labeled by the SAME deterministic
+    rule gate the batch classifier distills
+    (``corpus_queries._rule_labeled`` — map-side, no state needed)
+    and collapses to two mergeable-partial tables — ``{prefix}_lwords``
+    holding (label, word, cnt) occurrence partials and
+    ``{prefix}_lpriors`` holding (label, n_docs) prior partials, both
+    merging by ADDITION. A Naive-Bayes model retrained from state
+    (:func:`quality_model_from_state`) therefore equals one trained on
+    the concatenated corpus exactly (pytest parity), without ever
+    rescanning ingested documents. Replay-idempotent per ``batch_id``
+    like every sink here."""
+    from ..operators.text import words
+    from ..plans.corpus_queries import _rule_labeled
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        labeled = _rule_labeled(batch).localCheckpoint(eager=True)
+        wc = (
+            labeled.select("label", F.explode(words(text_col)).alias("word"))
+            .groupBy("label", "word")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        pri = (
+            labeled.groupBy("label")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        for tbl, part in ((f"{prefix}_lwords", wc), (f"{prefix}_lpriors", pri)):
+            if catalog.exists(tbl):
+                catalog.delete_where(tbl, f"batch_id = {int(batch_id)}")
+                catalog.insert_into(tbl, part)
+            else:
+                catalog.write(tbl, part)
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def quality_model_from_state(
+    catalog: WarehouseCatalog, prefix: str
+) -> tuple[DataFrame, DataFrame]:
+    """(profiles, priors) for ``text.language_model_scores`` rebuilt
+    from the labeled-word state — partials collapse per (batch_id,
+    key) by max (duplicate appends of a deterministic batch absorbed,
+    the standing defense) and then SUM by addition into exactly the
+    counts ``text.train_language_profiles(feature_fn=words)`` would
+    produce on the concatenated corpus. Profiles carry the (lang,
+    gram, c) schema the scorer expects; priors the (lang, n_docs)
+    frame for MAP scoring."""
+    profiles = (
+        catalog.table(f"{prefix}_lwords")
+        .groupBy("batch_id", "label", "word")
+        .agg(F.max("cnt").alias("cnt"))
+        .groupBy("label", "word")
+        .agg(F.sum("cnt").cast("long").alias("c"))
+        .select(F.col("label").alias("lang"), F.col("word").alias("gram"), "c")
+    )
+    priors = (
+        catalog.table(f"{prefix}_lpriors")
+        .groupBy("batch_id", "label")
+        .agg(F.max("n_docs").alias("n_docs"))
+        .groupBy("label")
+        .agg(F.sum("n_docs").cast("long").alias("n_docs"))
+        .select(F.col("label").alias("lang"), "n_docs")
+    )
+    return profiles, priors

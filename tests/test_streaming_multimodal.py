@@ -2214,3 +2214,80 @@ def test_edge_census_sink_triangle_parity_and_replay(spark, tmp_dir):
         for r in streaming.cosupply_edges_from_state(cat, "ec").collect()
     }
     assert again == batch_edges
+
+
+def test_labeled_word_sink_classifier_parity(spark, tmp_dir):
+    """Round 13: the quality classifier retrained FROM STATE must
+    equal one trained directly on the concatenated training slice —
+    scores and argmax predictions both — including a label whose word
+    mass arrives split across the batch boundary; duplicate-append
+    absorbed by the (batch_id, key) collapse."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_warehouse_implementation_spark.operators import text as text_ops
+    from data_warehouse_implementation_spark.plans.corpus_queries import _rule_labeled
+    from data_warehouse_implementation_spark.session import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"]
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    b0 = train.filter(F.col("doc_id") % 4 == 0).select("doc_id", "text").toPandas()
+    b1 = train.filter(F.col("doc_id") % 4 != 0).select("doc_id", "text").toPandas()
+    src = os.path.join(tmp_dir, "lw_src")
+    os.makedirs(src)
+    for i, pdf in enumerate([b0, b1]):
+        p = os.path.join(src, f"b{i}.parquet")
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), p)
+        os.utime(p, (1_700_000_000 + 60 * i,) * 2)
+    cat = WarehouseCatalog(spark, os.path.join(tmp_dir, "lw_wh"))
+    q = streaming.labeled_word_count_sink(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        cat,
+        "lw",
+        checkpoint=os.path.join(tmp_dir, "ckpt_lw"),
+    )
+    q.awaitTermination()
+
+    profiles_s, priors_s = streaming.quality_model_from_state(cat, "lw")
+    labeled = _rule_labeled(train)
+    profiles_b = text_ops.train_language_profiles(
+        labeled, lang_col="label", feature_fn=text_ops.words
+    )
+    priors_b = labeled.groupBy(F.col("label").alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    # the state-rebuilt model TABLES equal the one-shot training run
+    assert {tuple(r) for r in profiles_s.collect()} == {
+        tuple(r) for r in profiles_b.collect()
+    }
+    assert {tuple(r) for r in priors_s.collect()} == {
+        tuple(r) for r in priors_b.collect()
+    }
+    # and so do scored predictions over the full corpus
+    pred_s = {
+        (r.doc_id): (r.lang_pred_model, r.model_score)
+        for r in text_ops.language_model_predict(
+            text_ops.language_model_scores(
+                docs, profiles_s, priors=priors_s, feature_fn=text_ops.words
+            )
+        ).collect()
+    }
+    pred_b = {
+        (r.doc_id): (r.lang_pred_model, r.model_score)
+        for r in text_ops.language_model_predict(
+            text_ops.language_model_scores(
+                docs, profiles_b, priors=priors_b, feature_fn=text_ops.words
+            )
+        ).collect()
+    }
+    assert pred_s == pred_b
+
+    # duplicate-append of batch 0's partials absorbed
+    st = cat.table("lw_lwords")
+    cat.insert_into("lw_lwords", st.filter("batch_id = 0"))
+    profiles_again, _ = streaming.quality_model_from_state(cat, "lw")
+    assert {tuple(r) for r in profiles_again.collect()} == {
+        tuple(r) for r in profiles_b.collect()
+    }
