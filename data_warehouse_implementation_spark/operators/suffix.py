@@ -98,8 +98,12 @@ def suffix_dup_lengths(
         shifted = prev.select(
             F.col("d"), (F.col("p") - half).alias("p"), F.col("r").alias("_r2")
         )
-        paired = prev.join(shifted, on=["d", "p"], how="left").select(
-            "d", "n", "p", "r", F.coalesce("_r2", F.lit(0)).alias("r2")
+        paired = (
+            prev.join(shifted, on=["d", "p"], how="left")
+            .select("d", "n", "p", "r", F.coalesce("_r2", F.lit(0)).alias("r2"))
+            # _dense_rank consumes this twice (distinct + join-back) —
+            # checkpoint so the offset self-join runs once per round
+            .localCheckpoint(eager=False)
         )
         ranks.append(
             # scratch name must avoid global_rank's reserved internals

@@ -887,35 +887,52 @@ from ..operators.text import EN_STOPWORDS as _QF_STOPWORDS
 
 _QF_STOPLIST = ", ".join(f"'{w}'" for w in _QF_STOPWORDS)
 
+
+def _qf_feat_sql(arr: str, text: str) -> str:
+    """The ONE SQL rendering of the quality-gate features (n_words,
+    mean_word_len, stop_ratio) over a token array + raw text — shared
+    by the filter oracle and the classifier-label oracle so the gate's
+    featurization can never fork (round-13 review)."""
+    return rf"""CAST(len({arr}) AS BIGINT) AS n_words,
+         CASE WHEN len({arr}) > 0
+              THEN CAST(length(regexp_replace(lower({text}), '\s+', '', 'g')) AS DOUBLE)
+                   / CAST(len({arr}) AS DOUBLE)
+              ELSE 0.0 END AS mean_word_len,
+         CASE WHEN len({arr}) > 0
+              THEN CAST(len(list_filter({arr}, x -> list_contains([{_QF_STOPLIST}], x))) AS DOUBLE)
+                   / CAST(len({arr}) AS DOUBLE)
+              ELSE 0.0 END AS stop_ratio"""
+
+
+#: quality score over the feature columns — the 0.4/0.3/0.3 formula,
+#: one rendering (text.quality_score's SQL twin)
+_QF_QUALITY_SQL = """0.4 * least(greatest(CAST(n_words AS DOUBLE) / 100.0, 0.0), 1.0)
+       + 0.3 * least(greatest((mean_word_len - 2.0) / 6.0, 0.0), 1.0)
+       + 0.3 * least(greatest(stop_ratio * 5.0, 0.0), 1.0)"""
+
+#: first-match verdict ladder over (n_words, stop_ratio, quality) —
+#: one rendering of text.quality_filter's rule order
+_QF_VERDICT_SQL = f"""CASE WHEN n_words < {FILTER_MIN_WORDS} THEN 'too_short'
+            WHEN n_words > {FILTER_MAX_WORDS} THEN 'too_long'
+            WHEN stop_ratio < 0.05 THEN 'non_target_lang'
+            WHEN quality < {FILTER_MIN_QUALITY} THEN 'low_quality'
+            ELSE 'kept' END"""
+
+
 CORPUS_QUALITY_FILTER_ORACLE = rf"""
 WITH {_TOKS_SQL.strip()},
 feat AS (
   SELECT d.doc_id, d.source,
-         CAST(len(arr) AS BIGINT) AS n_words,
-         CASE WHEN len(arr) > 0
-              THEN CAST(length(regexp_replace(lower(d.text), '\s+', '', 'g')) AS DOUBLE)
-                   / CAST(len(arr) AS DOUBLE)
-              ELSE 0.0 END AS mean_word_len,
-         CASE WHEN len(arr) > 0
-              THEN CAST(len(list_filter(arr, x -> list_contains([{_QF_STOPLIST}], x))) AS DOUBLE)
-                   / CAST(len(arr) AS DOUBLE)
-              ELSE 0.0 END AS stop_ratio
-  FROM toks JOIN documents d USING (doc_id)
+         {_qf_feat_sql("t.arr", "d.text")}
+  FROM toks t JOIN documents d ON d.doc_id = t.doc_id
 ),
 scored AS (
-  SELECT doc_id, source, n_words, stop_ratio,
-         0.4 * least(greatest(CAST(n_words AS DOUBLE) / 100.0, 0.0), 1.0)
-       + 0.3 * least(greatest((mean_word_len - 2.0) / 6.0, 0.0), 1.0)
-       + 0.3 * least(greatest(stop_ratio * 5.0, 0.0), 1.0) AS quality
+  SELECT doc_id, source, n_words, stop_ratio, mean_word_len,
+         {_QF_QUALITY_SQL} AS quality
   FROM feat
 )
 SELECT doc_id, source, n_words, quality,
-       CASE WHEN n_words < {FILTER_MIN_WORDS} THEN 'too_short'
-            WHEN n_words > {FILTER_MAX_WORDS} THEN 'too_long'
-            WHEN (CASE WHEN stop_ratio >= 0.05 THEN 'en' ELSE 'unknown' END) <> 'en'
-              THEN 'non_target_lang'
-            WHEN quality < {FILTER_MIN_QUALITY} THEN 'low_quality'
-            ELSE 'kept' END AS verdict
+       {_QF_VERDICT_SQL} AS verdict
 FROM scored ORDER BY doc_id
 """
 
@@ -930,8 +947,8 @@ QC_POS = "hq"
 QC_NEG = "lq"
 
 
-def _rule_labeled(docs: DataFrame) -> DataFrame:
-    """(doc_id, text, label, verdict): the C4 rule gate's verdict
+def _rule_labeled(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, <text_col>, label, verdict): the C4 rule gate's verdict
     collapsed to the binary quality label the classifier trains on —
     'hq' for kept documents, 'lq' for every rejection reason. The
     GPT-3 recipe labels with a curated-vs-crawl contrast; with one
@@ -945,10 +962,11 @@ def _rule_labeled(docs: DataFrame) -> DataFrame:
         min_words=FILTER_MIN_WORDS,
         max_words=FILTER_MAX_WORDS,
         min_quality=FILTER_MIN_QUALITY,
+        text_col=text_col,
     )
     return out.select(
         "doc_id",
-        "text",
+        text_col,
         "verdict",
         F.when(F.col("verdict") == "kept", QC_POS).otherwise(QC_NEG).alias("label"),
     )
@@ -970,7 +988,11 @@ def _qc_pred(docs: DataFrame) -> DataFrame:
     from . import materialize
 
     def build() -> DataFrame:
-        labeled = _rule_labeled(docs)
+        # three consumers (profile training, priors, the final label
+        # join) — defer-checkpoint the corpus-scale rule-gate pass once
+        # (the streaming twin labeled_word_count_sink checkpoints the
+        # same frame eagerly for the same reason)
+        labeled = _rule_labeled(docs).localCheckpoint(eager=False)
         train = labeled.filter(F.col("doc_id") % QC_TRAIN_MOD == 0)
         profiles = text_ops.train_language_profiles(
             train, lang_col="label", feature_fn=text_ops.words
@@ -1039,31 +1061,15 @@ def _qc_ctes() -> str:
     return rf"""{_TOKS_SQL.strip()},
 qfeat AS MATERIALIZED (
   SELECT d.doc_id, t.arr,
-         CAST(len(t.arr) AS BIGINT) AS n_words,
-         CASE WHEN len(t.arr) > 0
-              THEN CAST(length(regexp_replace(lower(d.text), '\s+', '', 'g')) AS DOUBLE)
-                   / CAST(len(t.arr) AS DOUBLE)
-              ELSE 0.0 END AS mean_word_len,
-         CASE WHEN len(t.arr) > 0
-              THEN CAST(len(list_filter(t.arr, x -> list_contains([{_QF_STOPLIST}], x))) AS DOUBLE)
-                   / CAST(len(t.arr) AS DOUBLE)
-              ELSE 0.0 END AS stop_ratio
+         {_qf_feat_sql("t.arr", "d.text")}
   FROM toks t JOIN documents d USING (doc_id)
 ),
 qlab AS MATERIALIZED (
   SELECT doc_id, arr, verdict,
          CASE WHEN verdict = 'kept' THEN '{QC_POS}' ELSE '{QC_NEG}' END AS label
   FROM (
-    SELECT doc_id, arr,
-           CASE WHEN n_words < {FILTER_MIN_WORDS} THEN 'too_short'
-                WHEN n_words > {FILTER_MAX_WORDS} THEN 'too_long'
-                WHEN stop_ratio < 0.05 THEN 'non_target_lang'
-                WHEN 0.4 * least(greatest(CAST(n_words AS DOUBLE) / 100.0, 0.0), 1.0)
-                   + 0.3 * least(greatest((mean_word_len - 2.0) / 6.0, 0.0), 1.0)
-                   + 0.3 * least(greatest(stop_ratio * 5.0, 0.0), 1.0)
-                   < {FILTER_MIN_QUALITY} THEN 'low_quality'
-                ELSE 'kept' END AS verdict
-    FROM qfeat
+    SELECT doc_id, arr, {_QF_VERDICT_SQL} AS verdict
+    FROM (SELECT *, {_QF_QUALITY_SQL} AS quality FROM qfeat)
   )
 ),
 wocc AS MATERIALIZED (SELECT doc_id, unnest(arr) AS gram FROM toks),

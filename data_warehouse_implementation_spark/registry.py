@@ -73,10 +73,12 @@ def oracle_sql() -> dict[str, str]:
 # tests/test_entry.py::test_driver_window_integrity and
 # ::test_driver_window_covers_stalest): the flagship; the NINETEEN
 # round-12 additions the r12 window had to defer (never
-# driver-checked — the never-deferred rule makes them lead); then the
-# first 30 (by name) of the 49-query round-9 max-staleness cohort.
-# 19 never-checked + 49 max-stale + flagship = 69 must-run rows for
-# 50 slots, so the cohort cannot retire whole this round: the
+# driver-checked — the never-deferred rule makes them lead); the
+# THREE round-13 additions (doc_quality_classifier,
+# doc_quality_confusion, doc_substring_sa — same rule); then the
+# first 27 (by name) of the 49-query round-9 max-staleness cohort.
+# 19 + 3 never-checked + 49 max-stale + flagship = 72 must-run rows
+# for 50 slots, so the cohort cannot retire whole this round: the
 # capacity rule (mirrored in both window meta-tests) requires every
 # first-50 slot to hold a must-run row and the overflow to lead
 # position 51+ in refresh order, which the layout below satisfies.

@@ -1845,12 +1845,14 @@ def edge_census_sink(
             F.col(item_col).cast("long").alias("i"),
         ).distinct()
         prior = None
+        # replay defense FIRST, each table independently — a batch-0
+        # crash between the edges write and the members write leaves
+        # tbl_e populated while tbl_m is absent, and the stale deltas
+        # must still be dropped before the re-insert
+        if catalog.exists(tbl_e):
+            catalog.delete_where(tbl_e, f"batch_id = {int(batch_id)}")
         if catalog.exists(tbl_m):
-            # replay defense FIRST, so the anti-join below sees the
-            # pre-batch membership state
             catalog.delete_where(tbl_m, f"batch_id = {int(batch_id)}")
-            if catalog.exists(tbl_e):
-                catalog.delete_where(tbl_e, f"batch_id = {int(batch_id)}")
             prior = catalog.table(tbl_m).select("g", "i")
             newm = newm.join(prior, on=["g", "i"], how="left_anti")
         newm = newm.localCheckpoint(eager=True)
@@ -1959,7 +1961,7 @@ def labeled_word_count_sink(
     from ..plans.corpus_queries import _rule_labeled
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
-        labeled = _rule_labeled(batch).localCheckpoint(eager=True)
+        labeled = _rule_labeled(batch, text_col=text_col).localCheckpoint(eager=True)
         wc = (
             labeled.select("label", F.explode(words(text_col)).alias("word"))
             .groupBy("label", "word")
