@@ -972,6 +972,46 @@ def _rule_labeled(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _qc_labeled(docs: DataFrame) -> DataFrame:
+    """Session-cached rule-gate labels (S7): three query families
+    consume the corpus-scale label pass (profile training, classifier
+    predictions, the PR-curve ground truth) — pay it once per corpus."""
+    from . import materialize
+
+    return materialize.get_or_build(
+        "qc_labeled", str(docs.semanticHash()), lambda: _rule_labeled(docs),
+        corpus_scale=True,
+    )
+
+
+def _qc_model(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Session-cached (profiles, priors) — the trained Naive-Bayes
+    word-unigram model (vocabulary × 2 rows + a 2-row prior frame,
+    both broadcastable), trained once per corpus on the labeled slice
+    (doc_id % QC_TRAIN_MOD = 0) and shared by the prediction and
+    PR-curve queries."""
+    from ..operators import text as text_ops
+    from . import materialize
+
+    labeled = _qc_labeled(docs)
+    train = labeled.filter(F.col("doc_id") % QC_TRAIN_MOD == 0)
+    profiles = materialize.get_or_build(
+        "qc_profiles",
+        str(docs.semanticHash()),
+        lambda: text_ops.train_language_profiles(
+            train, lang_col="label", feature_fn=text_ops.words
+        ),
+    )
+    priors = materialize.get_or_build(
+        "qc_priors",
+        str(docs.semanticHash()),
+        lambda: train.groupBy(F.col("label").alias("lang")).agg(
+            F.count(F.lit(1)).alias("n_docs")
+        ),
+    )
+    return profiles, priors
+
+
 def _qc_pred(docs: DataFrame) -> DataFrame:
     """Session-cached classifier predictions (S7, the ``_langid_pred``
     discipline): Naive-Bayes word-unigram profiles trained on the
@@ -988,18 +1028,8 @@ def _qc_pred(docs: DataFrame) -> DataFrame:
     from . import materialize
 
     def build() -> DataFrame:
-        # three consumers (profile training, priors, the final label
-        # join) — defer-checkpoint the corpus-scale rule-gate pass once
-        # (the streaming twin labeled_word_count_sink checkpoints the
-        # same frame eagerly for the same reason)
-        labeled = _rule_labeled(docs).localCheckpoint(eager=False)
-        train = labeled.filter(F.col("doc_id") % QC_TRAIN_MOD == 0)
-        profiles = text_ops.train_language_profiles(
-            train, lang_col="label", feature_fn=text_ops.words
-        )
-        priors = train.groupBy(F.col("label").alias("lang")).agg(
-            F.count(F.lit(1)).alias("n_docs")
-        )
+        labeled = _qc_labeled(docs)
+        profiles, priors = _qc_model(docs)
         pred = text_ops.language_model_predict(
             text_ops.language_model_scores(
                 docs, profiles, priors=priors, feature_fn=text_ops.words
@@ -1048,6 +1078,82 @@ def doc_quality_confusion(t: dict[str, DataFrame]) -> DataFrame:
             / F.sum("n_docs").over(tot).cast("double"),
         )
         .orderBy("label_rule", "label_pred")
+    )
+
+
+def doc_quality_pr_curve(t: dict[str, DataFrame]) -> DataFrame:
+    """Exact precision/recall curve for the trained quality gate on
+    the HOLDOUT slice — the threshold-selection artifact a real
+    curation pipeline ships with its classifier (GPT-3's Appendix A
+    gate is exactly a thresholded score). Decision statistic per doc:
+    ``p_hq = s_hq / (s_hq + s_lq)`` over the two MAP class scores
+    (both strictly positive, so the ratio is a calibrated-order
+    statistic with no log/exp). Docs rank by (p_hq desc, doc_id) via
+    the two-phase ``global_rank``; the running hq count uses the
+    rank-bucket two-phase cumsum (``shard_by_token_budget``'s
+    discipline — never a corpus-scale global window). One row per
+    holdout doc: rank k, the threshold that admits exactly the top k,
+    and precision/recall at that cut — integer-ratio doubles, exact
+    in SQL."""
+    from ..operators import text as text_ops
+    from ..operators.relational import global_rank
+
+    docs = t["documents"]
+    profiles, priors = _qc_model(docs)
+    hold = docs.filter(F.col("doc_id") % QC_TRAIN_MOD != 0)
+    wide = (
+        text_ops.language_model_scores(
+            hold, profiles, priors=priors, feature_fn=text_ops.words
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.when(F.col("lang") == QC_POS, F.col("score"))).alias("_shq"),
+            F.max(F.when(F.col("lang") == QC_NEG, F.col("score"))).alias("_slq"),
+        )
+        .select(
+            "doc_id",
+            (F.col("_shq") / (F.col("_shq") + F.col("_slq"))).alias("p_hq"),
+        )
+    )
+    labels = _qc_labeled(docs).select(
+        "doc_id", (F.col("label") == QC_POS).cast("long").alias("is_hq")
+    )
+    j = wide.join(labels, "doc_id").withColumn("_negp", -F.col("p_hq"))
+    # bucket = floor(-p_hq * 4096): monotone in the rank order, pure —
+    # the two branches of the rank and the cumsum agree by construction
+    bucket = F.floor(F.col("_negp") * 4096)
+    ranked = global_rank(j, ["_negp", "doc_id"], "rk", bucket=bucket).localCheckpoint(
+        eager=False
+    )
+    # two-phase cumsum of is_hq in rank order: per-rank-block subtotals
+    # -> offsets over #blocks rows -> within-block window
+    blk = ranked.withColumn("_blk", F.expr("(rk - 1) div 4096"))
+    btot = blk.groupBy("_blk").agg(F.sum("is_hq").alias("_bt"))
+    w_off = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    offs = btot.withColumn("_boff", F.sum("_bt").over(w_off) - F.col("_bt")).select(
+        "_blk", "_boff"
+    )
+    w_in = Window.partitionBy("_blk").orderBy("rk").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = ranked.agg(F.sum("is_hq").alias("_tot"))
+    return (
+        blk.withColumn("_cum", F.sum("is_hq").over(w_in))
+        .join(F.broadcast(offs), on="_blk")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.col("rk").cast("long").alias("rk"),
+            F.col("p_hq").alias("threshold"),
+            F.col("is_hq").cast("long").alias("is_hq"),
+            ((F.col("_boff") + F.col("_cum")).cast("double") / F.col("rk").cast("double")).alias(
+                "precision_at_k"
+            ),
+            ((F.col("_boff") + F.col("_cum")).cast("double") / F.col("_tot").cast("double")).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("rk")
     )
 
 
@@ -1143,6 +1249,35 @@ SELECT label_rule, label_pred, n_docs,
        CAST(n_docs AS DOUBLE)
          / CAST(SUM(n_docs) OVER (PARTITION BY label_rule) AS DOUBLE) AS share_of_true
 FROM cells ORDER BY label_rule, label_pred
+"""
+
+
+DOC_QUALITY_PR_CURVE_ORACLE = rf"""
+WITH {_qc_ctes()},
+prh AS (
+  SELECT doc_id,
+         MAX(CASE WHEN label = '{QC_POS}' THEN score END) AS s_hq,
+         MAX(CASE WHEN label = '{QC_NEG}' THEN score END) AS s_lq
+  FROM qscore WHERE doc_id % {QC_TRAIN_MOD} <> 0 GROUP BY doc_id
+),
+prj AS (
+  SELECT p.doc_id, p.s_hq / (p.s_hq + p.s_lq) AS p_hq,
+         CASE WHEN q.label = '{QC_POS}' THEN 1 ELSE 0 END AS is_hq
+  FROM prh p JOIN qlab q USING (doc_id)
+),
+prr AS (
+  SELECT *,
+         ROW_NUMBER() OVER (ORDER BY p_hq DESC, doc_id) AS rk,
+         SUM(is_hq) OVER (ORDER BY p_hq DESC, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_hq,
+         SUM(is_hq) OVER () AS tot_hq
+  FROM prj
+)
+SELECT doc_id, CAST(rk AS BIGINT) AS rk, p_hq AS threshold,
+       CAST(is_hq AS BIGINT) AS is_hq,
+       CAST(cum_hq AS DOUBLE) / CAST(rk AS DOUBLE) AS precision_at_k,
+       CAST(cum_hq AS DOUBLE) / CAST(tot_hq AS DOUBLE) AS recall_at_k
+FROM prr ORDER BY rk
 """
 
 

@@ -74,10 +74,11 @@ def oracle_sql() -> dict[str, str]:
 # ::test_driver_window_covers_stalest): the flagship; the NINETEEN
 # round-12 additions the r12 window had to defer (never
 # driver-checked — the never-deferred rule makes them lead); the
-# THREE round-13 additions (doc_quality_classifier,
-# doc_quality_confusion, doc_substring_sa — same rule); then the
-# first 27 (by name) of the 49-query round-9 max-staleness cohort.
-# 19 + 3 never-checked + 49 max-stale + flagship = 72 must-run rows
+# FOUR round-13 additions (doc_quality_classifier,
+# doc_quality_confusion, doc_quality_pr_curve, doc_substring_sa —
+# same rule); then the
+# first 26 (by name) of the 49-query round-9 max-staleness cohort.
+# 19 + 4 never-checked + 49 max-stale + flagship = 73 must-run rows
 # for 50 slots, so the cohort cannot retire whole this round: the
 # capacity rule (mirrored in both window meta-tests) requires every
 # first-50 slot to hold a must-run row and the overflow to lead
@@ -120,8 +121,9 @@ _DRIVER_WINDOW = [
   # sit inside the first 50)
     "doc_quality_classifier",
     "doc_quality_confusion",
+    "doc_quality_pr_curve",
     "doc_substring_sa",
-  # max-staleness cohort (last checked r9): first 27 by name; the
+  # max-staleness cohort (last checked r9): first 26 by name; the
   # remaining cohort leads position 51+ (capacity escape hatch —
   # 19 never-checked + 49 max-stale exceed the 50 slots)
     "avg_qty_gated_revenue_sql",
@@ -150,10 +152,10 @@ _DRIVER_WINDOW = [
     "media_resize_roundtrip",
     "min_cost_supplier_sql",
     "nation_value_concentration_sql",
-    "near_dup_clusters",
   # --- position 51+: rest of the r9 cohort (incl. the two displaced
   # by the round-13 additions), then r10/r11/r12
   # cohorts, stalest-first (ties by name) — tools/staleness.py ---
+    "near_dup_clusters",
     "near_dup_containment",
     "near_dup_minhash_hashed",
     "near_dup_source_matrix",
@@ -709,6 +711,11 @@ register(
     "doc_quality_confusion",
     corpus_queries.doc_quality_confusion,
     corpus_queries.DOC_QUALITY_CONFUSION_ORACLE,
+)
+register(
+    "doc_quality_pr_curve",
+    corpus_queries.doc_quality_pr_curve,
+    corpus_queries.DOC_QUALITY_PR_CURVE_ORACLE,
 )
 register(
     "doc_substring_sa",

@@ -1430,3 +1430,28 @@ def test_quality_classifier_query_shape(spark):
     for lab in {r.label_rule for r in cells}:
         tot = sum(r.share_of_true for r in cells if r.label_rule == lab)
         assert abs(tot - 1.0) < 1e-12
+
+
+def test_quality_pr_curve_invariants(spark):
+    """PR-curve structural invariants on the real sf0.001 corpus:
+    one row per holdout doc, rank is a permutation, thresholds
+    non-increasing in rank, cum-style precision/recall consistent
+    with a direct pandas replay of the same ordering."""
+    from data_warehouse_implementation_spark.plans import corpus_queries as cq
+    from data_warehouse_implementation_spark.session import load_tables
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    rows = cq.doc_quality_pr_curve(t).collect()
+    assert rows
+    n = len(rows)
+    assert sorted(r.rk for r in rows) == list(range(1, n + 1))
+    by_rk = sorted(rows, key=lambda r: r.rk)
+    ths = [r.threshold for r in by_rk]
+    assert all(a >= b for a, b in zip(ths, ths[1:]))
+    cum = 0
+    tot = sum(r.is_hq for r in rows)
+    for r in by_rk:
+        cum += r.is_hq
+        assert abs(r.precision_at_k - cum / r.rk) < 1e-12
+        assert abs(r.recall_at_k - cum / tot) < 1e-12
+    assert by_rk[-1].recall_at_k == 1.0

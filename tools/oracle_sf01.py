@@ -79,6 +79,7 @@ SCALE_SENSITIVE = [
     # 10x word vocabulary; the confusion cells move with every flip
     "doc_quality_classifier",
     "doc_quality_confusion",
+    "doc_quality_pr_curve",
     # round 13: suffix order and LCP adjacency reshuffle completely on
     # a 10x position table (and the 100-token max doc lives at sf0.1 —
     # the exactness bound is only exercised there)
