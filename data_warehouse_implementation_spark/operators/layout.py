@@ -237,3 +237,118 @@ def bfd_bins(
             ),
         )
     )
+
+
+# Deterministic bloom hash family for the point-lookup skipping census:
+# h_i(x) = ((x mod P) * A_i + B_i) mod P mod m — pure int64 modular
+# arithmetic so the oracle replays bit positions exactly (the same
+# constant-family discipline as the CMS sketch).
+BLOOM_P = 2_147_483_647
+BLOOM_A = [31, 131, 1031]
+BLOOM_B = [7, 101, 1009]
+BLOOM_K = len(BLOOM_A)
+
+
+def _bloom_bit(col: Column, i: int, m_bits: int) -> Column:
+    return (
+        F.pmod((F.pmod(col, F.lit(BLOOM_P)) * BLOOM_A[i] + BLOOM_B[i]), F.lit(BLOOM_P))
+        % F.lit(int(m_bits))
+    )
+
+
+def bloom_point_census(
+    df: DataFrame,
+    file_col: str,
+    key_col: str,
+    probes: DataFrame,
+    m_bits: int,
+    layout: str,
+) -> DataFrame:
+    """Per-file BLOOM data-skipping census for a point-lookup workload
+    — the pruning mechanism min/max footer stats structurally cannot
+    provide on a high-cardinality column the layout is NOT sorted by
+    (every file's [min, max] spans the whole key range, so a range
+    reader opens everything; a per-file bloom opens only the files
+    whose filter matches). This is exactly Parquet's column bloom
+    filter / Delta's deletion-vector-adjacent file-skipping metadata,
+    measured: one row per probe key with the files a min/max reader,
+    a bloom reader, and ground truth each open.
+
+    Mechanics, all file-metadata scale: (1) the per-file bit table —
+    distinct (file, bit) over K deterministic hashes of the distinct
+    (file, key) pairs — is at most ``n_files × m_bits`` rows, the
+    size class engines keep in footers; (2) a probe opens a file iff
+    ALL K of its bits are present (groupBy count == K over the
+    bit-table join — probes are a broadcast-size frame); (3) min/max
+    and true-containment counts come from one file-grain aggregate
+    and one probe×key semi-count. No corpus-scale shuffle other than
+    the two distincts that build the metadata, which a real writer
+    pays once at write time.
+
+    Output per probe: (layout, probe_key, present, files_with_key,
+    files_opened_minmax, files_opened_bloom, bloom_fp_files) —
+    ``bloom_fp_files`` = bloom-opened files not truly containing the
+    key; saturation (distinct keys per file approaching ``m_bits``)
+    shows up as fp growth, which is the sizing signal a table owner
+    reads. ``m_bits`` must be sized ~10x the expected distinct keys
+    per file (the standard 1%-fp bloom rule)."""
+    keys = df.select(F.col(file_col).alias("f"), F.col(key_col).alias("k")).distinct()
+    # deferred barrier: the bit explode and the truth count both read it
+    keys = keys.localCheckpoint(eager=False)
+    bits = (
+        keys.select(
+            "f",
+            F.explode(
+                F.array(*[_bloom_bit(F.col("k"), i, m_bits) for i in range(BLOOM_K)])
+            ).alias("bit"),
+        )
+        .distinct()
+    )
+    stats = df.groupBy(F.col(file_col).alias("f")).agg(
+        F.min(key_col).cast("long").alias("_min"), F.max(key_col).cast("long").alias("_max")
+    )
+    p = probes.select(F.col("probe_key").cast("long").alias("q"))
+    pbits = p.select(
+        "q",
+        F.posexplode(
+            F.array(*[_bloom_bit(F.col("q"), i, m_bits) for i in range(BLOOM_K)])
+        ).alias("_i", "bit"),
+    )
+    opened_bloom = (
+        pbits.join(bits, on="bit")
+        .select("q", "f", "_i")
+        .distinct()
+        .groupBy("q", "f")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+        .filter(F.col("_hits") == BLOOM_K)
+        .groupBy("q")
+        .agg(F.count(F.lit(1)).cast("long").alias("files_opened_bloom"))
+    )
+    opened_minmax = (
+        p.crossJoin(stats)
+        .filter((F.col("q") >= F.col("_min")) & (F.col("q") <= F.col("_max")))
+        .groupBy("q")
+        .agg(F.count(F.lit(1)).cast("long").alias("files_opened_minmax"))
+    )
+    truth = (
+        p.join(keys, on=F.col("q") == F.col("k"))
+        .groupBy("q")
+        .agg(F.count(F.lit(1)).cast("long").alias("files_with_key"))
+    )
+    z = F.lit(0).cast("long")
+    return (
+        p.join(truth, on="q", how="left")
+        .join(opened_minmax, on="q", how="left")
+        .join(opened_bloom, on="q", how="left")
+        .select(
+            F.lit(layout).alias("layout"),
+            F.col("q").alias("probe_key"),
+            (F.coalesce("files_with_key", z) > 0).alias("present"),
+            F.coalesce("files_with_key", z).alias("files_with_key"),
+            F.coalesce("files_opened_minmax", z).alias("files_opened_minmax"),
+            F.coalesce("files_opened_bloom", z).alias("files_opened_bloom"),
+            (
+                F.coalesce("files_opened_bloom", z) - F.coalesce("files_with_key", z)
+            ).alias("bloom_fp_files"),
+        )
+    )

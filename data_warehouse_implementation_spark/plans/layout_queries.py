@@ -369,3 +369,139 @@ FROM cen ORDER BY rank
 
 
 LAYOUT_ADVISOR_REPORT_ORACLE = _layout_advisor_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Bloom point-lookup skipping census (round 13 — the pruning mechanism
+# min/max footer stats cannot provide; operators/layout.py)
+
+BLOOM_M_BITS = 16384  # ~10x the per-file distinct custkeys at sf0.1
+BLOOM_PRESENT_STEP = 97  # present-candidate probes: ck = 97*j, j=1..8
+BLOOM_N_PRESENT = 8
+BLOOM_N_ABSENT = 4  # guaranteed-absent probes: ckmax + 1..4
+
+
+def _bloom_probes(o2) -> DataFrame:
+    """Deterministic probe frame — multiples of BLOOM_PRESENT_STEP
+    (dense TPC-H custkeys make most of them real, and `present`
+    reports the truth per probe) plus guaranteed-absent keys past the
+    max (pure false-positive measurement). Derived from one broadcast
+    aggregate, no ordering anywhere."""
+    spark = o2.sparkSession
+    mx = o2.agg(F.max("ck").alias("_mx"))
+    js = spark.range(1, BLOOM_N_PRESENT + 1).select(
+        (F.col("id") * BLOOM_PRESENT_STEP).alias("probe_key")
+    )
+    ab = (
+        spark.range(1, BLOOM_N_ABSENT + 1)
+        .crossJoin(F.broadcast(mx))
+        .select((F.col("_mx") + F.col("id")).alias("probe_key"))
+    )
+    return js.unionByName(ab)
+
+
+def bloom_skipping_census(t: dict[str, DataFrame]) -> DataFrame:
+    """Point-lookup file skipping, measured across BOTH pruning
+    mechanisms and BOTH layouts: per probe custkey, the files a
+    min/max reader and a per-file-bloom reader each open on (a) the
+    free time-sorted layout — where every file's custkey [min, max]
+    spans the whole range, so min/max opens everything and only the
+    bloom prunes — and (b) the custkey-sorted layout, where min/max
+    is already selective and the bloom adds little. This is the
+    companion decision to `zorder_skipping_census`: z-order serves
+    range boxes, blooms serve point lookups on columns the sort order
+    cannot cover; a table owner reads the two censuses together.
+    All bloom arithmetic is the deterministic mod-P hash family
+    (`layout.BLOOM_A/B`), replayed bit-exactly by the oracle."""
+    o2, _ = _orders_probe(t)
+    o2 = o2.select("o_orderkey", "ck", "day_n").localCheckpoint(eager=False)
+    probes = _bloom_probes(o2).localCheckpoint(eager=False)
+    tdf = layout.assign_files(o2, ["day_n", "o_orderkey"], ZORDER_N_FILES)
+    cdf = layout.assign_files(o2, ["ck", "o_orderkey"], ZORDER_N_FILES)
+    tc = layout.bloom_point_census(
+        tdf, "file_id", "ck", probes, BLOOM_M_BITS, "time_sorted"
+    )
+    cc = layout.bloom_point_census(
+        cdf, "file_id", "ck", probes, BLOOM_M_BITS, "custkey_sorted"
+    )
+    return tc.unionByName(cc).orderBy("layout", "probe_key")
+
+
+def _bloom_census_oracle() -> str:
+    n = ZORDER_N_FILES
+    m = BLOOM_M_BITS
+    from ..operators.layout import BLOOM_A, BLOOM_B, BLOOM_K, BLOOM_P
+
+    hashes_k = ", ".join(
+        f"((ck % {BLOOM_P}) * {BLOOM_A[i]} + {BLOOM_B[i]}) % {BLOOM_P} % {m}"
+        for i in range(BLOOM_K)
+    )
+    hash_rows = ", ".join(
+        f"({i}, {BLOOM_A[i]}, {BLOOM_B[i]})" for i in range(BLOOM_K)
+    )
+
+    def one(order_by: str, name: str) -> str:
+        return f"""
+SELECT '{name}' AS layout, p.q AS probe_key,
+       COALESCE(t.nf, 0) > 0 AS present,
+       COALESCE(t.nf, 0) AS files_with_key,
+       COALESCE(mm.nf, 0) AS files_opened_minmax,
+       COALESCE(bl.nf, 0) AS files_opened_bloom,
+       COALESCE(bl.nf, 0) - COALESCE(t.nf, 0) AS bloom_fp_files
+FROM probes p
+LEFT JOIN (
+  SELECT q, CAST(COUNT(*) AS BIGINT) AS nf
+  FROM probes JOIN (SELECT DISTINCT f, ck FROM (
+    SELECT ck, (ROW_NUMBER() OVER (ORDER BY {order_by}) - 1)
+               // ((b.n_rows + {n} - 1) // {n}) AS f
+    FROM o CROSS JOIN b)) ON ck = q GROUP BY q
+) t ON t.q = p.q
+LEFT JOIN (
+  SELECT q, CAST(COUNT(*) AS BIGINT) AS nf
+  FROM probes JOIN (
+    SELECT f, MIN(ck) AS mn, MAX(ck) AS mx FROM (
+      SELECT ck, (ROW_NUMBER() OVER (ORDER BY {order_by}) - 1)
+                 // ((b.n_rows + {n} - 1) // {n}) AS f
+      FROM o CROSS JOIN b) GROUP BY f
+  ) ON q BETWEEN mn AND mx GROUP BY q
+) mm ON mm.q = p.q
+LEFT JOIN (
+  SELECT q, CAST(COUNT(*) AS BIGINT) AS nf FROM (
+    SELECT pb.q, fb.f
+    FROM (SELECT q, h.i,
+                 ((q % {BLOOM_P}) * h.a + h.bb) % {BLOOM_P} % {m} AS bit
+          FROM probes, (VALUES {hash_rows}) AS h(i, a, bb)) pb
+    JOIN (SELECT DISTINCT f, bit FROM (
+      SELECT f, unnest([{hashes_k}]) AS bit FROM (SELECT DISTINCT f, ck FROM (
+        SELECT ck, (ROW_NUMBER() OVER (ORDER BY {order_by}) - 1)
+                   // ((b.n_rows + {n} - 1) // {n}) AS f
+        FROM o CROSS JOIN b)))) fb
+    ON fb.bit = pb.bit
+    GROUP BY pb.q, fb.f HAVING COUNT(DISTINCT pb.i) = {BLOOM_K}
+  ) GROUP BY q
+) bl ON bl.q = p.q"""
+
+    return f"""
+WITH o AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+         CAST(o_custkey AS BIGINT) AS ck,
+         CAST(date_diff('day', DATE '{ZORDER_EPOCH}', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_n
+  FROM orders
+),
+b AS (SELECT COUNT(*) AS n_rows, MAX(ck) AS ckmax FROM o),
+probes AS (
+  SELECT CAST({BLOOM_PRESENT_STEP} * j AS BIGINT) AS q
+  FROM generate_series(1, {BLOOM_N_PRESENT}) AS t(j)
+  UNION ALL
+  SELECT ckmax + j FROM b, generate_series(1, {BLOOM_N_ABSENT}) AS t(j)
+)
+SELECT * FROM (
+{one("day_n, o_orderkey", "time_sorted")}
+UNION ALL
+{one("ck, o_orderkey", "custkey_sorted")}
+)
+ORDER BY layout, probe_key
+"""
+
+
+BLOOM_SKIPPING_CENSUS_ORACLE = _bloom_census_oracle()

@@ -238,3 +238,51 @@ def test_layout_ops_scale_plan_invariants(spark):
                 assert "_b#" in line, (
                     f"{name}: window outside the two-phase rank:\n{line}"
                 )
+
+
+def test_bloom_point_census_brute_force(spark):
+    """Brute-force differential for the bloom skipping census on a
+    crafted frame: replay the hash family in python per (file, key)
+    and per probe, and check minmax/bloom/truth counts per probe —
+    including an absent key inside a file's [min, max] (minmax false
+    positive the bloom rejects) and an absent key whose bits happen to
+    be checked against every file."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_implementation_spark.operators import layout
+
+    m = 64  # small filter: collisions plausible, brute force decides
+    rows = [(f, k) for f, ks in [(0, [1, 5, 9]), (1, [2, 5, 100]), (2, [3, 7, 11])] for k in ks]
+    df = spark.createDataFrame(rows, "file_id long, ck long")
+    probes = spark.createDataFrame([(5,), (100,), (6,), (999,)], "probe_key long")
+    out = {
+        r.probe_key: (
+            r.present,
+            r.files_with_key,
+            r.files_opened_minmax,
+            r.files_opened_bloom,
+            r.bloom_fp_files,
+        )
+        for r in layout.bloom_point_census(
+            df, "file_id", "ck", probes, m, "t"
+        ).collect()
+    }
+
+    def bits(x):
+        return {
+            ((x % layout.BLOOM_P) * layout.BLOOM_A[i] + layout.BLOOM_B[i])
+            % layout.BLOOM_P
+            % m
+            for i in range(layout.BLOOM_K)
+        }
+
+    files = {0: [1, 5, 9], 1: [2, 5, 100], 2: [3, 7, 11]}
+    fbits = {f: set().union(*(bits(k) for k in ks)) for f, ks in files.items()}
+    for q in [5, 100, 6, 999]:
+        truth = sum(q in ks for ks in files.values())
+        mm = sum(min(ks) <= q <= max(ks) for ks in files.values())
+        bl = sum(bits(q) <= fb for fb in fbits.values())
+        assert out[q] == (truth > 0, truth, mm, bl, bl - truth), (q, out[q])
+    # the crafted minmax false positive: 6 is inside file 0's and
+    # file 2's ranges but present nowhere
+    assert out[6][1] == 0 and out[6][2] >= 2

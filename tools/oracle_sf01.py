@@ -80,6 +80,9 @@ SCALE_SENSITIVE = [
     "doc_quality_classifier",
     "doc_quality_confusion",
     "doc_quality_pr_curve",
+    # round 13: bloom saturation only shows at a 10x per-file key
+    # cardinality (the m_bits sizing signal the census exists to read)
+    "bloom_skipping_census",
     # round 13: suffix order and LCP adjacency reshuffle completely on
     # a 10x position table (and the 100-token max doc lives at sf0.1 —
     # the exactness bound is only exercised there)
