@@ -2276,6 +2276,185 @@ BPE_FERTILITY_BY_LANG_ORACLE = _bpe_fertility_oracle(BPE_ROUNDS)
 
 
 # ---------------------------------------------------------------------------
+# WordPiece tokenizer training + greedy encode (round 13 — the third
+# classic subword family; operators/wordpiece.py)
+
+WP_ROUNDS = 8
+WP_MAX_PIECE = 8
+WP_TOP_TOKENS = 30
+
+
+def _trained_wp_merges(docs: DataFrame) -> DataFrame:
+    """Session-cached WordPiece merge table (S7 — the `_trained_merges`
+    discipline for the third family)."""
+    from ..operators import wordpiece
+    from . import materialize
+
+    return materialize.get_or_build(
+        "wp_trained_merges",
+        str(docs.semanticHash()),
+        lambda: wordpiece.wordpiece_train(docs, n_merges=WP_ROUNDS),
+    )
+
+
+def wordpiece_merges(t: dict[str, DataFrame]) -> DataFrame:
+    """First WP_ROUNDS WordPiece merges trained on the corpus
+    word-frequency table (`wordpiece.wordpiece_train`): each round's
+    winning pair under the likelihood-gain score
+    count(lr)/(count(l)*count(r)) with its count evidence — the
+    objective that separates WordPiece from BPE (rare-but-exclusive
+    pairs beat frequent-but-promiscuous ones). The oracle replays
+    every round's pair counts, symbol counts, score argmax, and merge
+    application."""
+    return _trained_wp_merges(t["documents"]).orderBy("merge_rank")
+
+
+def _wp_train_ctes(rounds: int) -> str:
+    """Unrolled (pairs + symbol counts -> score argmax -> apply) CTE
+    triples, one per round — `_bpe_oracle`'s replay shape with the
+    WordPiece score; `t{i}` holds round i's winner."""
+    ctes = [
+        _TOKS_SQL.strip().strip(","),
+        """wpc AS MATERIALIZED (
+  SELECT token AS word, COUNT(*) AS cnt
+  FROM (SELECT unnest(arr) AS token FROM toks) GROUP BY token
+)""",
+        """y0 AS MATERIALIZED (
+  SELECT ' ' || array_to_string(regexp_extract_all(word, '.'), ' ')
+             || ' </w> ' AS sym, cnt
+  FROM wpc
+)""",
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"""q{i} AS MATERIALIZED (
+  SELECT pr.l AS l, pr.r AS r, CAST(SUM(cnt) AS BIGINT) AS n
+  FROM (
+    SELECT cnt, unnest(list_transform(generate_series(1, len(arr) - 1),
+                 j -> struct_pack(l := arr[j], r := arr[j + 1]))) AS pr
+    FROM (SELECT string_split(trim(sym), ' ') AS arr, cnt FROM y{i})
+    WHERE len(arr) >= 2
+  ) GROUP BY pr.l, pr.r
+)""".strip()
+        )
+        ctes.append(
+            f"""s{i} AS MATERIALIZED (
+  SELECT s, CAST(SUM(cnt) AS BIGINT) AS ns
+  FROM (SELECT cnt, unnest(string_split(trim(sym), ' ')) AS s FROM y{i})
+  GROUP BY s
+)""".strip()
+        )
+        ctes.append(
+            f"""t{i} AS MATERIALIZED (
+  SELECT q.l, q.r, q.n, sl.ns AS nl, sr.ns AS nr,
+         CAST(q.n AS DOUBLE) / (CAST(sl.ns AS DOUBLE) * CAST(sr.ns AS DOUBLE)) AS score
+  FROM q{i} q JOIN s{i} sl ON sl.s = q.l JOIN s{i} sr ON sr.s = q.r
+  ORDER BY score DESC, q.l, q.r LIMIT 1
+)""".strip()
+        )
+        if i < rounds - 1:
+            ctes.append(
+                f"""y{i + 1} AS MATERIALIZED (
+  SELECT replace(sym, ' ' || t.l || ' ' || t.r || ' ',
+                 ' ' || t.l || t.r || ' ') AS sym, cnt
+  FROM y{i}, t{i} t
+)""".strip()
+            )
+    return ",\n".join(ctes)
+
+
+def _wp_merges_oracle(rounds: int) -> str:
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({i + 1} AS BIGINT) AS merge_rank, l AS left_sym,"
+        f" r AS right_sym, n AS pair_count, nl AS left_count,"
+        f" nr AS right_count, score FROM t{i}"
+        for i in range(rounds)
+    )
+    return f"WITH {_wp_train_ctes(rounds)}\nSELECT * FROM (\n{union}\n) ORDER BY merge_rank"
+
+
+WORDPIECE_MERGES_ORACLE = _wp_merges_oracle(WP_ROUNDS)
+
+
+def wordpiece_token_stats(t: dict[str, DataFrame]) -> DataFrame:
+    """Greedy-encode the corpus under the freshly trained WordPiece
+    vocabulary (alphabet + merge outputs, end-marks stripped) and
+    report the top tokens by corpus occurrence — encode runs once per
+    DISTINCT word (`wordpiece.wordpiece_encode_words`, an in-row
+    longest-match fold over a broadcast vocab map) and the histogram
+    weights by word count, the encode-distinct-words-once discipline
+    all three tokenizer families share. `[UNK]` words count too — the
+    coverage signal. The oracle replays training, the vocabulary, and
+    the greedy scan (a recursive CTE with a longest-first probe)."""
+    from ..operators import wordpiece
+    from ..operators.text import words as _words
+
+    docs = t["documents"]
+    merges = _trained_wp_merges(docs)
+    vocab = wordpiece.wordpiece_vocab(docs, merges)
+    wt = (
+        docs.select(F.explode(_words("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    enc = wordpiece.wordpiece_encode_words(wt, vocab, max_piece_len=WP_MAX_PIECE)
+    return (
+        enc.select("cnt", F.explode("pieces").alias("token"))
+        .groupBy("token")
+        .agg(F.sum("cnt").cast("long").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(WP_TOP_TOKENS)
+    )
+
+
+def _wp_token_stats_oracle(rounds: int, max_piece: int, top: int) -> str:
+    merged_pieces = "\nUNION ALL\n".join(
+        f"SELECT replace(l || r, '</w>', '') AS piece FROM t{i}" for i in range(rounds)
+    )
+    return f"""WITH RECURSIVE {_wp_train_ctes(rounds)},
+wpv AS MATERIALIZED (
+  SELECT DISTINCT piece FROM (
+    SELECT unnest(regexp_extract_all(word, '.')) AS piece FROM wpc
+    UNION ALL
+    {merged_pieces}
+  ) WHERE length(piece) > 0
+),
+wvm AS MATERIALIZED (
+  SELECT map_from_entries(list(struct_pack(k := piece, v := 1) ORDER BY piece)) AS m
+  FROM wpv
+),
+g AS (
+  SELECT word, cnt, 1 AS i, []::VARCHAR[] AS path, FALSE AS unk FROM wpc
+  UNION ALL
+  SELECT word, cnt,
+         CASE WHEN m IS NULL THEN len(word) + 1 ELSE i + length(m) END,
+         CASE WHEN m IS NULL THEN path ELSE path || [m] END,
+         m IS NULL
+  FROM (
+    SELECT word, cnt, i, path,
+           list_filter(list_transform(
+             generate_series(least({max_piece}, len(word) - i + 1), 1, -1),
+             l -> substring(word, i, l)),
+             p -> map_extract(wvm.m, p)[1] IS NOT NULL)[1] AS m
+    FROM g, wvm WHERE i <= len(word) AND NOT unk
+  )
+),
+gfin AS (
+  SELECT word, cnt, CASE WHEN unk THEN ['[UNK]'] ELSE path END AS pieces
+  FROM g WHERE unk OR i = len(word) + 1
+)
+SELECT token, CAST(SUM(cnt) AS BIGINT) AS n
+FROM (SELECT cnt, unnest(pieces) AS token FROM gfin)
+GROUP BY token ORDER BY n DESC, token LIMIT {top}
+"""
+
+
+WORDPIECE_TOKEN_STATS_ORACLE = _wp_token_stats_oracle(
+    WP_ROUNDS, WP_MAX_PIECE, WP_TOP_TOKENS
+)
+
+
+# ---------------------------------------------------------------------------
 # Unigram-LM (SentencePiece-family) tokenizer training — VERDICT r10 gap #1;
 # the second tokenizer family next to BPE, sharing its fertility harness.
 

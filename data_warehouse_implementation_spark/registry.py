@@ -74,11 +74,12 @@ def oracle_sql() -> dict[str, str]:
 # ::test_driver_window_covers_stalest): the flagship; the NINETEEN
 # round-12 additions the r12 window had to defer (never
 # driver-checked — the never-deferred rule makes them lead); the
-# FIVE round-13 additions (bloom_skipping_census,
+# SEVEN round-13 additions (bloom_skipping_census,
 # doc_quality_classifier, doc_quality_confusion,
-# doc_quality_pr_curve, doc_substring_sa — same rule); then the
-# first 25 (by name) of the 49-query round-9 max-staleness cohort.
-# 19 + 5 never-checked + 49 max-stale + flagship = 74 must-run rows
+# doc_quality_pr_curve, doc_substring_sa, wordpiece_merges,
+# wordpiece_token_stats — same rule); then the
+# first 23 (by name) of the 49-query round-9 max-staleness cohort.
+# 19 + 7 never-checked + 49 max-stale + flagship = 76 must-run rows
 # for 50 slots, so the cohort cannot retire whole this round: the
 # capacity rule (mirrored in both window meta-tests) requires every
 # first-50 slot to hold a must-run row and the overflow to lead
@@ -124,7 +125,9 @@ _DRIVER_WINDOW = [
     "doc_quality_confusion",
     "doc_quality_pr_curve",
     "doc_substring_sa",
-  # max-staleness cohort (last checked r9): first 25 by name; the
+    "wordpiece_merges",
+    "wordpiece_token_stats",
+  # max-staleness cohort (last checked r9): first 23 by name; the
   # remaining cohort leads position 51+ (capacity escape hatch —
   # 19 never-checked + 49 max-stale exceed the 50 slots)
     "avg_qty_gated_revenue_sql",
@@ -150,11 +153,11 @@ _DRIVER_WINDOW = [
     "exact_dedup_docs",
     "insert_if_absent_batch",
     "media_file_ingest",
-    "media_resize_roundtrip",
-    "min_cost_supplier_sql",
   # --- position 51+: rest of the r9 cohort (incl. the two displaced
   # by the round-13 additions), then r10/r11/r12
   # cohorts, stalest-first (ties by name) — tools/staleness.py ---
+    "media_resize_roundtrip",
+    "min_cost_supplier_sql",
     "nation_value_concentration_sql",
     "near_dup_clusters",
     "near_dup_containment",
@@ -712,6 +715,16 @@ register(
     "doc_quality_confusion",
     corpus_queries.doc_quality_confusion,
     corpus_queries.DOC_QUALITY_CONFUSION_ORACLE,
+)
+register(
+    "wordpiece_merges",
+    corpus_queries.wordpiece_merges,
+    corpus_queries.WORDPIECE_MERGES_ORACLE,
+)
+register(
+    "wordpiece_token_stats",
+    corpus_queries.wordpiece_token_stats,
+    corpus_queries.WORDPIECE_TOKEN_STATS_ORACLE,
 )
 register(
     "bloom_skipping_census",

@@ -115,3 +115,86 @@ def test_bpe_byte_fallback_unseen_chars_become_bytes(spark):
         (r.doc_id, r.token) for r in bpe.bpe_encode(known, merges, alphabet=alpha).collect()
     )
     assert strict == fb
+
+
+def test_wordpiece_score_differs_from_bpe_frequency(spark):
+    """The WordPiece objective: the likelihood-gain score must pick a
+    rare-but-exclusive pair over the most FREQUENT pair when the
+    frequent pair's symbols are promiscuous — the crafted corpus where
+    BPE and WordPiece provably choose differently on round 1."""
+    from data_warehouse_implementation_spark.operators import bpe, wordpiece
+
+    # 'xy' appears 4x but x,y appear 12x each elsewhere; 'qu' appears
+    # 2x and q,u appear ONLY together
+    docs = spark.createDataFrame(
+        [(1, "xy xy xy xy xa xb xc ya yb yc ax bx cx ay by cy qu qu")],
+        "doc_id long, text string",
+    )
+    wp = wordpiece.wordpiece_train(docs, n_merges=1).collect()[0]
+    bp = bpe.bpe_train(docs, n_merges=1).collect()[0]
+    assert (wp.left_sym, wp.right_sym) == ("q", "u")
+    assert (bp.left_sym, bp.right_sym) != ("q", "u")
+    # the score is exactly n/(nl*nr)
+    assert wp.score == wp.pair_count / (wp.left_count * wp.right_count)
+
+
+def test_wordpiece_greedy_encode_longest_match_and_unk(spark):
+    """Greedy longest-match-first semantics, brute-forced: the longest
+    vocab piece wins at each position; a word with an unmatchable
+    character collapses to ['[UNK]'] (the BERT rule)."""
+    from data_warehouse_implementation_spark.operators import wordpiece
+
+    vocab = spark.createDataFrame(
+        [("a",), ("b",), ("ab",), ("abc",), ("c",), ("d",)], "piece string"
+    )
+    wt = spark.createDataFrame(
+        [("abcab", 1), ("abd", 2), ("abz", 3), ("dcba", 1)], "word string, cnt long"
+    )
+    out = {
+        r.word: (list(r.pieces), r.n_pieces)
+        for r in wordpiece.wordpiece_encode_words(wt, vocab, max_piece_len=3).collect()
+    }
+    assert out["abcab"] == (["abc", "ab"], 2)  # longest-first, not a+b
+    assert out["abd"] == (["ab", "d"], 2)
+    assert out["abz"] == (["[UNK]"], 1)  # z unmatched -> whole word UNK
+    assert out["dcba"] == (["d", "c", "b", "a"], 4)
+
+
+def test_wordpiece_encode_matches_python_greedy_on_corpus(spark):
+    """End-to-end differential on the real sf0.001 corpus: the in-row
+    greedy fold must equal a python replay of greedy longest-match
+    over the SAME trained vocabulary for every distinct word."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_implementation_spark.operators import wordpiece
+    from data_warehouse_implementation_spark.operators.text import words
+    from data_warehouse_implementation_spark.session import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"]
+    merges = wordpiece.wordpiece_train(docs, n_merges=4)
+    vocab = wordpiece.wordpiece_vocab(docs, merges)
+    vset = {r.piece for r in vocab.collect()}
+    wt = (
+        docs.select(F.explode(words("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    got = {
+        r.word: list(r.pieces)
+        for r in wordpiece.wordpiece_encode_words(wt, vocab, max_piece_len=6).collect()
+    }
+
+    def greedy(w):
+        out, i = [], 0
+        while i < len(w):
+            for l in range(min(6, len(w) - i), 0, -1):
+                if w[i : i + l] in vset:
+                    out.append(w[i : i + l])
+                    i += l
+                    break
+            else:
+                return ["[UNK]"]
+        return out
+
+    for w, pieces in got.items():
+        assert pieces == greedy(w), (w, pieces, greedy(w))

@@ -80,6 +80,11 @@ SCALE_SENSITIVE = [
     "doc_quality_classifier",
     "doc_quality_confusion",
     "doc_quality_pr_curve",
+    # round 13: the WordPiece score argmax is a double-ratio near-tie
+    # class over a 10x pair table; the greedy encode's vocab and UNK
+    # coverage shift with it
+    "wordpiece_merges",
+    "wordpiece_token_stats",
     # round 13: bloom saturation only shows at a 10x per-file key
     # cardinality (the m_bits sizing signal the census exists to read)
     "bloom_skipping_census",
