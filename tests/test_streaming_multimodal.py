@@ -1867,6 +1867,21 @@ def test_word_count_sink_state_trains_same_tokenizer(spark, tmp_dir):
     )
     assert key(merges_state) == key(merges_full)
 
+    # ...and the THIRD family (round 13): WordPiece merges trained
+    # from the same state equal the one-shot run, scores included
+    from data_warehouse_implementation_spark.operators import wordpiece
+
+    wp_state = wordpiece.wordpiece_train_from_symbols(
+        bpe.symbol_table_from_words(streaming.word_table_from_state(cat, "tok")),
+        n_merges=4,
+    )
+    wp_full = wordpiece.wordpiece_train(docs, n_merges=4)
+    wkey = lambda df: sorted(  # noqa: E731
+        (r.merge_rank, r.left_sym, r.right_sym, r.pair_count, r.score)
+        for r in df.collect()
+    )
+    assert wkey(wp_state) == wkey(wp_full)
+
     # duplicate-append of batch 0's partials (a crash window leaving
     # both copies) is absorbed by the per-(batch_id, word) collapse
     state = cat.table("tok_words")

@@ -177,7 +177,16 @@ def _train_from_stream_state(spark, sf_dir: str, family: str):
         )
         q.awaitTermination()
         words = streaming.word_table_from_state(cat, "wc")
-        if family == "unigram":
+        if family == "wordpiece":
+            from data_warehouse_implementation_spark.operators import wordpiece
+            from data_warehouse_implementation_spark.plans.corpus_queries import (
+                WP_ROUNDS,
+            )
+
+            out = wordpiece.wordpiece_train_from_symbols(
+                bpe.symbol_table_from_words(words), n_merges=WP_ROUNDS
+            )
+        elif family == "unigram":
             out = unigram.unigram_train_from_words(
                 words,
                 em_rounds=UNIGRAM_EM_ROUNDS,
@@ -205,6 +214,10 @@ STREAMING_STATE = {
     "bpe_train_from_stream_state": (
         lambda spark, sf: _train_from_stream_state(spark, sf, "bpe"),
         "bpe_merges",
+    ),
+    "wordpiece_train_from_stream_state": (
+        lambda spark, sf: _train_from_stream_state(spark, sf, "wordpiece"),
+        "wordpiece_merges",
     ),
 }
 
