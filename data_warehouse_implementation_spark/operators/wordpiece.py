@@ -70,7 +70,9 @@ def wordpiece_train_from_symbols(
     cur = symbols.localCheckpoint(eager=True)
     out: list[DataFrame] = []
     for rank in range(1, n_merges + 1):
-        sc = symbol_counts(cur)
+        # two consumers (the l and r denominator joins) — barrier the
+        # per-round count aggregate once
+        sc = symbol_counts(cur).localCheckpoint(eager=False)
         top = (
             pair_counts(cur)
             .join(sc.select(F.col("s").alias("l"), F.col("ns").alias("nl")), on="l")
@@ -168,7 +170,14 @@ def wordpiece_encode_words(
     map + a codegen'd in-row fold — no shuffle of the word table; the
     corpus-occurrence token histogram weights by cnt downstream (the
     encode-distinct-words-once discipline every tokenizer family here
-    shares)."""
+    shares).
+
+    ``max_piece_len`` caps the probe: a vocabulary piece LONGER than
+    the cap is unreachable (greedy then segments its span from shorter
+    pieces). Merge chains can exceed any fixed cap in principle
+    (lengths double per merge in the worst case), so size the cap to
+    the training depth; the oracle probes the same lengths, so the
+    differential is cap-consistent by construction."""
     return (
         wordtab.crossJoin(F.broadcast(_vocab_map(vocab)))
         .select(
