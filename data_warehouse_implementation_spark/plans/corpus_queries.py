@@ -2454,6 +2454,83 @@ WORDPIECE_TOKEN_STATS_ORACLE = _wp_token_stats_oracle(
 )
 
 
+def wordpiece_fertility_by_lang(t: dict[str, DataFrame]) -> DataFrame:
+    """WordPiece fertility report per language — docs / words / tokens
+    / fertility like the BPE and unigram twins, PLUS ``n_unk_words``:
+    the words the greedy encoder collapses to ``[UNK]`` (each
+    contributing exactly one token), the coverage metric specific to
+    a closed-vocabulary greedy tokenizer. The whole encode runs
+    IN-ROW per document (the greedy fold inlined inside an aggregate
+    over the word array — no explode, no join, no shuffle of the
+    documents); zero-word docs are excluded identically on both
+    engines. The oracle replays training, the vocabulary, the greedy
+    scan per distinct word, and weights by word occurrences."""
+    from ..operators import wordpiece
+    from ..operators.text import words_sql
+
+    docs = t["documents"]
+    merges = _trained_wp_merges(docs)
+    vocab = wordpiece.wordpiece_vocab(docs, merges)
+    g = wordpiece._greedy_expr("w", WP_MAX_PIECE)
+    per_doc = (
+        docs.crossJoin(F.broadcast(wordpiece._vocab_map(vocab)))
+        .select(
+            "lang",
+            F.expr(f"size({words_sql('text')})").cast("long").alias("n_wrds"),
+            F.expr(
+                f"aggregate({words_sql('text')}, 0L,"
+                f" (acc, w) -> acc + size(({g})))"
+            ).cast("long").alias("n_toks"),
+            F.expr(
+                f"aggregate({words_sql('text')}, 0L,"
+                f" (acc, w) -> acc + if(({g})[0] = '[UNK]', 1L, 0L))"
+            ).cast("long").alias("n_unk"),
+        )
+        .filter(F.col("n_wrds") > 0)
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_wrds").cast("long").alias("n_words"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.sum("n_unk").cast("long").alias("n_unk_words"),
+            (
+                F.sum("n_toks").cast("double") / F.sum("n_wrds").cast("double")
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _wp_fertility_oracle(rounds: int, max_piece: int) -> str:
+    base = _wp_token_stats_oracle(rounds, max_piece, 1)
+    ctes = base[: base.rindex("SELECT token")].rstrip().rstrip(",")
+    return f"""{ctes},
+wocc2 AS (
+  SELECT doc_id, unnest(arr) AS word FROM toks
+),
+perdoc2 AS (
+  SELECT o.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_wrds,
+         CAST(SUM(len(g.pieces)) AS BIGINT) AS n_toks,
+         CAST(SUM(CASE WHEN g.pieces[1] = '[UNK]' THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
+  FROM wocc2 o JOIN gfin g USING (word) GROUP BY o.doc_id
+)
+SELECT d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(p.n_wrds) AS BIGINT) AS n_words,
+       CAST(SUM(p.n_toks) AS BIGINT) AS n_tokens,
+       CAST(SUM(p.n_unk) AS BIGINT) AS n_unk_words,
+       CAST(SUM(p.n_toks) AS DOUBLE) / CAST(SUM(p.n_wrds) AS DOUBLE) AS fertility
+FROM perdoc2 p JOIN documents d USING (doc_id)
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+
+WORDPIECE_FERTILITY_ORACLE = _wp_fertility_oracle(WP_ROUNDS, WP_MAX_PIECE)
+
+
 # ---------------------------------------------------------------------------
 # Unigram-LM (SentencePiece-family) tokenizer training — VERDICT r10 gap #1;
 # the second tokenizer family next to BPE, sharing its fertility harness.

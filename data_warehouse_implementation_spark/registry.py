@@ -74,12 +74,13 @@ def oracle_sql() -> dict[str, str]:
 # ::test_driver_window_covers_stalest): the flagship; the NINETEEN
 # round-12 additions the r12 window had to defer (never
 # driver-checked — the never-deferred rule makes them lead); the
-# SEVEN round-13 additions (bloom_skipping_census,
+# EIGHT round-13 additions (bloom_skipping_census,
 # doc_quality_classifier, doc_quality_confusion,
-# doc_quality_pr_curve, doc_substring_sa, wordpiece_merges,
+# doc_quality_pr_curve, doc_substring_sa,
+# wordpiece_fertility_by_lang, wordpiece_merges,
 # wordpiece_token_stats — same rule); then the
-# first 23 (by name) of the 49-query round-9 max-staleness cohort.
-# 19 + 7 never-checked + 49 max-stale + flagship = 76 must-run rows
+# first 22 (by name) of the 49-query round-9 max-staleness cohort.
+# 19 + 8 never-checked + 49 max-stale + flagship = 77 must-run rows
 # for 50 slots, so the cohort cannot retire whole this round: the
 # capacity rule (mirrored in both window meta-tests) requires every
 # first-50 slot to hold a must-run row and the overflow to lead
@@ -125,9 +126,10 @@ _DRIVER_WINDOW = [
     "doc_quality_confusion",
     "doc_quality_pr_curve",
     "doc_substring_sa",
+    "wordpiece_fertility_by_lang",
     "wordpiece_merges",
     "wordpiece_token_stats",
-  # max-staleness cohort (last checked r9): first 23 by name; the
+  # max-staleness cohort (last checked r9): first 22 by name; the
   # remaining cohort leads position 51+ (capacity escape hatch —
   # 19 never-checked + 49 max-stale exceed the 50 slots)
     "avg_qty_gated_revenue_sql",
@@ -152,10 +154,10 @@ _DRIVER_WINDOW = [
     "events_window_agg",
     "exact_dedup_docs",
     "insert_if_absent_batch",
-    "media_file_ingest",
   # --- position 51+: rest of the r9 cohort (incl. the two displaced
   # by the round-13 additions), then r10/r11/r12
   # cohorts, stalest-first (ties by name) — tools/staleness.py ---
+    "media_file_ingest",
     "media_resize_roundtrip",
     "min_cost_supplier_sql",
     "nation_value_concentration_sql",
@@ -715,6 +717,11 @@ register(
     "doc_quality_confusion",
     corpus_queries.doc_quality_confusion,
     corpus_queries.DOC_QUALITY_CONFUSION_ORACLE,
+)
+register(
+    "wordpiece_fertility_by_lang",
+    corpus_queries.wordpiece_fertility_by_lang,
+    corpus_queries.WORDPIECE_FERTILITY_ORACLE,
 )
 register(
     "wordpiece_merges",

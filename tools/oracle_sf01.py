@@ -83,6 +83,7 @@ SCALE_SENSITIVE = [
     # round 13: the WordPiece score argmax is a double-ratio near-tie
     # class over a 10x pair table; the greedy encode's vocab and UNK
     # coverage shift with it
+    "wordpiece_fertility_by_lang",
     "wordpiece_merges",
     "wordpiece_token_stats",
     # round 13: bloom saturation only shows at a 10x per-file key
