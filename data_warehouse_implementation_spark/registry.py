@@ -68,95 +68,27 @@ def oracle_sql() -> dict[str, str]:
 
 
 # The correctness driver differentials the FIRST 50 registry entries per
-# round. Round-13 window (the verbatim tools/staleness.py
+# round. Round-14 window (the verbatim tools/staleness.py
 # --suggest-window order at rotation time; enforced by
 # tests/test_entry.py::test_driver_window_integrity and
-# ::test_driver_window_covers_stalest): the flagship; the NINETEEN
-# round-12 additions the r12 window had to defer (never
-# driver-checked — the never-deferred rule makes them lead); the
-# EIGHT round-13 additions (bloom_skipping_census,
-# doc_quality_classifier, doc_quality_confusion,
-# doc_quality_pr_curve, doc_substring_sa,
-# wordpiece_fertility_by_lang, wordpiece_merges,
-# wordpiece_token_stats — same rule); then the
-# first 22 (by name) of the 49-query round-9 max-staleness cohort.
-# 19 + 8 never-checked + 49 max-stale + flagship = 77 must-run rows
-# for 50 slots, so the cohort cannot retire whole this round: the
-# capacity rule (mirrored in both window meta-tests) requires every
-# first-50 slot to hold a must-run row and the overflow to lead
-# position 51+ in refresh order, which the layout below satisfies.
-# The two impl-changed bpe promotions from round 12
-# (``bpe_fertility_by_lang``, ``bpe_token_stats``) are in the r9
-# cohort and land inside the first 50 alphabetically, so the
-# interleave list empties this round.
+# ::test_driver_window_covers_stalest): the flagship, then the
+# 27-query round-9/10 max-staleness cohort (staleness 4 after the
+# r13 census landed), then the remaining queries stalest-first with
+# ties broken by name. 28 must-run rows for 50 slots — the whole
+# cohort retires this round, no capacity overflow; the 22 remaining
+# first-50 slots hold the head of the staleness-3 cohort plus any
+# round-14 additions (never-deferred rule: same-round additions are
+# inserted inside the first 50 when registered).
 # Same-round deferrals that are NOT new queries — the ONLY names the
 # window-integrity test allows to interleave with deferred new
-# additions at position 51+. Round 13: none (the r12 interleave pair
-# sits in the first 50 via the max-staleness cohort).
+# additions at position 51+. Round 14: none.
 _WINDOW_DEFERRAL_INTERLEAVE: list[str] = []
 
 _DRIVER_WINDOW = [
   # flagship — always re-verified
     "timely_rank_report",
-  # the 19 never-driver-checked round-12 additions (never-deferred
-  # rule: deferred past the r12 window, they lead round 13)
-    "bpe_encode_byte_fallback",
-    "compaction_plan",
-    "corpus_mix_temperature",
-    "corpus_mixture_schedule",
-    "doc_c4_line_clean",
-    "doc_ccnet_buckets",
-    "doc_language_confusion",
-    "doc_language_model",
-    "doc_line_dedup",
-    "doc_pack_bfd",
-    "doc_packing_efficiency",
-    "doc_pii_luhn",
-    "doc_winnow_census",
-    "embedding_decontaminate",
-    "layout_advisor_report",
-    "supplier_cosupply_kcore",
-    "supplier_cosupply_triangles",
-    "training_sequences_text",
-    "zorder_skipping_census",
-  # round-13 additions (never-deferred rule: same-round additions
-  # sit inside the first 50)
-    "bloom_skipping_census",
-    "doc_quality_classifier",
-    "doc_quality_confusion",
-    "doc_quality_pr_curve",
-    "doc_substring_sa",
-    "wordpiece_fertility_by_lang",
-    "wordpiece_merges",
-    "wordpiece_token_stats",
-  # max-staleness cohort (last checked r9): first 22 by name; the
-  # remaining cohort leads position 51+ (capacity escape hatch —
-  # 19 never-checked + 49 max-stale exceed the 50 slots)
-    "avg_qty_gated_revenue_sql",
-    "bpe_fertility_by_lang",
-    "bpe_token_stats",
-    "brand_median_price",
-    "calendar_dim",
-    "companies_of_interest",
-    "complaints_clean",
-    "concentrated_supply_sql",
-    "csv_scan_agg",
-    "cust_order_dist_sql",
-    "demo_reshape_pipeline",
-    "disputed_rank_report",
-    "doc_bigram_rarity",
-    "drilldown_report",
-    "embedding_dense_topk",
-    "events_asof_forward",
-    "events_hypertable_rollup",
-    "events_props_extract",
-    "events_session_window_native",
-    "events_window_agg",
-    "exact_dedup_docs",
-    "insert_if_absent_batch",
-  # --- position 51+: rest of the r9 cohort (incl. the two displaced
-  # by the round-13 additions), then r10/r11/r12
-  # cohorts, stalest-first (ties by name) — tools/staleness.py ---
+  # max-staleness cohort (last checked r9, staleness 4):
+  # all 27 fit — 28 must-run rows for 50 slots, no overflow
     "media_file_ingest",
     "media_resize_roundtrip",
     "min_cost_supplier_sql",
@@ -184,6 +116,8 @@ _DRIVER_WINDOW = [
     "top_orders_per_nation",
     "top_supplier_sql",
     "xml_scan_agg",
+  # --- free slots to position 50, then 51+: remaining queries
+  # stalest-first (ties by name) — tools/staleness.py ---
     "bloom_prefilter_join",
     "bpe_merges",
     "brand_mode_type",
@@ -331,6 +265,55 @@ _DRIVER_WINDOW = [
     "user_retention_cohorts",
     "user_sketch_rollup",
     "window_funcs_sql",
+    "avg_qty_gated_revenue_sql",
+    "bloom_skipping_census",
+    "bpe_encode_byte_fallback",
+    "bpe_fertility_by_lang",
+    "bpe_token_stats",
+    "brand_median_price",
+    "calendar_dim",
+    "compaction_plan",
+    "companies_of_interest",
+    "complaints_clean",
+    "concentrated_supply_sql",
+    "corpus_mix_temperature",
+    "corpus_mixture_schedule",
+    "csv_scan_agg",
+    "cust_order_dist_sql",
+    "demo_reshape_pipeline",
+    "disputed_rank_report",
+    "doc_bigram_rarity",
+    "doc_c4_line_clean",
+    "doc_ccnet_buckets",
+    "doc_language_confusion",
+    "doc_language_model",
+    "doc_line_dedup",
+    "doc_pack_bfd",
+    "doc_packing_efficiency",
+    "doc_pii_luhn",
+    "doc_quality_classifier",
+    "doc_quality_confusion",
+    "doc_quality_pr_curve",
+    "doc_substring_sa",
+    "doc_winnow_census",
+    "drilldown_report",
+    "embedding_decontaminate",
+    "embedding_dense_topk",
+    "events_asof_forward",
+    "events_hypertable_rollup",
+    "events_props_extract",
+    "events_session_window_native",
+    "events_window_agg",
+    "exact_dedup_docs",
+    "insert_if_absent_batch",
+    "layout_advisor_report",
+    "supplier_cosupply_kcore",
+    "supplier_cosupply_triangles",
+    "training_sequences_text",
+    "wordpiece_fertility_by_lang",
+    "wordpiece_merges",
+    "wordpiece_token_stats",
+    "zorder_skipping_census",
 ]
 
 
