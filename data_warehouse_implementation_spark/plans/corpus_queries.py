@@ -1681,8 +1681,36 @@ FROM kept GROUP BY doc_id ORDER BY doc_id
 # Suffix-array exact-substring analysis (VERDICT r12 #8 — the full
 # Lee et al. formulation over the fixed-k census; operators/suffix.py)
 
-SA_ROUNDS = 7  # 2^7 = 128 >= the 100-token max doc on every driver corpus
+# ORACLE unroll depth only (the Spark operator DERIVES its depth from
+# a max-token-count scalar and early-exits on rank convergence —
+# VERDICT r13 #3): 2^7 = 128 >= the max doc tokens on every driver
+# corpus, the exactness bound tests/test_suffix.py pins per sf. Extra
+# rounds are idempotent, so the fixed-depth DuckDB replay and the
+# derived-depth operator agree exactly whenever this bound holds.
+SA_ROUNDS = 7
 SA_L = DUP_GRAM_K  # census threshold == the k-gram census's k (cross-check)
+#: Removal threshold for the SA dedup pass — deliberately BELOW
+#: DUP_GRAM_K so the registry row demonstrates the capability the
+#: fixed-k pass lacks: removing duplicated spans shorter than k.
+SA_DEDUP_L = 3
+
+
+def _sa_dup_lengths(docs: DataFrame) -> DataFrame:
+    """Session-cached per-position SA dup-lengths (S7): the census
+    (``doc_substring_sa``) and the removal pass
+    (``doc_substring_sa_dedup``) share one prefix-doubling build per
+    corpus — corpus-position scale, so staged to parquet when
+    ``SPARK_GRAFT_STAGE_DIR`` is set."""
+    from ..operators import suffix
+
+    from . import materialize
+
+    return materialize.get_or_build(
+        "sa_dup_lengths",
+        str(docs.semanticHash()),
+        lambda: suffix.suffix_dup_lengths(docs, rounds=None),
+        corpus_scale=True,
+    )
 
 
 def doc_substring_sa(t: dict[str, DataFrame]) -> DataFrame:
@@ -1691,24 +1719,69 @@ def doc_substring_sa(t: dict[str, DataFrame]) -> DataFrame:
     duplicated-substring length (any length — the answer the fixed-k
     census structurally cannot give) plus the coverage census at
     threshold SA_L, which by the maximal-substring identity equals
-    ``doc_substring_dup``'s coverage (pinned in pytest). The oracle
-    unrolls the identical doubling rounds and descent in DuckDB."""
+    ``doc_substring_dup``'s coverage (pinned in pytest). The doubling
+    depth is DERIVED (``rounds=None``: ceil(log2(max doc tokens)) with
+    per-round convergence early-exit); the oracle unrolls a fixed
+    SA_ROUNDS-deep replay in DuckDB — equal by idempotence while the
+    per-sf bound test holds."""
     from ..operators import suffix
 
     return suffix.suffix_dup_census(
-        suffix.suffix_dup_lengths(t["documents"], rounds=SA_ROUNDS),
+        _sa_dup_lengths(t["documents"]),
         threshold=SA_L,
     ).orderBy("doc_id")
 
 
-def _sa_oracle(rounds: int, threshold: int) -> str:
-    """Unrolled prefix-doubling + LCP-descent replay: ``r0..r{rounds}``
+def doc_substring_sa_hashed(t: dict[str, DataFrame]) -> DataFrame:
+    """Production-mode SA census: round-0 token ids are map-side
+    ``pmod(xxhash64(tok), P63) + 1`` — the only string-shuffling rank
+    round disappears and every exchange carries 8-byte ints (VERDICT
+    r13 #7, the ``substring_gram_sink`` discipline).
+
+    Oracle note: xxhash64 is engine-specific, so the oracle replays
+    the RANK-mode pipeline — sound because ``dup_len`` is an LCP
+    maximum, invariant under any alphabet relabeling (see
+    ``suffix.suffix_dup_lengths``); bit-equality of the two modes on
+    the driver corpus is additionally pinned by
+    ``tests/test_suffix.py::test_hashed_mode_parity`` at the same sf,
+    the ``near_dup_minhash_hashed`` discipline."""
+    from ..operators import suffix
+
+    return suffix.suffix_dup_census(
+        suffix.suffix_dup_lengths(t["documents"], rounds=None, hashed_tokens=True),
+        threshold=SA_L,
+    ).orderBy("doc_id")
+
+
+def doc_substring_sa_dedup(t: dict[str, DataFrame]) -> DataFrame:
+    """SA-driven exact-substring REMOVAL at arbitrary span length
+    (``suffix.sa_substring_dedup`` — the action step of Lee et al.
+    2022): all-but-one occurrence of every duplicated token span of
+    length >= SA_DEDUP_L (= 3, BELOW the fixed-k pass's k = 5) is
+    removed, covering each occurrence's FULL maximal match length.
+    Shares the session-cached dup-lengths build with the census;
+    pytest pins (a) equality with ``doc_substring_dedup`` on a corpus
+    whose duplicated spans are all exactly k tokens and (b) a span the
+    fixed-k pass structurally misses being removed here."""
+    from ..operators import suffix
+
+    docs = t["documents"]
+    return suffix.sa_substring_dedup(
+        docs, min_len=SA_DEDUP_L, dup_lengths=_sa_dup_lengths(docs)
+    ).orderBy("doc_id")
+
+
+def _sa_dl_ctes(rounds: int) -> list[str]:
+    """Shared CTE chain of the SA oracles, up to and including ``dl``
+    (per-position dup lengths): unrolled prefix-doubling ``r0..r{rounds}``
     rank CTEs (dense_rank over half-prefix rank pairs, sentinel 0 past
     the document end), suffix order + adjacency, then the binary
     descent ``l{rounds}..l0`` accumulating 2^t on round-t rank
     agreement at the running offset — the same arithmetic as the Spark
     operator, engine-portable because only integer equality classes
-    and ASCII token order enter."""
+    and ASCII token order enter. Composed by the census oracle
+    (``_sa_oracle``) and the removal oracle (``_sa_dedup_oracle``) so
+    the replayed doubling can never fork between them."""
     ctes = [
         _TOKS_SQL.strip().rstrip(),
         """pos AS MATERIALIZED (
@@ -1776,6 +1849,13 @@ def _sa_oracle(rounds: int, threshold: int) -> str:
   FROM pos LEFT JOIN best ON best.d = pos.d AND best.p = pos.p
 )"""
     )
+    return ctes
+
+
+def _sa_oracle(rounds: int, threshold: int) -> str:
+    """SA census replay: the shared ``dl`` chain (``_sa_dl_ctes``)
+    plus the interval-union coverage census at ``threshold``."""
+    ctes = _sa_dl_ctes(rounds)
     ctes.append(
         f"""dup AS (SELECT d, p, p + {threshold} AS e FROM dl WHERE dup_len >= {threshold}),
 cov0 AS (
@@ -1805,6 +1885,61 @@ ORDER BY doc_id
 
 
 DOC_SUBSTRING_SA_ORACLE = _sa_oracle(SA_ROUNDS, SA_L)
+
+
+def _sa_dedup_oracle(rounds: int, min_len: int) -> str:
+    """SA removal replay: the shared ``dl`` chain, then the all-but-one
+    policy — occurrences are positions with ``dup_len >= min_len``,
+    each covering its FULL maximal span ``[p, p + dup_len)``; families
+    key by the leading ``min_len``-gram; the corpus-first ``(doc, p)``
+    per family is canonical; a position is removed iff covered only by
+    non-canonical occurrences. Mirrors ``suffix.sa_substring_dedup``."""
+    gram = " || ' ' || ".join(
+        f"arr[i + {j}]" if j else "arr[i]" for j in range(min_len)
+    )
+    ctes = _sa_dl_ctes(rounds)
+    ctes.append(
+        f"""fam AS (
+  SELECT doc_id AS d, i AS p, {gram} AS gram
+  FROM toks, UNNEST(range(1, len(arr) - {min_len} + 2)) AS t(i)
+  WHERE len(arr) >= {min_len}
+)"""
+    )
+    ctes.append(
+        f"""occ AS (
+  SELECT s.d, s.p, s.dup_len,
+         (ROW_NUMBER() OVER (PARTITION BY f.gram ORDER BY s.d, s.p)) = 1 AS canon
+  FROM (SELECT d, p, dup_len FROM dl WHERE dup_len >= {min_len}) s
+  JOIN fam f ON f.d = s.d AND f.p = s.p
+)"""
+    )
+    ctes.append(
+        """cov AS (
+  SELECT d, p + j AS p, MAX(CASE WHEN canon THEN 1 ELSE 0 END) AS anyc
+  FROM occ, UNNEST(range(0, dup_len)) AS t(j)
+  GROUP BY d, p + j
+)"""
+    )
+    ctes.append(
+        """kept AS (
+  SELECT pos.d, pos.p, pos.tok AS token,
+         COALESCE(cov.anyc = 0, FALSE) AS removed
+  FROM pos LEFT JOIN cov ON cov.d = pos.d AND cov.p = pos.p
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT d AS doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       COALESCE(string_agg(CASE WHEN NOT removed THEN token END, ' ' ORDER BY p), '') AS cleaned_text
+FROM kept GROUP BY d ORDER BY doc_id
+"""
+    )
+
+
+DOC_SUBSTRING_SA_DEDUP_ORACLE = _sa_dedup_oracle(SA_ROUNDS, SA_DEDUP_L)
 
 
 # ---------------------------------------------------------------------------

@@ -116,6 +116,10 @@ _DRIVER_WINDOW = [
     "top_orders_per_nation",
     "top_supplier_sql",
     "xml_scan_agg",
+  # round-14 additions (never-deferred rule: same-round additions
+  # sit inside the first 50)
+    "doc_substring_sa_dedup",
+    "doc_substring_sa_hashed",
   # --- free slots to position 50, then 51+: remaining queries
   # stalest-first (ties by name) — tools/staleness.py ---
     "bloom_prefilter_join",
@@ -729,6 +733,22 @@ register(
 register(
     "doc_substring_sa",
     corpus_queries.doc_substring_sa,
+    corpus_queries.DOC_SUBSTRING_SA_ORACLE,
+)
+register(
+    "doc_substring_sa_dedup",
+    corpus_queries.doc_substring_sa_dedup,
+    corpus_queries.DOC_SUBSTRING_SA_DEDUP_ORACLE,
+)
+# Production-mode SA (map-side xxhash64 round-0 token ids). xxhash64 is
+# not DuckDB-replayable, so the oracle replays the RANK-mode pipeline:
+# dup_len is an LCP maximum, invariant under alphabet relabeling, and
+# bit-equality of the two modes is pinned by tests/test_suffix.py::
+# test_hashed_mode_parity at the driver's sf (see
+# doc_substring_sa_hashed docstring).
+register(
+    "doc_substring_sa_hashed",
+    corpus_queries.doc_substring_sa_hashed,
     corpus_queries.DOC_SUBSTRING_SA_ORACLE,
 )
 register(

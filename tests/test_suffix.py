@@ -117,9 +117,11 @@ def test_suffix_rounds_idempotent_past_convergence(spark):
 
 
 def test_sa_rounds_cover_driver_corpora():
-    """SA_ROUNDS must satisfy the exactness bound 2^rounds >= max doc
-    tokens on every driver corpus (the bound the operator's docstring
-    pins; checked against the real testdata without Spark)."""
+    """SA_ROUNDS (the ORACLE's fixed unroll depth — the Spark operator
+    derives its own) must satisfy the exactness bound 2^rounds >= max
+    doc tokens on every driver corpus, else the fixed-depth DuckDB
+    replay and the derived-depth operator could legitimately diverge
+    (checked against the real testdata without Spark)."""
     import duckdb
 
     from data_warehouse_implementation_spark.plans.corpus_queries import SA_ROUNDS
@@ -130,6 +132,120 @@ def test_sa_rounds_cover_driver_corpora():
             f" x -> x <> ''))) FROM read_parquet('/root/testdata/sf{sf}/documents.parquet')"
         ).fetchone()[0]
         assert m <= (1 << SA_ROUNDS), (sf, m, SA_ROUNDS)
+
+
+def test_derived_rounds_and_early_exit_match_fixed_depth(spark):
+    """VERDICT r13 #3: rounds=None derives the doubling depth from the
+    max-token-count scalar and early-exits on rank convergence — the
+    result must be bit-equal to a generously fixed depth (and to the
+    brute force)."""
+    df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    derived = {
+        (r.doc_id, r.p): r.dup_len
+        for r in suffix.suffix_dup_lengths(df, rounds=None).collect()
+    }
+    assert derived == _brute_dup_lengths(CORPUS)
+    # single-token and empty-ish corpora exercise the rounds=0 path
+    tiny = spark.createDataFrame([(1, "solo"), (2, "solo")], "doc_id long, text string")
+    got = {
+        (r.doc_id, r.p): r.dup_len
+        for r in suffix.suffix_dup_lengths(tiny, rounds=None).collect()
+    }
+    assert got == {(1, 1): 1, (2, 1): 1}
+
+
+def test_hashed_mode_parity(spark):
+    """VERDICT r13 #7: the production hashed-token mode (map-side
+    xxhash64 round-0 ids) must be bit-equal to the replayable rank
+    mode — dup_len is an LCP maximum, invariant under alphabet
+    relabeling. Pinned on the synthetic corpus AND on the driver's
+    sf0.001 documents table (the near_dup_minhash_hashed discipline:
+    this is what makes the registry row's rank-mode oracle a real
+    differential for the hashed path)."""
+    df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    rank_mode = {
+        (r.doc_id, r.p): r.dup_len
+        for r in suffix.suffix_dup_lengths(df, rounds=None).collect()
+    }
+    hashed = {
+        (r.doc_id, r.p): r.dup_len
+        for r in suffix.suffix_dup_lengths(
+            df, rounds=None, hashed_tokens=True
+        ).collect()
+    }
+    assert hashed == rank_mode
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    a = suffix.suffix_dup_census(
+        suffix.suffix_dup_lengths(docs, rounds=None), threshold=5
+    )
+    b = suffix.suffix_dup_census(
+        suffix.suffix_dup_lengths(docs, rounds=None, hashed_tokens=True), threshold=5
+    )
+    rows_a = {tuple(r) for r in a.collect()}
+    rows_b = {tuple(r) for r in b.collect()}
+    assert rows_a == rows_b
+
+
+def test_sa_dedup_equals_fixed_k_when_spans_exactly_k(spark):
+    """VERDICT r13 #4 pin (a): when every duplicated span is exactly k
+    tokens long, the SA removal at min_len=k coincides with the
+    fixed-k pass — same occurrences, same family keys, same coverage,
+    same canonical tie order."""
+    data = [
+        (1, "a b c d e u1 u2"),
+        (2, "v1 a b c d e v2"),
+        (3, "the full copy tells all"),
+        (4, "the full copy tells all"),
+        (5, "w1 w2 w3 w4 w5 w6"),
+    ]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    sa = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.cleaned_text)
+        for r in suffix.sa_substring_dedup(df, min_len=5).collect()
+    }
+    kg = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.cleaned_text)
+        for r in corpus.substring_dedup(df, k=5).collect()
+    }
+    assert sa == kg
+    # the copy-pair: first copy survives verbatim, second loses the span
+    assert sa[3] == (5, 0, "the full copy tells all")
+    assert sa[4] == (5, 5, "")
+
+
+def test_sa_dedup_removes_span_fixed_k_misses(spark):
+    """VERDICT r13 #4 pin (b): a duplicated 3-token span is invisible
+    to the k=5 pass but removed by the SA pass at min_len=3 — and a
+    LONG span's non-canonical occurrence is removed over its FULL
+    maximal length, not a fixed window."""
+    data = [
+        (1, "red green blue u1 u2 u3 u4"),
+        (2, "v1 v2 red green blue v3 v4"),
+    ]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    kg = {r.doc_id: r.n_removed for r in corpus.substring_dedup(df, k=5).collect()}
+    assert kg == {1: 0, 2: 0}  # fixed-k=5 is blind to the 3-token span
+    sa = {
+        r.doc_id: (r.n_removed, r.cleaned_text)
+        for r in suffix.sa_substring_dedup(df, min_len=3).collect()
+    }
+    assert sa[1] == (0, "red green blue u1 u2 u3 u4")  # canonical copy kept
+    assert sa[2] == (3, "v1 v2 v3 v4")
+    # full-length removal of a 9-token span at min_len=5: coverage is
+    # the maximal match, not 5-token windows around qualifying starts
+    long = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota x1"),
+        (2, "y1 alpha beta gamma delta epsilon zeta eta theta iota"),
+    ]
+    ldf = spark.createDataFrame(long, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_removed, r.cleaned_text)
+        for r in suffix.sa_substring_dedup(ldf, min_len=5).collect()
+    }
+    assert got[1] == (0, "alpha beta gamma delta epsilon zeta eta theta iota x1")
+    assert got[2] == (9, "y1")
 
 
 def test_global_rank_rejects_scratch_out_col(spark):

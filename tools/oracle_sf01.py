@@ -93,6 +93,11 @@ SCALE_SENSITIVE = [
     # a 10x position table (and the 100-token max doc lives at sf0.1 —
     # the exactness bound is only exercised there)
     "doc_substring_sa",
+    # round 14: derived doubling depth + convergence early-exit find
+    # their real depth only on the 10x position table; the hashed mode
+    # and the full-maximal-span removal reshuffle with it
+    "doc_substring_sa_hashed",
+    "doc_substring_sa_dedup",
     "unigram_encode_byte_fallback",
     "bpe_encode_byte_fallback",
     # threshold verdicts against a 4x-larger corpus-side cosine field
