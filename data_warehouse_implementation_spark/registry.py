@@ -120,6 +120,9 @@ _DRIVER_WINDOW = [
   # sit inside the first 50)
     "doc_substring_sa_dedup",
     "doc_substring_sa_hashed",
+    "bpe_publish_encode",
+    "wordpiece_publish_encode",
+    "unigram_publish_encode",
   # --- free slots to position 50, then 51+: remaining queries
   # stalest-first (ties by name) — tools/staleness.py ---
     "bloom_prefilter_join",
@@ -739,6 +742,26 @@ register(
     "doc_substring_sa_dedup",
     corpus_queries.doc_substring_sa_dedup,
     corpus_queries.DOC_SUBSTRING_SA_DEDUP_ORACLE,
+)
+# Tokenizer artifact publish/apply (VERDICT r13 #5): train -> catalog
+# write -> read back -> encode from the published copy. Each reuses its
+# family's train+encode replay oracle verbatim — the replay never
+# touches the published file, so the pair differentially proves the
+# publish hop lossless (see corpus_queries._publish_read_back).
+register(
+    "bpe_publish_encode",
+    corpus_queries.bpe_publish_encode,
+    corpus_queries.BPE_TOKEN_STATS_ORACLE,
+)
+register(
+    "wordpiece_publish_encode",
+    corpus_queries.wordpiece_publish_encode,
+    corpus_queries.WORDPIECE_TOKEN_STATS_ORACLE,
+)
+register(
+    "unigram_publish_encode",
+    corpus_queries.unigram_publish_encode,
+    corpus_queries.UNIGRAM_TOKEN_STATS_ORACLE,
 )
 # Production-mode SA (map-side xxhash64 round-0 token ids). xxhash64 is
 # not DuckDB-replayable, so the oracle replays the RANK-mode pipeline:
