@@ -2542,24 +2542,15 @@ def wordpiece_token_stats(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-def _wp_token_stats_oracle(rounds: int, max_piece: int, top: int) -> str:
-    merged_pieces = "\nUNION ALL\n".join(
-        f"SELECT replace(l || r, '</w>', '') AS piece FROM t{i}" for i in range(rounds)
-    )
-    return f"""WITH RECURSIVE {_wp_train_ctes(rounds)},
-wpv AS MATERIALIZED (
-  SELECT DISTINCT piece FROM (
-    SELECT unnest(regexp_extract_all(word, '.')) AS piece FROM wpc
-    UNION ALL
-    {merged_pieces}
-  ) WHERE length(piece) > 0
-),
-wvm AS MATERIALIZED (
-  SELECT map_from_entries(list(struct_pack(k := piece, v := 1) ORDER BY piece)) AS m
-  FROM wpv
-),
-g AS (
-  SELECT word, cnt, 1 AS i, []::VARCHAR[] AS path, FALSE AS unk FROM wpc
+def _wp_greedy_ctes(
+    word_src: str, max_piece: int, g: str = "g", gfin: str = "gfin"
+) -> str:
+    """The greedy longest-match scan as a recursive-CTE pair over any
+    ``(word, cnt)`` source — shared by the corpus oracles (source
+    ``wpc``) and the foreign-encode oracle (a word table the vocab was
+    NOT trained on, where ``[UNK]`` genuinely fires)."""
+    return f"""{g} AS (
+  SELECT word, cnt, 1 AS i, []::VARCHAR[] AS path, FALSE AS unk FROM {word_src}
   UNION ALL
   SELECT word, cnt,
          CASE WHEN m IS NULL THEN len(word) + 1 ELSE i + length(m) END,
@@ -2571,13 +2562,38 @@ g AS (
              generate_series(least({max_piece}, len(word) - i + 1), 1, -1),
              l -> substring(word, i, l)),
              p -> map_extract(wvm.m, p)[1] IS NOT NULL)[1] AS m
-    FROM g, wvm WHERE i <= len(word) AND NOT unk
+    FROM {g}, wvm WHERE i <= len(word) AND NOT unk
   )
 ),
-gfin AS (
+{gfin} AS (
   SELECT word, cnt, CASE WHEN unk THEN ['[UNK]'] ELSE path END AS pieces
-  FROM g WHERE unk OR i = len(word) + 1
-)
+  FROM {g} WHERE unk OR i = len(word) + 1
+)"""
+
+
+def _wp_vocab_ctes(rounds: int) -> str:
+    """Training + derived-vocabulary CTEs (``... , wpv, wvm``) — the
+    front half every WordPiece encode oracle shares."""
+    merged_pieces = "\nUNION ALL\n".join(
+        f"SELECT replace(l || r, '</w>', '') AS piece FROM t{i}" for i in range(rounds)
+    )
+    return f"""{_wp_train_ctes(rounds)},
+wpv AS MATERIALIZED (
+  SELECT DISTINCT piece FROM (
+    SELECT unnest(regexp_extract_all(word, '.')) AS piece FROM wpc
+    UNION ALL
+    {merged_pieces}
+  ) WHERE length(piece) > 0
+),
+wvm AS MATERIALIZED (
+  SELECT map_from_entries(list(struct_pack(k := piece, v := 1) ORDER BY piece)) AS m
+  FROM wpv
+)"""
+
+
+def _wp_token_stats_oracle(rounds: int, max_piece: int, top: int) -> str:
+    return f"""WITH RECURSIVE {_wp_vocab_ctes(rounds)},
+{_wp_greedy_ctes("wpc", max_piece)}
 SELECT token, CAST(SUM(cnt) AS BIGINT) AS n
 FROM (SELECT cnt, unnest(pieces) AS token FROM gfin)
 GROUP BY token ORDER BY n DESC, token LIMIT {top}
@@ -2594,7 +2610,12 @@ def wordpiece_fertility_by_lang(t: dict[str, DataFrame]) -> DataFrame:
     / fertility like the BPE and unigram twins, PLUS ``n_unk_words``:
     the words the greedy encoder collapses to ``[UNK]`` (each
     contributing exactly one token), the coverage metric specific to
-    a closed-vocabulary greedy tokenizer. The whole encode runs
+    a closed-vocabulary greedy tokenizer. NOTE (ADVICE r13): on the
+    TRAINING corpus this column is structurally zero — the vocabulary
+    includes the full corpus alphabet, so the greedy probe can always
+    fall back to single-char pieces; UNK only measures coverage when
+    encoding text the vocab was not trained on, which is what
+    ``wordpiece_unk_foreign`` reports. The whole encode runs
     IN-ROW per document (the greedy fold inlined inside an aggregate
     over the word array — no explode, no join, no shuffle of the
     documents); zero-word docs are excluded identically on both
@@ -2664,6 +2685,88 @@ GROUP BY d.lang ORDER BY d.lang
 
 
 WORDPIECE_FERTILITY_ORACLE = _wp_fertility_oracle(WP_ROUNDS, WP_MAX_PIECE)
+
+
+def wordpiece_unk_foreign(t: dict[str, DataFrame]) -> DataFrame:
+    """OOV coverage on a FOREIGN corpus (ADVICE r13: on the training
+    corpus ``n_unk_words`` is structurally zero — the vocab contains
+    the full corpus alphabet, so single-char fallback always succeeds;
+    UNK is only a meaningful signal when encoding text the vocabulary
+    was NOT trained on). Here the documents-trained vocabulary encodes
+    the ``events`` stream's words (``event_type`` + the raw ``props``
+    JSON — brace/quote/digit characters are outside the documents
+    alphabet, so UNK genuinely fires), reported per event_type: the
+    coverage check a tokenizer deploy runs before pointing a trained
+    vocab at a new source. Same in-row broadcast greedy fold as the
+    fertility query — events are never shuffled."""
+    from ..operators import wordpiece
+    from ..operators.text import words_sql
+
+    docs = t["documents"]
+    vocab = wordpiece.wordpiece_vocab(docs, _trained_wp_merges(docs))
+    g = wordpiece._greedy_expr("w", WP_MAX_PIECE)
+    per_event = (
+        t["events"]
+        .withColumn("_ft", F.concat_ws(" ", "event_type", "props"))
+        .crossJoin(F.broadcast(wordpiece._vocab_map(vocab)))
+        .select(
+            "event_type",
+            F.expr(f"size({words_sql('_ft')})").cast("long").alias("n_wrds"),
+            F.expr(
+                f"aggregate({words_sql('_ft')}, 0L,"
+                f" (acc, w) -> acc + size(({g})))"
+            ).cast("long").alias("n_toks"),
+            F.expr(
+                f"aggregate({words_sql('_ft')}, 0L,"
+                f" (acc, w) -> acc + if(({g})[0] = '[UNK]', 1L, 0L))"
+            ).cast("long").alias("n_unk"),
+        )
+    )
+    return (
+        per_event.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("n_wrds").cast("long").alias("n_words"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.sum("n_unk").cast("long").alias("n_unk_words"),
+            (
+                F.sum("n_unk").cast("double") / F.sum("n_wrds").cast("double")
+            ).alias("unk_rate"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _wp_unk_foreign_oracle(rounds: int, max_piece: int) -> str:
+    return f"""WITH RECURSIVE {_wp_vocab_ctes(rounds)},
+fwc AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(list_filter(
+      regexp_split_to_array(lower(concat_ws(' ', event_type, props)), '\\s+'),
+      x -> x <> '')) AS word
+    FROM events
+  ) GROUP BY word
+),
+{_wp_greedy_ctes("fwc", max_piece, "fg", "fgfin")},
+focc AS (
+  SELECT event_type, unnest(list_filter(
+    regexp_split_to_array(lower(concat_ws(' ', event_type, props)), '\\s+'),
+    x -> x <> '')) AS word
+  FROM events
+)
+SELECT o.event_type,
+       CAST((SELECT COUNT(*) FROM events e WHERE e.event_type = o.event_type) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(len(g.pieces)) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN g.pieces[1] = '[UNK]' THEN 1 ELSE 0 END) AS BIGINT) AS n_unk_words,
+       CAST(SUM(CASE WHEN g.pieces[1] = '[UNK]' THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS unk_rate
+FROM focc o JOIN fgfin g USING (word)
+GROUP BY o.event_type ORDER BY o.event_type
+"""
+
+
+WORDPIECE_UNK_FOREIGN_ORACLE = _wp_unk_foreign_oracle(WP_ROUNDS, WP_MAX_PIECE)
 
 
 # ---------------------------------------------------------------------------

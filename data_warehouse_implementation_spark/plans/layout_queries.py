@@ -432,8 +432,13 @@ def _bloom_census_oracle() -> str:
     m = BLOOM_M_BITS
     from ..operators.layout import BLOOM_A, BLOOM_B, BLOOM_K, BLOOM_P
 
+    # sign-safe modulus (ADVICE r13): Spark's pmod is non-negative for
+    # any operand sign while DuckDB '%' follows the dividend's sign —
+    # (x % P + P) % P equals pmod for ALL keys, and reduces to x % P on
+    # the non-negative keys of this corpus (no hash change here; the
+    # pair is divergence-proof for a future negative-keyed probe set)
     hashes_k = ", ".join(
-        f"((ck % {BLOOM_P}) * {BLOOM_A[i]} + {BLOOM_B[i]}) % {BLOOM_P} % {m}"
+        f"(((ck % {BLOOM_P} + {BLOOM_P}) % {BLOOM_P}) * {BLOOM_A[i]} + {BLOOM_B[i]}) % {BLOOM_P} % {m}"
         for i in range(BLOOM_K)
     )
     hash_rows = ", ".join(
@@ -469,7 +474,7 @@ LEFT JOIN (
   SELECT q, CAST(COUNT(*) AS BIGINT) AS nf FROM (
     SELECT pb.q, fb.f
     FROM (SELECT q, h.i,
-                 ((q % {BLOOM_P}) * h.a + h.bb) % {BLOOM_P} % {m} AS bit
+                 (((q % {BLOOM_P} + {BLOOM_P}) % {BLOOM_P}) * h.a + h.bb) % {BLOOM_P} % {m} AS bit
           FROM probes, (VALUES {hash_rows}) AS h(i, a, bb)) pb
     JOIN (SELECT DISTINCT f, bit FROM (
       SELECT f, unnest([{hashes_k}]) AS bit FROM (SELECT DISTINCT f, ck FROM (

@@ -123,6 +123,7 @@ _DRIVER_WINDOW = [
     "bpe_publish_encode",
     "wordpiece_publish_encode",
     "unigram_publish_encode",
+    "wordpiece_unk_foreign",
   # --- free slots to position 50, then 51+: remaining queries
   # stalest-first (ties by name) — tools/staleness.py ---
     "bloom_prefilter_join",
@@ -762,6 +763,11 @@ register(
     "unigram_publish_encode",
     corpus_queries.unigram_publish_encode,
     corpus_queries.UNIGRAM_TOKEN_STATS_ORACLE,
+)
+register(
+    "wordpiece_unk_foreign",
+    corpus_queries.wordpiece_unk_foreign,
+    corpus_queries.WORDPIECE_UNK_FOREIGN_ORACLE,
 )
 # Production-mode SA (map-side xxhash64 round-0 token ids). xxhash64 is
 # not DuckDB-replayable, so the oracle replays the RANK-mode pipeline:

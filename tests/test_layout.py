@@ -286,3 +286,61 @@ def test_bloom_point_census_brute_force(spark):
     # the crafted minmax false positive: 6 is inside file 0's and
     # file 2's ranges but present nowhere
     assert out[6][1] == 0 and out[6][2] >= 2
+
+
+def test_bloom_hash_sign_safe_across_engines(spark):
+    """ADVICE r13: the census oracle's sign-safe modulus
+    ((x % P + P) % P) must equal Spark's pmod bit layout for NEGATIVE
+    keys too (DuckDB '%' follows the dividend's sign, so the plain
+    form only agreed because driver keys are non-negative) — and a
+    negative-keyed census must round-trip between the operator and the
+    same replay arithmetic."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from data_warehouse_implementation_spark.operators import layout
+    from data_warehouse_implementation_spark.operators.layout import (
+        BLOOM_A,
+        BLOOM_B,
+        BLOOM_K,
+        BLOOM_P,
+    )
+
+    m = 64
+    keys = [-7, -1, -2_147_483_650, 0, 5, 2_147_483_650]
+    spark_bits = (
+        spark.createDataFrame([(k,) for k in keys], "k long")
+        .select(
+            "k",
+            F.array(
+                *[layout._bloom_bit(F.col("k"), i, m) for i in range(BLOOM_K)]
+            ).alias("bits"),
+        )
+        .collect()
+    )
+    got = {r.k: list(r.bits) for r in spark_bits}
+    for k in keys:
+        want = [
+            duckdb.sql(
+                # CAST mirrors the oracle (ck/q are BIGINT there); a bare
+                # small literal is INT32 in DuckDB and overflows the mul
+                f"SELECT (((CAST({k} AS BIGINT) % {BLOOM_P} + {BLOOM_P}) % {BLOOM_P}) * {BLOOM_A[i]}"
+                f" + {BLOOM_B[i]}) % {BLOOM_P} % {m}"
+            ).fetchone()[0]
+            for i in range(BLOOM_K)
+        ]
+        assert got[k] == want, (k, got[k], want)
+        assert all(b >= 0 for b in got[k])
+    # negative-keyed census end-to-end: present key found, absent not
+    df = spark.createDataFrame(
+        [(0, -7), (0, -1), (1, -7), (1, 5)], "file_id long, ck long"
+    )
+    probes = spark.createDataFrame([(-7,), (-99,)], "probe_key long")
+    out = {
+        r.probe_key: (r.files_with_key, r.files_opened_bloom)
+        for r in layout.bloom_point_census(
+            df, "file_id", "ck", probes, 512, "t"
+        ).collect()
+    }
+    assert out[-7][0] == 2 and out[-7][1] >= 2
+    assert out[-99][0] == 0
