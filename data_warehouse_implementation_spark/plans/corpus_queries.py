@@ -1085,21 +1085,40 @@ def doc_quality_pr_curve(t: dict[str, DataFrame]) -> DataFrame:
     """Exact precision/recall curve for the trained quality gate on
     the HOLDOUT slice — the threshold-selection artifact a real
     curation pipeline ships with its classifier (GPT-3's Appendix A
-    gate is exactly a thresholded score). Decision statistic per doc:
-    ``p_hq = s_hq / (s_hq + s_lq)`` over the two MAP class scores
-    (both strictly positive, so the ratio is a calibrated-order
-    statistic with no log/exp). Docs rank by (p_hq desc, doc_id) via
-    the two-phase ``global_rank``; the running hq count uses the
-    rank-bucket two-phase cumsum (``shard_by_token_budget``'s
-    discipline — never a corpus-scale global window). One row per
-    holdout doc: rank k, the threshold that admits exactly the top k,
-    and precision/recall at that cut — integer-ratio doubles, exact
-    in SQL."""
+    gate is exactly a thresholded score). Curve algebra lives in
+    :func:`pr_curve_from_model` (shared with the streaming
+    ``pr_curve_from_state`` serve path); this query feeds it the
+    session-cached model and labels."""
+    docs = t["documents"]
+    profiles, priors = _qc_model(docs)
+    return pr_curve_from_model(docs, profiles, priors, labeled=_qc_labeled(docs))
+
+
+def pr_curve_from_model(
+    docs: DataFrame,
+    profiles: DataFrame,
+    priors: DataFrame,
+    labeled: DataFrame | None = None,
+) -> DataFrame:
+    """PR curve for a given (profiles, priors) model over ``docs``'s
+    holdout slice — the shared back half of the batch query and the
+    streaming from-state serve (VERDICT r13 #8). Decision statistic
+    per doc: ``p_hq = s_hq / (s_hq + s_lq)`` over the two MAP class
+    scores (both strictly positive, so the ratio is a
+    calibrated-order statistic with no log/exp). Docs rank by
+    (p_hq desc, doc_id) via the two-phase ``global_rank``; the running
+    hq count uses the rank-bucket two-phase cumsum
+    (``shard_by_token_budget``'s discipline — never a corpus-scale
+    global window). One row per holdout doc: rank k, the threshold
+    that admits exactly the top k, and precision/recall at that cut —
+    integer-ratio doubles, exact in SQL. ``labeled`` injects the
+    session-cached rule labels; None recomputes them (the rule gate is
+    deterministic and map-side, so both paths agree exactly)."""
     from ..operators import text as text_ops
     from ..operators.relational import global_rank
 
-    docs = t["documents"]
-    profiles, priors = _qc_model(docs)
+    if labeled is None:
+        labeled = _rule_labeled(docs)
     hold = docs.filter(F.col("doc_id") % QC_TRAIN_MOD != 0)
     wide = (
         text_ops.language_model_scores(
@@ -1115,7 +1134,7 @@ def doc_quality_pr_curve(t: dict[str, DataFrame]) -> DataFrame:
             (F.col("_shq") / (F.col("_shq") + F.col("_slq"))).alias("p_hq"),
         )
     )
-    labels = _qc_labeled(docs).select(
+    labels = labeled.select(
         "doc_id", (F.col("label") == QC_POS).cast("long").alias("is_hq")
     )
     j = wide.join(labels, "doc_id").withColumn("_negp", -F.col("p_hq"))

@@ -2016,3 +2016,23 @@ def quality_model_from_state(
         .select(F.col("label").alias("lang"), "n_docs")
     )
     return profiles, priors
+
+
+def pr_curve_from_state(
+    catalog: WarehouseCatalog, prefix: str, docs: DataFrame
+) -> DataFrame:
+    """Serve the quality gate's precision/recall curve FROM the
+    streaming training state (VERDICT r13 #8, completing the
+    train-from-stream-state family): rebuild (profiles, priors) via
+    :func:`quality_model_from_state` and run the SAME curve algebra as
+    the batch ``doc_quality_pr_curve``
+    (``corpus_queries.pr_curve_from_model`` — shared code, so the two
+    paths cannot fork) over ``docs``'s holdout slice. When the sink
+    ingested the batch query's training slice, the curve is bit-equal
+    to the batch one across any number of micro-batches (pytest
+    parity) — the threshold-selection artifact updates continuously as
+    labeled word mass streams in, without rescanning ingested text."""
+    from ..plans.corpus_queries import pr_curve_from_model
+
+    profiles, priors = quality_model_from_state(catalog, prefix)
+    return pr_curve_from_model(docs, profiles, priors)

@@ -2306,3 +2306,54 @@ def test_labeled_word_sink_classifier_parity(spark, tmp_dir):
     assert {tuple(r) for r in profiles_again.collect()} == {
         tuple(r) for r in profiles_b.collect()
     }
+
+
+def test_pr_curve_from_state_parity(spark, tmp_dir):
+    """VERDICT r13 #8: the PR curve SERVED FROM the streaming training
+    state must be bit-equal to the batch ``doc_quality_pr_curve`` when
+    the sink ingested the batch query's training slice across >= 2
+    micro-batches (word mass for both classes split over the batch
+    boundary)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_warehouse_implementation_spark.plans import corpus_queries as cq
+    from data_warehouse_implementation_spark.session import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"]
+    train = docs.filter(F.col("doc_id") % cq.QC_TRAIN_MOD == 0)
+    # split by a digit ABOVE the train modulus so both halves are
+    # non-empty (train ids are all multiples of QC_TRAIN_MOD)
+    half = (F.col("doc_id") / cq.QC_TRAIN_MOD).cast("long") % 2
+    b0 = train.filter(half == 0).select("doc_id", "text").toPandas()
+    b1 = train.filter(half == 1).select("doc_id", "text").toPandas()
+    assert len(b0) > 0 and len(b1) > 0
+    src = os.path.join(tmp_dir, "prc_src")
+    os.makedirs(src)
+    for i, pdf in enumerate([b0, b1]):
+        p = os.path.join(src, f"b{i}.parquet")
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), p)
+        os.utime(p, (1_700_000_000 + 60 * i,) * 2)
+    cat = WarehouseCatalog(spark, os.path.join(tmp_dir, "prc_wh"))
+    q = streaming.labeled_word_count_sink(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        cat,
+        "prc",
+        checkpoint=os.path.join(tmp_dir, "ckpt_prc"),
+    )
+    q.awaitTermination()
+    assert sorted(
+        int(r.batch_id) for r in cat.table("prc_lpriors").select("batch_id").distinct().collect()
+    ) == [0, 1]
+
+    got = {
+        r.doc_id: (r.rk, r.threshold, r.is_hq, r.precision_at_k, r.recall_at_k)
+        for r in streaming.pr_curve_from_state(cat, "prc", docs).collect()
+    }
+    want = {
+        r.doc_id: (r.rk, r.threshold, r.is_hq, r.precision_at_k, r.recall_at_k)
+        for r in cq.doc_quality_pr_curve({"documents": docs}).collect()
+    }
+    assert got == want and len(got) > 0
