@@ -1894,6 +1894,226 @@ GROUP BY band_id ORDER BY band_id
 """
 
 
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+# web-scale through semantic deduplication"): cluster the embedding
+# space with a coarse quantizer, find semantic-duplicate GROUPS by
+# within-cluster cosine, and keep ONE representative per group — the
+# member FURTHEST from its cluster centroid (the paper's keep-the-edge
+# policy; redundant near-centroid copies drop). The cluster bucketing
+# is what makes it scale: candidate pairs are within-cell only, with a
+# deterministic per-cell membership cap (the LSH discipline) and a
+# loud-truncation stats row. The driver corpus has NO semantic dups
+# (max within-cell cosine 0.60 at every sf — measured), so the dedup
+# row is empty-vs-empty there and the stats row carries the live
+# differential; the sf1 battery (tools/oracle_sf1.py, generated corpus
+# with 2% exact + 3% near duplicate vectors) proves the dup path
+# end-to-end at 10x the bench scale.
+
+SEMDEDUP_CENTROIDS = 64  # seed coarse quantizer: the first 64 vectors
+SEMDEDUP_TAU = 0.92      # within-cell cosine for "semantic duplicate"
+SEMDEDUP_CELL_CAP = 128  # per-cell members entering the pair stage
+
+
+def _semdedup_members(emb: DataFrame) -> DataFrame:
+    """Session-cached per-vector SemDeDup frame: (vec_id, cell_id,
+    in_cap, group_id NULLable, centroid_cosine) — cell assignment
+    against the seed quantizer, the deterministic cap flag
+    (rank-by-vec_id within cell), duplicate-group labels from
+    min-label connected components over the capped within-cell
+    cosine>=tau pairs, and each member's cosine to its own cell
+    centroid (the keep statistic). Shared by the dedup and stats
+    queries — one build per corpus."""
+
+    def build() -> DataFrame:
+        cen = emb.filter(F.col("vec_id") < SEMDEDUP_CENTROIDS).select(
+            F.col("vec_id").alias("cen_id"), F.col("embedding").alias("cen_vec")
+        )
+        cells = similarity.assign_cells(emb, cen)
+        from pyspark.sql.window import Window
+
+        capped = cells.withColumn(
+            "in_cap",
+            F.row_number().over(
+                Window.partitionBy("cell_id").orderBy("vec_id")
+            )
+            <= SEMDEDUP_CELL_CAP,
+        ).localCheckpoint(eager=False)
+        v = emb.select("vec_id", "embedding")
+        left = (
+            capped.filter("in_cap")
+            .join(v, "vec_id")
+            .select(
+                F.col("vec_id").alias("_a"),
+                "cell_id",
+                F.col("embedding").alias("_va"),
+            )
+        )
+        right = (
+            capped.filter("in_cap")
+            .join(v, "vec_id")
+            .select(
+                F.col("vec_id").alias("_b"),
+                "cell_id",
+                F.col("embedding").alias("_vb"),
+            )
+        )
+        pairs = (
+            left.join(right, on="cell_id")
+            .filter(F.col("_a") < F.col("_b"))
+            .filter(
+                similarity.cosine(F.col("_va"), F.col("_vb")) >= SEMDEDUP_TAU
+            )
+            .select("_a", "_b")
+        )
+        comp = dedup.connected_components(pairs, "_a", "_b").select(
+            F.col("id").alias("vec_id"), F.col("cluster_id").alias("group_id")
+        )
+        return (
+            capped.join(v, "vec_id")
+            .join(F.broadcast(cen), capped.cell_id == cen.cen_id)
+            .withColumn(
+                "centroid_cosine",
+                similarity.cosine(F.col("embedding"), F.col("cen_vec")),
+            )
+            .join(comp, on="vec_id", how="left")
+            .select("vec_id", "cell_id", "in_cap", "group_id", "centroid_cosine")
+        )
+
+    return materialize.get_or_build(
+        "semdedup_members", str(emb.semanticHash()), build, corpus_scale=True
+    )
+
+
+def embedding_semantic_dedup(t: dict[str, DataFrame]) -> DataFrame:
+    """SemDeDup action rows: every vector that is IN a semantic-dup
+    group, with its group label (min vec_id of the component), its
+    cosine to its cell centroid, and the keep verdict — TRUE for the
+    group member with the LOWEST centroid cosine (ties by vec_id): the
+    paper keeps the edge example and drops the redundant near-centroid
+    copies. Empty on the driver corpus (no pair reaches tau — see the
+    family comment); the machinery is differentially proven by the
+    stats row here and by the dup-structured sf1 corpus in
+    ``ORACLE_SF1_r14.json``."""
+    from pyspark.sql.window import Window
+
+    members = _semdedup_members(t["embeddings"]).filter(
+        F.col("group_id").isNotNull()
+    )
+    keep = (
+        F.row_number().over(
+            Window.partitionBy("group_id").orderBy("centroid_cosine", "vec_id")
+        )
+        == 1
+    )
+    return (
+        members.withColumn("keep", keep)
+        .select("vec_id", "cell_id", "group_id", "centroid_cosine", "keep")
+        .orderBy("vec_id")
+    )
+
+
+def embedding_semantic_dedup_stats(t: dict[str, DataFrame]) -> DataFrame:
+    """Loud-truncation + occupancy accounting for SemDeDup, per cell:
+    members, members entering the pair stage under the cap, truncated
+    members, vectors in dup groups, distinct groups, and the vectors a
+    keep-one policy drops — the no-silent-caps row (the
+    ``embedding_lsh_bucket_stats`` discipline) and the live driver
+    differential for the family."""
+    members = _semdedup_members(t["embeddings"])
+    return (
+        members.groupBy("cell_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum(F.col("in_cap").cast("long")).cast("long").alias("n_in_cap"),
+            F.sum((~F.col("in_cap")).cast("long")).cast("long").alias("n_truncated"),
+            F.sum(F.col("group_id").isNotNull().cast("long"))
+            .cast("long")
+            .alias("n_grouped"),
+            F.countDistinct("group_id").cast("long").alias("n_groups"),
+            (
+                F.sum(F.col("group_id").isNotNull().cast("long"))
+                - F.countDistinct("group_id")
+            )
+            .cast("long")
+            .alias("n_dropped"),
+        )
+        .orderBy("cell_id")
+    )
+
+
+_SEMDEDUP_CTES = f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scen AS (SELECT vec_id AS cen_id, embedding::DOUBLE[] AS cv FROM embeddings
+         WHERE vec_id < {SEMDEDUP_CENTROIDS}),
+sd AS (
+  SELECT e.vec_id, scen.cen_id,
+         list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, scen.cv)
+         + list_dot_product(scen.cv, scen.cv) AS d2
+  FROM e CROSS JOIN scen
+),
+sasg AS (
+  SELECT vec_id, cell_id,
+         (ROW_NUMBER() OVER (PARTITION BY cell_id ORDER BY vec_id)) <= {SEMDEDUP_CELL_CAP} AS in_cap
+  FROM (
+    SELECT vec_id, cen_id AS cell_id FROM (
+      SELECT vec_id, cen_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cen_id ASC) AS rn
+      FROM sd
+    ) WHERE rn = 1
+  )
+),
+sp AS (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM sasg x JOIN sasg y ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id
+                         AND x.in_cap AND y.in_cap
+  JOIN e ex ON ex.vec_id = x.vec_id
+  JOIN e ey ON ey.vec_id = y.vec_id
+  WHERE list_dot_product(ex.v, ey.v)
+        / (sqrt(list_dot_product(ex.v, ex.v)) * sqrt(list_dot_product(ey.v, ey.v)))
+        >= {SEMDEDUP_TAU}
+),
+ssym AS (
+  SELECT a AS src, b AS dst FROM sp
+  UNION ALL
+  SELECT b AS src, a AS dst FROM sp
+),
+swalk(id, label) AS (
+  SELECT DISTINCT src, src FROM ssym
+  UNION
+  SELECT s.src, w.label FROM ssym s JOIN swalk w ON s.dst = w.id
+),
+scomp AS (SELECT id, MIN(label) AS group_id FROM swalk GROUP BY id),
+smem AS (
+  SELECT a.vec_id, a.cell_id, a.in_cap, scomp.group_id,
+         list_dot_product(e.v, scen.cv)
+         / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(scen.cv, scen.cv))) AS centroid_cosine
+  FROM sasg a
+  JOIN e ON e.vec_id = a.vec_id
+  JOIN scen ON scen.cen_id = a.cell_id
+  LEFT JOIN scomp ON scomp.id = a.vec_id
+)"""
+
+EMBEDDING_SEMANTIC_DEDUP_ORACLE = f"""
+WITH RECURSIVE {_SEMDEDUP_CTES}
+SELECT vec_id, cell_id, group_id, centroid_cosine,
+       (ROW_NUMBER() OVER (PARTITION BY group_id ORDER BY centroid_cosine ASC, vec_id ASC)) = 1 AS keep
+FROM smem WHERE group_id IS NOT NULL ORDER BY vec_id
+"""
+
+EMBEDDING_SEMANTIC_DEDUP_STATS_ORACLE = f"""
+WITH RECURSIVE {_SEMDEDUP_CTES}
+SELECT cell_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(CASE WHEN in_cap THEN 1 ELSE 0 END) AS BIGINT) AS n_in_cap,
+       CAST(SUM(CASE WHEN in_cap THEN 0 ELSE 1 END) AS BIGINT) AS n_truncated,
+       CAST(SUM(CASE WHEN group_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_grouped,
+       CAST(COUNT(DISTINCT group_id) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN group_id IS NOT NULL THEN 1 ELSE 0 END)
+            - COUNT(DISTINCT group_id) AS BIGINT) AS n_dropped
+FROM smem GROUP BY cell_id ORDER BY cell_id
+"""
+
+
 EMBEDDING_NEAR_DUP_ORACLE = f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])

@@ -124,6 +124,8 @@ _DRIVER_WINDOW = [
     "wordpiece_publish_encode",
     "unigram_publish_encode",
     "wordpiece_unk_foreign",
+    "embedding_semantic_dedup",
+    "embedding_semantic_dedup_stats",
   # --- free slots to position 50, then 51+: remaining queries
   # stalest-first (ties by name) — tools/staleness.py ---
     "bloom_prefilter_join",
@@ -879,6 +881,21 @@ register(
     "embedding_lsh_bucket_stats",
     llm_queries.embedding_lsh_bucket_stats,
     llm_queries.EMBEDDING_LSH_BUCKET_STATS_ORACLE,
+)
+# Round-14: SemDeDup (cluster-bucketed semantic dedup, Abbas et al.
+# 2023). The dedup row is empty on the driver corpus (no within-cell
+# pair reaches tau — measured 0.60 max at every sf); the stats row is
+# the live driver differential and the generated sf1 corpus proves the
+# dup path (see tools/oracle_sf1.py + the family comment).
+register(
+    "embedding_semantic_dedup",
+    llm_queries.embedding_semantic_dedup,
+    llm_queries.EMBEDDING_SEMANTIC_DEDUP_ORACLE,
+)
+register(
+    "embedding_semantic_dedup_stats",
+    llm_queries.embedding_semantic_dedup_stats,
+    llm_queries.EMBEDDING_SEMANTIC_DEDUP_STATS_ORACLE,
 )
 register(
     "events_heavy_hitters_cms",

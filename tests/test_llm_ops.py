@@ -1455,3 +1455,69 @@ def test_quality_pr_curve_invariants(spark):
         assert abs(r.precision_at_k - cum / r.rk) < 1e-12
         assert abs(r.recall_at_k - cum / tot) < 1e-12
     assert by_rk[-1].recall_at_k == 1.0
+
+
+def test_semantic_dedup_keep_policy_and_cap(spark):
+    """SemDeDup on a crafted frame: a 3-member dup group keeps exactly
+    the member FURTHEST from its cell centroid (lowest centroid
+    cosine, ties by vec_id); a vector outside any group never appears
+    in the dedup rows but counts in the stats; the per-cell membership
+    cap excludes late vec_ids from the pair stage and the stats row
+    says so loudly."""
+    from data_warehouse_implementation_spark.plans import llm_queries as lq
+
+    dim = 64
+    base = [1.0] + [0.0] * (dim - 1)
+
+    def vec(x, y):
+        v = [0.0] * dim
+        v[0], v[1] = x, y
+        return v
+
+    # vec_ids < SEMDEDUP_CENTROIDS are the seed centroids; make 0 and 1
+    # two well-separated centroids, put a dup trio + a loner near
+    # centroid 0 and nothing near centroid 1
+    rows = [(0, vec(10.0, 0.0), 0), (1, vec(-10.0, 0.0), 1)]
+    rows += [(i, vec(-10.0 + i * 1e-6, 5.0), 1) for i in range(2, lq.SEMDEDUP_CENTROIDS)]
+    # trio: nearly parallel (cosine ~1), graded distance to centroid 0
+    # trio direction ~29 deg off centroid 0 (cosine ~0.87 < tau, so the
+    # centroid VECTOR itself joins no group) but mutually near-parallel
+    rows += [
+        (100, vec(9.0, 5.0), 0),    # closest to the centroid direction
+        (101, vec(9.0, 5.001), 0),
+        (102, vec(9.0, 5.5), 0),    # furthest from centroid -> KEEP
+    ]
+    rows += [(103, vec(10.0, -9.0), 0)]  # same cell, not a dup of the trio
+    emb = spark.createDataFrame(
+        [(i, v, l) for i, v, l in rows], "vec_id long, embedding array<float>, label int"
+    )
+    out = {r.vec_id: r for r in lq.embedding_semantic_dedup({"embeddings": emb}).collect()}
+    assert set(out) == {100, 101, 102}
+    assert len({out[i].group_id for i in (100, 101, 102)}) == 1
+    assert out[100].group_id == 100
+    keeps = [i for i in (100, 101, 102) if out[i].keep]
+    assert keeps == [102]  # the edge example survives
+    stats = {
+        r.cell_id: r
+        for r in lq.embedding_semantic_dedup_stats({"embeddings": emb}).collect()
+    }
+    c0 = stats[0]
+    assert (c0.n_grouped, c0.n_groups, c0.n_dropped) == (3, 1, 2)
+    assert c0.n_truncated == 0
+
+    # cap engagement: flood cell 0 past the cap with vectors parallel
+    # to an IN-CAP trio member -- truncated members form no pairs, and
+    # the stats row records exactly how many were excluded
+    extra = [
+        (200 + k, vec(9.0, 5.0), 0) for k in range(lq.SEMDEDUP_CELL_CAP + 10)
+    ]
+    emb2 = spark.createDataFrame(
+        [(i, v, l) for i, v, l in rows + extra],
+        "vec_id long, embedding array<float>, label int",
+    )
+    stats2 = {
+        r.cell_id: r
+        for r in lq.embedding_semantic_dedup_stats({"embeddings": emb2}).collect()
+    }
+    c0b = stats2[0]
+    assert c0b.n_truncated == c0b.n_members - lq.SEMDEDUP_CELL_CAP > 0
