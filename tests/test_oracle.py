@@ -17,6 +17,20 @@ def test_query_matches_oracle(spark, name):
     compare_to_oracle(spark, name)
 
 
+# Queries whose CORRECT output is empty on the driver corpora, with the
+# reason; every other query must produce rows at smoke sf.
+#   embedding_semantic_dedup: emits only vectors in semantic-dup groups,
+#   and the driver embeddings have none (measured max within-cell cosine
+#   0.60 at every sf vs tau 0.92 — see the registry comment); its
+#   companion stats row is the non-empty driver differential and the
+#   dup-structured sf1 corpus exercises the group path.
+_EMPTY_AT_SMOKE_SF = {"embedding_semantic_dedup"}
+
+
 def test_every_query_has_rows_at_smoke_sf(spark):
     for name, q in registry.queries().items():
-        assert q(spark, "/root/testdata/sf0.001").count() > 0, name
+        n = q(spark, "/root/testdata/sf0.001").count()
+        if name in _EMPTY_AT_SMOKE_SF:
+            assert n == 0, f"{name} documented empty but produced {n} rows"
+        else:
+            assert n > 0, name
