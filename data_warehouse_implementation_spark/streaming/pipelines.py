@@ -646,6 +646,138 @@ def incremental_dedup_sink(
     )
 
 
+def semdedup_admission_sink(
+    stream: DataFrame,
+    catalog: WarehouseCatalog,
+    prefix: str,
+    checkpoint: str,
+    quantizer_table: str,
+    tau: float = 0.92,
+    max_cell_state: int = 128,
+):
+    """Streaming SemDeDup admission — the embedding twin of
+    ``incremental_dedup_sink``, completing the semantic-dedup family's
+    streaming story: each micro-batch of vectors is admitted iff no
+    ALREADY-ADMITTED vector in its cluster cell has cosine >= ``tau``.
+
+    The coarse quantizer is a PUBLISHED catalog artifact
+    (``quantizer_table``: (cen_id, cen_vec) — the round-14
+    publish/apply discipline: a production quantizer is trained once,
+    shipped through the catalog, and every consumer reads the same
+    pinned copy). Per batch: map-side cell assignment against the
+    broadcast quantizer; candidates are the state members of the NEW
+    vector's cell only, capped at the ``max_cell_state`` LOWEST
+    vec_ids per cell (deterministic — the batch pair-stage's cap
+    discipline) with the cap's engagement recorded LOUDLY per verdict
+    (``cell_capped``); the best match (highest cosine, ties by lowest
+    state id) lands on the verdict row. Admitted vectors append to
+    ``{prefix}_members``; every decision lands in
+    ``{prefix}_verdicts``. Intra-batch duplicates are not split here
+    (both admitted if novel vs the state) — the
+    ``incremental_dedup_sink`` caveat; run the batch pass inside the
+    batch first if one trigger can carry duplicates.
+
+    Replay-idempotent per ``batch_id``: state and verdict rows carry
+    the batch id and a replayed batch's rows are deleted before the
+    re-insert — the standing contract of every sink here."""
+    from pyspark.sql import functions as SF
+    from pyspark.sql.window import Window as SW
+
+    from ..operators import similarity
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.select("vec_id", "embedding")
+        for tname in ("members", "verdicts"):
+            full = f"{prefix}_{tname}"
+            if catalog.exists(full):
+                _ensure_batch_id(catalog, full)
+                catalog.delete_where(full, f"batch_id = {int(batch_id)}")
+        cen = catalog.table(quantizer_table).select(
+            SF.col("cen_id"), SF.col("cen_vec")
+        )
+        assigned = (
+            similarity.assign_cells(batch, cen)
+            .join(batch, on="vec_id")
+            .localCheckpoint()
+        )
+        members_tbl = f"{prefix}_members"
+        if catalog.exists(members_tbl):
+            state = catalog.table(members_tbl)
+            st = state.select(
+                SF.col("vec_id").alias("_sid"),
+                "cell_id",
+                SF.col("embedding").alias("_sv"),
+            ).withColumn(
+                "_in_cap",
+                SF.row_number().over(SW.partitionBy("cell_id").orderBy("_sid"))
+                <= max_cell_state,
+            )
+            capped_cells = (
+                st.groupBy("cell_id")
+                .agg((SF.count(SF.lit(1)) > max_cell_state).alias("cell_capped"))
+            )
+            hits = (
+                assigned.join(st.filter("_in_cap"), on="cell_id")
+                .withColumn(
+                    "_cos", similarity.cosine(SF.col("embedding"), SF.col("_sv"))
+                )
+                .filter(SF.col("_cos") >= tau)
+                .groupBy("vec_id")
+                .agg(
+                    SF.max_by(
+                        SF.struct(
+                            SF.col("_sid").alias("matched_vec_id"),
+                            SF.col("_cos").alias("cosine"),
+                        ),
+                        SF.struct(SF.col("_cos"), -SF.col("_sid")),
+                    ).alias("_m")
+                )
+                .select("vec_id", "_m.matched_vec_id", "_m.cosine")
+            )
+            verdicts = (
+                assigned.select("vec_id", "cell_id")
+                .join(hits, on="vec_id", how="left")
+                .join(capped_cells, on="cell_id", how="left")
+                .select(
+                    "vec_id",
+                    "cell_id",
+                    SF.lit(batch_id).alias("batch_id"),
+                    SF.col("matched_vec_id").isNotNull().alias("is_dup"),
+                    "matched_vec_id",
+                    "cosine",
+                    SF.coalesce("cell_capped", SF.lit(False)).alias("cell_capped"),
+                )
+            )
+        else:
+            verdicts = assigned.select(
+                "vec_id",
+                "cell_id",
+                SF.lit(batch_id).alias("batch_id"),
+                SF.lit(False).alias("is_dup"),
+                SF.lit(None).cast("long").alias("matched_vec_id"),
+                SF.lit(None).cast("double").alias("cosine"),
+                SF.lit(False).alias("cell_capped"),
+            )
+        # decide before the state grows below
+        verdicts = verdicts.localCheckpoint()
+        admitted = verdicts.filter(~SF.col("is_dup")).select("vec_id")
+        admit_rows = assigned.join(admitted, on="vec_id", how="left_semi").select(
+            "vec_id", "cell_id", "embedding", SF.lit(batch_id).alias("batch_id")
+        )
+        for name, df in ((members_tbl, admit_rows), (f"{prefix}_verdicts", verdicts)):
+            if catalog.exists(name):
+                catalog.insert_into(name, df)
+            else:
+                catalog.write(name, df)
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def curation_admission_sink(
     stream: DataFrame,
     catalog: WarehouseCatalog,

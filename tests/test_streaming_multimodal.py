@@ -2357,3 +2357,90 @@ def test_pr_curve_from_state_parity(spark, tmp_dir):
         for r in cq.doc_quality_pr_curve({"documents": docs}).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_semdedup_admission_sink_parity_and_replay(spark, tmp_dir):
+    """Streaming SemDeDup admission: the quantizer is a PUBLISHED
+    catalog artifact; batch-1 vectors are all novel, batch-2 contains a
+    near-copy of an admitted batch-1 vector (rejected with its match),
+    an intra-batch pair novel vs the state (both admitted - the
+    documented caveat), and a vector in a different cell. A fresh-
+    checkpoint replay of both batches leaves state and verdicts
+    unchanged (batch_id delete-first)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_warehouse_implementation_spark.plans import llm_queries as lq
+
+    dim = 8
+
+    def vec(x, y):
+        v = [0.0] * dim
+        v[0], v[1] = x, y
+        return v
+
+    cat = WarehouseCatalog(spark, os.path.join(tmp_dir, "sem_wh"))
+    # publish the quantizer through the catalog (the deploy path)
+    cat.create_table_as(
+        "quantizer",
+        spark.createDataFrame(
+            [(0, vec(10.0, 0.0)), (1, vec(-10.0, 0.0))],
+            "cen_id long, cen_vec array<float>",
+        ),
+    )
+    b1 = [(100, vec(9.0, 5.0)), (101, vec(-9.0, 2.0))]
+    b2 = [
+        (200, vec(9.0, 5.01)),    # near-copy of 100 -> rejected, match 100
+        (201, vec(9.0, -5.0)),    # cell 0, novel direction -> admitted
+        (202, vec(9.0, -5.01)),   # intra-batch near-copy of 201 -> ADMITTED (caveat)
+        (203, vec(-9.0, -4.0)),   # cell 1, novel -> admitted
+    ]
+    src = os.path.join(tmp_dir, "sem_src")
+    os.makedirs(src)
+    for i, rows in enumerate([b1, b2]):
+        p = os.path.join(src, f"b{i}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "embedding": pa.array(
+                        [r[1] for r in rows], pa.list_(pa.float32())
+                    ),
+                }
+            ),
+            p,
+        )
+        os.utime(p, (1_700_000_000 + 60 * i,) * 2)
+
+    def run(ckpt):
+        q = streaming.semdedup_admission_sink(
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            cat,
+            "sem",
+            checkpoint=os.path.join(tmp_dir, ckpt),
+            quantizer_table="quantizer",
+            tau=lq.SEMDEDUP_TAU,
+        )
+        q.awaitTermination()
+
+    run("ckpt_sem")
+    v = {r.vec_id: r for r in cat.table("sem_verdicts").collect()}
+    assert set(v) == {100, 101, 200, 201, 202, 203}
+    assert v[200].is_dup and v[200].matched_vec_id == 100 and v[200].cosine >= 0.92
+    for i in (100, 101, 201, 202, 203):
+        assert not v[i].is_dup, i
+    assert not v[200].cell_capped
+    state = {r.vec_id for r in cat.table("sem_members").collect()}
+    assert state == {100, 101, 201, 202, 203}
+    # cells assigned against the published quantizer
+    cells = {r.vec_id: r.cell_id for r in cat.table("sem_members").collect()}
+    assert cells[100] == 0 and cells[101] == 1 and cells[203] == 1
+
+    # replay idempotence: fresh checkpoint, same batches, same state
+    before_m = sorted(tuple(r) for r in cat.table("sem_members").collect())
+    before_v = sorted(tuple(r) for r in cat.table("sem_verdicts").collect())
+    run("ckpt_sem_replay")
+    assert sorted(tuple(r) for r in cat.table("sem_members").collect()) == before_m
+    assert sorted(tuple(r) for r in cat.table("sem_verdicts").collect()) == before_v

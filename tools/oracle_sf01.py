@@ -209,10 +209,69 @@ def _train_from_stream_state(spark, sf_dir: str, family: str):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _pr_curve_from_stream_state(spark, sf_dir: str):
+    """Round 14 (VERDICT r13 #8 at battery scale): the PR curve SERVED
+    FROM streaming training state must equal the batch query's DuckDB
+    oracle at sf0.1. Streams the batch query's TRAINING slice
+    (doc_id % QC_TRAIN_MOD == 0) through ``labeled_word_count_sink``
+    in two micro-batches (split on the digit above the modulus so both
+    halves are non-empty), then serves the curve from the merged state
+    over the full corpus."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from data_warehouse_implementation_spark import streaming
+    from data_warehouse_implementation_spark.plans.corpus_queries import (
+        QC_TRAIN_MOD,
+    )
+    from data_warehouse_implementation_spark.session import load_tables
+    from data_warehouse_implementation_spark.sources.catalog import WarehouseCatalog
+
+    tmp = tempfile.mkdtemp(prefix="prcstate_")
+    try:
+        tab = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        tab = tab.filter(
+            pc.equal(pc.bit_wise_and(tab["doc_id"], QC_TRAIN_MOD - 1), 0)
+        ) if (QC_TRAIN_MOD & (QC_TRAIN_MOD - 1)) == 0 else tab.filter(
+            pc.equal(pc.mod(tab["doc_id"], QC_TRAIN_MOD), 0)
+        )
+        half = pc.bit_wise_and(pc.divide(tab["doc_id"], QC_TRAIN_MOD), 1)
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        for i in (0, 1):
+            p = os.path.join(src, f"b{i}.parquet")
+            pq.write_table(tab.filter(pc.equal(half, i)), p)
+            os.utime(p, (1_700_000_000 + 60 * i,) * 2)
+        cat = WarehouseCatalog(spark, os.path.join(tmp, "wh"))
+        q = streaming.labeled_word_count_sink(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            cat,
+            "prc",
+            checkpoint=os.path.join(tmp, "ckpt"),
+        )
+        q.awaitTermination()
+        docs = load_tables(spark, sf_dir)["documents"]
+        return streaming.pr_curve_from_state(cat, "prc", docs).toPandas()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # Streaming-state differentials (VERDICT r11 #6): name -> (builder,
 # oracle registry key). Each builder returns a pandas frame compared
 # against the named query's FULL-CORPUS DuckDB oracle at sf0.1.
 STREAMING_STATE = {
+    "pr_curve_from_stream_state": (
+        _pr_curve_from_stream_state,
+        "doc_quality_pr_curve",
+    ),
     "unigram_train_from_stream_state": (
         lambda spark, sf: _train_from_stream_state(spark, sf, "unigram"),
         "unigram_train",
