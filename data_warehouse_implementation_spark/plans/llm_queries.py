@@ -1919,7 +1919,9 @@ def _semdedup_members(emb: DataFrame) -> DataFrame:
     """Session-cached per-vector SemDeDup frame: (vec_id, cell_id,
     in_cap, group_id NULLable, centroid_cosine) — cell assignment
     against the seed quantizer, the deterministic cap flag
-    (rank-by-vec_id within cell), duplicate-group labels from
+    (``corpus.cap_per_key``: two-phase per-cell rank over the
+    partition-invariant id hash — a hot cell parallelizes, and the
+    sample is unbiased by ingestion order), duplicate-group labels from
     min-label connected components over the capped within-cell
     cosine>=tau pairs, and each member's cosine to its own cell
     centroid (the keep statistic). Shared by the dedup and stats
@@ -1930,14 +1932,19 @@ def _semdedup_members(emb: DataFrame) -> DataFrame:
             F.col("vec_id").alias("cen_id"), F.col("embedding").alias("cen_vec")
         )
         cells = similarity.assign_cells(emb, cen)
-        from pyspark.sql.window import Window
-
-        capped = cells.withColumn(
-            "in_cap",
-            F.row_number().over(
-                Window.partitionBy("cell_id").orderBy("vec_id")
-            )
-            <= SEMDEDUP_CELL_CAP,
+        # per-cell cap via corpus.cap_per_key — the engine's ONE
+        # per-key rank (two-phase, a hot cell parallelizes across
+        # rank buckets; deterministic pseudo-random member sample,
+        # unbiased by ingestion order) — NEVER a row_number window
+        # over a whole cell, which serializes a corpus-scale cell on
+        # one task at 100 TB
+        kept = corpus_mod.cap_per_key(
+            cells, key_col="cell_id", max_docs=SEMDEDUP_CELL_CAP, id_col="vec_id"
+        ).select("vec_id")
+        capped = cells.join(
+            kept.withColumn("in_cap", F.lit(True)), on="vec_id", how="left"
+        ).withColumn(
+            "in_cap", F.coalesce("in_cap", F.lit(False))
         ).localCheckpoint(eager=False)
         v = emb.select("vec_id", "embedding")
         left = (
@@ -2053,7 +2060,10 @@ sd AS (
 ),
 sasg AS (
   SELECT vec_id, cell_id,
-         (ROW_NUMBER() OVER (PARTITION BY cell_id ORDER BY vec_id)) <= {SEMDEDUP_CELL_CAP} AS in_cap
+         (ROW_NUMBER() OVER (
+            PARTITION BY cell_id
+            ORDER BY ((vec_id % {SPLIT_P}) * {SPLIT_A} + {SPLIT_B}) % {SPLIT_P}, vec_id
+          )) <= {SEMDEDUP_CELL_CAP} AS in_cap
   FROM (
     SELECT vec_id, cen_id AS cell_id FROM (
       SELECT vec_id, cen_id,

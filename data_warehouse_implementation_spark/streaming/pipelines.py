@@ -666,9 +666,11 @@ def semdedup_admission_sink(
     shipped through the catalog, and every consumer reads the same
     pinned copy). Per batch: map-side cell assignment against the
     broadcast quantizer; candidates are the state members of the NEW
-    vector's cell only, capped at the ``max_cell_state`` LOWEST
-    vec_ids per cell (deterministic — the batch pair-stage's cap
-    discipline) with the cap's engagement recorded LOUDLY per verdict
+    vector's cell only, capped at ``max_cell_state`` per cell via
+    ``corpus.cap_per_key`` (two-phase per-cell rank over the
+    partition-invariant id hash — deterministic, a hot cell
+    parallelizes; the batch pair-stage's cap discipline) with the
+    cap's engagement recorded LOUDLY per verdict
     (``cell_capped``); the best match (highest cosine, ties by lowest
     state id) lands on the verdict row. Admitted vectors append to
     ``{prefix}_members``; every decision lands in
@@ -681,7 +683,6 @@ def semdedup_admission_sink(
     the batch id and a replayed batch's rows are deleted before the
     re-insert — the standing contract of every sink here."""
     from pyspark.sql import functions as SF
-    from pyspark.sql.window import Window as SW
 
     from ..operators import similarity
 
@@ -703,14 +704,26 @@ def semdedup_admission_sink(
         members_tbl = f"{prefix}_members"
         if catalog.exists(members_tbl):
             state = catalog.table(members_tbl)
-            st = state.select(
-                SF.col("vec_id").alias("_sid"),
-                "cell_id",
-                SF.col("embedding").alias("_sv"),
-            ).withColumn(
-                "_in_cap",
-                SF.row_number().over(SW.partitionBy("cell_id").orderBy("_sid"))
-                <= max_cell_state,
+            from ..operators import corpus as corpus_ops
+
+            kept_ids = corpus_ops.cap_per_key(
+                state.select("vec_id", "cell_id"),
+                key_col="cell_id",
+                max_docs=max_cell_state,
+                id_col="vec_id",
+            ).select(SF.col("vec_id").alias("_sid"))
+            st = (
+                state.select(
+                    SF.col("vec_id").alias("_sid"),
+                    "cell_id",
+                    SF.col("embedding").alias("_sv"),
+                )
+                .join(
+                    kept_ids.withColumn("_in_cap", SF.lit(True)),
+                    on="_sid",
+                    how="left",
+                )
+                .withColumn("_in_cap", SF.coalesce("_in_cap", SF.lit(False)))
             )
             capped_cells = (
                 st.groupBy("cell_id")
