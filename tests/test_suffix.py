@@ -256,3 +256,66 @@ def test_global_rank_rejects_scratch_out_col(spark):
     df = spark.createDataFrame([(1,)], "x long")
     with pytest.raises(ValueError, match="scratch"):
         global_rank(df, ["x"], "_rn")
+
+
+def _brute_sa_dedup(
+    docs: list[tuple[int, str]], min_len: int
+) -> dict[int, tuple[int, int, str]]:
+    """Reference implementation of sa_substring_dedup's policy: starts
+    are positions whose brute-force dup_len >= min_len, each covering
+    its FULL maximal span; families key by the leading min_len-gram;
+    the corpus-first (doc, pos) per family is canonical; a position is
+    removed iff covered ONLY by non-canonical occurrences."""
+    dl = _brute_dup_lengths(docs)
+    toks = {d: [w for w in re.split(r"\s+", t.lower()) if w] for d, t in docs}
+    toks = {d: a for d, a in toks.items() if a}
+    starts = [
+        (d, p, dl[(d, p)])
+        for d, a in toks.items()
+        for p in range(1, len(a) + 1)
+        if dl[(d, p)] >= min_len
+    ]
+    fam: dict[tuple[str, ...], tuple[int, int]] = {}
+    for d, p, _l in sorted(starts):
+        key = tuple(toks[d][p - 1 : p - 1 + min_len])
+        fam.setdefault(key, (d, p))
+    covered: dict[tuple[int, int], bool] = {}
+    for d, p, l in starts:
+        key = tuple(toks[d][p - 1 : p - 1 + min_len])
+        canon = fam[key] == (d, p)
+        for q in range(p, p + l):
+            covered[(d, q)] = covered.get((d, q), False) or canon
+    out = {}
+    for d, a in toks.items():
+        kept = [
+            a[q - 1]
+            for q in range(1, len(a) + 1)
+            if (d, q) not in covered or covered[(d, q)]
+        ]
+        out[d] = (len(a), len(a) - len(kept), " ".join(kept))
+    return out
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_tiny_word = st.sampled_from(["aa", "bb", "cc", "dd"])
+_tiny_doc = st.lists(_tiny_word, min_size=1, max_size=12).map(" ".join)
+_tiny_corpus = st.lists(_tiny_doc, min_size=1, max_size=6).map(
+    lambda ds: [(i + 1, t) for i, t in enumerate(ds)]
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(corpus=_tiny_corpus, min_len=st.integers(min_value=2, max_value=4))
+def test_sa_dedup_matches_brute_force_policy(spark, corpus, min_len):
+    """Property differential: on tiny random corpora over a 4-word
+    alphabet (duplication-dense by construction), sa_substring_dedup
+    equals the spelled-out reference policy exactly — counts AND
+    cleaned text."""
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.cleaned_text)
+        for r in suffix.sa_substring_dedup(df, min_len=min_len).collect()
+    }
+    assert got == _brute_sa_dedup(corpus, min_len)
