@@ -1504,8 +1504,9 @@ def substring_dedup(
     token stream, so original casing/whitespace is not reconstructed.
 
     Scale shape: census plumbing (map-side positional k-grams, one
-    gram-count aggregate) plus one per-gram argmin window (vocab-scale
-    rows bucketed by gram — never global) and a k-fold position
+    gram-count aggregate) plus one per-gram ``min(struct(doc, pos))``
+    canonical aggregate (mergeable partials — a hot family cannot
+    serialize one task) with a join-back, and a k-fold position
     explode of the DUPLICATED gram occurrences only; per-doc kept
     tokens reassemble via array_sort, not an ordered shuffle."""
     base = df.select(F.col(id_col), words(text_col).alias("_arr")).filter(
@@ -1520,12 +1521,21 @@ def substring_dedup(
         .filter(F.col("_occ") >= min_occurrences)
         .select("gram")
     )
-    dup_occ = grams.join(dup_grams, on="gram", how="left_semi").withColumn(
+    dup_all = grams.join(dup_grams, on="gram", how="left_semi").localCheckpoint(
+        eager=False
+    )  # two consumers: the canonical-min aggregate and the join-back
+    # corpus-wide first (doc, position) per gram as a mergeable MIN
+    # aggregate (VERDICT r14 #5): map-side combine collapses a hot
+    # duplicated-gram family before the shuffle, where a per-gram
+    # row_number window serialized the family onto one task. Bit-
+    # identical — struct min is the (id_col, s) lexicographic first,
+    # and positional grams are unique per (doc, s).
+    canon = dup_all.groupBy("gram").agg(
+        F.min(F.struct(F.col(id_col).alias("cd"), F.col("s").alias("cs"))).alias("_c")
+    )
+    dup_occ = dup_all.join(canon, on="gram").withColumn(
         "_canon",
-        F.row_number().over(
-            Window.partitionBy("gram").orderBy(id_col, "s")
-        )
-        == 1,
+        (F.col("_c.cd") == F.col(id_col)) & (F.col("_c.cs") == F.col("s")),
     )
     cover = (
         dup_occ.select(

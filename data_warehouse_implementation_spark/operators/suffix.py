@@ -329,8 +329,14 @@ def sa_substring_dedup(
     content, the same family key the fixed-k pass canonicalizes on),
     the corpus-wide first ``(doc, position)`` per family is CANONICAL,
     and a position survives unless covered ONLY by non-canonical
-    occurrences (keep-biased: the first copy of every duplicated
-    passage survives verbatim). When every duplicated span has length
+    occurrences. The policy is keep-BIASED, not keep-guaranteed:
+    families key on the leading ``min_len``-gram (inherited from the
+    fixed-k pass's gram-keyed canonicals), so two DISTINCT duplicated
+    spans sharing a leading gram compete for one canonical slot and
+    the later span's first copy can lose its leading tokens — the
+    same collision semantics as ``corpus.substring_dedup``, which the
+    oracle and the brute-force property test replay exactly. When
+    every duplicated span has length
     exactly ``k == min_len``, occurrence set, family key, coverage,
     and tie order all coincide with the fixed-k pass — the equality a
     pytest pins — while a shorter threshold removes spans the fixed-k
@@ -339,13 +345,15 @@ def sa_substring_dedup(
     Returns ``(id_col, n_tokens, n_removed, cleaned_text)`` for every
     doc, the fixed-k pass's schema. Scale shape: the SA rounds (see
     :func:`suffix_dup_lengths`), one map-side gram attach, a
-    vocab-bucketed per-family argmin window (never global), and a
-    per-occurrence span explode bounded by actual duplicate mass.
-    ``dup_lengths`` injects an already-materialized
+    per-family ``min(struct(doc, pos))`` canonical pick (VERDICT r14
+    #5: a mergeable partial aggregate — map-side combine collapses a
+    pathologically hot duplicated-span family before the shuffle,
+    where the previous per-gram ``row_number`` window serialized the
+    whole family onto one task) plus one join-back on the family key,
+    and a per-occurrence span explode bounded by actual duplicate
+    mass. ``dup_lengths`` injects an already-materialized
     :func:`suffix_dup_lengths` frame (the census and the removal pass
     share one SA build per session — the S7 cache discipline)."""
-    from pyspark.sql.window import Window
-
     from .corpus import positional_grams
 
     dl = dup_lengths if dup_lengths is not None else suffix_dup_lengths(
@@ -360,15 +368,21 @@ def sa_substring_dedup(
     fams = positional_grams(
         df, k=min_len, text_col=text_col, id_col=id_col
     ).select(id_col, F.col("s").alias("p"), "gram")
-    occ = (
-        starts.join(fams, on=[id_col, "p"], how="inner")
-        .withColumn(
-            "_canon",
-            F.row_number().over(
-                Window.partitionBy("gram").orderBy(id_col, "p")
-            )
-            == 1,
-        )
+    with_gram = starts.join(fams, on=[id_col, "p"], how="inner").localCheckpoint(
+        eager=False
+    )  # two consumers: the canonical-min aggregate and the join-back
+    # corpus-wide first (doc, position) per family as a MIN aggregate
+    # over a (doc, pos) struct: partial (map-side) aggregation merges,
+    # so one hot family never serializes onto a single task — the
+    # hot-key-safe equivalent of a per-gram row_number window (bit-
+    # identical: struct min IS the (id_col, p) lexicographic first,
+    # and positional grams make (gram, doc, pos) unique)
+    canon = with_gram.groupBy("gram").agg(
+        F.min(F.struct(F.col(id_col).alias("cd"), F.col("p").alias("cp"))).alias("_c")
+    )
+    occ = with_gram.join(canon, on="gram").withColumn(
+        "_canon",
+        (F.col("_c.cd") == F.col(id_col)) & (F.col("_c.cp") == F.col("p")),
     )
     cover = (
         occ.select(

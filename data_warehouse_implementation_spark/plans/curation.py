@@ -289,7 +289,16 @@ _E2E_SHINGLE = " || ' ' || ".join(
     f"arr[i+{j}]" if j else "arr[i]" for j in range(DECONTAM_N)
 )
 
-_CURATION_CTES = f"""
+# The oracle CTE chain is assembled from three pieces so the CC step
+# is swappable: the registry oracle inlines the recursive-CTE CC
+# (`_CC_CTES`), while tools/oracle_sf1.py materializes `sym` once,
+# iterates min-label propagation to fixpoint in BOUNDED passes
+# (state O(V), pass cost O(E) — the recursive CTE's path-enumeration
+# state OOMs DuckDB on the dup-heavy sf1 corpus), and re-composes the
+# SAME chain around a temp-table `clusters` via
+# :func:`capped_funnel_oracle_with_cc`. One source of truth for every
+# non-CC stage — the replays cannot fork.
+_CURATION_CTES_PRE_CC = f"""
 WITH RECURSIVE {_ND_PAIR_CTES},
 feat AS (
   SELECT d.doc_id,
@@ -327,14 +336,16 @@ sym AS (
   SELECT doc_a AS src, doc_b AS dst FROM fp
   UNION ALL
   SELECT doc_b AS src, doc_a AS dst FROM fp
-),
-walk(id, label) AS (
+)"""
+
+_CC_CTES = """walk(id, label) AS (
   SELECT DISTINCT src, src FROM sym
   UNION
   SELECT s.src, w.label FROM sym s JOIN walk w ON s.dst = w.id
 ),
-clusters AS (SELECT id AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY id),
-rankedc AS (
+clusters AS (SELECT id AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY id)"""
+
+_CURATION_CTES_POST_CC = f"""rankedc AS (
   SELECT c.doc_id,
          ROW_NUMBER() OVER (PARTITION BY c.cluster_id
                             ORDER BY k.quality DESC, c.doc_id) AS pr
@@ -398,6 +409,16 @@ cum AS (
 )
 """
 
+
+def _curation_ctes(cc_ctes: str = _CC_CTES) -> str:
+    """The full curation WITH-chain around a swappable CC step —
+    ``cc_ctes`` must define a ``clusters (doc_id, cluster_id)`` CTE
+    over the ``sym (src, dst)`` edge list."""
+    return f"{_CURATION_CTES_PRE_CC},\n{cc_ctes},\n{_CURATION_CTES_POST_CC}"
+
+
+_CURATION_CTES = _curation_ctes()
+
 CORPUS_CURATION_E2E_ORACLE = f"""{_CURATION_CTES}
 SELECT doc_id, chunk_id, n_chunk_tokens, token_start,
        CAST(FLOOR(CAST(token_start AS DOUBLE) / {SEQ_BUDGET}.0) AS BIGINT) AS seq_id
@@ -422,8 +443,7 @@ SELECT CAST(stage_ord AS BIGINT) AS stage_ord, stage, CAST(n AS BIGINT) AS n FRO
 # replays corpus.cap_per_key's deterministic hash order as a plain
 # window (the two-phase decomposition preserves it exactly), then the
 # mixture and packing re-run over the capped survivors.
-_CAPPED_CTES = f"""{_CURATION_CTES},
-srcrank AS (
+_CAPPED_EXTRA_CTES = f"""srcrank AS (
   SELECT d.doc_id, d.source,
          ROW_NUMBER() OVER (
            PARTITION BY d.source
@@ -470,7 +490,14 @@ cum_c AS (
 )
 """
 
-CORPUS_CURATION_CAPPED_FUNNEL_ORACLE = f"""{_CAPPED_CTES}
+
+def _capped_ctes(cc_ctes: str = _CC_CTES) -> str:
+    return f"{_curation_ctes(cc_ctes)},\n{_CAPPED_EXTRA_CTES}"
+
+
+_CAPPED_CTES = _capped_ctes()
+
+_CAPPED_FUNNEL_SELECT = f"""
 SELECT CAST(stage_ord AS BIGINT) AS stage_ord, stage, CAST(n AS BIGINT) AS n FROM (
   SELECT 0 AS stage_ord, 'input' AS stage,
          (SELECT COUNT(*) FROM documents) AS n
@@ -484,3 +511,21 @@ SELECT CAST(stage_ord AS BIGINT) AS stage_ord, stage, CAST(n AS BIGINT) AS n FRO
      FROM cum_c)
 ) ORDER BY stage_ord
 """
+
+CORPUS_CURATION_CAPPED_FUNNEL_ORACLE = f"{_CAPPED_CTES}{_CAPPED_FUNNEL_SELECT}"
+
+
+def capped_funnel_oracle_with_cc(cc_ctes: str) -> str:
+    """The capped-funnel oracle with a caller-supplied CC step —
+    tools/oracle_sf1.py passes ``clusters AS (SELECT ... FROM
+    <temp table>)`` after materializing components itself in bounded
+    passes (the recursive CTE's path enumeration OOMs at sf1). Every
+    non-CC stage is the registry oracle's own text."""
+    return f"{_capped_ctes(cc_ctes)}{_CAPPED_FUNNEL_SELECT}"
+
+
+#: The edge-list materialization statement for the chunked CC replay:
+#: everything up to ``sym``, selected out. (The sf1 tool CREATEs a temp
+#: table from this, iterates min-label propagation over it to fixpoint,
+#: then runs :func:`capped_funnel_oracle_with_cc`.)
+CURATION_SYM_SQL = f"{_CURATION_CTES_PRE_CC}\nSELECT src, dst FROM sym"

@@ -11,6 +11,8 @@ the banding misses is missed identically by both engines.
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -1913,23 +1915,63 @@ GROUP BY band_id ORDER BY band_id
 SEMDEDUP_CENTROIDS = 64  # seed coarse quantizer: the first 64 vectors
 SEMDEDUP_TAU = 0.92      # within-cell cosine for "semantic duplicate"
 SEMDEDUP_CELL_CAP = 128  # per-cell members entering the pair stage
+#: Lloyd rounds for the TRAINED coarse quantizer (VERDICT r14 #3) —
+#: kept small because the DuckDB oracle replays every round unrolled;
+#: two rounds already move the seeds onto the data's density (the
+#: occupancy-compare row measures exactly how much).
+SEMDEDUP_KMEANS_ITERS = 2
 
 
-def _semdedup_members(emb: DataFrame) -> DataFrame:
+def _semdedup_trained_centroids(emb: DataFrame) -> DataFrame:
+    """Session-cached TRAINED coarse quantizer for SemDeDup (VERDICT
+    r14 #3): full Lloyd k-means (``similarity.kmeans_fit`` — seed =
+    first k vectors, ``SEMDEDUP_KMEANS_ITERS`` assign/update rounds,
+    order-defined mean folds so DuckDB replays every round bit-for-
+    bit). On a skewed corpus the untrained first-64 seed degenerates
+    cell occupancy — the per-cell cap then truncates most of the mass
+    in a few hot cells and recall silently dies; trained centroids
+    track the density, balancing cells BEFORE the cap
+    (``semdedup_occupancy_compare`` measures the difference, and the
+    sf1 battery shows fewer truncated members at the same cap)."""
+    from ..operators import similarity as sim_mod
+
+    def build() -> DataFrame:
+        cen, _ = sim_mod.kmeans_fit(
+            emb, k=SEMDEDUP_CENTROIDS, iters=SEMDEDUP_KMEANS_ITERS
+        )
+        return cen
+
+    return materialize.get_or_build(
+        "semdedup_trained_centroids", str(emb.semanticHash()), build
+    )
+
+
+def _semdedup_members(
+    emb: DataFrame,
+    centroids: DataFrame | None = None,
+    cache_tag: str = "",
+) -> DataFrame:
     """Session-cached per-vector SemDeDup frame: (vec_id, cell_id,
     in_cap, group_id NULLable, centroid_cosine) — cell assignment
-    against the seed quantizer, the deterministic cap flag
+    against the quantizer (``centroids`` injection point, VERDICT r14
+    #3: default = the first-64 seed; the trained family passes
+    ``_semdedup_trained_centroids``), the deterministic cap flag
     (``corpus.cap_per_key``: two-phase per-cell rank over the
     partition-invariant id hash — a hot cell parallelizes, and the
     sample is unbiased by ingestion order), duplicate-group labels from
     min-label connected components over the capped within-cell
     cosine>=tau pairs, and each member's cosine to its own cell
     centroid (the keep statistic). Shared by the dedup and stats
-    queries — one build per corpus."""
+    queries — one build per (corpus, quantizer)."""
 
     def build() -> DataFrame:
-        cen = emb.filter(F.col("vec_id") < SEMDEDUP_CENTROIDS).select(
-            F.col("vec_id").alias("cen_id"), F.col("embedding").alias("cen_vec")
+        cen = (
+            centroids
+            if centroids is not None
+            else emb.filter(F.col("vec_id") < SEMDEDUP_CENTROIDS).select(
+                F.col("vec_id").alias("cen_id"),
+                F.col("embedding").alias("cen_vec"),
+            )
         )
         cells = similarity.assign_cells(emb, cen)
         # per-cell cap via corpus.cap_per_key — the engine's ONE
@@ -1988,7 +2030,19 @@ def _semdedup_members(emb: DataFrame) -> DataFrame:
         )
 
     return materialize.get_or_build(
-        "semdedup_members", str(emb.semanticHash()), build, corpus_scale=True
+        f"semdedup_members{cache_tag}",
+        str(emb.semanticHash()),
+        build,
+        corpus_scale=True,
+    )
+
+
+def _semdedup_members_trained(emb: DataFrame) -> DataFrame:
+    """The per-vector SemDeDup frame under the TRAINED quantizer
+    (VERDICT r14 #3) — same algebra, cells from
+    ``_semdedup_trained_centroids``."""
+    return _semdedup_members(
+        emb, centroids=_semdedup_trained_centroids(emb), cache_tag="_trained"
     )
 
 
@@ -2049,7 +2103,10 @@ def embedding_semantic_dedup_stats(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-_SEMDEDUP_CTES = f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+# -- oracle CTE chains, assembled from shared pieces so the seed and
+# -- trained quantizer replays cannot fork on the non-quantizer stages
+
+_SEMDEDUP_ASSIGN_CTES = f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 scen AS (SELECT vec_id AS cen_id, embedding::DOUBLE[] AS cv FROM embeddings
          WHERE vec_id < {SEMDEDUP_CENTROIDS}),
 sd AS (
@@ -2071,8 +2128,9 @@ sasg AS (
       FROM sd
     ) WHERE rn = 1
   )
-),
-sp AS (
+)"""
+
+_SEMDEDUP_GROUP_CTES = f"""sp AS (
   SELECT x.vec_id AS a, y.vec_id AS b
   FROM sasg x JOIN sasg y ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id
                          AND x.in_cap AND y.in_cap
@@ -2103,6 +2161,94 @@ smem AS (
   LEFT JOIN scomp ON scomp.id = a.vec_id
 )"""
 
+_SEMDEDUP_CTES = f"{_SEMDEDUP_ASSIGN_CTES},\n{_SEMDEDUP_GROUP_CTES}"
+
+
+def _semdedup_trained_assign_ctes(
+    iters: int = SEMDEDUP_KMEANS_ITERS, include_e: bool = True
+) -> str:
+    """Unrolled DuckDB replay of ``similarity.kmeans_fit`` +
+    cap-flagged cell assignment for the trained SemDeDup quantizer:
+    ``tcen0`` = the first-k seed with ``cen_id = ROW_NUMBER() OVER
+    (ORDER BY vec_id)`` (kmeans_fit's seed numbering), then per Lloyd
+    round an argmin assignment (tie -> smallest cen_id — assign_cells'
+    ``min_by(struct(d2, cid))``) and the ORDER-DEFINED mean update
+    (sorted fold / count, ``centroid_update``'s replayable arithmetic —
+    the exact SQL `embedding_kmeans_refine` already differentials),
+    a final assignment ``tcells`` against the round-``iters``
+    centroids, and the deterministic per-cell cap flag ``tsasg``
+    (same hash-order rank as the seed chain's ``sasg``)."""
+    k = SEMDEDUP_CENTROIDS
+    parts = []
+    if include_e:
+        parts.append("e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)")
+    parts.append(f"""tcen0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS BIGINT) AS cen_id, v AS cv
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ORDER BY vec_id LIMIT {k})
+)""")
+
+    def argmin(src_cen: str, out: str) -> str:
+        return f"""{out} AS (
+  SELECT vec_id, cen_id AS cell_id FROM (
+    SELECT e.vec_id, c.cen_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
+             + list_dot_product(c.cv, c.cv) ASC, c.cen_id ASC) AS rn
+    FROM e CROSS JOIN {src_cen} c
+  ) WHERE rn = 1
+)"""
+
+    for t in range(iters):
+        parts.append(argmin(f"tcen{t}", f"tasg{t}"))
+        parts.append(f"""telems{t} AS (
+  SELECT a.cell_id, i - 1 AS pos, e.v[i] AS val
+  FROM e JOIN tasg{t} a USING (vec_id)
+  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(e.v))) AS i) g
+)""")
+        parts.append(f"""tcen{t + 1} AS (
+  SELECT cell_id AS cen_id, list(mv ORDER BY pos) AS cv
+  FROM (
+    SELECT cell_id, pos,
+           CAST(list_reduce(list_sort(list(val)), (acc, x) -> acc + x) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS mv
+    FROM telems{t} GROUP BY cell_id, pos
+  ) GROUP BY cell_id
+)""")
+    parts.append(argmin(f"tcen{iters}", "tcells"))
+    parts.append(f"""tsasg AS (
+  SELECT vec_id, cell_id,
+         (ROW_NUMBER() OVER (
+            PARTITION BY cell_id
+            ORDER BY ((vec_id % {SPLIT_P}) * {SPLIT_A} + {SPLIT_B}) % {SPLIT_P}, vec_id
+          )) <= {SEMDEDUP_CELL_CAP} AS in_cap
+  FROM tcells
+)""")
+    return ",\n".join(parts)
+
+
+#: The trained-quantizer group/keep chain — generated from the SEED
+#: chain's text by name substitution (tsasg/tcen{N} in, ts-prefixed
+#: CTE names out), so the two quantizer replays share one source of
+#: truth for the pair/component/keep algebra.
+_SEMDEDUP_TRAINED_GROUP_CTES = _re.sub(
+    r"\b(sasg|scen|sp|ssym|swalk|scomp|smem)\b",
+    lambda m: {
+        "sasg": "tsasg",
+        "scen": f"tcen{SEMDEDUP_KMEANS_ITERS}",
+        "sp": "tsp",
+        "ssym": "tssym",
+        "swalk": "tswalk",
+        "scomp": "tscomp",
+        "smem": "tsmem",
+    }[m.group(1)],
+    _SEMDEDUP_GROUP_CTES,
+)
+
+_SEMDEDUP_TRAINED_CTES = (
+    f"{_semdedup_trained_assign_ctes()},\n{_SEMDEDUP_TRAINED_GROUP_CTES}"
+)
+
 EMBEDDING_SEMANTIC_DEDUP_ORACLE = f"""
 WITH RECURSIVE {_SEMDEDUP_CTES}
 SELECT vec_id, cell_id, group_id, centroid_cosine,
@@ -2121,6 +2267,141 @@ SELECT cell_id,
        CAST(SUM(CASE WHEN group_id IS NOT NULL THEN 1 ELSE 0 END)
             - COUNT(DISTINCT group_id) AS BIGINT) AS n_dropped
 FROM smem GROUP BY cell_id ORDER BY cell_id
+"""
+
+
+def embedding_semantic_dedup_trained(t: dict[str, DataFrame]) -> DataFrame:
+    """SemDeDup action rows under the TRAINED coarse quantizer
+    (VERDICT r14 #3): same contract as ``embedding_semantic_dedup``
+    (group label, centroid cosine, furthest-from-centroid keep), but
+    cells and centroids come from ``similarity.kmeans_fit``
+    (``SEMDEDUP_KMEANS_ITERS`` Lloyd rounds over the first-64 seed)
+    instead of the raw seed — the production configuration, where the
+    quantizer tracks the corpus density so the per-cell cap truncates
+    evenly instead of dying in a few hot seed cells. The oracle
+    replays the ENTIRE training loop unrolled (every argmin and every
+    order-defined mean fold). Empty on the driver corpus for the same
+    measured reason as the seed family; the trained stats +
+    occupancy-compare rows carry the live differential, and the sf1
+    battery proves the dup path with fewer truncated members at the
+    same cap."""
+    from pyspark.sql.window import Window
+
+    members = _semdedup_members_trained(t["embeddings"]).filter(
+        F.col("group_id").isNotNull()
+    )
+    keep = (
+        F.row_number().over(
+            Window.partitionBy("group_id").orderBy("centroid_cosine", "vec_id")
+        )
+        == 1
+    )
+    return (
+        members.withColumn("keep", keep)
+        .select("vec_id", "cell_id", "group_id", "centroid_cosine", "keep")
+        .orderBy("vec_id")
+    )
+
+
+def embedding_semantic_dedup_trained_stats(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-cell truncation/occupancy accounting for the TRAINED
+    SemDeDup quantizer — the live-row differential of the whole
+    trained chain (kmeans rounds, final assignment, cap flags, group
+    labels) at every sf, including the empty-group driver corpus."""
+    members = _semdedup_members_trained(t["embeddings"])
+    return (
+        members.groupBy("cell_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum(F.col("in_cap").cast("long")).cast("long").alias("n_in_cap"),
+            F.sum((~F.col("in_cap")).cast("long")).cast("long").alias("n_truncated"),
+            F.sum(F.col("group_id").isNotNull().cast("long"))
+            .cast("long")
+            .alias("n_grouped"),
+            F.countDistinct("group_id").cast("long").alias("n_groups"),
+            (
+                F.sum(F.col("group_id").isNotNull().cast("long"))
+                - F.countDistinct("group_id")
+            )
+            .cast("long")
+            .alias("n_dropped"),
+        )
+        .orderBy("cell_id")
+    )
+
+
+def semdedup_occupancy_compare(t: dict[str, DataFrame]) -> DataFrame:
+    """Seed-vs-trained quantizer OCCUPANCY comparison — the row that
+    proves the training matters (VERDICT r14 #3): per quantizer, the
+    number of occupied cells, the hottest cell's membership, and the
+    members the per-cell cap truncates. A balanced (trained) quantizer
+    shows more cells carrying the mass, a smaller hot cell, and fewer
+    truncated members AT THE SAME CAP — on a skewed corpus the seed
+    quantizer's few hot cells silently eat the recall, and this is the
+    census a pipeline owner reads before trusting the dedup row."""
+    emb = t["embeddings"]
+
+    def occ(members: DataFrame, tag: str) -> DataFrame:
+        per_cell = members.groupBy("cell_id").agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum((~F.col("in_cap")).cast("long")).alias("_tr"),
+        )
+        return per_cell.agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells_used"),
+            F.max("_n").cast("long").alias("max_cell_members"),
+            F.sum("_tr").cast("long").alias("truncated_at_cap"),
+        ).select(
+            F.lit(tag).alias("quantizer"),
+            "n_cells_used",
+            "max_cell_members",
+            "truncated_at_cap",
+        )
+
+    return occ(_semdedup_members(emb), "seed").unionByName(
+        occ(_semdedup_members_trained(emb), "trained")
+    ).orderBy("quantizer")
+
+
+EMBEDDING_SEMANTIC_DEDUP_TRAINED_ORACLE = f"""
+WITH RECURSIVE {_SEMDEDUP_TRAINED_CTES}
+SELECT vec_id, cell_id, group_id, centroid_cosine,
+       (ROW_NUMBER() OVER (PARTITION BY group_id ORDER BY centroid_cosine ASC, vec_id ASC)) = 1 AS keep
+FROM tsmem WHERE group_id IS NOT NULL ORDER BY vec_id
+"""
+
+EMBEDDING_SEMANTIC_DEDUP_TRAINED_STATS_ORACLE = f"""
+WITH RECURSIVE {_SEMDEDUP_TRAINED_CTES}
+SELECT cell_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(CASE WHEN in_cap THEN 1 ELSE 0 END) AS BIGINT) AS n_in_cap,
+       CAST(SUM(CASE WHEN in_cap THEN 0 ELSE 1 END) AS BIGINT) AS n_truncated,
+       CAST(SUM(CASE WHEN group_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_grouped,
+       CAST(COUNT(DISTINCT group_id) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN group_id IS NOT NULL THEN 1 ELSE 0 END)
+            - COUNT(DISTINCT group_id) AS BIGINT) AS n_dropped
+FROM tsmem GROUP BY cell_id ORDER BY cell_id
+"""
+
+SEMDEDUP_OCCUPANCY_COMPARE_ORACLE = f"""
+WITH RECURSIVE {_SEMDEDUP_ASSIGN_CTES},
+{_semdedup_trained_assign_ctes(include_e=False)}
+SELECT * FROM (
+  SELECT 'seed' AS quantizer,
+         CAST(COUNT(*) AS BIGINT) AS n_cells_used,
+         CAST(MAX(_n) AS BIGINT) AS max_cell_members,
+         CAST(SUM(_tr) AS BIGINT) AS truncated_at_cap
+  FROM (SELECT cell_id, COUNT(*) AS _n,
+               SUM(CASE WHEN in_cap THEN 0 ELSE 1 END) AS _tr
+        FROM sasg GROUP BY cell_id)
+  UNION ALL
+  SELECT 'trained',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(MAX(_n) AS BIGINT),
+         CAST(SUM(_tr) AS BIGINT)
+  FROM (SELECT cell_id, COUNT(*) AS _n,
+               SUM(CASE WHEN in_cap THEN 0 ELSE 1 END) AS _tr
+        FROM tsasg GROUP BY cell_id)
+) ORDER BY quantizer
 """
 
 

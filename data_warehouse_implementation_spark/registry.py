@@ -68,80 +68,27 @@ def oracle_sql() -> dict[str, str]:
 
 
 # The correctness driver differentials the FIRST 50 registry entries per
-# round. Round-14 window (the verbatim tools/staleness.py
+# round. Round-15 window (the verbatim tools/staleness.py
 # --suggest-window order at rotation time; enforced by
 # tests/test_entry.py::test_driver_window_integrity and
 # ::test_driver_window_covers_stalest): the flagship, then the
-# 27-query round-9/10 max-staleness cohort (staleness 4 after the
-# r13 census landed), then the remaining queries stalest-first with
-# ties broken by name. 28 must-run rows for 50 slots — the whole
-# cohort retires this round, no capacity overflow; the 22 remaining
+# 35-query round-10 max-staleness cohort (staleness 4 after the
+# r14 census landed), then the remaining queries stalest-first with
+# ties broken by name. 36 must-run rows for 50 slots — the whole
+# cohort retires this round, no capacity overflow; the 14 remaining
 # first-50 slots hold the head of the staleness-3 cohort plus any
-# round-14 additions (never-deferred rule: same-round additions are
+# round-15 additions (never-deferred rule: same-round additions are
 # inserted inside the first 50 when registered).
 # Same-round deferrals that are NOT new queries — the ONLY names the
 # window-integrity test allows to interleave with deferred new
-# additions at position 51+. Round 14: none.
+# additions at position 51+. Round 15: none.
 _WINDOW_DEFERRAL_INTERLEAVE: list[str] = []
 
 _DRIVER_WINDOW = [
   # flagship — always re-verified
     "timely_rank_report",
-  # max-staleness cohort (last checked r9, staleness 4):
-  # all 27 fit — 28 must-run rows for 50 slots, no overflow
-    "media_file_ingest",
-    "media_resize_roundtrip",
-    "min_cost_supplier_sql",
-    "nation_value_concentration_sql",
-    "near_dup_clusters",
-    "near_dup_containment",
-    "near_dup_minhash_hashed",
-    "near_dup_source_matrix",
-    "null_canonical_dedup",
-    "null_canonical_join",
-    "part_melt",
-    "population_fact_build",
-    "preaggregate",
-    "priority_pivot",
-    "priority_pivot_first",
-    "product_profit_sql",
-    "scd1_upsert_batch",
-    "scd2_apply_batch",
-    "scd3_apply_batch",
-    "segment_ratio_report",
-    "ship_speed_priority_sql",
-    "shipments_by_quarter",
-    "supplier_part_census_sql",
-    "top5_orders",
-    "top_orders_per_nation",
-    "top_supplier_sql",
-    "xml_scan_agg",
-  # round-14 additions (never-deferred rule: same-round additions
-  # sit inside the first 50)
-    "doc_substring_sa_dedup",
-    "doc_substring_sa_hashed",
-    "bpe_publish_encode",
-    "wordpiece_publish_encode",
-    "unigram_publish_encode",
-    "wordpiece_unk_foreign",
-    "embedding_semantic_dedup",
-    "embedding_semantic_dedup_stats",
-  # --- free slots to position 50, then 51+: remaining queries
-  # stalest-first (ties by name) — tools/staleness.py ---
-    "bloom_prefilter_join",
-    "bpe_merges",
-    "brand_mode_type",
-    "brand_price_percentiles",
-    "containment_capped_join",
-    "corpus_cap_per_source",
-    "corpus_cap_per_source_best",
-    "corpus_curation_capped_funnel",
-    "corpus_quality_filter",
-    "customer_running_totals",
-    "customer_set_ops",
-    "customer_spend_quartiles",
-    "dedup_keep_best",
-    "doc_bm25_topk",
+  # max-staleness cohort (last checked r10, staleness 4):
+  # all 35 fit — 36 must-run rows for 50 slots, no overflow
     "doc_chunks",
     "doc_decontaminate",
     "doc_fingerprint",
@@ -177,6 +124,13 @@ _DRIVER_WINDOW = [
     "semantic_dedup_census",
     "semantic_dedup_greedy",
     "window_frames_sql",
+  # round-15 additions (never-deferred rule: same-round additions
+  # sit inside the first 50)
+    "embedding_semantic_dedup_trained",
+    "embedding_semantic_dedup_trained_stats",
+    "semdedup_occupancy_compare",
+  # --- free slots to position 50, then 51+: remaining queries
+  # stalest-first (ties by name) — tools/staleness.py ---
     "containment_prefix_join",
     "containment_probe_skew",
     "doc_balanced_oversample",
@@ -324,9 +278,56 @@ _DRIVER_WINDOW = [
     "wordpiece_merges",
     "wordpiece_token_stats",
     "zorder_skipping_census",
+    "bloom_prefilter_join",
+    "bpe_merges",
+    "bpe_publish_encode",
+    "brand_mode_type",
+    "brand_price_percentiles",
+    "containment_capped_join",
+    "corpus_cap_per_source",
+    "corpus_cap_per_source_best",
+    "corpus_curation_capped_funnel",
+    "corpus_quality_filter",
+    "customer_running_totals",
+    "customer_set_ops",
+    "customer_spend_quartiles",
+    "dedup_keep_best",
+    "doc_bm25_topk",
+    "doc_substring_sa_dedup",
+    "doc_substring_sa_hashed",
+    "embedding_semantic_dedup",
+    "embedding_semantic_dedup_stats",
+    "media_file_ingest",
+    "media_resize_roundtrip",
+    "min_cost_supplier_sql",
+    "nation_value_concentration_sql",
+    "near_dup_clusters",
+    "near_dup_containment",
+    "near_dup_minhash_hashed",
+    "near_dup_source_matrix",
+    "null_canonical_dedup",
+    "null_canonical_join",
+    "part_melt",
+    "population_fact_build",
+    "preaggregate",
+    "priority_pivot",
+    "priority_pivot_first",
+    "product_profit_sql",
+    "scd1_upsert_batch",
+    "scd2_apply_batch",
+    "scd3_apply_batch",
+    "segment_ratio_report",
+    "ship_speed_priority_sql",
+    "shipments_by_quarter",
+    "supplier_part_census_sql",
+    "top5_orders",
+    "top_orders_per_nation",
+    "top_supplier_sql",
+    "unigram_publish_encode",
+    "wordpiece_publish_encode",
+    "wordpiece_unk_foreign",
+    "xml_scan_agg",
 ]
-
-
 # ---------------------------------------------------------------------------
 # Flagship (SURVEY §7 step 1): Q1a analog — star join, conditional agg,
 # HAVING, double RANK, rank filter.
@@ -896,6 +897,26 @@ register(
     "embedding_semantic_dedup_stats",
     llm_queries.embedding_semantic_dedup_stats,
     llm_queries.EMBEDDING_SEMANTIC_DEDUP_STATS_ORACLE,
+)
+# Round 15 (VERDICT r14 #3): the TRAINED-quantizer SemDeDup family —
+# kmeans_fit centroids instead of the raw first-64 seed, the full Lloyd
+# loop replayed unrolled in the oracle, plus the seed-vs-trained
+# occupancy census that proves the training balances the cells the cap
+# acts on.
+register(
+    "embedding_semantic_dedup_trained",
+    llm_queries.embedding_semantic_dedup_trained,
+    llm_queries.EMBEDDING_SEMANTIC_DEDUP_TRAINED_ORACLE,
+)
+register(
+    "embedding_semantic_dedup_trained_stats",
+    llm_queries.embedding_semantic_dedup_trained_stats,
+    llm_queries.EMBEDDING_SEMANTIC_DEDUP_TRAINED_STATS_ORACLE,
+)
+register(
+    "semdedup_occupancy_compare",
+    llm_queries.semdedup_occupancy_compare,
+    llm_queries.SEMDEDUP_OCCUPANCY_COMPARE_ORACLE,
 )
 register(
     "events_heavy_hitters_cms",

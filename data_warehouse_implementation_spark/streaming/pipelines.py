@@ -681,7 +681,17 @@ def semdedup_admission_sink(
 
     Replay-idempotent per ``batch_id``: state and verdict rows carry
     the batch id and a replayed batch's rows are deleted before the
-    re-insert — the standing contract of every sink here."""
+    re-insert — the standing contract of every sink here. That
+    contract covers the structured-streaming failure mode (re-running
+    the LAST batch against the state as it stood). A FRESH-CHECKPOINT
+    full-history replay is weaker: batch N is then re-decided against
+    a state that already contains batches > N's admissions, so the
+    admission set is only order-stable when no later admission crosses
+    ``tau`` against an earlier batch's vectors — the same
+    order-dependence caveat as the intra-batch note above. Replaying
+    history from scratch should start from an EMPTY ``{prefix}_*``
+    state (drop the tables with the checkpoint), never a populated
+    one."""
     from pyspark.sql import functions as SF
 
     from ..operators import similarity

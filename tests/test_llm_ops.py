@@ -1521,3 +1521,61 @@ def test_semantic_dedup_keep_policy_and_cap(spark):
     }
     c0b = stats2[0]
     assert c0b.n_truncated == c0b.n_members - lq.SEMDEDUP_CELL_CAP > 0
+
+
+def test_semdedup_trained_policy_and_occupancy_compare(spark):
+    """The TRAINED quantizer family (VERDICT r14 #3) on the same
+    crafted frame: the dup trio still forms ONE group under trained
+    cells (training moves cell boundaries, not pairwise cosines) and
+    exactly one member survives with the furthest-from-centroid rule;
+    the trained centroids satisfy kmeans_fit's quantizer invariant
+    (every vector's cell is its nearest trained centroid); and the
+    occupancy-compare census reports one coherent row per quantizer
+    (cells used x max cell + truncation accounting consistent with the
+    stats rows)."""
+    from data_warehouse_implementation_spark.plans import llm_queries as lq
+
+    dim = 64
+
+    def vec(x, y):
+        v = [0.0] * dim
+        v[0], v[1] = x, y
+        return v
+
+    rows = [(0, vec(10.0, 0.0), 0), (1, vec(-10.0, 0.0), 1)]
+    rows += [(i, vec(-10.0 + i * 1e-6, 5.0), 1) for i in range(2, lq.SEMDEDUP_CENTROIDS)]
+    rows += [
+        (100, vec(9.0, 5.0), 0),
+        (101, vec(9.0, 5.001), 0),
+        (102, vec(9.0, 5.5), 0),
+        (103, vec(10.0, -9.0), 0),
+    ]
+    emb = spark.createDataFrame(
+        [(i, v, l) for i, v, l in rows], "vec_id long, embedding array<float>, label int"
+    )
+    t = {"embeddings": emb}
+    out = {r.vec_id: r for r in lq.embedding_semantic_dedup_trained(t).collect()}
+    assert set(out) == {100, 101, 102}
+    assert len({out[i].group_id for i in (100, 101, 102)}) == 1
+    keeps = [i for i in (100, 101, 102) if out[i].keep]
+    assert len(keeps) == 1
+    # quantizer invariant: each vector's assigned cell is its nearest
+    # returned centroid (ties by centroid id)
+    cen = {r.cen_id: r.cen_vec for r in lq._semdedup_trained_centroids(emb).collect()}
+    members = {
+        r.vec_id: r for r in lq._semdedup_members_trained(emb).collect()
+    }
+    vecs = {i: v for i, v, _ in rows}
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    for vid, m in members.items():
+        best = min(cen, key=lambda c: (d2(vecs[vid], cen[c]), c))
+        assert m.cell_id == best, (vid, m.cell_id, best)
+    occ = {r.quantizer: r for r in lq.semdedup_occupancy_compare(t).collect()}
+    assert set(occ) == {"seed", "trained"}
+    tr_stats = lq.embedding_semantic_dedup_trained_stats(t).collect()
+    assert occ["trained"].n_cells_used == len(tr_stats)
+    assert occ["trained"].max_cell_members == max(r.n_members for r in tr_stats)
+    assert occ["trained"].truncated_at_cap == sum(r.n_truncated for r in tr_stats)

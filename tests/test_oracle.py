@@ -23,8 +23,14 @@ def test_query_matches_oracle(spark, name):
 #   and the driver embeddings have none (measured max within-cell cosine
 #   0.60 at every sf vs tau 0.92 — see the registry comment); its
 #   companion stats row is the non-empty driver differential and the
-#   dup-structured sf1 corpus exercises the group path.
-_EMPTY_AT_SMOKE_SF = {"embedding_semantic_dedup"}
+#   dup-structured sf1 corpus exercises the group path. The trained-
+#   quantizer variant is empty for the same measured reason (training
+#   moves cell boundaries, not pairwise cosines; within-cell pairs are
+#   a subset of all pairs, whose max is 0.60).
+_EMPTY_AT_SMOKE_SF = {
+    "embedding_semantic_dedup",
+    "embedding_semantic_dedup_trained",
+}
 
 
 def test_every_query_has_rows_at_smoke_sf(spark):

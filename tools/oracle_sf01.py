@@ -125,6 +125,13 @@ SCALE_SENSITIVE = [
     # k-core fixpoint needs ~24 rounds only at sf0.1 density
     "supplier_cosupply_triangles",
     "supplier_cosupply_kcore",
+    # round 15: the trained SemDeDup quantizer — Lloyd means, argmin
+    # boundaries, and the per-cell cap's hash-order sample all move
+    # with a 10x vector table; the occupancy compare is the census
+    # that proves the training balances the cells the cap acts on
+    "embedding_semantic_dedup_trained",
+    "embedding_semantic_dedup_trained_stats",
+    "semdedup_occupancy_compare",
 ]
 
 SF_DIR = "/root/testdata/sf0.1"

@@ -17,11 +17,16 @@ numpy seed-42, so any checkout reproduces byte-identical tables):
   (doc_id BIGINT, text, lang, source, n_chars BIGINT), 5 languages
   with disjoint-suffix vocabularies, 20 sources with a deliberately
   hot src0 (engages the per-source curation cap), token lengths
-  8..120 (under the 128-token SA oracle bound the per-sf test pins),
-  ~6% exact duplicates, ~6% near duplicates (10% token perturbation),
-  and ~12% of docs carrying one of 60 shared 10-20 token passages
-  (feeds MinHash bands, containment prefixes, and the suffix array
-  real duplicate mass).
+  8..120 for ~92% of fresh docs and 121..220 for ~8% (generator v2,
+  VERDICT r14 #7: the long tail pushes the corpus past the 128-token
+  bound, so the DERIVED suffix-array doubling depth at sf1 is 8 —
+  strictly deeper than the driver corpora's 7, exercising the
+  depth-derivation path; the sf1 SA oracles replay at the matching
+  unroll depth via ``_sa_oracle(8, ...)``), ~6% exact duplicates,
+  ~6% near duplicates (10% token perturbation), and ~12% of docs
+  carrying one of 60 shared 10-20 token passages (feeds MinHash
+  bands, containment prefixes, and the suffix array real duplicate
+  mass).
 - ``embeddings.parquet`` — 20,000 vectors (10x sf0.1), driver schema
   (vec_id BIGINT, embedding FLOAT[] dim 64, label INTEGER, 10 label
   centroids), ~2% exact duplicates and ~3% near duplicates (engages
@@ -39,7 +44,10 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
 SF1_DIR = str(REPO / "testdata_sf1")
-GENERATOR_VERSION = 1
+GENERATOR_VERSION = 2
+#: sf1 SA oracle unroll depth: ceil(log2(max sf1 doc tokens)) — the
+#: generator v2 long tail tops out at 220+20 spliced, capped 240 < 256.
+SF1_SA_ROUNDS = 8
 N_DOCS = 50_000
 N_VECS = 20_000
 EMB_DIM = 64
@@ -68,9 +76,19 @@ SF1_BATTERY = [
     "corpus_cap_per_source",
     "doc_substring_sa",
     "doc_substring_sa_hashed",
+    # round 15 (VERDICT r14 #7): the removal pass and the tokenizer
+    # publish path — exactly the heads whose behavior changes with
+    # corpus shape (depth derivation, canonical families, vocab)
+    "doc_substring_sa_dedup",
+    "bpe_publish_encode",
     "doc_pack_bfd",
     "embedding_semantic_dedup",
     "embedding_semantic_dedup_stats",
+    # round 15 (VERDICT r14 #3): the trained quantizer at 10x — the
+    # sf where "fewer truncated members at the same cap" is measurable
+    "embedding_semantic_dedup_trained",
+    "embedding_semantic_dedup_trained_stats",
+    "semdedup_occupancy_compare",
 ]
 
 #: Small-output queries whose rows are embedded verbatim in the
@@ -80,7 +98,107 @@ CAP_EVIDENCE = [
     "embedding_lsh_bucket_stats",
     "corpus_curation_capped_funnel",
     "embedding_semantic_dedup_stats",
+    "semdedup_occupancy_compare",
 ]
+
+#: Known oracle-engine limits (ADVICE r14 #1): when the DUCKDB side of
+#: one of these queries fails with the documented error class, the tool
+#: records the rows-only shape ITSELF (rows_only / note / spark_rows —
+#: the shape tests/test_oracle_sf1.py requires of any non-green row)
+#: instead of leaving a bare ``err`` that needs hand-annotation. The
+#: Spark result still ran and its row count is recorded; the weaker
+#: check is explicit and reproducible from the tool. An UNLISTED
+#: oracle failure still lands as a plain error row — these are
+#: documented exemptions, not a blanket downgrade.
+ROWS_ONLY_ON_ORACLE_ERROR = {
+    "corpus_curation_capped_funnel": (
+        "rows-only: DuckDB failed replaying the curation ladder at sf1 "
+        "even with the bounded-pass CC (see _funnel_oracle_chunked); "
+        "the Spark side ran and its row count is recorded"
+    ),
+}
+
+
+def _funnel_oracle_chunked(con):
+    """Exact capped-funnel replay at sf1 (VERDICT r14 #6): the
+    registry oracle's recursive-CTE connected components enumerate
+    paths — state that OOMed DuckDB's 100 GiB on the dup-heavy sf1
+    corpus. Here the SAME ladder SQL runs around a CC computed in
+    BOUNDED passes: materialize the survivor edge list ``sym`` once
+    (``curation.CURATION_SYM_SQL`` — the registry chain's own text),
+    iterate min-label propagation to fixpoint (state O(V), one
+    hash-join + group-by per pass, passes = component diameter), then
+    execute ``curation.capped_funnel_oracle_with_cc`` with the
+    converged label table as the ``clusters`` CTE. Every non-CC stage
+    is byte-shared with the registry oracle, so the replays cannot
+    fork; the CC itself is exact (label propagation over a symmetric
+    edge list converges to the component minimum — the recursive
+    CTE's MIN(label) per id)."""
+    from data_warehouse_implementation_spark.plans import curation
+
+    con.execute("DROP TABLE IF EXISTS _sf1_sym")
+    con.execute("DROP TABLE IF EXISTS _sf1_lbl")
+    con.execute(f"CREATE TEMP TABLE _sf1_sym AS {curation.CURATION_SYM_SQL}")
+    con.execute(
+        "CREATE TEMP TABLE _sf1_lbl AS "
+        "SELECT DISTINCT src AS id, src AS label FROM _sf1_sym"
+    )
+    for _ in range(200):  # diameter bound; loud failure, never silent truncation
+        con.execute(
+            """CREATE TEMP TABLE _sf1_lbl2 AS
+               SELECT l.id, least(l.label, coalesce(m.nl, l.label)) AS label
+               FROM _sf1_lbl l LEFT JOIN (
+                 SELECT s.src AS id, MIN(w.label) AS nl
+                 FROM _sf1_sym s JOIN _sf1_lbl w ON s.dst = w.id
+                 GROUP BY s.src
+               ) m ON m.id = l.id"""
+        )
+        changed = con.execute(
+            "SELECT count(*) FROM _sf1_lbl l JOIN _sf1_lbl2 n USING (id) "
+            "WHERE l.label <> n.label"
+        ).fetchone()[0]
+        con.execute("DROP TABLE _sf1_lbl")
+        con.execute("ALTER TABLE _sf1_lbl2 RENAME TO _sf1_lbl")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("sf1 CC propagation did not converge in 200 passes")
+    sql = curation.capped_funnel_oracle_with_cc(
+        "clusters AS (SELECT id AS doc_id, label AS cluster_id FROM _sf1_lbl)"
+    )
+    return con.execute(sql).fetchdf()
+
+
+#: Oracle runners that replace the plain ``con.execute(oracle_sql)``
+#: for queries whose registry SQL exceeds the oracle engine's limits
+#: at sf1 — each computes the SAME result by a bounded-memory plan and
+#: records its mode in the artifact row.
+SPECIAL_ORACLE_RUNNERS = {
+    "corpus_curation_capped_funnel": ("chunked-cc", _funnel_oracle_chunked),
+}
+
+
+def _special_oracle_sql() -> dict[str, tuple[str, str]]:
+    """Oracle SQL overrides for sf1: the registry SA oracles unroll
+    SA_ROUNDS=7 (exact for the <=128-token driver corpora); the v2
+    sf1 corpus's long tail needs depth 8, which the same constructors
+    emit (extra rounds stay idempotent, so 8 is exact for ANY corpus
+    under 256 tokens). The Spark side needs no override — it DERIVES
+    its depth from the data, which is exactly what these rows prove."""
+    from data_warehouse_implementation_spark.plans import corpus_queries as cq
+
+    return {
+        "doc_substring_sa": (
+            f"sa-rounds-{SF1_SA_ROUNDS}", cq._sa_oracle(SF1_SA_ROUNDS, cq.SA_L)
+        ),
+        "doc_substring_sa_hashed": (
+            f"sa-rounds-{SF1_SA_ROUNDS}", cq._sa_oracle(SF1_SA_ROUNDS, cq.SA_L)
+        ),
+        "doc_substring_sa_dedup": (
+            f"sa-rounds-{SF1_SA_ROUNDS}",
+            cq._sa_dedup_oracle(SF1_SA_ROUNDS, cq.SA_DEDUP_L),
+        ),
+    }
 
 _LANG_BASE = {
     "en": ("the a of and to in key agg row scan slow fast table value part hash "
@@ -151,14 +269,20 @@ def generate(sf1_dir: str) -> None:
         else:
             lang = langs[int(np.searchsorted(np.cumsum(probs), rng.random()))]
             vocab = _LANG_BASE[lang]
-            n = int(rng.integers(8, 121))
+            # v2: an ~8% long tail past the 128-token bound, so the
+            # DERIVED SA doubling depth at sf1 is 8 (> the driver
+            # corpora's 7) — the depth-derivation evidence in _meta
+            if rng.random() < 0.08:
+                n = int(rng.integers(121, 221))
+            else:
+                n = int(rng.integers(8, 121))
             toks = [vocab[int(j)] for j in rng.integers(0, len(vocab), n)]
             if rng.random() < 0.12:
                 # splice a shared passage at a random position
                 plang, ptoks = passages[int(rng.integers(0, len(passages)))]
                 pos = int(rng.integers(0, len(toks) + 1))
                 toks = toks[:pos] + ptoks + toks[pos:]
-        toks = toks[:120]  # SA oracle bound: max doc tokens <= 128
+        toks = toks[:240]  # sf1 SA oracle bound: max doc tokens <= 256
         texts.append(" ".join(toks))
         lang_col.append(lang)
         src_col.append(f"src{int(np.searchsorted(np.cumsum(src_probs), rng.random()))}")
@@ -227,7 +351,22 @@ def main() -> int:
     generate(SF1_DIR)
     spark = get_spark()
     queries, oracles = registry.queries(), registry.oracle_sql()
+    special_sql = _special_oracle_sql()
     battery = args.only.split(",") if args.only else SF1_BATTERY
+
+    # derived-SA-depth evidence (VERDICT r14 #7): the depth the engine
+    # derives per corpus — sf1's must exceed the driver corpus's
+    import math
+
+    import duckdb
+
+    def _sa_depth(doc_path: str) -> dict:
+        mx = duckdb.sql(
+            "SELECT max(len(string_split(regexp_replace(lower(text), "
+            f"'\\s+', ' ', 'g'), ' '))) FROM read_parquet('{doc_path}')"
+        ).fetchone()[0]
+        return {"max_doc_tokens": int(mx), "derived_rounds": math.ceil(math.log2(mx))}
+
     results: dict[str, dict] = {
         "_meta": {
             "sf_dir": SF1_DIR,
@@ -235,6 +374,11 @@ def main() -> int:
             "n_docs": N_DOCS,
             "n_vecs": N_VECS,
             "queries": len(battery),
+            "sa_depth": {
+                "sf0.1": _sa_depth("/root/testdata/sf0.1/documents.parquet"),
+                "sf1": _sa_depth(os.path.join(SF1_DIR, "documents.parquet")),
+                "oracle_unroll_rounds": SF1_SA_ROUNDS,
+            },
         }
     }
     caps: dict[str, list] = {}
@@ -249,6 +393,7 @@ def main() -> int:
         }
         try:
             got = normalize(queries[name](spark, SF1_DIR).toPandas())
+            rec["spark_rows"] = len(got)
             con = duckdb_conn(SF1_DIR)
             # sf1 replays exceed the default in-memory budget (the
             # curation-funnel oracle OOMed at 100 GiB): bound the
@@ -256,10 +401,31 @@ def main() -> int:
             con.execute("SET memory_limit='60GB'")
             con.execute("SET temp_directory='/tmp/duckdb_sf1_spill'")
             try:
-                want = normalize(con.execute(oracles[name]).fetchdf())
+                special = SPECIAL_ORACLE_RUNNERS.get(name)
+                if special is not None:
+                    rec["oracle_mode"] = special[0]
+                    want = normalize(special[1](con))
+                elif name in special_sql:
+                    rec["oracle_mode"] = special_sql[name][0]
+                    want = normalize(con.execute(special_sql[name][1]).fetchdf())
+                else:
+                    want = normalize(con.execute(oracles[name]).fetchdf())
+            except Exception as oexc:  # noqa: BLE001
+                if name in ROWS_ONLY_ON_ORACLE_ERROR:
+                    rec["rows_only"] = True
+                    rec["note"] = (
+                        f"{ROWS_ONLY_ON_ORACLE_ERROR[name]} "
+                        f"[{type(oexc).__name__}]"
+                    )
+                    if name in CAP_EVIDENCE and len(got) <= 80:
+                        caps[name] = json.loads(got.to_json(orient="records"))
+                    results[name] = rec
+                    print(f"{name}: ROWS-ONLY ({rec['note']})", file=sys.stderr)
+                    continue
+                raise
             finally:
                 con.close()
-            rec["spark_rows"], rec["oracle_rows"] = len(got), len(want)
+            rec["oracle_rows"] = len(want)
             rec["rows_match"] = len(got) == len(want)
             rec["schema_match"] = list(got.columns) == list(want.columns) and list(
                 got.dtypes
