@@ -254,7 +254,13 @@ def test_bloom_point_census_brute_force(spark):
     m = 64  # small filter: collisions plausible, brute force decides
     rows = [(f, k) for f, ks in [(0, [1, 5, 9]), (1, [2, 5, 100]), (2, [3, 7, 11])] for k in ks]
     df = spark.createDataFrame(rows, "file_id long, ck long")
-    probes = spark.createDataFrame([(5,), (100,), (6,), (999,)], "probe_key long")
+    # 999 (above every file max) and -5 (below every file min) pin the
+    # bucketed interval join's out-of-range edges: the probe's derived
+    # bucket (past-the-end / negative) matches no file bucket, so
+    # minmax opens zero files — same totality the crossJoin filter had
+    probes = spark.createDataFrame(
+        [(5,), (100,), (6,), (999,), (-5,)], "probe_key long"
+    )
     out = {
         r.probe_key: (
             r.present,
@@ -278,7 +284,7 @@ def test_bloom_point_census_brute_force(spark):
 
     files = {0: [1, 5, 9], 1: [2, 5, 100], 2: [3, 7, 11]}
     fbits = {f: set().union(*(bits(k) for k in ks)) for f, ks in files.items()}
-    for q in [5, 100, 6, 999]:
+    for q in [5, 100, 6, 999, -5]:
         truth = sum(q in ks for ks in files.values())
         mm = sum(min(ks) <= q <= max(ks) for ks in files.values())
         bl = sum(bits(q) <= fb for fb in fbits.values())
