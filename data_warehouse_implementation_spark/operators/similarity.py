@@ -500,6 +500,81 @@ def pq_subvectors(
     ).select(id_col, "j", "subvec")
 
 
+def pq_kmeans_fit(
+    vectors: DataFrame,
+    m: int,
+    k: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-subspace Lloyd k-means for PQ sub-centroids — the training
+    step that turns the seed-subvector demo codebook into a real
+    product quantizer (each subspace's codebook tracks ITS OWN
+    marginal distribution, which is the entire point of PQ): seed with
+    the first ``k`` vectors' subvectors (``cen_id = vec_id``, the
+    ``pq_encode`` seed layout), then ``iters`` rounds of per-(vector,
+    subspace) argmin assignment (broadcast codebook, map-side
+    ``min_by`` — :func:`assign_cells`'s shape with ``j`` as one more
+    equi-key) and per-(subspace, cell, position) ORDER-DEFINED mean
+    update (sorted fold / count — :func:`centroid_update`'s replayable
+    arithmetic), so a DuckDB oracle unrolls the whole loop bit-for-bit.
+    Returns (j, cen_id, cen_sub) — model-scale (m x k rows), broadcast
+    by every consumer. Cells that lose all members in a round drop out,
+    exactly as :func:`kmeans_fit`."""
+    sv = pq_subvectors(vectors, m, id_col=id_col, vec_col=vec_col).localCheckpoint(
+        eager=False
+    )  # consumed once per round (assign + update) across iters rounds
+    cen = (
+        sv.filter(F.col(id_col) < k)
+        .select("j", F.col(id_col).alias("cen_id"), F.col("subvec").alias("cen_sub"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        c = cen.select(
+            "j", F.col("cen_id").alias("_cid"), F.col("cen_sub").alias("_cs")
+        )
+        d2 = (
+            dot(F.col("subvec"), F.col("subvec"))
+            - 2 * dot(F.col("subvec"), F.col("_cs"))
+            + dot(F.col("_cs"), F.col("_cs"))
+        )
+        assigned = (
+            sv.join(broadcast(c), on="j")
+            .withColumn("_d2", d2)
+            .groupBy(id_col, "j")
+            .agg(F.min_by("_cid", F.struct(F.col("_d2"), F.col("_cid"))).alias("_cell"))
+        )
+        members = sv.join(assigned, on=[id_col, "j"])
+        per = (
+            members.select("j", "_cell", F.posexplode("subvec").alias("pos", "val"))
+            .groupBy("j", "_cell", "pos")
+            .agg(
+                F.sort_array(F.collect_list(F.col("val").cast("double"))).alias("_vs")
+            )
+            .select(
+                "j",
+                "_cell",
+                "pos",
+                (
+                    F.aggregate("_vs", F.lit(0.0), lambda a, x: a + x)
+                    / F.size("_vs").cast("double")
+                ).alias("_mv"),
+            )
+        )
+        cen = (
+            per.groupBy("j", "_cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "_mv"))).alias("_pm"))
+            .select(
+                "j",
+                F.col("_cell").alias("cen_id"),
+                F.transform("_pm", lambda s: s["_mv"]).alias("cen_sub"),
+            )
+            .localCheckpoint(eager=True)  # plan truncation per round
+        )
+    return cen
+
+
 def pq_encode(
     vectors: DataFrame,
     sub_centroids: DataFrame,

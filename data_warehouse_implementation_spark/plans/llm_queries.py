@@ -1097,17 +1097,19 @@ _PQ_PIVOT = ", ".join(
 )
 _PQ_ADC = " + ".join(f"p{jj}" for jj in range(PQ_M))
 
-EMBEDDING_ANN_PQ_ORACLE = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+#: Shared head (vectors + subvector slicing) and ADC tail of the PQ
+#: oracles — the tail is parameterized on the codebook CTE name so the
+#: seed and TRAINED replays share every non-codebook stage.
+_PQ_HEAD = f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 js AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS j),
 sub AS (
   SELECT vec_id, j, v[(j * {_PQ_SUB} + 1):((j + 1) * {_PQ_SUB})] AS sv
   FROM e CROSS JOIN js
-),
-cen AS (
-  SELECT j, vec_id AS cen_id, sv AS cs FROM sub WHERE vec_id < {PQ_K}
-),
-enc AS (
+)"""
+
+
+def _pq_adc_tail(cen: str) -> str:
+    return f"""enc AS (
   SELECT vec_id, j, cen_id AS code FROM (
     SELECT s.vec_id, s.j, c.cen_id,
            ROW_NUMBER() OVER (
@@ -1115,14 +1117,14 @@ enc AS (
              ORDER BY list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.cs)
                       + list_dot_product(c.cs, c.cs) ASC, c.cen_id ASC
            ) AS rn
-    FROM sub s JOIN cen c USING (j)
+    FROM sub s JOIN {cen} c USING (j)
   ) WHERE rn = 1
 ),
 lut AS (
   SELECT s.vec_id AS query_id, s.j, c.cen_id AS code,
          list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.cs)
          + list_dot_product(c.cs, c.cs) AS d2
-  FROM sub s JOIN cen c USING (j)
+  FROM sub s JOIN {cen} c USING (j)
   WHERE s.vec_id < {N_QUERIES}
 ),
 parts AS (
@@ -1139,7 +1141,110 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adc_dist2
-FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank
+FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank"""
+
+
+EMBEDDING_ANN_PQ_ORACLE = f"""
+WITH {_PQ_HEAD},
+cen AS (
+  SELECT j, vec_id AS cen_id, sv AS cs FROM sub WHERE vec_id < {PQ_K}
+),
+{_pq_adc_tail("cen")}
+"""
+
+#: Lloyd rounds for the TRAINED PQ codebook — small, unrolled in the
+#: oracle like the SemDeDup quantizer's.
+PQ_TRAIN_ITERS = 2
+
+
+def _pq_trained_cen_ctes(iters: int = PQ_TRAIN_ITERS) -> str:
+    """Unrolled replay of ``similarity.pq_kmeans_fit``: per-subspace
+    seed (first PQ_K vectors' subvectors), then per round an argmin
+    assignment over (vector, subspace) and the order-defined
+    per-(subspace, cell, position) mean — the same two proven
+    arithmetic pieces as the SemDeDup trained chain, with ``j`` as one
+    more grouping key. Emits ``tpcen{{iters}}`` as (j, cen_id, cs)."""
+    parts = [f"""tpcen0 AS (
+  SELECT j, vec_id AS cen_id, sv AS cs FROM sub WHERE vec_id < {PQ_K}
+)"""]
+    for t in range(iters):
+        parts.append(f"""tpasg{t} AS (
+  SELECT vec_id, j, cen_id AS cell FROM (
+    SELECT s.vec_id, s.j, c.cen_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.vec_id, s.j
+             ORDER BY list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.cs)
+                      + list_dot_product(c.cs, c.cs) ASC, c.cen_id ASC
+           ) AS rn
+    FROM sub s JOIN tpcen{t} c USING (j)
+  ) WHERE rn = 1
+),
+tpel{t} AS (
+  SELECT a.j, a.cell, i - 1 AS pos, s.sv[i] AS val
+  FROM sub s JOIN tpasg{t} a ON a.vec_id = s.vec_id AND a.j = s.j
+  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(s.sv))) AS i) g
+),
+tpcen{t + 1} AS (
+  SELECT j, cell AS cen_id, list(mv ORDER BY pos) AS cs
+  FROM (
+    SELECT j, cell, pos,
+           CAST(list_reduce(list_sort(list(val)), (acc, x) -> acc + x) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS mv
+    FROM tpel{t} GROUP BY j, cell, pos
+  ) GROUP BY j, cell
+)""")
+    return ",\n".join(parts)
+
+
+def _ann_sub_centroids_trained(emb: DataFrame) -> DataFrame:
+    """Session-cached TRAINED PQ codebook (``similarity.pq_kmeans_fit``,
+    PQ_TRAIN_ITERS per-subspace Lloyd rounds over the seed). Model
+    scale (m x k rows)."""
+    return materialize.get_or_build(
+        "ann_sub_centroids_trained",
+        str(emb.semanticHash()),
+        lambda: similarity.pq_kmeans_fit(
+            emb, PQ_M, PQ_K, iters=PQ_TRAIN_ITERS
+        ),
+    )
+
+
+def _ann_pq_codes_trained(emb: DataFrame) -> DataFrame:
+    """Session-cached PQ code table under the TRAINED codebook —
+    corpus-scale, staged like ``_ann_pq_codes``."""
+    return materialize.get_or_build(
+        "ann_pq_codes_trained",
+        str(emb.semanticHash()),
+        lambda: similarity.pq_encode(emb, _ann_sub_centroids_trained(emb), PQ_M),
+        corpus_scale=True,
+    )
+
+
+def embedding_ann_pq_trained(t: dict[str, DataFrame]) -> DataFrame:
+    """PQ ANN under a TRAINED per-subspace codebook (round 15 — the PQ
+    face of the trained-quantizer story): ``similarity.pq_kmeans_fit``
+    runs per-subspace Lloyd rounds so each subspace's 16 codes track
+    its own marginal distribution (the point of product quantization —
+    a seed codebook quantizes against arbitrary corpus rows and wastes
+    codes where the marginal has no mass), then the corpus is encoded
+    and queries answered by the SAME asymmetric-distance join as
+    ``embedding_ann_pq``. The oracle unrolls the full training loop;
+    the ADC tail is byte-shared with the seed oracle so the two
+    replays cannot fork downstream of the codebook."""
+    emb = t["embeddings"]
+    return similarity.pq_adc_topk(
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        _ann_pq_codes_trained(emb),
+        _ann_sub_centroids_trained(emb),
+        PQ_M,
+        TOP_K,
+    ).orderBy("query_id", "rank")
+
+
+EMBEDDING_ANN_PQ_TRAINED_ORACLE = f"""
+WITH {_PQ_HEAD},
+{_pq_trained_cen_ctes()},
+{_pq_adc_tail(f"tpcen{PQ_TRAIN_ITERS}")}
 """
 
 

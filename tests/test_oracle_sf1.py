@@ -62,3 +62,15 @@ def test_sf1_artifact_green_and_caps_engaged():
         assert stages["cap_per_source"] < stages["decontaminate"], (
             "per-source cap did not truncate"
         )
+    meta = d.get("_meta", {})
+    if meta.get("generator_version", 1) >= 2:
+        # round-15 evidence rows (VERDICT r14 #3/#7): the sf1 corpus
+        # must exercise a DEEPER derived SA depth than the driver
+        # corpus, and the trained quantizer must truncate FEWER
+        # members than the seed at the same per-cell cap
+        sa = meta["sa_depth"]
+        assert sa["sf1"]["derived_rounds"] > sa["sf0.1"]["derived_rounds"], sa
+        assert sa["oracle_unroll_rounds"] >= sa["sf1"]["derived_rounds"], sa
+        occ = {r["quantizer"]: r for r in caps["semdedup_occupancy_compare"]}
+        assert occ["trained"]["truncated_at_cap"] < occ["seed"]["truncated_at_cap"], occ
+        assert occ["trained"]["max_cell_members"] <= occ["seed"]["max_cell_members"], occ

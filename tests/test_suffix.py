@@ -132,6 +132,25 @@ def test_sa_rounds_cover_driver_corpora():
             f" x -> x <> ''))) FROM read_parquet('/root/testdata/sf{sf}/documents.parquet')"
         ).fetchone()[0]
         assert m <= (1 << SA_ROUNDS), (sf, m, SA_ROUNDS)
+    # the generated sf1 corpus (tools/oracle_sf1.py, v2 long tail) must
+    # (a) fit the sf1 tool's own deeper unroll and (b) actually EXCEED
+    # the driver bound, so the sf1 battery genuinely exercises a deeper
+    # derived depth than every driver corpus (VERDICT r14 #7)
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    sf1_doc = repo / "testdata_sf1" / "documents.parquet"
+    if sf1_doc.exists() and (repo / "testdata_sf1" / ".generated_v2").exists():
+        sys.path.insert(0, str(repo / "tools"))
+        from oracle_sf1 import SF1_SA_ROUNDS
+
+        m = duckdb.sql(
+            "SELECT max(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),"
+            f" x -> x <> ''))) FROM read_parquet('{sf1_doc}')"
+        ).fetchone()[0]
+        assert m <= (1 << SF1_SA_ROUNDS), (m, SF1_SA_ROUNDS)
+        assert m > (1 << SA_ROUNDS), (m, SA_ROUNDS)
 
 
 def test_derived_rounds_and_early_exit_match_fixed_depth(spark):

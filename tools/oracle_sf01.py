@@ -132,6 +132,9 @@ SCALE_SENSITIVE = [
     "embedding_semantic_dedup_trained",
     "embedding_semantic_dedup_trained_stats",
     "semdedup_occupancy_compare",
+    # round 15: trained PQ — per-subspace Lloyd means and the ADC
+    # argmin are the float near-tie class, against a 10x vector table
+    "embedding_ann_pq_trained",
 ]
 
 SF_DIR = "/root/testdata/sf0.1"
