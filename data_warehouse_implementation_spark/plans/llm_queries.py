@@ -1247,6 +1247,62 @@ WITH {_PQ_HEAD},
 {_pq_adc_tail(f"tpcen{PQ_TRAIN_ITERS}")}
 """
 
+#: Lloyd rounds for the TRAINED IVF coarse quantizer (the ANN face of
+#: the round-15 trained-quantizer family — unrolled in the oracle).
+IVF_TRAIN_ITERS = 2
+
+
+def _ann_centroids_trained(emb: DataFrame) -> DataFrame:
+    """Session-cached TRAINED IVF coarse quantizer for the ANN family
+    (``similarity.kmeans_fit`` over the first-``N_CENTROIDS`` seed —
+    the maintained-index posture ``kmeans_fit``'s docstring promises:
+    re-fit periodically and the inverted file tracks the corpus
+    distribution, instead of freezing at whatever the first 8 vectors
+    happened to be)."""
+
+    def build() -> DataFrame:
+        cen, _ = similarity.kmeans_fit(emb, k=N_CENTROIDS, iters=IVF_TRAIN_ITERS)
+        return cen
+
+    return materialize.get_or_build(
+        "ann_centroids_trained", str(emb.semanticHash()), build
+    )
+
+
+def _ann_cells_trained(emb: DataFrame) -> DataFrame:
+    """Session-cached corpus cell assignment against the TRAINED
+    coarse quantizer — corpus-scale, staged like ``_ann_cells``."""
+    return materialize.get_or_build(
+        "ann_cells_trained",
+        str(emb.semanticHash()),
+        lambda: similarity.assign_cells(emb, _ann_centroids_trained(emb)),
+        corpus_scale=True,
+    )
+
+
+def embedding_ann_ivf_trained(t: dict[str, DataFrame]) -> DataFrame:
+    """IVF ANN under a TRAINED coarse quantizer (round 15 — completing
+    the trained-quantizer family across its three consumers: SemDeDup
+    cells, PQ codebooks, and now the inverted file itself): Lloyd
+    rounds move the seed centroids onto the corpus density, then each
+    query probes only its own (trained) cell — same cell-restricted
+    cosine top-k join as ``embedding_ann_kmeans``. The oracle unrolls
+    the training loop and replays the probe verbatim."""
+    emb = t["embeddings"]
+    assigned = _ann_cells_trained(emb)
+    emb_cells = emb.select("vec_id", "embedding").join(assigned, on="vec_id")
+    return similarity.cosine_topk(
+        emb_cells.filter(F.col("vec_id") < N_QUERIES),
+        emb_cells,
+        k=TOP_K,
+        cell_col="cell_id",
+    ).orderBy("query_id", "rank")
+
+
+# EMBEDDING_ANN_IVF_TRAINED_ORACLE is defined after the shared Lloyd
+# CTE generator (_semdedup_trained_assign_ctes) further down — module
+# constants evaluate top-to-bottom.
+
 
 def embedding_ann_ivfpq(t: dict[str, DataFrame]) -> DataFrame:
     """IVF+PQ — the production ANN stack: coarse-quantize every vector
@@ -2270,7 +2326,10 @@ _SEMDEDUP_CTES = f"{_SEMDEDUP_ASSIGN_CTES},\n{_SEMDEDUP_GROUP_CTES}"
 
 
 def _semdedup_trained_assign_ctes(
-    iters: int = SEMDEDUP_KMEANS_ITERS, include_e: bool = True
+    iters: int = SEMDEDUP_KMEANS_ITERS,
+    include_e: bool = True,
+    k: int = SEMDEDUP_CENTROIDS,
+    with_cap: bool = True,
 ) -> str:
     """Unrolled DuckDB replay of ``similarity.kmeans_fit`` +
     cap-flagged cell assignment for the trained SemDeDup quantizer:
@@ -2283,7 +2342,6 @@ def _semdedup_trained_assign_ctes(
     a final assignment ``tcells`` against the round-``iters``
     centroids, and the deterministic per-cell cap flag ``tsasg``
     (same hash-order rank as the seed chain's ``sasg``)."""
-    k = SEMDEDUP_CENTROIDS
     parts = []
     if include_e:
         parts.append("e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)")
@@ -2321,6 +2379,8 @@ def _semdedup_trained_assign_ctes(
   ) GROUP BY cell_id
 )""")
     parts.append(argmin(f"tcen{iters}", "tcells"))
+    if not with_cap:
+        return ",\n".join(parts)
     parts.append(f"""tsasg AS (
   SELECT vec_id, cell_id,
          (ROW_NUMBER() OVER (
@@ -2353,6 +2413,30 @@ _SEMDEDUP_TRAINED_GROUP_CTES = _re.sub(
 _SEMDEDUP_TRAINED_CTES = (
     f"{_semdedup_trained_assign_ctes()},\n{_SEMDEDUP_TRAINED_GROUP_CTES}"
 )
+
+EMBEDDING_ANN_IVF_TRAINED_ORACLE = f"""
+WITH {_semdedup_trained_assign_ctes(iters=IVF_TRAIN_ITERS, k=N_CENTROIDS, with_cap=False)},
+q AS (
+  SELECT e.vec_id AS query_id, e.v AS qv, a.cell_id AS qcell
+  FROM e JOIN tcells a USING (vec_id) WHERE e.vec_id < {N_QUERIES}
+),
+c AS (
+  SELECT e.vec_id AS neighbor_id, e.v AS cv, a.cell_id AS ccell
+  FROM e JOIN tcells a USING (vec_id)
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv)
+         / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+  FROM q JOIN c ON query_id <> neighbor_id AND qcell = ccell
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank
+"""
 
 EMBEDDING_SEMANTIC_DEDUP_ORACLE = f"""
 WITH RECURSIVE {_SEMDEDUP_CTES}

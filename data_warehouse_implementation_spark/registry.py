@@ -130,6 +130,7 @@ _DRIVER_WINDOW = [
     "embedding_semantic_dedup_trained_stats",
     "semdedup_occupancy_compare",
     "embedding_ann_pq_trained",
+    "embedding_ann_ivf_trained",
   # --- free slots to position 50, then 51+: remaining queries
   # stalest-first (ties by name) — tools/staleness.py ---
     "containment_prefix_join",
@@ -923,6 +924,11 @@ register(
     "embedding_ann_pq_trained",
     llm_queries.embedding_ann_pq_trained,
     llm_queries.EMBEDDING_ANN_PQ_TRAINED_ORACLE,
+)
+register(
+    "embedding_ann_ivf_trained",
+    llm_queries.embedding_ann_ivf_trained,
+    llm_queries.EMBEDDING_ANN_IVF_TRAINED_ORACLE,
 )
 register(
     "events_heavy_hitters_cms",

@@ -135,6 +135,7 @@ SCALE_SENSITIVE = [
     # round 15: trained PQ — per-subspace Lloyd means and the ADC
     # argmin are the float near-tie class, against a 10x vector table
     "embedding_ann_pq_trained",
+    "embedding_ann_ivf_trained",
 ]
 
 SF_DIR = "/root/testdata/sf0.1"

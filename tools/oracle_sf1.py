@@ -90,6 +90,7 @@ SF1_BATTERY = [
     "embedding_semantic_dedup_trained_stats",
     "semdedup_occupancy_compare",
     "embedding_ann_pq_trained",
+    "embedding_ann_ivf_trained",
 ]
 
 #: Small-output queries whose rows are embedded verbatim in the
