@@ -2414,6 +2414,103 @@ _SEMDEDUP_TRAINED_CTES = (
     f"{_semdedup_trained_assign_ctes()},\n{_SEMDEDUP_TRAINED_GROUP_CTES}"
 )
 
+def quantizer_distortion_compare(t: dict[str, DataFrame]) -> DataFrame:
+    """Seed-vs-trained quantizer DISTORTION census — the measured
+    answer to "did the Lloyd rounds help", alongside the occupancy
+    compare: per quantizer (the SemDeDup first-64 seed vs its trained
+    counterpart), the cells in use and the total k-means inertia
+    (sum over vectors of squared L2 to the assigned centroid — the
+    objective Lloyd provably does not increase). The sums are ORDER-
+    DEFINED (sorted fold per cell, then a sorted fold over the cell
+    subtotals — ``centroid_update``'s replayable-arithmetic trick), so
+    the oracle matches bit-for-bit; production at corpus scale swaps
+    the fold for a plain ``sum`` where bit-replay is not required."""
+    emb = t["embeddings"]
+
+    def inertia(cen: DataFrame, tag: str) -> DataFrame:
+        cells = similarity.assign_cells(emb, cen)
+        d2 = (
+            similarity.dot(F.col("_v"), F.col("_v"))
+            - 2 * similarity.dot(F.col("_v"), F.col("_cv"))
+            + similarity.dot(F.col("_cv"), F.col("_cv"))
+        )
+        joined = (
+            emb.select("vec_id", F.col("embedding").alias("_v"))
+            .join(cells, on="vec_id")
+            .join(
+                F.broadcast(
+                    cen.select(
+                        F.col("cen_id").alias("cell_id"),
+                        F.col("cen_vec").alias("_cv"),
+                    )
+                ),
+                on="cell_id",
+            )
+            .withColumn("_d2", d2)
+        )
+        per_cell = joined.groupBy("cell_id").agg(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.col("_d2").cast("double"))),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("_cs")
+        )
+        return per_cell.agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells_used"),
+            F.aggregate(
+                F.sort_array(F.collect_list("_cs")), F.lit(0.0), lambda a, x: a + x
+            ).alias("total_inertia"),
+        ).select(
+            F.lit(tag).alias("quantizer"), "n_cells_used", "total_inertia"
+        )
+
+    seed = emb.filter(F.col("vec_id") < SEMDEDUP_CENTROIDS).select(
+        F.col("vec_id").alias("cen_id"), F.col("embedding").alias("cen_vec")
+    )
+    return inertia(seed, "seed").unionByName(
+        inertia(_semdedup_trained_centroids(emb), "trained")
+    ).orderBy("quantizer")
+
+
+QUANTIZER_DISTORTION_COMPARE_ORACLE = f"""
+WITH RECURSIVE {_SEMDEDUP_ASSIGN_CTES},
+{_semdedup_trained_assign_ctes(include_e=False)},
+sd2 AS (
+  SELECT a.cell_id, d.d2
+  FROM sasg a JOIN sd d ON d.vec_id = a.vec_id AND d.cen_id = a.cell_id
+),
+spc AS (
+  SELECT cell_id,
+         CAST(list_reduce(list_sort(list(d2)), (a, x) -> a + x) AS DOUBLE) AS cs
+  FROM sd2 GROUP BY cell_id
+),
+td2 AS (
+  SELECT a.cell_id,
+         list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
+         + list_dot_product(c.cv, c.cv) AS d2
+  FROM tcells a
+  JOIN e ON e.vec_id = a.vec_id
+  JOIN tcen{SEMDEDUP_KMEANS_ITERS} c ON c.cen_id = a.cell_id
+),
+tpc AS (
+  SELECT cell_id,
+         CAST(list_reduce(list_sort(list(d2)), (a, x) -> a + x) AS DOUBLE) AS cs
+  FROM td2 GROUP BY cell_id
+)
+SELECT * FROM (
+  SELECT 'seed' AS quantizer,
+         CAST(COUNT(*) AS BIGINT) AS n_cells_used,
+         CAST(list_reduce(list_sort(list(cs)), (a, x) -> a + x) AS DOUBLE) AS total_inertia
+  FROM spc
+  UNION ALL
+  SELECT 'trained',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(list_reduce(list_sort(list(cs)), (a, x) -> a + x) AS DOUBLE)
+  FROM tpc
+) ORDER BY quantizer
+"""
+
+
 EMBEDDING_ANN_IVF_TRAINED_ORACLE = f"""
 WITH {_semdedup_trained_assign_ctes(iters=IVF_TRAIN_ITERS, k=N_CENTROIDS, with_cap=False)},
 q AS (

@@ -131,6 +131,7 @@ _DRIVER_WINDOW = [
     "semdedup_occupancy_compare",
     "embedding_ann_pq_trained",
     "embedding_ann_ivf_trained",
+    "quantizer_distortion_compare",
   # --- free slots to position 50, then 51+: remaining queries
   # stalest-first (ties by name) — tools/staleness.py ---
     "containment_prefix_join",
@@ -929,6 +930,11 @@ register(
     "embedding_ann_ivf_trained",
     llm_queries.embedding_ann_ivf_trained,
     llm_queries.EMBEDDING_ANN_IVF_TRAINED_ORACLE,
+)
+register(
+    "quantizer_distortion_compare",
+    llm_queries.quantizer_distortion_compare,
+    llm_queries.QUANTIZER_DISTORTION_COMPARE_ORACLE,
 )
 register(
     "events_heavy_hitters_cms",

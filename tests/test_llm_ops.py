@@ -1575,6 +1575,10 @@ def test_semdedup_trained_policy_and_occupancy_compare(spark):
         assert m.cell_id == best, (vid, m.cell_id, best)
     occ = {r.quantizer: r for r in lq.semdedup_occupancy_compare(t).collect()}
     assert set(occ) == {"seed", "trained"}
+    # Lloyd's objective is non-increasing: the trained quantizer's
+    # total inertia can never exceed the seed's
+    dis = {r.quantizer: r for r in lq.quantizer_distortion_compare(t).collect()}
+    assert dis["trained"].total_inertia <= dis["seed"].total_inertia
     tr_stats = lq.embedding_semantic_dedup_trained_stats(t).collect()
     assert occ["trained"].n_cells_used == len(tr_stats)
     assert occ["trained"].max_cell_members == max(r.n_members for r in tr_stats)

@@ -136,6 +136,7 @@ SCALE_SENSITIVE = [
     # argmin are the float near-tie class, against a 10x vector table
     "embedding_ann_pq_trained",
     "embedding_ann_ivf_trained",
+    "quantizer_distortion_compare",
 ]
 
 SF_DIR = "/root/testdata/sf0.1"

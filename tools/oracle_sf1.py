@@ -91,6 +91,7 @@ SF1_BATTERY = [
     "semdedup_occupancy_compare",
     "embedding_ann_pq_trained",
     "embedding_ann_ivf_trained",
+    "quantizer_distortion_compare",
 ]
 
 #: Small-output queries whose rows are embedded verbatim in the
@@ -101,6 +102,7 @@ CAP_EVIDENCE = [
     "corpus_curation_capped_funnel",
     "embedding_semantic_dedup_stats",
     "semdedup_occupancy_compare",
+    "quantizer_distortion_compare",
 ]
 
 #: Known oracle-engine limits (ADVICE r14 #1): when the DUCKDB side of
