@@ -2444,3 +2444,93 @@ def test_semdedup_admission_sink_parity_and_replay(spark, tmp_dir):
     run("ckpt_sem_replay")
     assert sorted(tuple(r) for r in cat.table("sem_members").collect()) == before_m
     assert sorted(tuple(r) for r in cat.table("sem_verdicts").collect()) == before_v
+
+
+def test_semdedup_admission_sink_with_trained_quantizer(spark, tmp_dir):
+    """Round 15 (VERDICT r14 #3, streaming face): the production
+    quantizer is TRAINED once (``similarity.kmeans_fit`` over a
+    bootstrap corpus), published through the catalog, and the
+    admission sink consumes the published copy — cells the sink
+    assigns must equal batch ``assign_cells`` against the same trained
+    centroids, and a near-copy is rejected inside its TRAINED cell."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_warehouse_implementation_spark.operators import similarity
+    from data_warehouse_implementation_spark.plans import llm_queries as lq
+
+    dim = 8
+
+    def vec(x, y):
+        v = [0.0] * dim
+        v[0], v[1] = x, y
+        return v
+
+    # bootstrap corpus: two blobs; the first-2 seed vectors BOTH sit in
+    # blob A, so only TRAINING moves a centroid onto blob B
+    boot = [
+        (0, vec(10.0, 0.2)), (1, vec(10.0, -0.2)),
+        (2, vec(9.5, 0.0)), (3, vec(10.5, 0.1)),
+        (4, vec(-10.0, 0.1)), (5, vec(-9.5, -0.1)), (6, vec(-10.5, 0.0)),
+    ]
+    corpus = spark.createDataFrame(
+        boot, "vec_id long, embedding array<float>"
+    )
+    cen, _ = similarity.kmeans_fit(corpus, k=2, iters=3)
+    cen_rows = {r.cen_id: r.cen_vec for r in cen.collect()}
+    # training separated the blobs: the two centroids point opposite
+    # ways on axis 0 (the seed pair both pointed at blob A)
+    signs = sorted(v[0] > 0 for v in cen_rows.values())
+    assert signs == [False, True], cen_rows
+
+    cat = WarehouseCatalog(spark, os.path.join(tmp_dir, "semt_wh"))
+    cat.create_table_as("quantizer_trained", cen)
+
+    b1 = [(100, vec(9.0, 5.0)), (101, vec(-9.0, 2.0))]
+    b2 = [
+        (200, vec(9.0, 5.01)),   # near-copy of 100 -> rejected in its trained cell
+        (201, vec(-9.0, -4.0)),  # blob-B cell, novel -> admitted
+    ]
+    src = os.path.join(tmp_dir, "semt_src")
+    os.makedirs(src)
+    for i, rows in enumerate([b1, b2]):
+        p = os.path.join(src, f"b{i}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "embedding": pa.array(
+                        [r[1] for r in rows], pa.list_(pa.float32())
+                    ),
+                }
+            ),
+            p,
+        )
+        os.utime(p, (1_700_000_000 + 60 * i,) * 2)
+
+    q = streaming.semdedup_admission_sink(
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        cat,
+        "semt",
+        checkpoint=os.path.join(tmp_dir, "ckpt_semt"),
+        quantizer_table="quantizer_trained",
+        tau=lq.SEMDEDUP_TAU,
+    )
+    q.awaitTermination()
+
+    v = {r.vec_id: r for r in cat.table("semt_verdicts").collect()}
+    assert v[200].is_dup and v[200].matched_vec_id == 100
+    assert not v[201].is_dup
+    # sink cells == batch assign_cells against the SAME published copy
+    all_vecs = spark.createDataFrame(
+        b1 + b2, "vec_id long, embedding array<float>"
+    )
+    expect = {
+        r.vec_id: r.cell_id
+        for r in similarity.assign_cells(all_vecs, cat.table("quantizer_trained")).collect()
+    }
+    got = {r.vec_id: r.cell_id for r in cat.table("semt_members").collect()}
+    for vid, cell in got.items():
+        assert cell == expect[vid], (vid, cell, expect[vid])
