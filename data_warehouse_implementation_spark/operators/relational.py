@@ -161,8 +161,42 @@ def global_rank(
     if clash:
         raise ValueError(f"global_rank scratch/output columns already present: {sorted(clash)}")
     cols = [F.col(k) for k in keys]
-    b = None
+    b = _monotone_bucketed(df, keys, bucket, numeric_bucket_width, "global_rank")
+    counts = b.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    offsets = counts.withColumn("_off", F.sum("_n").over(w_off) - F.col("_n")).select(
+        "_b", "_off"
+    )
+    w_in = Window.partitionBy("_b").orderBy(*cols)
+    return (
+        b.withColumn("_rn", F.row_number().over(w_in))
+        .join(F.broadcast(offsets), on="_b")
+        .withColumn(out_col, (F.col("_off") + F.col("_rn")).cast("long"))
+        .drop("_b", "_rn", "_off")
+    )
+
+
+def _monotone_bucketed(
+    df: DataFrame,
+    keys: Sequence[str],
+    bucket: Column | None,
+    numeric_bucket_width: int,
+    caller: str,
+) -> DataFrame:
+    """Shared bucketing step of the two-phase global ranks: append
+    ``_b``, a pure deterministic bucket monotone in the leading key
+    (see :func:`global_rank` for why it must be pure, not a sampled
+    range partitioner)."""
     if bucket is None:
+        from pyspark.sql.types import (
+            ByteType,
+            DateType,
+            IntegerType,
+            LongType,
+            ShortType,
+            StringType,
+        )
+
         lead = df.schema[keys[0]].dataType
         if isinstance(lead, StringType):
             bucket = F.coalesce(F.substring(F.col(keys[0]), 1, 3), F.lit(""))
@@ -172,24 +206,72 @@ def global_rank(
                 if isinstance(lead, DateType)
                 else F.col(keys[0])
             )
-            b = derived_width_bucket(
+            return derived_width_bucket(
                 df, key, "_b", min_width=float(numeric_bucket_width)
             )
         else:
             raise ValueError(
-                f"global_rank: no default bucketing for leading key type {lead}; "
+                f"{caller}: no default bucketing for leading key type {lead}; "
                 "pass an explicit monotone `bucket` expression"
             )
-    if b is None:
-        b = df.withColumn("_b", bucket)
-    counts = b.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
+    return df.withColumn("_b", bucket)
+
+
+def global_dense_rank(
+    df: DataFrame,
+    keys: Sequence[str],
+    out_col: str,
+    bucket: Column | None = None,
+    numeric_bucket_width: int = 4096,
+) -> DataFrame:
+    """``dense_rank() OVER (ORDER BY keys)`` without a single-task
+    global sort — :func:`global_rank`'s sibling for DENSE ranks,
+    computed directly on the full table (optimization round 15):
+
+    1. bucket by the same pure monotone function of the leading key;
+    2. ``dense_rank`` within each bucket in parallel;
+    3. offset each bucket by the cumulative DISTINCT-key counts of
+       earlier buckets (equal key tuples share a leading key, hence a
+       bucket, so per-bucket dense ranks + distinct-count offsets
+       compose into the global dense rank exactly).
+
+    This replaces the ``distinct + global_rank + join-back`` pattern
+    (three corpus-scale exchanges: the distinct shuffle, the rank
+    sort, and the join-back of the full table) with ONE corpus-scale
+    exchange (the per-bucket sort; the distinct-count aggregate is
+    map-side partial) — the prefix-doubling suffix-array rounds went
+    from 4 to 2 corpus-scale exchanges per round. Output values are
+    identical to the distinct+join-back formulation by construction.
+    Same column contract as :func:`global_rank`."""
+    scratch = {"_b", "_rn", "_off", "_kmin", "_kmax"}
+    if out_col in scratch:
+        raise ValueError(
+            f"global_dense_rank out_col {out_col!r} collides with a scratch column"
+        )
+    reserved = scratch | {out_col}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"global_dense_rank scratch/output columns already present: {sorted(clash)}"
+        )
+    cols = [F.col(k) for k in keys]
+    b = _monotone_bucketed(df, keys, bucket, numeric_bucket_width, "global_dense_rank")
+    # distinct-count via two-level groupBy, NOT count_distinct: the
+    # latter silently drops all-NULL key tuples while dense_rank ranks
+    # them (NULLS FIRST), which would shift every later bucket's offset
+    counts = (
+        b.groupBy("_b", *cols)
+        .agg(F.lit(1))
+        .groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
     w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     offsets = counts.withColumn("_off", F.sum("_n").over(w_off) - F.col("_n")).select(
         "_b", "_off"
     )
     w_in = Window.partitionBy("_b").orderBy(*cols)
     return (
-        b.withColumn("_rn", F.row_number().over(w_in))
+        b.withColumn("_rn", F.dense_rank().over(w_in))
         .join(F.broadcast(offsets), on="_b")
         .withColumn(out_col, (F.col("_off") + F.col("_rn")).cast("long"))
         .drop("_b", "_rn", "_off")

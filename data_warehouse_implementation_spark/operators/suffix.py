@@ -61,15 +61,16 @@ HASH_P63 = 9_223_372_036_854_775_783
 
 
 def _dense_rank(df: DataFrame, keys: list[str], out: str) -> DataFrame:
-    """Dense rank of ``keys`` under their lexicographic order — rank
-    the distinct key tuples with the two-phase global rank and join
-    back (equality classes AND order are what the doubling needs;
-    both are engine-portable for integer/ASCII keys)."""
-    from .relational import global_rank
+    """Dense rank of ``keys`` under their lexicographic order —
+    equality classes AND order are what the doubling needs; both are
+    engine-portable for integer/ASCII keys. Computed directly on the
+    full table with :func:`relational.global_dense_rank` (optimization
+    round 15): the previous ``distinct + global_rank + join-back``
+    paid three corpus-scale exchanges per doubling round where the
+    direct dense rank pays one (values identical by construction)."""
+    from .relational import global_dense_rank
 
-    distinct = df.select(*keys).distinct()
-    ranked = global_rank(distinct, keys, out)
-    return df.join(ranked, on=keys, how="inner")
+    return global_dense_rank(df, keys, out)
 
 
 def suffix_dup_lengths(

@@ -106,16 +106,29 @@ def char_trigrams(text_col: str = "text") -> Column:
     per-language model (:func:`train_language_profiles` /
     :func:`language_model_scores`) — the :data:`WORDS_SQL` lesson: a
     drift between train-time and score-time featurization would
-    silently break the model."""
+    silently break the model.
+
+    The normalized text is BOUND as a lambda variable (the
+    :func:`_bind1` array+transform trick, here in Column form) so the
+    regexp_replace runs once per row. Referencing the ``txt``
+    expression directly inside the per-position lambda re-evaluates
+    the regex once per character — higher-order functions are
+    interpreted, outside whole-stage codegen's subexpression
+    elimination — which made the trigram pass O(chars^2):
+    17.1s -> 2.3s for the sf0.1 explode (optimization round 15)."""
     txt = F.concat(
         F.lit("_"),
         F.regexp_replace(F.lower(F.col(text_col)), r"\s+", "_"),
         F.lit("_"),
     )
-    n = F.greatest(F.length(txt) - 2, F.lit(0))
-    return F.when(n > 0, F.transform(
-        F.sequence(F.lit(1), n), lambda i: txt.substr(i, F.lit(3))
-    )).otherwise(F.expr("cast(array() as array<string>)"))
+
+    def windows(s: Column) -> Column:
+        n = F.greatest(F.length(s) - 2, F.lit(0))
+        return F.when(n > 0, F.transform(
+            F.sequence(F.lit(1), n), lambda i: s.substr(i, F.lit(3))
+        )).otherwise(F.expr("cast(array() as array<string>)"))
+
+    return F.transform(F.array(txt), windows)[0]
 
 
 def char_trigram_features(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -279,16 +292,31 @@ def language_model_scores(
                 "same hashed_buckets value"
             )
         profiles = profiles.drop("_buckets")
+    # The model frame feeds FOUR subtrees below (pooled, ltot, gtot
+    # via pooled, and the per-lang join) — checkpoint it once so the
+    # training pipeline behind it (corpus-scale explode + aggregate)
+    # is evaluated once, not once per reference (exchange reuse across
+    # AQE stages is not guaranteed). Model-scale rows by contract, so
+    # the checkpoint is tiny.
+    profiles = profiles.localCheckpoint(eager=True)
     pooled = profiles.groupBy("gram").agg(F.sum("c").alias("cg"))
     ltot = profiles.groupBy("lang").agg(F.sum("c").alias("Tl"))
     gtot = pooled.agg(
         F.sum("cg").alias("T"), F.count(F.lit(1)).alias("V")
     )
-    # the corpus-character-scale subtree (trigram explode + pooled
-    # join) feeds BOTH the base sum and the per-lang part sum —
-    # materialize it once (shared-subtree/exchange reuse is not
-    # guaranteed across plan branches; see global_rank's docstring),
-    # or the dominant map-side stage runs twice per query
+    # Shuffle COUNTED grams, not occurrences (optimization round 15,
+    # guide §2.3): the per-occurrence term for a (doc, gram) pair is a
+    # constant, so the sum over m occurrences is exactly m x term —
+    # decimal multiplication by an integer count is exact, hence
+    # bit-identical to the per-occurrence decimal sum the oracle
+    # replays. The corpus-character-scale explode collapses to
+    # (doc, distinct-gram) rows in ONE map-side partial aggregation;
+    # everything downstream (checkpoint, model joins, term sums) moves
+    # the counted table. The model-side joins are explicitly
+    # broadcast: the model is V x L rows by construction, while the
+    # doc-side stats (a checkpointed RDD) are opaque to the planner —
+    # round 15 caught the planner broadcasting the 1.5M-row doc side
+    # (184 MiB) instead.
     raw = df.select(
         F.col(id_col), F.explode((feature_fn or char_trigrams)(text_col)).alias("gram")
     )
@@ -296,24 +324,34 @@ def language_model_scores(
         raw = raw.withColumn(
             "gram", F.pmod(F.xxhash64("gram"), F.lit(int(hashed_buckets)))
         )
+    counted = raw.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("m"))
     occ = (
-        raw.join(pooled, "gram", "left")
-        .select(id_col, "gram", F.coalesce("cg", F.lit(0)).alias("cg"))
+        counted.join(F.broadcast(pooled), "gram", "left")
+        .select(id_col, "gram", "m", F.coalesce("cg", F.lit(0)).alias("cg"))
         .localCheckpoint(eager=True)
     )
-    dec = "decimal(28,12)"
+    # decimal(26,12), not (28,12): the per-gram term times the
+    # decimal(10,0) multiplicity must stay within precision 38
+    # (26+10+1=37) so Spark never reduces the scale — same 12-digit
+    # rounding as the old per-occurrence cast, so values are unchanged.
+    dec = "decimal(26,12)"
+    mdec = F.col("m").cast("decimal(10,0)")
     base = occ.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_trigrams"),
+        F.sum("m").alias("n_trigrams"),
         F.sum(
-            (F.lit(1.0) / (F.col("cg") + 1).cast("double")).cast(dec)
+            (F.lit(1.0) / (F.col("cg") + 1).cast("double")).cast(dec) * mdec
         ).alias("_sbase"),
     )
     part = (
-        occ.join(profiles.select("gram", "lang", F.col("c").alias("clg")), "gram")
+        occ.join(
+            F.broadcast(profiles.select("gram", "lang", F.col("c").alias("clg"))),
+            "gram",
+        )
         .groupBy(id_col, "lang")
         .agg(
             F.sum(
                 (F.col("clg").cast("double") / (F.col("cg") + 1).cast("double")).cast(dec)
+                * mdec
             ).alias("_spart")
         )
     )
