@@ -60,6 +60,25 @@ from .text import words
 HASH_P63 = 9_223_372_036_854_775_783
 
 
+def token_positions(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exploded token-position frame ``(d, n, p, tok)`` with 1-based
+    dense positions — the shared round-0 input of both SA modes (the
+    explode has three consumers inside one build and two builds per
+    corpus; callers materialize it once)."""
+    return (
+        df.select(F.col(id_col).alias("d"), words(text_col).alias("_arr"))
+        .filter(F.size("_arr") >= 1)
+        .select(
+            "d",
+            F.size("_arr").cast("long").alias("n"),
+            F.posexplode("_arr").alias("p0", "tok"),
+        )
+        .select("d", "n", (F.col("p0") + 1).alias("p"), "tok")
+    )
+
+
 def _dense_rank(df: DataFrame, keys: list[str], out: str) -> DataFrame:
     """Dense rank of ``keys`` under their lexicographic order —
     equality classes AND order are what the doubling needs; both are
@@ -79,6 +98,7 @@ def suffix_dup_lengths(
     text_col: str = "text",
     id_col: str = "doc_id",
     hashed_tokens: bool = False,
+    pos: DataFrame | None = None,
 ) -> DataFrame:
     """Per-position longest-duplicate lengths via prefix doubling:
     ``(id_col, p, n_tokens, dup_len)`` where ``dup_len`` is the exact
@@ -115,20 +135,17 @@ def suffix_dup_lengths(
     replayable rank mode stays the oracle path, with a pytest parity
     pin at the driver's sf (the ``near_dup_minhash_hashed``
     discipline). The ``+1`` keeps 0 free as the past-document-end
-    sentinel in the pair ranks."""
-    pos = (
-        df.select(F.col(id_col).alias("d"), words(text_col).alias("_arr"))
-        .filter(F.size("_arr") >= 1)
-        .select(
-            "d",
-            F.size("_arr").cast("long").alias("n"),
-            F.posexplode("_arr").alias("p0", "tok"),
-        )
-        .select("d", "n", (F.col("p0") + 1).alias("p"), "tok")
-        # three consumers (round-0 rank's distinct + join branches, the
-        # final position frame) — defer-checkpoint the explode once
-        .localCheckpoint(eager=False)
-    )
+    sentinel in the pair ranks.
+
+    ``pos`` injects an already-materialized token-position frame
+    ``(d, n, p, tok)`` (see :func:`token_positions`) so the rank-mode
+    and hashed-mode builds of the same corpus share ONE word explode
+    per session (optimization round 15) — the caller guarantees
+    materialization (cache/checkpoint/staging table)."""
+    if pos is None:
+        pos = token_positions(
+            df, text_col=text_col, id_col=id_col
+        ).localCheckpoint(eager=False)
     derive = rounds is None
     if derive:
         max_n = pos.agg(F.max("n")).first()[0] or 1
@@ -142,18 +159,29 @@ def suffix_dup_lengths(
     else:
         # round 0: rank of the single token at p (span 1)
         r0 = _dense_rank(pos, ["tok"], "r").select("d", "n", "p", "r")
+    from pyspark.sql import Window
+
     ranks = [r0.localCheckpoint(eager=False)]
     for t in range(1, rounds + 1):
         half = 1 << (t - 1)
         prev = ranks[-1]
-        shifted = prev.select(
-            F.col("d"), (F.col("p") - half).alias("p"), F.col("r").alias("_r2")
-        )
+        # positions are DENSE 1..n within a document (posexplode + 1),
+        # so the offset lookup r2[p] = r[p + half] is lead(r, half)
+        # over a per-doc window — one exchange on d instead of the
+        # two-sided (d, p) self-join (optimization round 15; the
+        # window task is bounded by the LONGEST DOCUMENT, the same
+        # bound the doubling depth already rests on). NULL past the
+        # document end coalesces to the 0 sentinel exactly like the
+        # old left join's missing rows.
+        w_doc = Window.partitionBy("d").orderBy("p")
         paired = (
-            prev.join(shifted, on=["d", "p"], how="left")
-            .select("d", "n", "p", "r", F.coalesce("_r2", F.lit(0)).alias("r2"))
-            # _dense_rank consumes this twice (distinct + join-back) —
-            # checkpoint so the offset self-join runs once per round
+            prev.select(
+                "d", "n", "p", "r",
+                F.coalesce(F.lead("r", half).over(w_doc), F.lit(0)).alias("r2"),
+            )
+            # _dense_rank consumes this thrice (bucket-width stats,
+            # counts, the rank window) — checkpoint so the lead window
+            # runs once per round
             .localCheckpoint(eager=False)
         )
         ranks.append(
@@ -163,12 +191,20 @@ def suffix_dup_lengths(
             .select("d", "n", "p", F.col("srnk").alias("r"))
             .localCheckpoint(eager=False)
         )
-        if derive:
+        if derive and 1 < t < rounds:
             # convergence probe over THIS round's deferred checkpoint
             # (materializes work the next consumer reuses — the same
             # accounting as connected_components' per-round count):
             # dense ranks are 1..max, so max == rows <=> all distinct
-            # <=> the suffix order is total; stop doubling.
+            # <=> the suffix order is total; stop doubling. Skipped on
+            # the FINAL round (a break there is identical to the loop
+            # ending — the probe job was pure overhead) and on round 1
+            # (a depth-1-converged corpus is duplicate-free at every
+            # span; the probe then fires at round 2, one idempotent
+            # round later — optimization round 15). NOTE (measured):
+            # on a corpus with any fully-duplicated suffix pair the
+            # ranks NEVER go fully distinct and the probe never fires
+            # — the derived depth bound is what actually terminates.
             stat = ranks[-1].agg(
                 F.max("r").alias("mx"), F.count(F.lit(1)).alias("ct")
             ).first()

@@ -1714,6 +1714,24 @@ SA_L = DUP_GRAM_K  # census threshold == the k-gram census's k (cross-check)
 SA_DEDUP_L = 3
 
 
+def _sa_token_positions(docs: DataFrame) -> DataFrame:
+    """Session-cached token-position explode shared by BOTH SA modes
+    (optimization round 15): the rank-mode and hashed-mode builds each
+    read it three times; one word explode per corpus instead of two.
+    Corpus-position scale, so staged to parquet when
+    ``SPARK_GRAFT_STAGE_DIR`` is set."""
+    from ..operators import suffix
+
+    from . import materialize
+
+    return materialize.get_or_build(
+        "sa_token_positions",
+        str(docs.semanticHash()),
+        lambda: suffix.token_positions(docs),
+        corpus_scale=True,
+    )
+
+
 def _sa_dup_lengths(docs: DataFrame) -> DataFrame:
     """Session-cached per-position SA dup-lengths (S7): the census
     (``doc_substring_sa``) and the removal pass
@@ -1727,7 +1745,9 @@ def _sa_dup_lengths(docs: DataFrame) -> DataFrame:
     return materialize.get_or_build(
         "sa_dup_lengths",
         str(docs.semanticHash()),
-        lambda: suffix.suffix_dup_lengths(docs, rounds=None),
+        lambda: suffix.suffix_dup_lengths(
+            docs, rounds=None, pos=_sa_token_positions(docs)
+        ),
         corpus_scale=True,
     )
 
@@ -1747,7 +1767,9 @@ def _sa_dup_lengths_hashed(docs: DataFrame) -> DataFrame:
     return materialize.get_or_build(
         "sa_dup_lengths_hashed",
         str(docs.semanticHash()),
-        lambda: suffix.suffix_dup_lengths(docs, rounds=None, hashed_tokens=True),
+        lambda: suffix.suffix_dup_lengths(
+            docs, rounds=None, hashed_tokens=True, pos=_sa_token_positions(docs)
+        ),
         corpus_scale=True,
     )
 

@@ -1583,3 +1583,46 @@ def test_semdedup_trained_policy_and_occupancy_compare(spark):
     assert occ["trained"].n_cells_used == len(tr_stats)
     assert occ["trained"].max_cell_members == max(r.n_members for r in tr_stats)
     assert occ["trained"].truncated_at_cap == sum(r.n_truncated for r in tr_stats)
+
+
+def test_global_dense_rank_matches_window_dense_rank(spark):
+    """global_dense_rank (optimization r15: per-bucket dense_rank +
+    cumulative distinct-count offsets, the suffix-array doubling's
+    rank kernel) equals the single-window dense_rank oracle on skewed
+    duplicate-heavy numeric pairs, on string keys, and with NULLs in a
+    non-leading key (count_distinct would drop those; the two-level
+    groupBy must not)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_warehouse_implementation_spark.operators import relational
+
+    # duplicate-heavy numeric pairs with a NULL-bearing second key
+    df = (
+        spark.range(5000)
+        .select(
+            (F.col("id") % 37).alias("a"),
+            F.when(F.col("id") % 11 == 0, F.lit(None).cast("long"))
+            .otherwise(F.col("id") % 5)
+            .alias("b"),
+        )
+        .repartition(7)
+    )
+    got = relational.global_dense_rank(df, ["a", "b"], "dr")
+    expect = df.withColumn(
+        "dr_w", F.dense_rank().over(Window.orderBy("a", "b"))
+    )
+    mism = (
+        got.join(expect.distinct(), on=["a", "b"])
+        .filter(F.col("dr") != F.col("dr_w"))
+        .count()
+    )
+    assert mism == 0
+    # string leading key (prefix bucketing path)
+    sdf = spark.createDataFrame(
+        [(w,) for w in ["apple", "apricot", "banana", "banana", "cherry", "ape"]],
+        "w string",
+    )
+    got_s = relational.global_dense_rank(sdf, ["w"], "dr").collect()
+    order = {"ape": 1, "apple": 2, "apricot": 3, "banana": 4, "cherry": 5}
+    assert all(r.dr == order[r.w] for r in got_s)
