@@ -47,6 +47,7 @@ def pagerank(
     iter_partitions: int | None = None,
     dangling: str = "forbid",
     precision: str = "exact",
+    broadcast_state: bool = True,
 ) -> DataFrame:
     """Weighted PageRank over a directed edge list ``(src, dst,
     weight)`` — ``iterations`` synchronous power-iteration rounds with
@@ -112,11 +113,33 @@ def pagerank(
     knob alone, results bit-identical). Size it to the node count —
     a handful for graphs that fit one executor, ~nodes/5e6 on a
     cluster; ``None`` keeps the session default."""
-    nodes = (
+    # ONE exploded aggregation yields the node set, the per-source
+    # out-weight totals, AND the dangling set (optimization round 15:
+    # the separate union-distinct + groupBy + anti-join paid two
+    # corpus-scale shuffles and an extra node-scale join for the same
+    # information): every endpoint contributes a row, src rows carry
+    # the weight, dst rows carry NULL, and sum() ignores NULLs — a
+    # node's _out is NULL exactly when it has no out-edges.
+    w_t = edges.schema[weight].dataType.simpleString()
+    deg = (
         _sized(
-            edges.select(F.col(src).alias("node"))
-            .unionByName(edges.select(F.col(dst).alias("node")))
-            .distinct(),
+            edges.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col(src).alias("node"),
+                            F.col(weight).alias("_w"),
+                        ),
+                        F.struct(
+                            F.col(dst).alias("node"),
+                            F.lit(None).cast(w_t).alias("_w"),
+                        ),
+                    )
+                ).alias("_x")
+            )
+            .select(F.col("_x.node").alias("node"), F.col("_x._w").alias("_w"))
+            .groupBy("node")
+            .agg(F.sum("_w").alias("_out")),
             iter_partitions,
         )
         # every round references nodes and the normalized edges; left
@@ -127,20 +150,31 @@ def pagerank(
         # single action, adding no driver-side jobs.
         .localCheckpoint(eager=False)
     )
+    nodes = deg.select("node")
     # scalar N kept INSIDE the plan (1-row frame, broadcast) — no
-    # .count() action, the whole pagerank stays lazy
-    ncnt = nodes.agg(F.count(F.lit(1)).alias("_n"))
-    out_tot = edges.groupBy(src).agg(F.sum(weight).alias("_out"))
+    # .count() action, the whole pagerank stays lazy. Checkpointed so
+    # the per-round broadcast re-reads ONE row instead of re-running
+    # the count aggregate inside every round's query execution
+    # (optimization round 15).
+    ncnt = nodes.agg(F.count(F.lit(1)).alias("_n")).localCheckpoint(eager=False)
+    out_tot = deg.filter(F.col("_out").isNotNull()).select(
+        F.col("node").alias(src), "_out"
+    )
+    # the EDGE table keeps its natural partitioning (optimization
+    # round 15): ``iter_partitions`` right-sizes the NODE-scale
+    # iteration state, but with the per-round state broadcast the
+    # rounds' map work (join + decimal contribution terms) runs over
+    # ``e``'s partitions — repartitioning the edge table down to the
+    # node-state parallelism serialized the decimal aggregation onto a
+    # handful of tasks (measured at sf0.1: the 1.17M-row purchase
+    # graph's rounds ran on 4 of 32 cores).
     e = (
-        _sized(
-            edges.join(out_tot, on=src).select(
-                F.col(src).alias("_esrc"),
-                F.col(dst).alias("_edst"),
-                (F.col(weight).cast("double") / F.col("_out").cast("double")).alias(
-                    "_frac"
-                ),
+        edges.join(out_tot, on=src).select(
+            F.col(src).alias("_esrc"),
+            F.col(dst).alias("_edst"),
+            (F.col(weight).cast("double") / F.col("_out").cast("double")).alias(
+                "_frac"
             ),
-            iter_partitions,
         )
         .localCheckpoint(eager=False)
     )
@@ -158,13 +192,11 @@ def pagerank(
     # gate.
     term_t = PR_TERM_DECIMAL if precision == "exact" else "double"
 
-    # out-degree-0 nodes, as a node-scale anti-join (out_tot holds every
-    # node with at least one out-edge); only compiled into the plan for
-    # the modes that need it
+    # out-degree-0 nodes — a map-side filter of the fused degree frame
+    # (NULL _out == no out-edges); only compiled into the plan for the
+    # modes that need it
     if dangling != "ignore":
-        dangling_nodes = nodes.join(
-            out_tot.select(F.col(src).alias("node")), on="node", how="left_anti"
-        ).localCheckpoint(eager=False)
+        dangling_nodes = deg.filter(F.col("_out").isNull()).select("node")
     rank = nodes.crossJoin(F.broadcast(ncnt)).select(
         "node", (F.lit(1.0) / F.col("_n").cast("double")).alias("rank")
     )
@@ -218,9 +250,20 @@ def pagerank(
                 )
             ).alias("rank"),
         )
+    # ``broadcast_state`` (optimization round 15): the per-round state
+    # tables (rank, contributions) are NODE-scale while ``e`` is
+    # EDGE-scale, but both sides come off checkpointed RDDs whose
+    # stats are opaque to the planner — measured at sf0.1, every round
+    # sort-merge-joined the 1.17M-row edge table (a full edge shuffle
+    # PER ROUND). The explicit broadcast makes each round one map-side
+    # join over the stationary checkpointed edges + one node-scale
+    # aggregate exchange. Set False only when the node table itself
+    # exceeds broadcast limits (~10^8 nodes); the rounds then revert
+    # to shuffling node-scale rows against the edge partitioning.
+    _bs = F.broadcast if broadcast_state else (lambda df: df)
     for _ in range(iterations):
         contrib = (
-            e.join(rank, e._esrc == rank.node)
+            e.join(_bs(rank), e._esrc == rank.node)
             .select(
                 F.col("_edst").alias("node"),
                 (F.col("rank") * F.col("_frac")).cast(term_t).alias("_term"),
@@ -229,7 +272,7 @@ def pagerank(
             .agg(F.sum("_term").alias("_mass"))
         )
         updated = (
-            nodes.join(contrib, on="node", how="left")
+            nodes.join(_bs(contrib), on="node", how="left")
             .crossJoin(F.broadcast(ncnt))
         )
         damped_mass = F.lit(damping) * F.coalesce(
@@ -274,6 +317,7 @@ def label_propagation(
     dst: str = "dst",
     weight: str = "weight",
     iter_partitions: int | None = None,
+    broadcast_state: bool = True,
 ) -> DataFrame:
     """Synchronous weighted label propagation (community detection):
     every node starts labeled with its own id; each round, a node
@@ -312,9 +356,13 @@ def label_propagation(
     ).localCheckpoint(eager=False)
     labels = nodes.withColumn("label", F.col("node"))
     w_pick = Window.partitionBy("_edst").orderBy(F.desc("_mass"), F.asc("label"))
+    # node-scale state broadcast per round — same rationale and knob as
+    # :func:`pagerank` (checkpointed-RDD stats are opaque, so the
+    # planner otherwise sort-merge-joins the edge table every round)
+    _bs = F.broadcast if broadcast_state else (lambda df: df)
     for _ in range(iterations):
         adopted = (
-            e.join(labels, e._esrc == labels.node)
+            e.join(_bs(labels), e._esrc == labels.node)
             .groupBy("_edst", "label")
             .agg(F.sum("_w").alias("_mass"))
             .withColumn("_rn", F.row_number().over(w_pick))
@@ -322,7 +370,7 @@ def label_propagation(
             .select(F.col("_edst").alias("node"), F.col("label").alias("_new"))
         )
         labels = (
-            labels.join(adopted, on="node", how="left")
+            labels.join(_bs(adopted), on="node", how="left")
             .select("node", F.coalesce("_new", "label").alias("label"))
             .localCheckpoint(eager=False)
         )
@@ -477,6 +525,7 @@ def core_numbers(
     src: str = "s1",
     dst: str = "s2",
     iter_partitions: int | None = None,
+    broadcast_state: bool = True,
 ) -> DataFrame:
     """k-core decomposition of an undirected edge list (``src < dst``)
     by the h-index fixpoint iteration (Lü et al. 2016, "The H-index of
@@ -517,9 +566,14 @@ def core_numbers(
         "cast(size(filter(transform(sequence(1, size(sd)),"
         " i -> -element_at(sd, i) >= i), b -> b)) as bigint)",
     )
+    # node-scale state broadcast per round — same rationale and knob as
+    # :func:`pagerank` (checkpointed-RDD stats are opaque, so the
+    # planner otherwise sort-merge-joins the doubled edge list every
+    # h-index round)
+    _bs = F.broadcast if broadcast_state else (lambda df: df)
     for _ in range(int(rounds)):
         nb = und.join(
-            core.select(F.col("u").alias("v"), F.col("val")), on="v"
+            _bs(core.select(F.col("u").alias("v"), F.col("val"))), on="v"
         ).select("u", "val")
         core = (
             nb.groupBy("u")
