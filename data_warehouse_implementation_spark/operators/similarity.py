@@ -266,14 +266,26 @@ def assign_cells(
     pure map-side: collect the centroid matrix and score inside
     mapInPandas; k here is small enough that the agg shape is already
     cheap.)"""
-    v = vectors.select(id_col, F.col(vec_col).alias("_v"))
+    # self-dots hoisted BELOW the crossJoin (optimization round 15):
+    # dot() is an interpreted fold (higher-order expression), and the
+    # pair expression used to re-fold dot(v,v) and dot(c,c) once per
+    # (vector, centroid) pair — k+1 redundant folds per vector. Each
+    # side now computes its self-dot once; the join boundary keeps the
+    # projections on their own sides, so only the cross term folds per
+    # pair. Same terms, same a - 2b + c expression order: dist2 values
+    # (and the min_by argmin) are bit-identical.
+    v = vectors.select(
+        id_col,
+        F.col(vec_col).alias("_v"),
+        dot(F.col(vec_col), F.col(vec_col)).alias("_vv"),
+    )
     c = centroids.select(
-        F.col(cen_id_col).alias("_cid"), F.col(cen_vec_col).alias("_cv")
+        F.col(cen_id_col).alias("_cid"),
+        F.col(cen_vec_col).alias("_cv"),
+        dot(F.col(cen_vec_col), F.col(cen_vec_col)).alias("_cc"),
     )
     dist2 = (
-        dot(F.col("_v"), F.col("_v"))
-        - 2 * dot(F.col("_v"), F.col("_cv"))
-        + dot(F.col("_cv"), F.col("_cv"))
+        F.col("_vv") - 2 * dot(F.col("_v"), F.col("_cv")) + F.col("_cc")
     )
     scored = v.crossJoin(broadcast(c)).withColumn("_d2", dist2)
     return scored.groupBy(id_col).agg(
@@ -298,14 +310,19 @@ def probe_cells(
     Same broadcast-centroid distance as :func:`assign_cells`; the
     per-vector top-``n_probe`` is a window over the k centroid rows of
     that vector only (never corpus-wide)."""
-    v = vectors.select(id_col, F.col(vec_col).alias("_v"))
+    # self-dots hoisted below the crossJoin — see :func:`assign_cells`
+    v = vectors.select(
+        id_col,
+        F.col(vec_col).alias("_v"),
+        dot(F.col(vec_col), F.col(vec_col)).alias("_vv"),
+    )
     c = centroids.select(
-        F.col(cen_id_col).alias("_cid"), F.col(cen_vec_col).alias("_cv")
+        F.col(cen_id_col).alias("_cid"),
+        F.col(cen_vec_col).alias("_cv"),
+        dot(F.col(cen_vec_col), F.col(cen_vec_col)).alias("_cc"),
     )
     dist2 = (
-        dot(F.col("_v"), F.col("_v"))
-        - 2 * dot(F.col("_v"), F.col("_cv"))
-        + dot(F.col("_cv"), F.col("_cv"))
+        F.col("_vv") - 2 * dot(F.col("_v"), F.col("_cv")) + F.col("_cc")
     )
     scored = v.crossJoin(broadcast(c)).withColumn("_d2", dist2)
     from .relational import top_k_per_group
@@ -562,16 +579,19 @@ def pq_kmeans_fit(
         .localCheckpoint(eager=True)
     )
     for _ in range(iters):
+        # self-dots hoisted below the join — see :func:`assign_cells`
         c = cen.select(
-            "j", F.col("cen_id").alias("_cid"), F.col("cen_sub").alias("_cs")
+            "j",
+            F.col("cen_id").alias("_cid"),
+            F.col("cen_sub").alias("_cs"),
+            dot(F.col("cen_sub"), F.col("cen_sub")).alias("_css"),
         )
         d2 = (
-            dot(F.col("subvec"), F.col("subvec"))
-            - 2 * dot(F.col("subvec"), F.col("_cs"))
-            + dot(F.col("_cs"), F.col("_cs"))
+            F.col("_svv") - 2 * dot(F.col("subvec"), F.col("_cs")) + F.col("_css")
         )
         assigned = (
-            sv.join(broadcast(c), on="j")
+            sv.withColumn("_svv", dot(F.col("subvec"), F.col("subvec")))
+            .join(broadcast(c), on="j")
             .withColumn("_d2", d2)
             .groupBy(id_col, "j")
             .agg(F.min_by("_cid", F.struct(F.col("_d2"), F.col("_cid"))).alias("_cell"))
@@ -626,16 +646,19 @@ def pq_encode(
     pass with a map-side ``min_by`` argmin per (vector, subspace) —
     the same no-sort shape as :func:`assign_cells`."""
     sv = pq_subvectors(vectors, m, id_col=id_col, vec_col=vec_col)
+    # self-dots hoisted below the join — see :func:`assign_cells`
     c = sub_centroids.select(
-        "j", F.col("cen_id").alias("_cid"), F.col("cen_sub").alias("_cs")
+        "j",
+        F.col("cen_id").alias("_cid"),
+        F.col("cen_sub").alias("_cs"),
+        dot(F.col("cen_sub"), F.col("cen_sub")).alias("_css"),
     )
     d2 = (
-        dot(F.col("subvec"), F.col("subvec"))
-        - 2 * dot(F.col("subvec"), F.col("_cs"))
-        + dot(F.col("_cs"), F.col("_cs"))
+        F.col("_svv") - 2 * dot(F.col("subvec"), F.col("_cs")) + F.col("_css")
     )
     return (
-        sv.join(broadcast(c), on="j")
+        sv.withColumn("_svv", dot(F.col("subvec"), F.col("subvec")))
+        .join(broadcast(c), on="j")
         .withColumn("_d2", d2)
         .groupBy(id_col, "j")
         .agg(F.min_by("_cid", F.struct(F.col("_d2"), F.col("_cid"))).alias("code"))
@@ -673,16 +696,20 @@ def pq_adc_topk(
     qsub = pq_subvectors(queries, m, id_col=id_col, vec_col=vec_col).select(
         F.col(id_col).alias("query_id"), "j", "subvec"
     )
+    # self-dots hoisted below the join — see :func:`assign_cells`
     c = sub_centroids.select(
-        "j", F.col("cen_id").alias("code"), F.col("cen_sub").alias("_cs")
+        "j",
+        F.col("cen_id").alias("code"),
+        F.col("cen_sub").alias("_cs"),
+        dot(F.col("cen_sub"), F.col("cen_sub")).alias("_css"),
     )
     d2 = (
-        dot(F.col("subvec"), F.col("subvec"))
-        - 2 * dot(F.col("subvec"), F.col("_cs"))
-        + dot(F.col("_cs"), F.col("_cs"))
+        F.col("_qvv") - 2 * dot(F.col("subvec"), F.col("_cs")) + F.col("_css")
     )
-    lut = qsub.join(broadcast(c), on="j").select(
-        "query_id", "j", "code", d2.alias("_d2")
+    lut = (
+        qsub.withColumn("_qvv", dot(F.col("subvec"), F.col("subvec")))
+        .join(broadcast(c), on="j")
+        .select("query_id", "j", "code", d2.alias("_d2"))
     )
     join_keys = ["j", "code"]
     corpus_codes = codes.withColumnRenamed(id_col, "neighbor_id")
