@@ -108,14 +108,20 @@ def bpe_train(
 def bpe_train_from_symbols(symbols: DataFrame, n_merges: int = 8) -> DataFrame:
     """Train from an existing symbol table (see
     :func:`symbol_table_from_words`) — BPE's from-state entry point."""
-    cur = symbols.localCheckpoint(eager=True)
+    # DEFERRED checkpoints (optimization round 15): eager=True ran two
+    # blocking driver jobs per merge round (16 sequential jobs for 8
+    # merges); deferred barriers keep the same materialize-once reuse
+    # (top feeds the merge row AND apply_merge; cur feeds the next
+    # round's pair_counts AND apply_merge) while the work executes
+    # inside the consumer's own jobs.
+    cur = symbols.localCheckpoint(eager=False)
     out: list[DataFrame] = []
     for rank in range(1, n_merges + 1):
         top = (
             pair_counts(cur)
             .orderBy(F.desc("n"), "l", "r")
             .limit(1)
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         out.append(
             top.select(
@@ -126,7 +132,7 @@ def bpe_train_from_symbols(symbols: DataFrame, n_merges: int = 8) -> DataFrame:
             )
         )
         if rank < n_merges:
-            cur = apply_merge(cur, top).localCheckpoint(eager=True)
+            cur = apply_merge(cur, top).localCheckpoint(eager=False)
     merges = out[0]
     for m in out[1:]:
         merges = merges.unionAll(m)

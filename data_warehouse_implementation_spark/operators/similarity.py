@@ -404,7 +404,7 @@ def kmeans_fit(
             .alias("cen_id"),
             F.col(vec_col).alias("cen_vec"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     assigned = None
     for _ in range(iters):
@@ -425,7 +425,7 @@ def kmeans_fit(
         )
         # plan truncation: the next round reads materialized centroids,
         # not the whole history of prior rounds
-        centroids = new_cen.localCheckpoint(eager=True)
+        centroids = new_cen.localCheckpoint(eager=False)
     # one final assignment against the returned centroids: `assigned`
     # above was computed from the PRE-update centroids, and an
     # (assignment, centroids) pair from different iterations breaks the
@@ -576,7 +576,7 @@ def pq_kmeans_fit(
     cen = (
         sv.filter(F.col(id_col) < k)
         .select("j", F.col(id_col).alias("cen_id"), F.col("subvec").alias("cen_sub"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(iters):
         # self-dots hoisted below the join — see :func:`assign_cells`
@@ -621,7 +621,7 @@ def pq_kmeans_fit(
                 F.col("_cell").alias("cen_id"),
                 F.transform("_pm", lambda s: s["_mv"]).alias("cen_sub"),
             )
-            .localCheckpoint(eager=True)  # plan truncation per round
+            .localCheckpoint(eager=False)  # plan truncation per round
         )
     return cen
 

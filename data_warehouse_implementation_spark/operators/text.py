@@ -298,7 +298,7 @@ def language_model_scores(
     # is evaluated once, not once per reference (exchange reuse across
     # AQE stages is not guaranteed). Model-scale rows by contract, so
     # the checkpoint is tiny.
-    profiles = profiles.localCheckpoint(eager=True)
+    profiles = profiles.localCheckpoint(eager=False)
     pooled = profiles.groupBy("gram").agg(F.sum("c").alias("cg"))
     ltot = profiles.groupBy("lang").agg(F.sum("c").alias("Tl"))
     gtot = pooled.agg(
@@ -328,7 +328,7 @@ def language_model_scores(
     occ = (
         counted.join(F.broadcast(pooled), "gram", "left")
         .select(id_col, "gram", "m", F.coalesce("cg", F.lit(0)).alias("cg"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # decimal(26,12), not (28,12): the per-gram term times the
     # decimal(10,0) multiplicity must stay within precision 38

@@ -253,7 +253,7 @@ def unigram_train_from_words(
     again). ``unigram_train`` delegates here after its own word pass."""
     if em_rounds < 1:
         raise ValueError(f"em_rounds must be >= 1, got {em_rounds}")
-    wordtab = wordtab.localCheckpoint(eager=True)
+    wordtab = wordtab.localCheckpoint(eager=False)
     seeds = seed_pieces(wordtab, max_piece_len, seed_multi)
     stot = seeds.agg(F.sum("freq").alias("_tot"))
     vocab = (
@@ -264,11 +264,11 @@ def unigram_train_from_words(
                 "prob"
             ),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(em_rounds):
         vocab = _em_round(wordtab, vocab, max_piece_len, keep_multi).localCheckpoint(
-            eager=True
+            eager=False
         )
     return vocab.select(
         "piece",

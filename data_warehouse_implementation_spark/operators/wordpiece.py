@@ -67,7 +67,7 @@ def wordpiece_train_from_symbols(
     """Train from an existing symbol table — the from-state entry
     point (the streaming ``word_count_sink`` state serves this family
     too, via ``bpe.symbol_table_from_words``)."""
-    cur = symbols.localCheckpoint(eager=True)
+    cur = symbols.localCheckpoint(eager=False)
     out: list[DataFrame] = []
     for rank in range(1, n_merges + 1):
         # two consumers (the l and r denominator joins) — barrier the
@@ -84,7 +84,7 @@ def wordpiece_train_from_symbols(
             )
             .orderBy(F.desc("score"), "l", "r")
             .limit(1)
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         out.append(
             top.select(
@@ -98,7 +98,7 @@ def wordpiece_train_from_symbols(
             )
         )
         if rank < n_merges:
-            cur = apply_merge(cur, top).localCheckpoint(eager=True)
+            cur = apply_merge(cur, top).localCheckpoint(eager=False)
     merges = out[0]
     for m in out[1:]:
         merges = merges.unionAll(m)
