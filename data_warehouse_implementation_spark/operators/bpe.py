@@ -191,13 +191,24 @@ def bpe_encode(
         ).alias("_merges")
     )
     tok = df.select(F.col(id_col), F.explode(words(text_col)).alias("word"))
+    # Fold the merges once per DISTINCT word, not per occurrence
+    # (optimization round 15, guide §2.3's "decide on the proxy" in
+    # per-task form): the fold's result is a pure function of the word,
+    # and the interpreted 8-step replace fold over every corpus token
+    # occurrence was ~4x the cost of the vocab-scale fold. The encoded
+    # vocabulary is the same broadcastable size class as the merge/
+    # alphabet artifacts themselves; occurrences attach by broadcast
+    # join, so documents are still never shuffled. (At an extreme
+    # hashed-vocab scale, swap the broadcast for a plain equi-join.)
     sym = F.concat(
         F.lit(" "),
         F.concat_ws(" ", F.expr("regexp_extract_all(word, '.', 0)")),
         F.lit(f" {END_MARK} "),
     )
-    folded = (
-        tok.crossJoin(F.broadcast(table))
+    wenc = (
+        tok.select("word")
+        .distinct()
+        .crossJoin(F.broadcast(table))
         .withColumn("_sym", sym)
         .withColumn(
             "_sym",
@@ -208,21 +219,23 @@ def bpe_encode(
         )
     )
     if alphabet is None:
-        return folded.select(
-            id_col, F.explode(F.split(F.trim(F.col("_sym")), " ")).alias("token")
-        )
-    from .unigram import byte_tokens_sql
+        wtoks = wenc.select("word", F.split(F.trim(F.col("_sym")), " ").alias("_toks"))
+    else:
+        from .unigram import byte_tokens_sql
 
-    amap = alphabet.agg(
-        F.map_from_entries(
-            F.collect_list(F.struct(F.col("char"), F.lit(True).alias("v")))
-        ).alias("_alpha")
-    )
-    toks = (
-        "flatten(transform(split(trim(_sym), ' '), tk ->"
-        " CASE WHEN length(tk) > 1 OR try_element_at(_alpha, tk) IS NOT NULL"
-        f" THEN array(tk) ELSE {byte_tokens_sql('tk')} END))"
-    )
-    return folded.crossJoin(F.broadcast(amap)).select(
-        id_col, F.explode(F.expr(toks)).alias("token")
+        amap = alphabet.agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("char"), F.lit(True).alias("v")))
+            ).alias("_alpha")
+        )
+        toks = (
+            "flatten(transform(split(trim(_sym), ' '), tk ->"
+            " CASE WHEN length(tk) > 1 OR try_element_at(_alpha, tk) IS NOT NULL"
+            f" THEN array(tk) ELSE {byte_tokens_sql('tk')} END))"
+        )
+        wtoks = wenc.crossJoin(F.broadcast(amap)).select(
+            "word", F.expr(toks).alias("_toks")
+        )
+    return tok.join(F.broadcast(wtoks), on="word").select(
+        id_col, F.explode("_toks").alias("token")
     )
