@@ -2150,29 +2150,41 @@ def _semdedup_members(
             "in_cap", F.coalesce("in_cap", F.lit(False))
         ).localCheckpoint(eager=False)
         v = emb.select("vec_id", "embedding")
-        left = (
+        # one capped-member frame with the norm folded ONCE per member
+        # (optimization round 15): the pair filter used cosine(), which
+        # re-folded both l2 norms per within-cell PAIR; hoisting the
+        # per-member norm leaves one dot fold per pair. Same sqrt-fold
+        # values, same dot/(na*nb) expression order — bit-identical.
+        base = (
             capped.filter("in_cap")
             .join(v, "vec_id")
             .select(
-                F.col("vec_id").alias("_a"),
+                "vec_id",
                 "cell_id",
-                F.col("embedding").alias("_va"),
+                F.col("embedding").alias("_ve"),
+                similarity.l2_norm(F.col("embedding")).alias("_vn"),
             )
+            .localCheckpoint(eager=False)
         )
-        right = (
-            capped.filter("in_cap")
-            .join(v, "vec_id")
-            .select(
-                F.col("vec_id").alias("_b"),
-                "cell_id",
-                F.col("embedding").alias("_vb"),
-            )
+        left = base.select(
+            F.col("vec_id").alias("_a"),
+            "cell_id",
+            F.col("_ve").alias("_va"),
+            F.col("_vn").alias("_na"),
+        )
+        right = base.select(
+            F.col("vec_id").alias("_b"),
+            "cell_id",
+            F.col("_ve").alias("_vb"),
+            F.col("_vn").alias("_nb"),
         )
         pairs = (
             left.join(right, on="cell_id")
             .filter(F.col("_a") < F.col("_b"))
             .filter(
-                similarity.cosine(F.col("_va"), F.col("_vb")) >= SEMDEDUP_TAU
+                similarity.dot(F.col("_va"), F.col("_vb"))
+                / (F.col("_na") * F.col("_nb"))
+                >= SEMDEDUP_TAU
             )
             .select("_a", "_b")
         )
