@@ -68,80 +68,26 @@ def oracle_sql() -> dict[str, str]:
 
 
 # The correctness driver differentials the FIRST 50 registry entries per
-# round. Round-15 window (the verbatim tools/staleness.py
+# round. Round-16 window (the verbatim tools/staleness.py
 # --suggest-window order at rotation time; enforced by
 # tests/test_entry.py::test_driver_window_integrity and
 # ::test_driver_window_covers_stalest): the flagship, then the
-# 35-query round-10 max-staleness cohort (staleness 4 after the
-# r14 census landed), then the remaining queries stalest-first with
-# ties broken by name. 36 must-run rows for 50 slots — the whole
-# cohort retires this round, no capacity overflow; the 14 remaining
-# first-50 slots hold the head of the staleness-3 cohort plus any
-# round-15 additions (never-deferred rule: same-round additions are
-# inserted inside the first 50 when registered).
+# 41-query round-11 max-staleness cohort (staleness 4 after the
+# r15 census landed), then the remaining queries stalest-first with
+# ties broken by name. 42 must-run rows for 50 slots — the whole
+# cohort retires this round, no capacity overflow; the 8 remaining
+# first-50 slots hold the head of the staleness-3 cohort. No new
+# queries this round (optimization round — no features).
 # Same-round deferrals that are NOT new queries — the ONLY names the
 # window-integrity test allows to interleave with deferred new
-# additions at position 51+. Round 15: none.
+# additions at position 51+. Round 16: none.
 _WINDOW_DEFERRAL_INTERLEAVE: list[str] = []
 
 _DRIVER_WINDOW = [
   # flagship — always re-verified
     "timely_rank_report",
-  # max-staleness cohort (last checked r10, staleness 4):
-  # all 35 fit — 36 must-run rows for 50 slots, no overflow
-    "doc_chunks",
-    "doc_decontaminate",
-    "doc_fingerprint",
-    "doc_language_id",
-    "doc_language_ngram",
-    "doc_pii_redact",
-    "doc_quality_score",
-    "doc_repetition_ratio",
-    "doc_simhash",
-    "doc_span_corruption",
-    "doc_stratified_sample",
-    "doc_tfidf_top_terms",
-    "embedding_ann_ivf",
-    "embedding_ann_ivfpq",
-    "embedding_ann_kmeans",
-    "embedding_ann_multiprobe",
-    "embedding_ann_pq",
-    "embedding_cosine_topk",
-    "embedding_lsh_bucket_stats",
-    "embedding_lsh_near_dup",
-    "embedding_near_dup",
-    "event_user_distinct",
-    "event_value_band_join",
-    "events_props_variant",
-    "media_feature_extract",
-    "near_dup_capped",
-    "near_dup_incremental",
-    "order_rollup",
-    "purchase_graph_communities",
-    "purchase_graph_pagerank",
-    "recent_order_preview",
-    "segment_mode_fill",
-    "semantic_dedup_census",
-    "semantic_dedup_greedy",
-    "window_frames_sql",
-  # round-15 additions (never-deferred rule: same-round additions
-  # sit inside the first 50)
-    "embedding_semantic_dedup_trained",
-    "embedding_semantic_dedup_trained_stats",
-    "semdedup_occupancy_compare",
-    "embedding_ann_pq_trained",
-    "embedding_ann_ivf_trained",
-    "quantizer_distortion_compare",
-  # --- free slots to position 50, then 51+: remaining queries
-  # stalest-first (ties by name) — tools/staleness.py ---
-    "containment_prefix_join",
-    "containment_probe_skew",
-    "doc_balanced_oversample",
-    "doc_dsir_weights",
-    "doc_epoch_shuffle",
-    "doc_length_batches",
-    "doc_lm_backoff",
-    "doc_negative_pairs",
+  # max-staleness cohort (last checked r11, staleness 4):
+  # all 41 fit — 42 must-run rows for 50 slots, no overflow
     "doc_repetition_census",
     "doc_shard_assignment",
     "doc_substring_dedup",
@@ -183,6 +129,8 @@ _DRIVER_WINDOW = [
     "waiting_supplier_sql",
     "warehouse_dim_build",
     "warehouse_fact_build",
+  # --- free slots to position 50, then 51+: remaining queries
+  # stalest-first (ties by name) — tools/staleness.py ---
     "boilerplate_ngrams",
     "brand_band_revenue_sql",
     "brand_fuzzy_match",
@@ -330,6 +278,55 @@ _DRIVER_WINDOW = [
     "wordpiece_publish_encode",
     "wordpiece_unk_foreign",
     "xml_scan_agg",
+    "containment_prefix_join",
+    "containment_probe_skew",
+    "doc_balanced_oversample",
+    "doc_chunks",
+    "doc_decontaminate",
+    "doc_dsir_weights",
+    "doc_epoch_shuffle",
+    "doc_fingerprint",
+    "doc_language_id",
+    "doc_language_ngram",
+    "doc_length_batches",
+    "doc_lm_backoff",
+    "doc_negative_pairs",
+    "doc_pii_redact",
+    "doc_quality_score",
+    "doc_repetition_ratio",
+    "doc_simhash",
+    "doc_span_corruption",
+    "doc_stratified_sample",
+    "doc_tfidf_top_terms",
+    "embedding_ann_ivf",
+    "embedding_ann_ivf_trained",
+    "embedding_ann_ivfpq",
+    "embedding_ann_kmeans",
+    "embedding_ann_multiprobe",
+    "embedding_ann_pq",
+    "embedding_ann_pq_trained",
+    "embedding_cosine_topk",
+    "embedding_lsh_bucket_stats",
+    "embedding_lsh_near_dup",
+    "embedding_near_dup",
+    "embedding_semantic_dedup_trained",
+    "embedding_semantic_dedup_trained_stats",
+    "event_user_distinct",
+    "event_value_band_join",
+    "events_props_variant",
+    "media_feature_extract",
+    "near_dup_capped",
+    "near_dup_incremental",
+    "order_rollup",
+    "purchase_graph_communities",
+    "purchase_graph_pagerank",
+    "quantizer_distortion_compare",
+    "recent_order_preview",
+    "segment_mode_fill",
+    "semantic_dedup_census",
+    "semantic_dedup_greedy",
+    "semdedup_occupancy_compare",
+    "window_frames_sql",
 ]
 # ---------------------------------------------------------------------------
 # Flagship (SURVEY §7 step 1): Q1a analog — star join, conditional agg,
