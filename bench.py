@@ -99,6 +99,19 @@ def next_history(
 
 
 def main() -> None:
+    # A set SPARK_GRAFT_STAGE_DIR would let corpus-scale session caches
+    # be served from a PREVIOUS process's parquet staging tables
+    # (materialize.get_or_build's staged tier), silently dropping build
+    # cost from the wall-inclusive headline — cross-run result reuse
+    # the bench contract forbids (VERDICT r15 #5). Every bench process
+    # must compute from the parquet inputs alone: unset it, loudly.
+    if os.environ.pop("SPARK_GRAFT_STAGE_DIR", None) is not None:
+        print(
+            "# SPARK_GRAFT_STAGE_DIR was set — UNSET for this bench run: "
+            "staged-parquet cache reuse across processes would elide "
+            "build cost from the headline (all builds run in-process)",
+            file=sys.stderr,
+        )
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None

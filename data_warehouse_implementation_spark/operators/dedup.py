@@ -259,6 +259,7 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 25,
+    broadcast_state: bool = True,
 ) -> DataFrame:
     """Connected components over an undirected pair graph by min-label
     propagation: every node's label converges to the smallest node id
@@ -272,19 +273,33 @@ def connected_components(
     ``localCheckpoint``-ed: iterative plans otherwise nest every prior
     round's lineage, and the per-round Catalyst analysis cost compounds
     until planning, not execution, dominates. The checkpoint cuts the
-    plan back to a leaf — O(|nodes|) state, constant-size plans."""
+    plan back to a leaf — O(|nodes|) state, constant-size plans.
+
+    ``broadcast_state`` (optimization round 16 — the ``graph.pagerank``
+    discipline): the label table is NODE-scale while ``sym`` is
+    edge-scale, but both come off checkpointed RDDs whose stats are
+    opaque to the planner, which therefore sort-merge-joins the edge
+    table every round (a full edge shuffle per round). Broadcasting
+    the per-round node state makes each round map-side joins over the
+    stationary checkpointed edges + one node-scale aggregate exchange.
+    Set False only when the node table itself exceeds broadcast limits
+    (~10^8 nodes); results are identical either way (join strategy
+    never changes values)."""
+    _bs = F.broadcast if broadcast_state else (lambda df: df)
     # the edge list is consulted every round — materialize it once (and
-    # cut the upstream pair-pipeline lineage out of every round's plan)
+    # cut the upstream pair-pipeline lineage out of every round's plan);
+    # deferred: round 1's convergence count materializes it inside its
+    # own job instead of paying two eager driver jobs up front
     sym = (
         edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     nodes = sym.select(F.col("src").alias("id")).distinct()
-    labels = nodes.withColumn("label", F.col("id")).localCheckpoint()
+    labels = nodes.withColumn("label", F.col("id")).localCheckpoint(eager=False)
     for _ in range(max_iter):
         neighbor_min = (
-            sym.join(labels, sym.dst == labels.id)
+            sym.join(_bs(labels), sym.dst == labels.id)
             .groupBy("src")
             .agg(F.min("label").alias("_nbr"))
         )
@@ -295,8 +310,8 @@ def connected_components(
             F.col("id").alias("_pid"), F.col("label").alias("_plabel")
         )
         new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-            .join(parent, labels.label == F.col("_pid"), "left")
+            labels.join(_bs(neighbor_min), labels.id == neighbor_min.src, "left")
+            .join(_bs(parent), labels.label == F.col("_pid"), "left")
             .select(
                 "id",
                 F.least(
@@ -313,7 +328,7 @@ def connected_components(
         )
         changed = (
             new_labels.alias("n")
-            .join(labels.alias("o"), on="id")
+            .join(_bs(labels.alias("o")), on="id")
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )

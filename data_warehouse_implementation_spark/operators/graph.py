@@ -118,8 +118,14 @@ def pagerank(
     # the separate union-distinct + groupBy + anti-join paid two
     # corpus-scale shuffles and an extra node-scale join for the same
     # information): every endpoint contributes a row, src rows carry
-    # the weight, dst rows carry NULL, and sum() ignores NULLs — a
-    # node's _out is NULL exactly when it has no out-edges.
+    # the weight plus a presence marker, dst rows carry NULLs.
+    # Danglingness comes from the src-row COUNT, not from the weight
+    # sum's NULL-ness (ADVICE r15: a node whose out-edges all carry
+    # NULL weights summed to NULL and was misclassified as dangling,
+    # where the pre-r15 existence anti-join kept it non-dangling — the
+    # marker restores the existence semantics exactly; its weight
+    # total stays NULL, so the downstream fractions degrade to NULL
+    # precisely as the old per-source sum did).
     w_t = edges.schema[weight].dataType.simpleString()
     deg = (
         _sized(
@@ -129,17 +135,23 @@ def pagerank(
                         F.struct(
                             F.col(src).alias("node"),
                             F.col(weight).alias("_w"),
+                            F.lit(1).alias("_s"),
                         ),
                         F.struct(
                             F.col(dst).alias("node"),
                             F.lit(None).cast(w_t).alias("_w"),
+                            F.lit(None).cast("int").alias("_s"),
                         ),
                     )
                 ).alias("_x")
             )
-            .select(F.col("_x.node").alias("node"), F.col("_x._w").alias("_w"))
+            .select(
+                F.col("_x.node").alias("node"),
+                F.col("_x._w").alias("_w"),
+                F.col("_x._s").alias("_s"),
+            )
             .groupBy("node")
-            .agg(F.sum("_w").alias("_out")),
+            .agg(F.sum("_w").alias("_out"), F.count("_s").alias("_ns")),
             iter_partitions,
         )
         # every round references nodes and the normalized edges; left
@@ -157,7 +169,7 @@ def pagerank(
     # the count aggregate inside every round's query execution
     # (optimization round 15).
     ncnt = nodes.agg(F.count(F.lit(1)).alias("_n")).localCheckpoint(eager=False)
-    out_tot = deg.filter(F.col("_out").isNotNull()).select(
+    out_tot = deg.filter(F.col("_ns") > 0).select(
         F.col("node").alias(src), "_out"
     )
     # the EDGE table keeps its natural partitioning (optimization
@@ -193,10 +205,10 @@ def pagerank(
     term_t = PR_TERM_DECIMAL if precision == "exact" else "double"
 
     # out-degree-0 nodes — a map-side filter of the fused degree frame
-    # (NULL _out == no out-edges); only compiled into the plan for the
-    # modes that need it
+    # (zero src-row count == no out-edges; see the marker note above);
+    # only compiled into the plan for the modes that need it
     if dangling != "ignore":
-        dangling_nodes = deg.filter(F.col("_out").isNull()).select("node")
+        dangling_nodes = deg.filter(F.col("_ns") == 0).select("node")
     rank = nodes.crossJoin(F.broadcast(ncnt)).select(
         "node", (F.lit(1.0) / F.col("_n").cast("double")).alias("rank")
     )

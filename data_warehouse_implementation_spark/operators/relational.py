@@ -238,11 +238,22 @@ def global_dense_rank(
     This replaces the ``distinct + global_rank + join-back`` pattern
     (three corpus-scale exchanges: the distinct shuffle, the rank
     sort, and the join-back of the full table) with ONE corpus-scale
-    exchange (the per-bucket sort; the distinct-count aggregate is
-    map-side partial) — the prefix-doubling suffix-array rounds went
-    from 4 to 2 corpus-scale exchanges per round. Output values are
-    identical to the distinct+join-back formulation by construction.
-    Same column contract as :func:`global_rank`."""
+    exchange (the per-bucket sort) — the prefix-doubling suffix-array
+    rounds went from 4 to 2 corpus-scale exchanges per round. The
+    per-bucket distinct-key counts that offset the buckets are read
+    off the ranked frame itself as ``max(dense_rank)`` per bucket
+    (optimization round 16) behind a deferred ``localCheckpoint``: a
+    dense rank's maximum IS the bucket's distinct-tuple count
+    (NULL tuples included, which ``count_distinct`` would drop), so
+    the previous second corpus-scale pass — a two-level groupBy
+    shuffling every distinct key tuple — collapses to a bucket-scale
+    aggregate over already-ranked rows. Output values are identical
+    to the distinct+join-back formulation by construction. Same
+    column contract as :func:`global_rank`. NOTE the returned frame
+    is backed by a deferred checkpoint of the ranked rows — callers
+    that previously checkpointed the OUTPUT to share it across
+    consumers still can (the extra hop is a map-side broadcast join).
+    """
     scratch = {"_b", "_rn", "_off", "_kmin", "_kmax"}
     if out_col in scratch:
         raise ValueError(
@@ -256,23 +267,20 @@ def global_dense_rank(
         )
     cols = [F.col(k) for k in keys]
     b = _monotone_bucketed(df, keys, bucket, numeric_bucket_width, "global_dense_rank")
-    # distinct-count via two-level groupBy, NOT count_distinct: the
-    # latter silently drops all-NULL key tuples while dense_rank ranks
-    # them (NULLS FIRST), which would shift every later bucket's offset
-    counts = (
-        b.groupBy("_b", *cols)
-        .agg(F.lit(1))
-        .groupBy("_b")
-        .agg(F.count(F.lit(1)).alias("_n"))
-    )
+    w_in = Window.partitionBy("_b").orderBy(*cols)
+    # the ranked frame feeds both the offsets branch and the join —
+    # the deferred checkpoint materializes it once inside the first
+    # consumer's job (plus: a checkpointed window output is what makes
+    # the counts aggregate below exchange-free — it reuses the window's
+    # hash partitioning on _b)
+    ranked = b.withColumn("_rn", F.dense_rank().over(w_in)).localCheckpoint(eager=False)
+    counts = ranked.groupBy("_b").agg(F.max("_rn").alias("_n"))
     w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     offsets = counts.withColumn("_off", F.sum("_n").over(w_off) - F.col("_n")).select(
         "_b", "_off"
     )
-    w_in = Window.partitionBy("_b").orderBy(*cols)
     return (
-        b.withColumn("_rn", F.dense_rank().over(w_in))
-        .join(F.broadcast(offsets), on="_b")
+        ranked.join(F.broadcast(offsets), on="_b")
         .withColumn(out_col, (F.col("_off") + F.col("_rn")).cast("long"))
         .drop("_b", "_rn", "_off")
     )

@@ -207,14 +207,40 @@ def hyperplane_signature(
         import numpy as np
         import pandas as pd
 
+        def _null_safe(v):
+            # NULL vectors / NULL elements (ADVICE r15): the pre-r15
+            # column fold propagated NULL through the projections and
+            # produced a NULL signature; reproduce that instead of
+            # crashing the worker. A null-free list arrives from Arrow
+            # as an int64 ndarray (exactness preserved); a list WITH
+            # nulls arrives as float64-with-NaN or object — detected
+            # and mapped to None here, never silently cast.
+            if v is None:
+                return None
+            a = np.asarray(v)
+            if a.dtype == object:
+                if any(e is None or e != e for e in v):
+                    return None
+                a = a.astype(np.int64)
+            elif np.issubdtype(a.dtype, np.floating):
+                if np.isnan(a).any():
+                    return None
+                a = a.astype(np.int64)
+            return a
+
         w_cache: dict[int, object] = {}
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            dims = pdf["_q"].map(len).to_numpy()
+            vecs = [_null_safe(v) for v in pdf["_q"]]
+            # NULL rows take dimension -1: excluded from every matmul
+            # group, signature forced to NULL at the end
+            dims = np.array([-1 if v is None else len(v) for v in vecs])
             sig = np.zeros(len(pdf), dtype=np.uint64)
             shifts = (np.uint64(1) << np.arange(nb, dtype=np.uint64))
             for d in np.unique(dims):
+                if int(d) <= 0:
+                    continue  # NULL (-1) handled below; empty (0): all bits set below
                 idx = np.nonzero(dims == d)[0]
                 W = w_cache.get(int(d))
                 if W is None:
@@ -222,11 +248,7 @@ def hyperplane_signature(
                     ii = np.arange(nb, dtype=np.int64).reshape(1, -1)
                     W = ((ii * 131 + 7 + jj * 31) * 2654435761) % 97 - 48
                     w_cache[int(d)] = W
-                if int(d) == 0:
-                    continue  # empty vector: all projections 0 -> all bits set below
-                Q = np.stack(
-                    [np.asarray(v, dtype=np.int64) for v in pdf["_q"].iloc[idx]]
-                )
+                Q = np.stack([vecs[i] for i in idx])
                 P = Q @ W  # (rows, nb) exact int64 projections
                 bits = (P >= 0).astype(np.uint64)
                 sig[idx] = (bits * shifts).sum(axis=1, dtype=np.uint64)
@@ -235,8 +257,10 @@ def hyperplane_signature(
                 # fold's 0, every sign bit is set (0 >= 0)
                 sig[dims == 0] = shifts.sum(dtype=np.uint64)
             out = pd.DataFrame(
-                {id_col: pdf[id_col], sig_col: sig.astype(np.int64)}
+                {id_col: pdf[id_col], sig_col: pd.array(sig.astype(np.int64), dtype="Int64")}
             )
+            if (dims < 0).any():
+                out.loc[dims < 0, sig_col] = None
             yield out
 
     return base.mapInPandas(_sign_pack, f"{id_col} {id_t}, {sig_col} long")

@@ -79,17 +79,23 @@ def token_positions(
     )
 
 
-def _dense_rank(df: DataFrame, keys: list[str], out: str) -> DataFrame:
+def _dense_rank(
+    df: DataFrame, keys: list[str], out: str, bucket=None
+) -> DataFrame:
     """Dense rank of ``keys`` under their lexicographic order —
     equality classes AND order are what the doubling needs; both are
     engine-portable for integer/ASCII keys. Computed directly on the
     full table with :func:`relational.global_dense_rank` (optimization
     round 15): the previous ``distinct + global_rank + join-back``
     paid three corpus-scale exchanges per doubling round where the
-    direct dense rank pays one (values identical by construction)."""
+    direct dense rank pays one (values identical by construction).
+    ``bucket`` forwards an explicit monotone bucket expression so the
+    doubling rounds skip the per-round min/max derivation pass
+    (optimization round 16 — ranks are dense 1..n by construction, so
+    the caller knows the key range without a job)."""
     from .relational import global_dense_rank
 
-    return global_dense_rank(df, keys, out)
+    return global_dense_rank(df, keys, out, bucket=bucket)
 
 
 def suffix_dup_lengths(
@@ -147,9 +153,27 @@ def suffix_dup_lengths(
             df, text_col=text_col, id_col=id_col
         ).localCheckpoint(eager=False)
     derive = rounds is None
+    # ONE stats pass serves both the doubling-depth derivation and the
+    # explicit rank-bucket widths below (optimization round 16): every
+    # round's dense ranks are 1..R with R <= total corpus positions, so
+    # the bucket width can be fixed up front instead of re-derived by a
+    # min/max pass over the pair table INSIDE every doubling round
+    # (derived_width_bucket's stats aggregate — one full corpus read
+    # per round, gone).
+    stats = pos.agg(
+        F.max("n").alias("_mx"), F.count(F.lit(1)).alias("_ct")
+    ).first()
+    max_n = stats["_mx"] or 1
+    n_total = stats["_ct"] or 1
     if derive:
-        max_n = pos.agg(F.max("n")).first()[0] or 1
         rounds = max(0, math.ceil(math.log2(max_n))) if max_n > 1 else 0
+    # dense ranks are 1..R (R <= n_total): ~65k uniform buckets, the
+    # same sizing derived_width_bucket would compute, without the pass
+    w_dense = max(4096, -(-int(n_total) // 65536))
+    dense_bucket = F.floor((F.col("r") - 1) / F.lit(w_dense))
+    # hashed round-1 keys are uniform in [1, HASH_P63]
+    w_hash = HASH_P63 // 65536 + 1
+    hash_bucket = F.floor((F.col("r") - 1) / F.lit(w_hash))
     if hashed_tokens:
         # round 0 map-side: hash-relabeled alphabet, zero exchange
         r0 = pos.select(
@@ -157,8 +181,20 @@ def suffix_dup_lengths(
             (F.pmod(F.xxhash64("tok"), F.lit(HASH_P63)) + 1).alias("r"),
         )
     else:
-        # round 0: rank of the single token at p (span 1)
-        r0 = _dense_rank(pos, ["tok"], "r").select("d", "n", "p", "r")
+        # round 0: rank of the single token at p (span 1). Ranked over
+        # the DISTINCT vocabulary and broadcast-joined back to the
+        # positions (optimization round 16, guide §2.3 — shuffle keys,
+        # not payloads): round 0 is the one round with massive key
+        # duplication (corpus positions >> vocabulary), so the direct
+        # corpus-scale string exchange collapses to a vocab-scale
+        # distinct + rank, and the corpus rows never shuffle at all.
+        # Dense rank over distinct keys == dense rank over the full
+        # table by definition. The broadcast is vocab-scale (the same
+        # size class as the BPE merge/alphabet artifacts); at an
+        # extreme vocabulary scale use hashed_tokens=True, the
+        # production mode, which has no round-0 rank at all.
+        vocab = _dense_rank(pos.select("tok").distinct(), ["tok"], "r")
+        r0 = pos.join(F.broadcast(vocab), on="tok").select("d", "n", "p", "r")
     from pyspark.sql import Window
 
     ranks = [r0.localCheckpoint(eager=False)]
@@ -174,20 +210,23 @@ def suffix_dup_lengths(
         # document end coalesces to the 0 sentinel exactly like the
         # old left join's missing rows.
         w_doc = Window.partitionBy("d").orderBy("p")
-        paired = (
-            prev.select(
-                "d", "n", "p", "r",
-                F.coalesce(F.lead("r", half).over(w_doc), F.lit(0)).alias("r2"),
-            )
-            # _dense_rank consumes this thrice (bucket-width stats,
-            # counts, the rank window) — checkpoint so the lead window
-            # runs once per round
-            .localCheckpoint(eager=False)
+        # with the explicit bucket and the counts-from-ranks fusion
+        # (optimization round 16) _dense_rank consumes this ONCE (the
+        # rank window) — the lead flows straight into the rank
+        # exchange, no intermediate checkpoint needed
+        paired = prev.select(
+            "d", "n", "p", "r",
+            F.coalesce(F.lead("r", half).over(w_doc), F.lit(0)).alias("r2"),
         )
         ranks.append(
             # scratch name must avoid global_rank's reserved internals
-            # ("_rn" et al. — the guard only checks INPUT columns)
-            _dense_rank(paired, ["r", "r2"], "srnk")
+            # ("_rn" et al. — the guard only checks INPUT columns).
+            # Round 1's hashed-mode keys span [1, HASH_P63]; every
+            # later round's are dense 1..R from the previous rank.
+            _dense_rank(
+                paired, ["r", "r2"], "srnk",
+                bucket=hash_bucket if (hashed_tokens and t == 1) else dense_bucket,
+            )
             .select("d", "n", "p", F.col("srnk").alias("r"))
             .localCheckpoint(eager=False)
         )
@@ -215,7 +254,11 @@ def suffix_dup_lengths(
     # suffixes (ties = genuinely equal suffixes, broken by position)
     from .relational import global_rank
 
-    order = global_rank(ranks[-1], ["r", "d", "p"], "s").localCheckpoint(eager=False)
+    # same explicit bucket as the rounds: final ranks are dense
+    # 1..n_total, so the adjacency rank skips its min/max pass too
+    order = global_rank(
+        ranks[-1], ["r", "d", "p"], "s", bucket=dense_bucket
+    ).localCheckpoint(eager=False)
     succ = order.select(
         (F.col("s") - 1).alias("s"),
         F.col("d").alias("d2"),

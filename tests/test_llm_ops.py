@@ -1626,3 +1626,46 @@ def test_global_dense_rank_matches_window_dense_rank(spark):
     got_s = relational.global_dense_rank(sdf, ["w"], "dr").collect()
     order = {"ape": 1, "apple": 2, "apricot": 3, "banana": 4, "cherry": 5}
     assert all(r.dr == order[r.w] for r in got_s)
+
+
+def test_connected_components_shuffle_state_parity(spark):
+    """The ``broadcast_state=False`` escape (node tables past broadcast
+    limits) must stay live and produce identical clusters."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "doc_a long, doc_b long",
+    )
+    b = sorted((r.id, r.cluster_id) for r in dedup.connected_components(edges).collect())
+    s = sorted(
+        (r.id, r.cluster_id)
+        for r in dedup.connected_components(edges, broadcast_state=False).collect()
+    )
+    assert b == s
+
+
+def test_hyperplane_signature_null_vectors_yield_null(spark):
+    """ADVICE r15: NULL embeddings (and NULL elements) must degrade to
+    a NULL signature — the pre-Arrow column fold's NULL propagation —
+    instead of crashing the Python worker; non-null rows in the same
+    batch keep their exact signatures."""
+    from data_warehouse_implementation_spark.operators import similarity
+
+    clean = spark.createDataFrame(
+        [(1, [0.5, -0.25, 1.0]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    want = {r.vec_id: r.hypersig for r in
+            similarity.hyperplane_signature(clean, n_bits=16).collect()}
+    mixed = spark.createDataFrame(
+        [
+            (1, [0.5, -0.25, 1.0]),
+            (2, [0.0, 0.0, 0.0]),
+            (3, None),
+            (4, [0.5, None, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.vec_id: r.hypersig for r in
+           similarity.hyperplane_signature(mixed, n_bits=16).collect()}
+    assert got[3] is None and got[4] is None
+    assert got[1] == want[1] and got[2] == want[2]

@@ -1,8 +1,8 @@
 """Dump .explain("formatted") for selected registry queries into
-plans/r15/<query>_<tag>.txt (optimization-round evidence files).
+plans/r16/<query>_<tag>.txt (optimization-round evidence files).
 
 Usage: python tools/dump_plans.py <tag> <query> [<query> ...]
-       python tools/dump_plans.py <tag> --all-top   # the round-15 watch list
+       python tools/dump_plans.py <tag> --all-top   # the round-16 watch list
 
 Plans are the AQE initial plans (isFinalPlan=false) — the same shape the
 exchange-budget lint reads. Shared-cache builds triggered while
@@ -56,7 +56,7 @@ def main() -> int:
         names = TOP
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r16"
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="dwis-plan-dump")
