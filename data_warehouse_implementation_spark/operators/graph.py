@@ -188,6 +188,17 @@ def pagerank(
                 "_frac"
             ),
         )
+        # checkpoint, NOT a co-partitioned cache (optimization round
+        # 16 measured the alternative and REJECTED it): hash-
+        # partitioning by _edst and caching would let every round's
+        # contribution aggregate skip its exchange, but that exchange
+        # carries NODE-scale partial sums (sum() combines map-side), so
+        # it is cheap — while the cache's columnar encode + per-round
+        # decode of the EDGE-scale table measured net slower at sf0.1
+        # (3 fixed-order A/B pairs: ~14.8s vs ~13.8s per query run).
+        # core_numbers is the walk where the co-partitioned cache DOES
+        # pay: its collect_list partials are edge-scale (no map-side
+        # reduction), see there.
         .localCheckpoint(eager=False)
     )
     if dangling not in ("forbid", "redistribute", "ignore"):
@@ -358,14 +369,26 @@ def label_propagation(
         )
         .localCheckpoint(eager=False)
     )
-    e = _sized(
-        edges.select(
-            F.col(src).alias("_esrc"),
-            F.col(dst).alias("_edst"),
-            F.col(weight).alias("_w"),
-        ),
-        iter_partitions,
-    ).localCheckpoint(eager=False)
+    # hash-partitioned by the round key and CACHED, not checkpointed
+    # (optimization round 16, guide §2.4 — two operations keyed the
+    # same way share one exchange): the per-round (dst, label)
+    # aggregate AND the argmax window both cluster on _edst, and
+    # InMemoryRelation preserves outputPartitioning where a
+    # localCheckpoint degrades to UnknownPartitioning, so this ONE
+    # up-front exchange removes BOTH per-round exchanges (the
+    # aggregate's carries near-edge-scale (dst, label) partials — no
+    # map-side reduction to node scale, unlike pagerank's sum).
+    # Deliberately NOT sized by ``iter_partitions``: the edge table is
+    # EDGE-scale and every round's map + aggregate + window work runs
+    # over its partitions — caching it at the node-state parallelism
+    # measured 5.5s -> 8s at sf0.1 (rounds serialized onto 4/32
+    # cores, the r15 pagerank lesson); the session/AQE sizing keeps
+    # the round work wide.
+    e = edges.select(
+        F.col(src).alias("_esrc"),
+        F.col(dst).alias("_edst"),
+        F.col(weight).alias("_w"),
+    ).repartition(F.col("_edst")).cache()
     labels = nodes.withColumn("label", F.col("node"))
     w_pick = Window.partitionBy("_edst").orderBy(F.desc("_mass"), F.asc("label"))
     # node-scale state broadcast per round — same rationale and knob as
@@ -562,15 +585,26 @@ def core_numbers(
     ``(node, core)``."""
     from .text import _bind1
 
-    und = (
-        _sized(
-            edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionAll(
-                edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-            ),
-            iter_partitions,
-        )
-        .localCheckpoint(eager=False)
+    doubled = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionAll(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
+    # HASH-partition the stationary doubled edge list by the aggregate
+    # key u and keep it as a CACHE, not a checkpoint (optimization
+    # round 16, guide §2.4 — two operations keyed the same way share
+    # one exchange): InMemoryRelation preserves outputPartitioning
+    # where a localCheckpoint's LogicalRDD degrades to
+    # UnknownPartitioning (measured), so every round's
+    # h-index aggregate — a broadcast join then groupBy(u) — reuses
+    # this ONE up-front exchange instead of re-shuffling the doubled
+    # edge list once per round (rounds=24 on the co-supply graph: 24
+    # edge-scale exchanges -> 1; the collect_list partials have NO
+    # map-side reduction, so each of those exchanges was genuinely
+    # edge-scale). Deliberately NOT sized by ``iter_partitions`` —
+    # every round's map + h-index aggregate runs over these
+    # partitions, and caching at the node-state parallelism would
+    # serialize the rounds onto a handful of cores (the r15 pagerank
+    # lesson, re-measured here at sf0.1).
+    und = doubled.repartition(F.col("u")).cache()
     core = und.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("val"))
     h_expr = _bind1(
         "array_sort(transform(_vs, x -> -x))",

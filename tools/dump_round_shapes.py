@@ -54,7 +54,11 @@ def main() -> int:
     docs = t["documents"]
     os.makedirs(OUT_DIR, exist_ok=True)
 
+    only = set(sys.argv[2:])  # optional name filter: dump just these
+
     def dump(name: str, header: str, df: DataFrame) -> None:
+        if only and name not in only:
+            return
         plan = _formatted(df)
         path = os.path.join(OUT_DIR, f"{name}_{tag}.txt")
         with open(path, "w") as fh:
@@ -184,6 +188,75 @@ def main() -> int:
         "what every real round sees; round body mirrors "
         f"dedup.connected_components (broadcast_state knob present: {has_bs}).",
         new_labels,
+    )
+
+    # --- ONE h-index (k-core) round over the operator's own edge-list
+    # materialization — shows whether the per-round aggregate
+    # re-shuffles the doubled edge list or reuses its partitioning.
+    from data_warehouse_implementation_spark.operators import graph
+
+    src = inspect.getsource(graph.core_numbers)
+    copart = ".cache()" in src
+    edges_big = spark.range(200_000).select(
+        (F.col("id") % 5000).alias("u"), ((F.col("id") * 7) % 5000 + 5000).alias("v")
+    )
+    doubled = edges_big.unionAll(edges_big.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    if copart:
+        und = doubled.repartition("u").cache()
+        und.count()
+    else:
+        und = doubled._real_localCheckpoint()
+    state = spark.createDataFrame(
+        [(i, 3) for i in range(100)], "v long, val long"
+    )._real_localCheckpoint()
+    nb = und.join(F.broadcast(state), on="v").select("u", "val")
+    kround = nb.groupBy("u").agg(F.collect_list("val").alias("_vs"))
+    dump(
+        "kcore_round_shape",
+        "ONE h-index round's neighbor aggregate over the operator's "
+        f"edge-list materialization (co-partitioned cache: {copart}) — "
+        "shows whether groupBy(u) re-shuffles the doubled edge list "
+        "every round or reuses the one up-front hash partitioning.",
+        kround,
+    )
+
+    # --- ONE label-propagation round (adopt + argmax window) over the
+    # operator's own edge-list materialization — shows whether the
+    # (dst, label) mass aggregate AND the per-dst argmax window each
+    # re-shuffle per round or both reuse the one up-front hash
+    # partitioning on _edst.
+    lpa_copart = ".cache()" in inspect.getsource(graph.label_propagation)
+    e_lpa = edges_big.select(
+        F.col("u").alias("_esrc"), F.col("v").alias("_edst"), F.lit(1).alias("_w")
+    )
+    if lpa_copart:
+        e_lpa = e_lpa.repartition(F.col("_edst")).cache()
+        e_lpa.count()
+    else:
+        e_lpa = e_lpa._real_localCheckpoint()
+    lstate = spark.createDataFrame(
+        [(i, i) for i in range(100)], "node long, label long"
+    )._real_localCheckpoint()
+    from pyspark.sql import Window as _W
+
+    w_pick = _W.partitionBy("_edst").orderBy(F.desc("_mass"), F.asc("label"))
+    adopted = (
+        e_lpa.join(F.broadcast(lstate), e_lpa._esrc == lstate.node)
+        .groupBy("_edst", "label")
+        .agg(F.sum("_w").alias("_mass"))
+        .withColumn("_rn", F.row_number().over(w_pick))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("_edst").alias("node"), F.col("label").alias("_new"))
+    )
+    dump(
+        "lpa_round_shape",
+        "ONE label-propagation round (mass aggregate + argmax window) "
+        "over the operator's edge-list materialization (co-partitioned "
+        f"cache: {lpa_copart}) — shows whether the (dst, label) "
+        "aggregate and the per-dst window each re-shuffle the edge "
+        "list every round or both reuse one up-front _edst hash "
+        "partitioning.",
+        adopted,
     )
     spark.stop()
     return 0
