@@ -438,7 +438,25 @@ def cooccurrence_edges(
     rank (priority = negated item id, so the smallest ids win) — a
     single member-scale window per group would serialize on exactly
     the hot group the cap exists to guard."""
-    pairs = df.select(F.col(group_col).alias("_g"), F.col(item_col).alias("_i")).distinct()
+    # ONE exchange serves the dedup AND both self-join sides
+    # (optimization round 16, guide §2.4): hash-partitioning on the
+    # group key BEFORE the distinct satisfies the distinct's (g, i)
+    # clustering (a subset partitioning satisfies an aggregate's
+    # required distribution) and leaves the output partitioned on _g,
+    # which is exactly the self-join's key — so the join adds sorts
+    # but NO exchange per side. Without it the distinct shuffled on
+    # (g, i) and the join re-shuffled both sides onto _g. (A
+    # collect_set + in-row sorted pair expansion was measured as the
+    # alternative and REJECTED: the object aggregate + interpreted
+    # nested higher-order expansion ran ~2x slower than the codegen
+    # join at sf0.1.) Skew note: a pathological hot group now lands
+    # one partition at the dedup too, not just at the join — the
+    # ``max_items_per_group`` cap below is the guard either way.
+    pairs = (
+        df.select(F.col(group_col).alias("_g"), F.col(item_col).alias("_i"))
+        .repartition(F.col("_g"))
+        .distinct()
+    )
     if max_items_per_group is not None:
         from .corpus import cap_per_key
 
@@ -468,17 +486,47 @@ def top_decile_edges(edges: DataFrame) -> DataFrame:
     deterministic, engine-replayable quantile cut via the two-phase
     :func:`relational.global_rank` (never a single-task sort). The
     input takes a deferred ``localCheckpoint`` barrier first: the
-    bucket min/max aggregate, the rank's two phases, and the count
-    branch would otherwise each re-evaluate the caller's (typically
-    expensive projection) subtree — the same multi-branch trap
-    documented at :func:`count_triangles`."""
+    rank's two phases and the count branch would otherwise each
+    re-evaluate the caller's (typically expensive projection) subtree
+    — the same multi-branch trap documented at :func:`count_triangles`.
+
+    The rank gets an EXPLICIT monotone bucket (optimization round 16,
+    guide §1.2): ``(-weight, coarse(s1))`` — legal because the second
+    component only refines within equal weights — so
+    ``global_rank``'s default numeric bucketing never runs its
+    min/max stats aggregate, one full pass over the edge list per
+    build; the ``s1`` refinement also splits the hot low-weight
+    values (co-occurrence weights are zipfian — weight=1 alone can
+    hold half the edges at any scale) across window tasks where a
+    weight-only bucket would serialize them onto one."""
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+    )
+
     from .relational import global_rank
 
     edges = edges.localCheckpoint(eager=False)
+    s1_t = edges.schema["s1"].dataType
+    if isinstance(s1_t, (ByteType, ShortType, IntegerType, LongType)):
+        refine = F.floor(F.col("s1") / F.lit(4096))
+    elif isinstance(s1_t, StringType):
+        refine = F.coalesce(F.substring(F.col("s1"), 1, 3), F.lit(""))
+    else:  # exotic node id type: fall back to the derived bucketing
+        refine = None
+    bucket = (
+        F.struct(F.col("_negw"), refine.alias("_s1b"))
+        if refine is not None
+        else None
+    )
     ranked = global_rank(
         edges.withColumn("_negw", (-F.col("weight")).cast("long")),
         ["_negw", "s1", "s2"],
         "_rk",
+        bucket=bucket,
     )
     n = edges.agg(F.count(F.lit(1)).alias("_n"))
     return (
